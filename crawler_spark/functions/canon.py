@@ -1,0 +1,124 @@
+"""URL canonicalization — the engine's analog of the reference's address
+normalization layer (reference: src/utils/address_parser.py:150-163
+``normalize_address``, src/map_api/base.py:24-69 ``clean_address_for_search``).
+
+Two tiers:
+
+* :func:`normalize_url` — full RFC 3986 normalization in pure Python
+  (lowercase scheme/host, strip default port, resolve dot-segments,
+  normalize percent-encoding, sort query params, drop fragment). Applied as
+  a **vectorized pandas UDF** (:func:`canonicalize_udf`) — Arrow-batched,
+  never per-row Python UDF.
+* :func:`with_url_cols` — attaches ``url_canon``, ``url_hash``
+  (Spark-native ``xxhash64``, JVM-side) and ``host`` (``parse_url``) to a
+  DataFrame. Hashing and host extraction stay inside whole-stage codegen.
+
+The sequential oracle uses the same :func:`normalize_url` +
+:mod:`crawler_spark.functions.xxh` so engine and oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote, unquote, urlsplit
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+
+# RFC 3986 unreserved characters — safe to percent-decode
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _resolve_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+            continue
+        out.append(seg)
+    # preserve leading slash; re-join
+    p = "/".join(out)
+    if path.startswith("/") and not p.startswith("/"):
+        p = "/" + p
+    # trailing '.' / '..' leave a trailing slash per the RFC algorithm
+    if path.endswith(("/.", "/..")) and not p.endswith("/"):
+        p += "/"
+    return p or "/"
+
+
+def _norm_pct(s: str) -> str:
+    """Decode unreserved %XX, re-encode the rest with uppercase hex."""
+    # unquote fully, then re-quote everything that is not unreserved or a
+    # path-legal delimiter; this uppercases hex digits as a side effect.
+    return quote(unquote(s), safe="/:@!$&'()*+,;=~-._")
+
+
+def normalize_url(url: str) -> str:
+    """Full RFC 3986 normalization. Pure function; also used by the oracle."""
+    url = url.strip()
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower() or "http"
+    host = (parts.hostname or "").lower().rstrip(".")
+    port = parts.port
+    netloc = host
+    if port is not None and _DEFAULT_PORTS.get(scheme) != port:
+        netloc = f"{host}:{port}"
+    path = _norm_pct(_resolve_dot_segments(parts.path or "/"))
+    query = ""
+    if parts.query:
+        pairs = sorted(p for p in parts.query.split("&") if p)
+        query = "&".join(_norm_pct(p) for p in pairs)
+    out = f"{scheme}://{netloc}{path}"
+    if query:
+        out += f"?{query}"
+    return out  # fragment intentionally dropped
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """Arrow-batched vectorized canonicalization (no per-row Python UDF)."""
+    return urls.map(normalize_url)
+
+
+def canon_native(url: Column) -> Column:
+    """Portable *simplified* canonicalization in native expressions only
+    (stays in whole-stage codegen; also expressible in ANSI SQL for the
+    DuckDB oracle): trim, drop fragment, lowercase, strip default :80
+    port, collapse ``/./`` segments.
+
+    Used by the oracle-checked queries; the engine's hot path uses
+    :func:`canonicalize_udf` for full RFC 3986 semantics.
+    """
+    c = F.lower(F.trim(url))
+    c = F.regexp_replace(c, "#.*$", "")
+    c = F.regexp_replace(c, ":80/", "/")
+    c = F.regexp_replace(c, "/\\./", "/")
+    return c
+
+
+def with_url_cols(
+    df: DataFrame, url_col: str = "url", full: bool = True
+) -> DataFrame:
+    """Attach url_canon / url_hash / host.
+
+    url_hash = xxhash64(url_canon) — Spark-native, JVM-side, seed 42.
+    host via parse_url (native). Only canonicalization itself leaves the
+    JVM (vectorized Arrow batch), and only when ``full=True``.
+    """
+    canon = canonicalize_udf(F.col(url_col)) if full else canon_native(F.col(url_col))
+    return (
+        df.withColumn("url_canon", canon)
+        .withColumn("url_hash", F.xxhash64(F.col("url_canon")))
+        .withColumn("host", F.parse_url(F.col("url_canon"), F.lit("HOST")))
+    )

@@ -1,0 +1,129 @@
+"""Image codecs for the image+caption payload (input_hint schema).
+
+No PIL/imageio in this environment, so we ship two self-contained codecs:
+
+* ``png``  — a real, spec-compliant PNG encoder/decoder (8-bit grayscale,
+  filter 0, zlib/stdlib). Lossless: decode(encode(px)) == px.
+* ``qdct`` — a deliberately lossy toy codec (uniform quantization by Q=4 +
+  zlib) so the PSNR >= 40 dB per-row invariant from BASELINE.json's
+  input_hint is exercised honestly: max error Q/2 -> PSNR ~ 47 dB.
+
+Plus ``phash64`` (8x8 block-mean perceptual hash -> int64) and ``psnr``.
+All pure numpy — called only inside Arrow-batched pandas UDF stages.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+QDCT_Q = 4  # quantization step; PSNR = 20*log10(255/(Q/sqrt(12))) ≈ 46.9 dB
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(px: np.ndarray) -> bytes:
+    """8-bit grayscale PNG. px: (h, w) uint8."""
+    h, w = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bitdepth 8, gray
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))  # filter 0
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 0:
+                raise ValueError("only 8-bit grayscale supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    out = np.empty((h, w), dtype=np.uint8)
+    stride = w + 1
+    prev = np.zeros(w, dtype=np.uint8)
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        ft, body = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+        if ft == 0:
+            out[r] = body
+        elif ft == 2:  # Up filter (we never emit it, but accept it)
+            out[r] = (body.astype(np.int16) + prev).astype(np.uint8)
+        else:
+            raise ValueError(f"unsupported PNG filter {ft}")
+        prev = out[r]
+    return out
+
+
+def qdct_encode(px: np.ndarray) -> bytes:
+    """Lossy: quantize to multiples of Q, zlib the quotients."""
+    h, w = px.shape
+    q = (px.astype(np.uint16) + QDCT_Q // 2) // QDCT_Q
+    q = np.clip(q, 0, 255 // QDCT_Q).astype(np.uint8)
+    return struct.pack(">HHB", w, h, QDCT_Q) + zlib.compress(q.tobytes(), 6)
+
+
+def qdct_decode(data: bytes) -> np.ndarray:
+    w, h, q = struct.unpack(">HHB", data[:5])
+    arr = np.frombuffer(zlib.decompress(data[5:]), dtype=np.uint8)
+    return (arr.reshape(h, w).astype(np.uint16) * q).clip(0, 255).astype(np.uint8)
+
+
+def encode(px: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(px)
+    if fmt == "qdct":
+        return qdct_encode(px)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "qdct":
+        return qdct_decode(data)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def phash64(px: np.ndarray) -> int:
+    """Perceptual hash: 8x8 block means thresholded by their median -> 64
+    bits -> signed int64. Deterministic, pure numpy."""
+    h, w = px.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    means = px[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (means > np.median(means)).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v

@@ -1,0 +1,104 @@
+"""Enrichment operators: fallback join, scenario first-hit, validation
+join, latest-per-key — the geocode-pipeline analogs.
+
+Reference parity:
+* fallback join (J6): try Kakao, only on miss try Naver, first hit wins
+  (src/map_api/__init__.py:62-118) -> two left joins + coalesce, with the
+  second probe restricted to misses.
+* scenario first-hit (W2/D2/C12): generate an ordered query list
+  (full -> prefix-reduced -> name-only), first validated hit wins
+  (src/map_api/kakao_api.py:131-155,219-247) -> posexplode + min_by(pos).
+* latest-per-key (A7/W6/K5): keep the newest row per key by timestamp
+  (src/utils/csv_handler.py:99-107) -> max_by / window row_number.
+* top-1 by relevance (W1): size:1 sort:'accuracy' (kakao_api.py:28-32)
+  -> max_by with deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fallback_join(
+    base: DataFrame, primary: DataFrame, secondary: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """coalesce(primary.*, secondary.*) per row; the secondary probe only
+    runs for primary misses (left_anti restriction), like the reference
+    only calling Naver when Kakao fails."""
+    p = primary.select(key, *[F.col(c).alias(f"_p_{c}") for c in cols])
+    s = secondary.select(key, *[F.col(c).alias(f"_s_{c}") for c in cols])
+    with_p = base.join(F.broadcast(p), key, "left")
+    hits = with_p.filter(F.col(f"_p_{cols[0]}").isNotNull())
+    misses = with_p.filter(F.col(f"_p_{cols[0]}").isNull()).join(
+        F.broadcast(s), key, "left"
+    )
+    out_hit = hits.select(
+        *base.columns,
+        *[F.col(f"_p_{c}").alias(c) for c in cols],
+        F.lit("primary").alias("enrich_source"),
+    )
+    out_miss = misses.select(
+        *base.columns,
+        *[F.col(f"_s_{c}").alias(c) for c in cols],
+        F.when(F.col(f"_s_{cols[0]}").isNotNull(), F.lit("secondary"))
+        .otherwise(F.lit("none"))
+        .alias("enrich_source"),
+    )
+    return out_hit.unionByName(out_miss)
+
+
+def scenario_first_hit(
+    base: DataFrame,
+    scenarios_col: str,
+    lookup: DataFrame,
+    lookup_key: str,
+    lookup_val: str,
+    id_col: str,
+) -> DataFrame:
+    """Explode ordered scenarios, join the lookup, keep the first
+    (lowest-pos) validated hit per row — W2 as min_by(result, pos)."""
+    exploded = base.select(
+        id_col, F.posexplode(scenarios_col).alias("pos", "q")
+    )
+    hits = exploded.join(
+        F.broadcast(lookup.select(F.col(lookup_key).alias("q"), lookup_val)),
+        "q",
+        "inner",
+    )
+    return hits.groupBy(id_col).agg(
+        F.min_by(F.col(lookup_val), F.col("pos")).alias("hit_val"),
+        F.min("pos").alias("hit_pos"),
+    )
+
+
+def latest_per_key(df: DataFrame, key: str, ts_col: str, tie_col: str) -> DataFrame:
+    """Newest row per key; deterministic tie-break on tie_col (desc)."""
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(key)
+        .agg(F.max_by(payload, F.struct(F.col(ts_col), F.col(tie_col))).alias("row"))
+        .select("row.*")
+    )
+
+
+def top1_per_group(df: DataFrame, group: str, score: str, tie_col: str) -> DataFrame:
+    """W1: top-1 by score per group, ties to smallest tie_col."""
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(group)
+        .agg(F.max_by(payload, F.struct(F.col(score), -F.col(tie_col))).alias("row"))
+        .select("row.*")
+    )
+
+
+def jaccard_tokens(a, b):
+    """A8: token-set Jaccard via native array ops
+    (address_parser.py:253-264)."""
+    ta = F.array_distinct(F.split(F.lower(a), "\\s+"))
+    tb = F.array_distinct(F.split(F.lower(b), "\\s+"))
+    return F.round(
+        F.size(F.array_intersect(ta, tb))
+        / F.greatest(F.size(F.array_union(ta, tb)), F.lit(1)),
+        6,
+    )

@@ -1,0 +1,110 @@
+"""Fetch/parse stage: Arrow-batched ``mapInPandas`` over scheduled frontier
+rows — the UDTF-shaped stage (one page -> many records).
+
+Reference parity: navigate + extract_data (reference:
+src/crawler/crawler.py:30, :559-683) — the browser fetch and in-page JS
+projection become one vectorized batch stage. The fetcher is pluggable;
+tests/bench use the deterministic :class:`SynthWeb` so executors and the
+oracle agree. A real deployment swaps ``make_fetch_parse``'s inner
+``fetch_one`` for batched HTTP.
+
+Output is a single union-schema DataFrame tagged by ``kind``:
+  'result' — leaf page payload (input_hint image+caption schema)
+  'link'   — raw outlink + discovery_seq (document order encoded)
+  'fail'   — fetch failure + error_reason (failed-stores CSV analog,
+             reference: src/crawler/base_crawler.py:350-362)
+One pass produces all three; the round driver filters and persists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from crawler_spark.sources.synth import SynthWeb
+
+# children inherit order from (parent_seq, sibling_idx); 4096 > any fanout
+SEQ_FANOUT = 4096
+
+FETCHED_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("discovery_seq", T.LongType()),
+        # result payload (input_hint)
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        # link
+        T.StructField("link_raw", T.StringType()),
+        T.StructField("link_seq", T.LongType()),
+        # failure
+        T.StructField("error_reason", T.StringType()),
+    ]
+)
+
+_NULLS = {f.name: None for f in FETCHED_SCHEMA.fields}
+
+
+def make_fetch_parse(web: SynthWeb):
+    """Build the mapInPandas function over scheduled rows."""
+
+    def fetch_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                base = dict(_NULLS)
+                base.update(
+                    url_canon=row.url_canon,
+                    url_hash=int(row.url_hash),
+                    host=row.host,
+                    priority=int(row.priority),
+                    depth=int(row.depth),
+                    discovery_seq=int(row.discovery_seq),
+                )
+                err = web.fetch_error(row.url_canon)
+                if err is not None:
+                    out.append({**base, "kind": "fail", "error_reason": err})
+                    continue
+                if web.is_leaf(row.url_canon):
+                    out.append({**base, "kind": "result", **web.payload(row.url_canon)})
+                    continue
+                links = web.outlinks_raw(row.url_canon)
+                if not links:
+                    # navigable page with no results — still a "result" of
+                    # zero records; record nothing but count as fetched
+                    out.append({**base, "kind": "empty"})
+                for i, raw in enumerate(links):
+                    out.append(
+                        {
+                            **base,
+                            "kind": "link",
+                            "link_raw": raw,
+                            "link_seq": int(row.discovery_seq) * SEQ_FANOUT + i + 1,
+                        }
+                    )
+            pdf_out = pd.DataFrame(out, columns=[f.name for f in FETCHED_SCHEMA.fields])
+            # columns mixing None with int64 would coerce to float64 and
+            # silently lose low bits of 64-bit hashes — force nullable Int64
+            for c in ("phash", "link_seq", "w", "h", "url_hash", "discovery_seq"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            yield pdf_out
+
+    return fetch_parse
+
+
+def run_fetch(scheduled: DataFrame, web: SynthWeb) -> DataFrame:
+    return scheduled.select(
+        "url_canon", "url_hash", "host", "priority", "depth", "discovery_seq"
+    ).mapInPandas(make_fetch_parse(web), schema=FETCHED_SCHEMA)

@@ -1,0 +1,98 @@
+"""Per-host politeness budget as a salted window rank.
+
+Reference parity: the reference enforces politeness with hard sleeps
+(CRAWL_DELAY=8.0s etc.; reference: src/config.py:49-50, sleeps all over
+src/crawler/crawler.py). A distributed engine must not sleep: instead each
+round grants every host a budget ``B = floor(round_seconds /
+crawl_delay_s)`` and schedules at most the first B pending URLs per host
+in the frontier's total order ``(priority, depth, discovery_seq,
+url_hash)``. Unscheduled rows stay pending and keep their order -> the
+sequence of fetches is exactly what a single polite crawler would do,
+computed as a batch.
+
+Skew: a mega-host with 10^8 pending URLs would put 10^8 rows in one
+window partition. Two-phase select fixes it (north_rule: "salted
+repartition by host"):
+
+  phase 1: rank within (host, salt=pmod(url_hash, S)) — every partition
+           holds ~1/S of a host's rows; keep rank <= B. This is a strict
+           superset of the true per-host top-B (any row in the true top-B
+           is within the top-B of its own salt slice).
+  phase 2: exact rank within host over the <= S*B survivors — bounded
+           input per host, no skew, exact result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_COLS = ["priority", "depth", "discovery_seq", "url_hash"]
+
+
+def _order():
+    return [F.col(c).asc() for c in ORDER_COLS]
+
+
+def politeness_select(
+    allowed: DataFrame, budget_col: str = "budget", n_salt: int = 16
+) -> DataFrame:
+    """Keep the first ``budget`` pending rows per host in frontier order.
+
+    ``allowed`` must carry host, the ORDER_COLS and an int ``budget_col``
+    (constant per host). Returns the scheduled rows (budget columns kept).
+    """
+    salted = allowed.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(n_salt)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*_order())
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col(budget_col))
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*_order())
+    return (
+        survivors.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= F.col(budget_col))
+        .drop("_r2")
+    )
+
+
+def robots_gate(
+    pending: DataFrame, robots: DataFrame, round_seconds: float
+) -> tuple[DataFrame, DataFrame]:
+    """Broadcast-join the robots dimension; split (allowed, denied).
+
+    Reference parity: the one-time consent/filter-popup gate
+    (src/crawler/crawler.py:65-117) -> per-host allow/deny dimension,
+    broadcast once per round (north_rule). Missing hosts: allowed,
+    crawl_delay 1.0s.
+    Returns allowed rows with a per-host int ``budget`` column.
+    """
+    joined = pending.join(
+        F.broadcast(robots.select("host", "deny_prefixes", "crawl_delay_s")),
+        on="host",
+        how="left",
+    )
+    path = F.regexp_replace(F.col("url_canon"), r"^[a-z]+://[^/]+", "")
+    denied_pred = F.exists(
+        F.coalesce(F.col("deny_prefixes"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    with_flag = joined.withColumn("_denied", denied_pred)
+    allowed = (
+        with_flag.filter(~F.col("_denied"))
+        .withColumn(
+            "budget",
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.lit(round_seconds) / F.coalesce(F.col("crawl_delay_s"), F.lit(1.0))
+                ),
+            ).cast("int"),
+        )
+        .drop("_denied", "deny_prefixes", "crawl_delay_s")
+    )
+    denied = with_flag.filter(F.col("_denied")).drop(
+        "_denied", "deny_prefixes", "crawl_delay_s"
+    )
+    return allowed, denied

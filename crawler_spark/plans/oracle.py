@@ -1,0 +1,115 @@
+"""Sequential reference-semantics oracle.
+
+A single-threaded simulator of the crawl with EXACTLY the engine's
+ordering contract — the analog of the reference's nested-loop crawl
+(reference: src/crawler/crawler.py:1204-1334): pending URLs visited in
+``(priority, depth, discovery_seq, url_hash)`` order under the same
+per-host politeness budget, robots gate, failure injection and
+first-discovery-wins frontier dedup. The Spark engine must reproduce this
+simulator's per-round schedule (as an ordered list) and final URL-seen
+set bit-for-bit (BASELINE.json north_rule).
+
+Pure Python + the shared SynthWeb / normalize_url / xxh64, so it runs
+without a JVM and is obviously-correct by inspection.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from crawler_spark.functions.canon import normalize_url
+from crawler_spark.functions.xxh import xxh64_str
+from crawler_spark.operators.fetch import SEQ_FANOUT
+from crawler_spark.sources.synth import SynthWeb
+
+
+@dataclass(order=True)
+class _Entry:
+    priority: int
+    depth: int
+    discovery_seq: int
+    url_hash: int
+    url_canon: str = field(compare=False)
+    host: str = field(compare=False)
+
+
+def _entry(url_canon: str, priority: int, depth: int, seq: int) -> _Entry:
+    host = url_canon.split("://", 1)[1].split("/", 1)[0].split(":")[0]
+    return _Entry(priority, depth, seq, xxh64_str(url_canon), url_canon, host)
+
+
+class OracleCrawler:
+    def __init__(
+        self,
+        web: SynthWeb,
+        seeds_raw: list[str] | None = None,
+        round_seconds: float = 16.0,
+    ):
+        self.web = web
+        self.round_seconds = round_seconds
+        self.robots = {r["host"]: r for r in web.robots_rows()}
+        self.pending: list[_Entry] = []
+        self.seen: set[str] = set()
+        self.schedule: list[tuple[int, str]] = []  # (round, url) in order
+        self.results: list[str] = []
+        self.failures: list[tuple[str, str]] = []
+        self.denied: list[str] = []
+        seeds = seeds_raw if seeds_raw is not None else web.seeds_raw()
+        for i, raw in enumerate(seeds):
+            c = normalize_url(raw)
+            if c not in self.seen:
+                self.seen.add(c)
+                self.pending.append(_entry(c, 0, 0, i))
+
+    def _budget(self, host: str) -> int:
+        delay = self.robots.get(host, {}).get("crawl_delay_s", 1.0)
+        return max(1, math.floor(self.round_seconds / delay))
+
+    def _is_denied(self, e: _Entry) -> bool:
+        deny = self.robots.get(e.host, {}).get("deny_prefixes", [])
+        path = "/" + e.url_canon.split("://", 1)[1].split("/", 1)[1] if "/" in e.url_canon.split("://", 1)[1] else "/"
+        return any(path.startswith(p) for p in deny)
+
+    def run_round(self, round_id: int) -> int:
+        self.pending.sort()
+        # robots gate over ALL pending rows (engine applies the broadcast
+        # join to the whole pending set each round)
+        alive: list[_Entry] = []
+        for e in self.pending:
+            if self._is_denied(e):
+                self.denied.append(e.url_canon)
+            else:
+                alive.append(e)
+        taken: list[_Entry] = []
+        deferred: list[_Entry] = []
+        used: dict[str, int] = {}
+        for e in alive:
+            if used.get(e.host, 0) < self._budget(e.host):
+                used[e.host] = used.get(e.host, 0) + 1
+                taken.append(e)
+            else:
+                deferred.append(e)
+        self.pending = deferred
+        for e in taken:
+            self.schedule.append((round_id, e.url_canon))
+            err = self.web.fetch_error(e.url_canon)
+            if err is not None:
+                self.failures.append((e.url_canon, err))
+                continue
+            if self.web.is_leaf(e.url_canon):
+                self.results.append(e.url_canon)
+                continue
+            for i, raw in enumerate(self.web.outlinks_raw(e.url_canon)):
+                c = normalize_url(raw)
+                if c not in self.seen:
+                    self.seen.add(c)
+                    self.pending.append(
+                        _entry(c, 0, e.depth + 1, e.discovery_seq * SEQ_FANOUT + i + 1)
+                    )
+        return len(taken)
+
+    def run(self, max_rounds: int = 32) -> None:
+        for r in range(1, max_rounds + 1):
+            if self.run_round(r) == 0:
+                break

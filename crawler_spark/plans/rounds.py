@@ -1,0 +1,294 @@
+"""Crawl-round driver: one round = one batch DataFrame DAG = one snapshot.
+
+The §3.1 pipeline (SURVEY.md) as a declarative plan:
+
+  frontier.filter(pending)
+    -> robots gate (broadcast dim join)              [T5]
+    -> politeness select (salted window rank)        [T1/W3]
+    -> mapInPandas fetch/parse (Arrow batches)       [S1/S5]
+    -> split: results / links / failures             [F1-F8, T4]
+    -> links: canonicalize -> first-discovery dedup -> bloom+exact
+       anti-join vs URL-seen -> new pending rows     [J1/C1-C13]
+    -> per-partition metrics                         [A6]
+    -> atomic snapshot commit (resume point)         [T2/T3]
+
+Scale notes: the frontier rewrite is a full overwrite here; on a real
+cluster the frontier is partitioned by pmod(url_hash, N) and only touched
+partitions rewrite (Iceberg MERGE). The one shuffle join per round is the
+seen anti-join, pre-filtered by the bucketed bloom so only "maybe seen"
+rows shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawler_spark.functions.canon import with_url_cols
+from crawler_spark.operators.fetch import run_fetch
+from crawler_spark.operators.politeness import politeness_select, robots_gate
+from crawler_spark.operators.seen import anti_join_seen, build_bloom
+from crawler_spark.sources.catalog import SnapshotCatalog
+from crawler_spark.sources.synth import SynthWeb
+
+FRONTIER_COLS = [
+    "url_canon",
+    "url_hash",
+    "host",
+    "priority",
+    "depth",
+    "discovery_seq",
+    "discovery_ts",
+    "status",
+    "round_id",
+]
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("deny_prefixes", T.ArrayType(T.StringType())),
+        T.StructField("crawl_delay_s", T.DoubleType()),
+    ]
+)
+
+
+def _frontier_select(df: DataFrame) -> DataFrame:
+    return df.select(*FRONTIER_COLS)
+
+
+def init_crawl(
+    catalog: SnapshotCatalog, web: SynthWeb, seeds_raw: list[str] | None = None
+) -> int:
+    """Snapshot 0: canonicalized+deduped seeds as the pending frontier,
+    seeds in the seen set, robots dimension loaded."""
+    spark = catalog.spark
+    seeds_raw = seeds_raw if seeds_raw is not None else web.seeds_raw()
+    seeds = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(seeds_raw)], "url string, seq long"
+    )
+    canon = with_url_cols(seeds)
+    # first-wins dedup on the canonical form (reference analog: ordered
+    # seen-set dedup, kakao_api.py:147-155)
+    frontier = (
+        canon.groupBy("url_canon")
+        .agg(
+            F.min("seq").alias("discovery_seq"),
+            F.any_value("url_hash").alias("url_hash"),
+            F.any_value("host").alias("host"),
+        )
+        .withColumn("priority", F.lit(0))
+        .withColumn("depth", F.lit(0))
+        .withColumn("discovery_ts", F.timestamp_micros(F.col("discovery_seq")))
+        .withColumn("status", F.lit("pending"))
+        .withColumn("round_id", F.lit(0))
+    )
+    robots = spark.createDataFrame(web.robots_rows(), schema=ROBOTS_SCHEMA)
+    catalog.stage_overwrite("frontier", _frontier_select(frontier))
+    catalog.stage_overwrite("seen", frontier.select("url_hash", "url_canon"))
+    catalog.stage_overwrite("robots", robots)
+    return catalog.commit()
+
+
+def run_round(
+    catalog: SnapshotCatalog,
+    web: SynthWeb,
+    round_seconds: float = 16.0,
+    n_salt: int = 16,
+    use_bloom: bool = True,
+    target_host_contains: str | None = None,
+) -> dict:
+    """Execute one crawl round; returns counters (crawling_stats analog,
+    reference: src/crawler/base_crawler.py:38-47).
+
+    ``target_host_contains`` is the single-region targeting filter (F9,
+    reference: crawler.py:1205-1226) — a frontier pre-filter, i.e.
+    partition pruning by seed subset.
+    """
+    spark = catalog.spark
+    round_id = catalog.current_id() + 1
+    frontier = catalog.read("frontier")
+    seen = catalog.read("seen")
+    robots = catalog.read("robots")
+
+    pending = frontier.filter(F.col("status") == "pending")
+    if target_host_contains:
+        pending = pending.filter(F.col("host").contains(target_host_contains))
+
+    allowed, denied = robots_gate(pending, robots, round_seconds)
+    scheduled = politeness_select(allowed, n_salt=n_salt).persist()
+    fetched = (
+        run_fetch(scheduled, web)
+        .withColumn("partition_id", F.spark_partition_id())
+        .persist()
+    )
+
+    results_new = fetched.filter(F.col("kind") == "result").select(
+        "url_canon",
+        "url_hash",
+        "host",
+        F.lit(round_id).alias("round_id"),
+        "partition_id",
+        "image_id",
+        "bytes",
+        "w",
+        "h",
+        "fmt",
+        "caption",
+        "phash",
+    )
+    failures_new = fetched.filter(F.col("kind") == "fail").select(
+        "url_canon",
+        "url_hash",
+        "host",
+        F.lit(round_id).alias("round_id"),
+        "partition_id",
+        "error_reason",
+        F.lit(1).alias("attempts"),
+    )
+
+    # ---- expand frontier: canonicalize links, first-discovery-wins dedup,
+    # bloom-prefiltered exact anti-join against the seen set --------------
+    links = fetched.filter(F.col("kind") == "link").select(
+        F.col("link_raw").alias("url"),
+        F.col("link_seq"),
+        (F.col("depth") + 1).alias("depth"),
+    )
+    link_canon = with_url_cols(links)
+    new_urls = (
+        link_canon.groupBy("url_canon")
+        .agg(
+            F.min("link_seq").alias("discovery_seq"),
+            F.any_value("url_hash").alias("url_hash"),
+            F.any_value("host").alias("host"),
+            F.min("depth").alias("depth"),
+        )
+    )
+    bloom = build_bloom(seen) if use_bloom else None
+    unseen = anti_join_seen(new_urls, seen, bloom)
+    new_frontier = (
+        unseen.withColumn("priority", F.lit(0))
+        .withColumn("discovery_ts", F.timestamp_micros(F.col("discovery_seq")))
+        .withColumn("status", F.lit("pending"))
+        .withColumn("round_id", F.lit(round_id))
+    )
+
+    # ---- frontier status update ----------------------------------------
+    keys = ["url_hash", "url_canon"]
+    sched_keys = scheduled.select(*keys)
+    denied_keys = denied.select(*keys)
+    fail_keys = failures_new.select(*keys).withColumn("_failed", F.lit(True))
+    still_pending = (
+        pending.join(sched_keys, keys, "left_anti").join(denied_keys, keys, "left_anti")
+    )
+    done = (
+        scheduled.join(fail_keys, keys, "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_failed"), F.lit("failed")).otherwise(F.lit("fetched")),
+        )
+        .withColumn("round_id", F.lit(round_id))
+    )
+    denied_rows = denied.withColumn("status", F.lit("denied")).withColumn(
+        "round_id", F.lit(round_id)
+    )
+    untouched = frontier.filter(F.col("status") != "pending")
+    if target_host_contains:
+        untouched = untouched.unionByName(
+            frontier.filter(F.col("status") == "pending").filter(
+                ~F.col("host").contains(target_host_contains)
+            )
+        )
+    frontier_next = (
+        _frontier_select(untouched)
+        .unionByName(_frontier_select(still_pending))
+        .unionByName(_frontier_select(done))
+        .unionByName(_frontier_select(denied_rows))
+        .unionByName(_frontier_select(new_frontier))
+    )
+
+    # ---- per-partition metrics (A6: crawling_stats analog) --------------
+    metrics = (
+        fetched.groupBy("partition_id")
+        .agg(
+            F.count_distinct("url_hash", "url_canon").alias("scheduled"),
+            F.sum((F.col("kind") == "result").cast("long")).alias("results"),
+            F.sum((F.col("kind") == "fail").cast("long")).alias("failed"),
+            F.sum((F.col("kind") == "link").cast("long")).alias("links"),
+        )
+        .withColumn("round_id", F.lit(round_id))
+    )
+    schedule_log = scheduled.select(
+        F.lit(round_id).alias("round_id"),
+        "url_canon",
+        "url_hash",
+        "host",
+        "priority",
+        "depth",
+        "discovery_seq",
+    )
+
+    catalog.stage_overwrite("frontier", frontier_next)
+    catalog.stage_append("seen", unseen.select("url_hash", "url_canon"))
+    catalog.stage_append("results", results_new)
+    catalog.stage_append("fetch_failures", failures_new)
+    catalog.stage_append("round_metrics", metrics)
+    catalog.stage_append("schedule_log", schedule_log)
+
+    stats = {
+        "round_id": round_id,
+        "scheduled": scheduled.count(),
+        "results": results_new.count(),
+        "failed": failures_new.count(),
+        "new_links": unseen.count(),
+        "denied": denied.count(),
+    }
+    catalog.commit()
+    scheduled.unpersist()
+    fetched.unpersist()
+    return stats
+
+
+def run_crawl(
+    spark: SparkSession,
+    root: str,
+    web: SynthWeb,
+    max_rounds: int = 32,
+    round_seconds: float = 16.0,
+    seeds_raw: list[str] | None = None,
+    use_bloom: bool = True,
+    n_salt: int = 16,
+) -> tuple[SnapshotCatalog, list[dict]]:
+    """Full crawl loop: init + rounds until the frontier drains."""
+    catalog = SnapshotCatalog(root, spark)
+    init_crawl(catalog, web, seeds_raw)
+    history: list[dict] = []
+    for _ in range(max_rounds):
+        stats = run_round(
+            catalog, web, round_seconds=round_seconds, n_salt=n_salt, use_bloom=use_bloom
+        )
+        history.append(stats)
+        if stats["scheduled"] == 0:
+            break
+    return catalog, history
+
+
+def resume_crawl(
+    spark: SparkSession,
+    root: str,
+    web: SynthWeb,
+    max_rounds: int = 32,
+    round_seconds: float = 16.0,
+    use_bloom: bool = True,
+) -> tuple[SnapshotCatalog, list[dict]]:
+    """Resume from the latest committed snapshot (T2: save_crawling_state
+    analog). Staged-but-uncommitted files from a crashed round are
+    invisible, so the interrupted round simply re-runs."""
+    catalog = SnapshotCatalog(root, spark)
+    history: list[dict] = []
+    for _ in range(max_rounds):
+        stats = run_round(catalog, web, round_seconds=round_seconds, use_bloom=use_bloom)
+        history.append(stats)
+        if stats["scheduled"] == 0:
+            break
+    return catalog, history

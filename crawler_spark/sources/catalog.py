@@ -1,0 +1,142 @@
+"""Iceberg-style snapshot catalog over parquet (no Iceberg jars in this
+environment; the API mirrors what ``df.writeTo(tbl).append()`` would do on
+a real cluster, so the engine swaps to real Iceberg by replacing this
+module only).
+
+Layout under ``root/``::
+
+    <table>/data/<snap>-<name>-<uuid>/part-*.parquet   (immutable files)
+    snapshots/<id>.json     one manifest per snapshot:
+                            {"id": n, "parent": n-1, "tables": {t: [dirs]}}
+    _current                atomic pointer to the latest committed id
+
+Semantics the crawl rounds need (SURVEY.md §2.8 T2/T3):
+
+* **atomic multi-table commit** — a round stages writes for frontier /
+  seen / results / failures / metrics, then commits ONE snapshot. A crash
+  mid-round leaves staged files unreferenced -> invisible -> re-running
+  the round is idempotent (the reference's recovery re-runs the whole
+  callable, base_crawler.py:232-284).
+* **time travel / resume** — ``read(table, snapshot=k)`` reconstructs any
+  committed state; resume = read latest.
+* **lineage** — each staged write records the round + table in the dir
+  name; per-partition metrics live in the metrics table itself.
+
+Reference parity: save_crawling_state (base_crawler.py:151-160) ->
+snapshot pointer; create_backup/cleanup_old_files (csv_handler.py:186-250)
+-> snapshots are free, expiry = dropping old manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        self._staged: dict[str, list[str]] = {}
+
+    # ---- snapshot bookkeeping ---------------------------------------
+    def current_id(self) -> int:
+        p = os.path.join(self.root, "_current")
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, sid: int) -> dict:
+        with open(os.path.join(self.root, "snapshots", f"{sid}.json")) as f:
+            return json.load(f)
+
+    def tables(self, snapshot: int | None = None) -> dict[str, list[str]]:
+        sid = self.current_id() if snapshot is None else snapshot
+        if sid < 0:
+            return {}
+        return self._manifest(sid)["tables"]
+
+    # ---- staged writes ------------------------------------------------
+    def stage_append(self, table: str, df: DataFrame) -> None:
+        """Write df to immutable files, visible only after commit()."""
+        d = os.path.join(
+            self.root, table, "data", f"s{self.current_id() + 1}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("overwrite").parquet(d)
+        self._staged.setdefault(table, []).append(d)
+
+    def stage_overwrite(self, table: str, df: DataFrame) -> None:
+        """Replace the table's file set at the next commit."""
+        self.stage_append(table, df)
+        self._staged[table].insert(0, "__OVERWRITE__")
+
+    def commit(self) -> int:
+        """Atomically publish all staged writes as one snapshot."""
+        sid = self.current_id() + 1
+        tables = {k: list(v) for k, v in self.tables().items()}
+        for t, dirs in self._staged.items():
+            if dirs and dirs[0] == "__OVERWRITE__":
+                tables[t] = dirs[1:]
+            else:
+                tables.setdefault(t, []).extend(dirs)
+        man = {"id": sid, "parent": sid - 1, "tables": tables}
+        mp = os.path.join(self.root, "snapshots", f"{sid}.json")
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, mp)
+        cp = os.path.join(self.root, "_current")
+        with open(cp + ".tmp", "w") as f:
+            f.write(str(sid))
+        os.replace(cp + ".tmp", cp)  # atomic pointer swap = the commit
+        self._staged = {}
+        return sid
+
+    def rollback_staged(self) -> None:
+        for dirs in self._staged.values():
+            for d in dirs:
+                if d != "__OVERWRITE__":
+                    shutil.rmtree(d, ignore_errors=True)
+        self._staged = {}
+
+    # ---- reads ----------------------------------------------------------
+    def exists(self, table: str, snapshot: int | None = None) -> bool:
+        return bool(self.tables(snapshot).get(table))
+
+    def read(self, table: str, snapshot: int | None = None) -> DataFrame:
+        dirs = self.tables(snapshot).get(table)
+        if not dirs:
+            raise KeyError(f"table {table!r} absent at snapshot {snapshot}")
+        return self.spark.read.parquet(*dirs)
+
+    def expire_snapshots(self, keep_last: int = 3) -> int:
+        """GC analog of the reference's cleanup_old_files
+        (csv_handler.py:186-212): drop old manifests, keep files referenced
+        by surviving snapshots."""
+        cur = self.current_id()
+        snaps = sorted(
+            int(f[:-5])
+            for f in os.listdir(os.path.join(self.root, "snapshots"))
+            if f.endswith(".json")
+        )
+        doomed = [s for s in snaps if s <= cur - keep_last]
+        keep_dirs: set[str] = set()
+        for s in snaps:
+            if s not in doomed:
+                for dirs in self._manifest(s)["tables"].values():
+                    keep_dirs.update(dirs)
+        removed = 0
+        for s in doomed:
+            for dirs in self._manifest(s)["tables"].values():
+                for d in dirs:
+                    if d not in keep_dirs and os.path.exists(d):
+                        shutil.rmtree(d, ignore_errors=True)
+                        removed += 1
+            os.remove(os.path.join(self.root, "snapshots", f"{s}.json"))
+        return removed

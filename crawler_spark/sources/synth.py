@@ -1,0 +1,198 @@
+"""Deterministic synthetic web — the test fixture universe.
+
+The reference crawls a 3-level administrative hierarchy (province ->
+district -> dong; reference: src/crawler/crawler.py:1204-1334) and each
+leaf yields a result list. Our synthetic web mirrors that shape:
+
+  http://host-i.test/            depth 0 (root, like the region page)
+  http://host-i.test/p{j}        depth 1 (province)
+  http://host-i.test/p{j}/d{k}   depth 2 (district)
+  http://host-i.test/p{j}/d{k}/img-{m}   depth 3 leaf: image+caption page
+
+Everything is a pure function of the URL string (via XXH64), so the Spark
+fetch stage (executors) and the sequential oracle (driver) see the same
+web without sharing state. Outlinks are emitted in *messy* raw form
+(uppercase host, :80 port, /./ segments, fragments) to exercise RFC 3986
+canonicalization, exactly like FIXTURES.md §2 specifies.
+
+Scale points (FIXTURES.md §7): t1-smoke / t2-correctness (one skewed
+mega-host) / bench (zipf-skewed hosts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from crawler_spark.functions.codecs import encode, phash64
+from crawler_spark.functions.xxh import xxh64_str
+
+_ADJ = ["amber", "bright", "calm", "dusty", "early", "faded", "grand", "hazy"]
+_NOUN = ["bridge", "canyon", "dune", "forest", "harbor", "island", "jetty", "meadow"]
+
+
+def _uh(s: str) -> int:
+    """Unsigned 64-bit hash of a string (engine+oracle shared)."""
+    return xxh64_str(s) & 0xFFFFFFFFFFFFFFFF
+
+
+@dataclass(frozen=True)
+class SynthWeb:
+    n_hosts: int = 3
+    max_p: int = 3  # max provinces per host (depth-1 fanout)
+    max_d: int = 3  # max districts per province (depth-2 fanout)
+    max_img: int = 4  # max images per district (leaf fanout)
+    mega_host: int | None = None  # this host gets mega_mult x leaf fanout
+    mega_mult: int = 8
+    fail_mod: int = 23  # leaf urls with uh % fail_mod == 0 fail to fetch
+
+    # ---- structure ----------------------------------------------------
+    def host(self, i: int) -> str:
+        return f"host-{i}.test"
+
+    def root(self, i: int) -> str:
+        return f"http://{self.host(i)}/"
+
+    def seeds_raw(self) -> list[str]:
+        """Messy seed list: canonicalization must collapse these to roots."""
+        out = []
+        for i in range(self.n_hosts):
+            h = self.host(i)
+            variant = i % 4
+            if variant == 0:
+                out.append(f"http://{h.upper()}:80/#top")
+            elif variant == 1:
+                out.append(f"http://{h}/a/../")
+            elif variant == 2:
+                out.append(f"http://{h}/./")
+            else:
+                out.append(f"http://{h}/")
+        return out
+
+    def _fanout(self, key: str, lo: int, hi: int) -> int:
+        return lo + _uh(key) % max(hi - lo + 1, 1)
+
+    def depth(self, url_canon: str) -> int:
+        path = url_canon.split("://", 1)[1].split("/", 1)
+        segs = [s for s in (path[1] if len(path) > 1 else "").split("/") if s]
+        return len(segs)
+
+    def is_leaf(self, url_canon: str) -> bool:
+        return "/img-" in url_canon
+
+    def outlinks_raw(self, url_canon: str) -> list[str]:
+        """Raw (messy) outlinks of a non-leaf page, in document order."""
+        if self.is_leaf(url_canon):
+            return []
+        hostpart = url_canon.split("://", 1)[1]
+        host, _, path = hostpart.partition("/")
+        segs = [s for s in path.split("/") if s]
+        base = f"http://{host}"
+        d = len(segs)
+        links: list[str] = []
+        if d == 0:
+            n = self._fanout(f"{host}|p", 2, self.max_p)
+            for j in range(n):
+                # document order == sibling index order (reference keeps
+                # DOM order; crawler.py:237-245)
+                mess = j % 3
+                u = f"{base}/p{j}"
+                if mess == 1:
+                    u = f"http://{host.upper()}/p{j}#s"
+                elif mess == 2:
+                    u = f"{base}/./p{j}"
+                links.append(u)
+        elif d == 1:
+            n = self._fanout(f"{host}|{segs[0]}|d", 2, self.max_d)
+            for k in range(n):
+                links.append(f"{base}/{segs[0]}/d{k}")
+        elif d == 2:
+            n = self._fanout(f"{host}|{segs[0]}|{segs[1]}|m", 1, self.max_img)
+            host_idx = int(host.split("-")[1].split(".")[0])
+            if self.mega_host is not None and host_idx == self.mega_host:
+                n *= self.mega_mult
+            for m in range(n):
+                links.append(f"{base}/{segs[0]}/{segs[1]}/img-{m}")
+        return links
+
+    # ---- fetch behavior ------------------------------------------------
+    def fetch_error(self, url_canon: str) -> str | None:
+        """Deterministic failure injection (reference analog: session
+        errors handled by base_crawler.py:232-284)."""
+        if self.is_leaf(url_canon) and _uh(url_canon) % self.fail_mod == 0:
+            return "synthetic_timeout"
+        return None
+
+    def payload(self, url_canon: str) -> dict:
+        """Leaf page payload per input_hint schema: image + caption."""
+        h = _uh(url_canon)
+        rng = np.random.default_rng(h)
+        w = 32 if h & 1 else 64
+        hh = 32 if (h >> 1) & 1 else 64
+        fmt = "png" if (h >> 2) & 1 else "qdct"
+        # structured pattern + noise so phash is meaningful
+        yy, xx = np.mgrid[0:hh, 0:w]
+        base = ((xx * ((h >> 3) % 7 + 1) + yy * ((h >> 6) % 5 + 1)) % 256).astype(
+            np.uint8
+        )
+        noise = rng.integers(0, 32, size=(hh, w), dtype=np.uint8)
+        px = ((base.astype(np.uint16) + noise) % 256).astype(np.uint8)
+        caption = (
+            f"caption img-{h:016x} {_ADJ[h % len(_ADJ)]} "
+            f"{_NOUN[(h >> 8) % len(_NOUN)]}"
+        )
+        return {
+            "image_id": f"img-{h:016x}",
+            "bytes": encode(px, fmt),
+            "w": int(w),
+            "h": int(hh),
+            "fmt": fmt,
+            "caption": caption,
+            "phash": phash64(px),
+        }
+
+    def pixels(self, url_canon: str) -> np.ndarray:
+        """Ground-truth pixels (for PSNR checks in tests)."""
+        h = _uh(url_canon)
+        rng = np.random.default_rng(h)
+        w = 32 if h & 1 else 64
+        hh = 32 if (h >> 1) & 1 else 64
+        yy, xx = np.mgrid[0:hh, 0:w]
+        base = ((xx * ((h >> 3) % 7 + 1) + yy * ((h >> 6) % 5 + 1)) % 256).astype(
+            np.uint8
+        )
+        noise = rng.integers(0, 32, size=(hh, w), dtype=np.uint8)
+        return ((base.astype(np.uint16) + noise) % 256).astype(np.uint8)
+
+    # ---- robots --------------------------------------------------------
+    def robots_rows(self) -> list[dict]:
+        """Per-host robots dimension (broadcast-joined; reference analog:
+        the consent/filter-popup gate, crawler.py:65-117, and
+        CRAWL_DELAY config.py:49)."""
+        rows = []
+        for i in range(self.n_hosts):
+            host = self.host(i)
+            h = _uh(host)
+            delay = [0.5, 1.0, 2.0][h % 3]
+            deny: list[str] = []
+            if h % 7 == 0:
+                deny.append("/p1")  # partial deny
+            if i == self.n_hosts - 1 and self.n_hosts > 3:
+                deny.append("/")  # fully-denied host
+            rows.append(
+                {
+                    "host": host,
+                    "deny_prefixes": deny,
+                    "crawl_delay_s": delay,
+                }
+            )
+        return rows
+
+
+# canonical scale points (FIXTURES.md §7)
+T1_SMOKE = SynthWeb(n_hosts=3)
+T2_CORRECTNESS = SynthWeb(
+    n_hosts=10, max_p=4, max_d=4, max_img=6, mega_host=0, mega_mult=10
+)
+BENCH = SynthWeb(n_hosts=50, max_p=6, max_d=8, max_img=25, mega_host=0, mega_mult=12)
