@@ -1,38 +1,799 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry maps to an operator family in SURVEY.md §2; the Spark side
+lives in crawler_spark/ and the oracle SQL mirrors it expression-for-
+expression (portable constructs only: md5, regexp_replace(...,'g'),
+window functions, list ops). Rounding is applied to every float output on
+BOTH sides so value hashes match.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# crawl-engine operators over a frontier derived deterministically from the
+# documents table (so the DuckDB oracle can rebuild the identical frontier)
+# --------------------------------------------------------------------------
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("host-"), (F.col("doc_id") % 20).cast("string"), F.lit(".test")).alias("host"),
+        F.concat(
+            F.lit("http://host-"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".test/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 3).alias("priority"),
+        (F.col("n_chars") % 4).alias("depth"),
+        F.col("doc_id").alias("discovery_seq"),
+    )
+
+
+_FRONTIER_SQL = """
+  SELECT doc_id,
+         'host-' || (doc_id % 20) || '.test' AS host,
+         'http://host-' || (doc_id % 20) || '.test/doc/' || doc_id AS url,
+         doc_id % 3 AS priority,
+         n_chars % 4 AS depth,
+         doc_id AS discovery_seq
+  FROM documents
+"""
+
+
+def q_frontier_schedule(spark, sf_dir):
+    """W3/T1: politeness budget as a per-host window rank (budget=4)."""
+    f = _frontier(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy("priority", "depth", "discovery_seq")
+    return (
+        f.withColumn("sched_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sched_rank") <= 4)
+        .select("host", "doc_id", "priority", "depth", "sched_rank")
+    )
+
+
+def q_urlseen_antijoin(spark, sf_dir):
+    """J1: URL-seen anti-join; seen = every third doc URL (md5-keyed)."""
+    f = _frontier(spark, sf_dir)
+    cand = f.withColumn("url_md5", F.md5("url"))
+    seen = cand.filter(F.col("doc_id") % 3 == 0).select("url_md5")
+    return cand.join(seen, "url_md5", "left_anti").select("doc_id", "url", "url_md5")
+
+
+def q_robots_gate(spark, sf_dir):
+    """T5/J5: robots dimension broadcast join + deny filter + budget calc."""
+    f = _frontier(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    robots = (
+        docs.select("source")
+        .distinct()
+        .withColumn("denied", F.substring("source", -1, 1).isin("1", "3"))
+        .withColumn("crawl_delay_s", (F.length("source") % 3 + 1).cast("double"))
+    )
+    return (
+        f.join(docs, "doc_id")
+        .join(F.broadcast(robots), "source")
+        .filter(~F.col("denied"))
+        .select(
+            "doc_id",
+            "source",
+            "crawl_delay_s",
+            F.floor(F.lit(16.0) / F.col("crawl_delay_s")).cast("long").alias("budget"),
+        )
+    )
+
+
+def q_canonicalize(spark, sf_dir):
+    """C1-C5: portable URL canonicalization (lower, strip fragment,
+    strip :80, collapse /./) over deterministically messy URLs."""
+    f = _frontier(spark, sf_dir)
+    messy = f.withColumn(
+        "url_raw",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.upper("url"), F.lit("#FRAG")))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.regexp_replace("url", "\\.test/", ".test:80/"),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.regexp_replace("url", "/doc/", "/./doc/"))
+        .otherwise(F.col("url")),
+    )
+    c = F.lower(F.trim(F.col("url_raw")))
+    c = F.regexp_replace(c, "#.*$", "")
+    c = F.regexp_replace(c, ":80/", "/")
+    c = F.regexp_replace(c, "/\\./", "/")
+    return messy.select(
+        "doc_id", "url_raw", c.alias("url_canon"), F.md5(c).alias("canon_md5")
+    )
+
+
+# --------------------------------------------------------------------------
+# events: windows / sessions / latest-per-key / top-1
+# --------------------------------------------------------------------------
+
+def q_latest_event_per_user(spark, sf_dir):
+    """A7/W6/K5: latest row per key with deterministic tie-break."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+def q_top1_event_per_type(spark, sf_dir):
+    """W1: top-1 by score per group, ties to smallest id."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+def q_event_type_stats(spark, sf_dir):
+    """A1-A5: grouped counts, averages, derived ratio."""
+    e = _t(spark, sf_dir, "events")
+    total = e.count()  # scalar A1 folded in as a literal both sides compute
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.count("*") * 100.0 / F.lit(total), 4).alias("pct_of_all"),
+        )
+    )
+
+
+def q_hourly_event_counts(spark, sf_dir):
+    """Streaming-windowed agg, batch form (T4 watermark analog)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization: gap > 1800s starts a new session (lag + cumsum)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_new = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    sess = with_new.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped relational queries (scan/filter/join/agg coverage)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 — the flagship aggregation (A1-A6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: 3-way join + agg + strict-ordered top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_segment_stats(spark, sf_dir):
+    """J4/A4: dimension join + group-by count (stats-per-category analog)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup suite (documents)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from crawler_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    from crawler_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"), n_hashes=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from crawler_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from crawler_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=4, min_band_matches=2
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis (documents)
+# --------------------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    from crawler_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
+    ).withColumn("agree", (F.col("lang") == F.col("lang_pred")).cast("int").cast("long"))
+
+
+def q_quality_scores(spark, sf_dir):
+    from crawler_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_token_stats(spark, sf_dir):
+    from crawler_spark.functions.text import subword_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        subword_count(F.col("text")).cast("long").alias("n_subwords"),
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    from crawler_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def _dot_d(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact top-10 by cosine vs the vec_id=0 embedding —
+    native zip_with/aggregate, TakeOrdered top-k (no global sort)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            _dot_d(F.col("embedding"), F.col("qv"))
+            / (
+                F.sqrt(_dot_d(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot_d(F.col("qv"), F.col("qv")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("vec_id") != 0).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    ).limit(10)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """LSH-bucketed near-dup pairs: sign-pattern bucket on first 3 dims
+    restricts the self-join; exact cosine >= 0.3 verifies candidates."""
+    e = _t(spark, sf_dir, "embeddings")
+    keyed = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.concat_ws(
+            "",
+            *[
+                (F.element_at("embedding", i + 1) >= 0).cast("int").cast("string")
+                for i in range(3)
+            ],
+        ).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cos = F.round(
+        _dot_d(F.col("a.v"), F.col("b.v"))
+        / (
+            F.sqrt(_dot_d(F.col("a.v"), F.col("a.v")))
+            * F.sqrt(_dot_d(F.col("b.v"), F.col("b.v")))
+        ),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cosine"
+        )
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (scale path) — no SQL oracle (iterative
+    centroid build); driver records rows-only check."""
+    from crawler_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(e, qv, k=10, n_cells=8, n_probe=3)
+
+
+def q_crawl_smoke(spark, sf_dir):
+    """End-to-end crawl engine smoke (frontier->politeness->fetch->
+    dedup->snapshot): results-by-host over a T1 synthetic crawl. No SQL
+    oracle (engine-internal tables); rows-only check; full correctness is
+    pytest's oracle-simulator match."""
+    import tempfile
+
+    from crawler_spark.operators.metrics import results_by_host
+    from crawler_spark.plans.rounds import run_crawl
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    with tempfile.TemporaryDirectory() as td:
+        catalog, _ = run_crawl(spark, td, T1_SMOKE, round_seconds=8.0, use_bloom=True)
+        out = results_by_host(catalog.read("results"))
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmpdir
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "frontier_schedule": q_frontier_schedule,
+        "urlseen_antijoin": q_urlseen_antijoin,
+        "robots_gate": q_robots_gate,
+        "canonicalize": q_canonicalize,
+        "latest_event_per_user": q_latest_event_per_user,
+        "top1_event_per_type": q_top1_event_per_type,
+        "event_type_stats": q_event_type_stats,
+        "hourly_event_counts": q_hourly_event_counts,
+        "sessionize_events": q_sessionize_events,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "segment_stats": q_segment_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_stats": q_token_stats,
+        "fingerprints": q_fingerprints,
+        "cosine_topk": q_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "crawl_smoke": q_crawl_smoke,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    frontier = _FRONTIER_SQL
+    return {
+        "frontier_schedule": f"""
+            WITH f AS ({frontier})
+            SELECT host, doc_id, priority, depth, sched_rank FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY host ORDER BY priority, depth, discovery_seq
+              ) AS sched_rank FROM f
+            ) WHERE sched_rank <= 4
+        """,
+        "urlseen_antijoin": f"""
+            WITH f AS ({frontier}),
+            cand AS (SELECT *, md5(url) AS url_md5 FROM f),
+            seen AS (SELECT url_md5 FROM cand WHERE doc_id % 3 = 0)
+            SELECT doc_id, url, url_md5 FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url_md5 = c.url_md5)
+        """,
+        "robots_gate": f"""
+            WITH f AS ({frontier}),
+            robots AS (
+              SELECT source,
+                     substr(source, length(source), 1) IN ('1','3') AS denied,
+                     CAST(length(source) % 3 + 1 AS DOUBLE) AS crawl_delay_s
+              FROM (SELECT DISTINCT source FROM documents)
+            )
+            SELECT f.doc_id, d.source, r.crawl_delay_s,
+                   CAST(floor(16.0 / r.crawl_delay_s) AS BIGINT) AS budget
+            FROM f
+            JOIN documents d ON f.doc_id = d.doc_id
+            JOIN robots r ON d.source = r.source
+            WHERE NOT r.denied
+        """,
+        "canonicalize": f"""
+            WITH f AS ({frontier}),
+            messy AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 4 = 0 THEN upper(url) || '#FRAG'
+                  WHEN doc_id % 4 = 1 THEN regexp_replace(url, '\\.test/', '.test:80/')
+                  WHEN doc_id % 4 = 2 THEN regexp_replace(url, '/doc/', '/./doc/')
+                  ELSE url END AS url_raw
+              FROM f
+            )
+            SELECT doc_id, url_raw,
+              regexp_replace(regexp_replace(regexp_replace(
+                lower(trim(url_raw)), '#.*$', ''), ':80/', '/'), '/\\./', '/')
+                AS url_canon,
+              md5(regexp_replace(regexp_replace(regexp_replace(
+                lower(trim(url_raw)), '#.*$', ''), ':80/', '/'), '/\\./', '/'))
+                AS canon_md5
+            FROM messy
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type, round(value, 4) AS value FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "top1_event_per_type": """
+            SELECT event_type, event_id, round(value, 4) AS value FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "event_type_stats": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(avg(value), 4) AS avg_value,
+                   round(sum(value), 2) AS total_value,
+                   round(count(*) * 100.0 / (SELECT count(*) FROM events), 4)
+                     AS pct_of_all
+            FROM events GROUP BY event_type
+        """,
+        "hourly_event_counts": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g
+            )
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                     AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "segment_stats": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(DISTINCT o_custkey) AS n_customers
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_sigs": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            bands AS (
+              SELECT doc_id, b.band_id, shingle
+              FROM sh, unnest(generate_series(0, 3)) AS b(band_id)
+            )
+            SELECT doc_id, CAST(band_id AS INT) AS band_id,
+                   min(md5(band_id || '|' || shingle)) AS sig
+            FROM bands GROUP BY doc_id, band_id
+        """,
+        "dedup_simhash": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            votes AS (
+              SELECT doc_id, b.bit,
+                     CASE WHEN substr(md5(tok), b.bit + 1, 1) >= '8'
+                          THEN 1 ELSE -1 END AS vote
+              FROM toks, unnest(generate_series(0, 15)) AS b(bit)
+            ),
+            per_bit AS (
+              SELECT doc_id, bit,
+                     CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS b
+              FROM votes GROUP BY doc_id, bit
+            )
+            SELECT doc_id,
+                   CAST(sum(b * CAST(pow(2, bit) AS BIGINT)) AS BIGINT) AS simhash
+            FROM per_bit GROUP BY doc_id
+        """,
+        "ngram_jaccard_pairs": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+        """,
+        "minhash_lsh_pairs": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            bands AS (
+              SELECT doc_id, b.band_id, shingle
+              FROM sh, unnest(generate_series(0, 3)) AS b(band_id)
+            ),
+            sig AS (
+              SELECT doc_id, band_id, min(md5(band_id || '|' || shingle)) AS sig
+              FROM bands GROUP BY doc_id, band_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+            FROM sig a
+            JOIN sig b ON a.band_id = b.band_id AND a.sig = b.sig
+                      AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "lang_id": """
+            WITH scored AS (
+              SELECT doc_id, lang,
+                len(list_intersect(list_distinct(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+                  ['the','and','of','to','in'])) AS s_en,
+                len(list_intersect(list_distinct(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+                  ['el','la','de','que','los'])) AS s_es,
+                len(list_intersect(list_distinct(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+                  ['le','la','les','des','est'])) AS s_fr,
+                len(list_intersect(list_distinct(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+                  ['der','die','das','und','ist'])) AS s_de
+              FROM documents
+            )
+            SELECT doc_id, lang,
+              CASE
+                WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+              CAST(CASE WHEN lang = (CASE
+                WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END) THEN 1 ELSE 0 END AS BIGINT) AS agree
+            FROM scored
+        """,
+        "quality_scores": """
+            WITH base AS (
+              SELECT doc_id, text, length(text) AS n,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                len(list_intersect(toks, ['the','and','of','to','in'])) * 1.0
+                  / greatest(len(toks), 1) AS stop_ratio,
+                length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0
+                  / greatest(n, 1) AS alpha_ratio,
+                length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                  / greatest(n, 1) AS punct_ratio,
+                CASE WHEN n >= 100 AND n <= 10000 THEN 1.0 ELSE 0.5 END AS len_band
+              FROM base
+            )
+            SELECT doc_id,
+              round(greatest(least(
+                len_band * 0.4 + least(stop_ratio * 5, 1.0) * 0.3
+                + alpha_ratio * 0.3 - punct_ratio * 0.2, 1.0), 0.0), 6) AS quality
+            FROM r
+        """,
+        "token_stats": """
+            SELECT doc_id,
+              CAST(len(list_filter(
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> length(t) > 0))
+                + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                AS BIGINT) AS n_subwords
+            FROM documents
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+              SELECT vec_id,
+                round(
+                  list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+                  / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                           list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                     * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+              FROM embeddings, q
+            )
+            SELECT vec_id, cosine FROM scored WHERE vec_id != 0
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_neardup": """
+            WITH keyed AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     CAST(embedding[1] >= 0 AS INT) || CAST(embedding[2] >= 0 AS INT)
+                       || CAST(embedding[3] >= 0 AS INT) AS bucket
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM keyed a
+            JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+        """,
+        # ann_ivf_topk, crawl_smoke: intentionally no SQL oracle
+        # (iterative/stateful); driver records rows-only checks.
+    }

@@ -43,15 +43,17 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: lowercase, split on
-    whitespace, sliding window via native higher-order functions."""
-    toks = F.split(F.lower(F.col(text_col)), "\\s+")
+    whitespace, sliding window via native higher-order functions.
+    Docs with fewer than n tokens emit no shingles (SQL-oracle-aligned
+    edge semantics: exactly len-n+1 grams per doc)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .filter(F.length("shingle") > 0)
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -121,7 +123,7 @@ def simhash_signatures(
     toks = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("tok"),
         )
         .filter(F.length("tok") > 0)
         .distinct()
@@ -132,11 +134,12 @@ def simhash_signatures(
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
         "tok_md5",
     ).withColumn(
+        # hex digits >= '8' lexicographically are exactly values 8..15 →
+        # a fair coin per digit; portable to any SQL oracle
         "vote",
-        F.when(
-            F.instr(F.lit("89abcdef"), F.substring(F.col("tok_md5"), F.col("bit") + 1, 1)) > 0,
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
+        F.when(F.expr("substring(tok_md5, bit + 1, 1)") >= "8", F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
     )
     per_bit = bit_votes.groupBy("doc_id", "bit").agg(
         (F.sum("vote") > 0).cast("int").alias("b")

@@ -1,0 +1,73 @@
+"""Snapshot catalog semantics (T2/T3/K8/K9) + bloom/anti-join (J1)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.seen import NumpyBloom, anti_join_seen, build_bloom
+from crawler_spark.sources.catalog import SnapshotCatalog
+
+
+def test_commit_atomicity_and_time_travel(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    cat.stage_append("t", df1)
+    assert not cat.exists("t")  # staged != visible
+    s1 = cat.commit()
+    assert cat.read("t").count() == 5
+
+    cat.stage_append("t", spark.range(3).withColumnRenamed("id", "x"))
+    s2 = cat.commit()
+    assert cat.read("t").count() == 8
+    assert cat.read("t", snapshot=s1).count() == 5  # time travel
+
+    cat.stage_overwrite("t", spark.range(2).withColumnRenamed("id", "x"))
+    cat.commit()
+    assert cat.read("t").count() == 2
+    assert cat.read("t", snapshot=s2).count() == 8
+
+
+def test_rollback_staged(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    cat.stage_append("t", spark.range(5))
+    cat.rollback_staged()
+    cat.commit()
+    assert not cat.exists("t")
+
+
+def test_expire_snapshots(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    for i in range(5):
+        cat.stage_overwrite("t", spark.range(i + 1))
+        cat.commit()
+    removed = cat.expire_snapshots(keep_last=2)
+    assert removed > 0
+    assert cat.read("t").count() == 5  # latest intact
+    with pytest.raises(FileNotFoundError):
+        cat._manifest(0)
+
+
+def test_bloom_no_false_negatives():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+    bl = NumpyBloom(m_bits=1 << 20, k=5)
+    bl.add_many(keys)
+    assert bl.contains_many(keys).all()  # zero false negatives, ever
+    probe = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+    fresh = probe[~np.isin(probe, keys)]
+    fpr = bl.contains_many(fresh).mean()
+    assert fpr < 0.05  # m/n = 52 bits/key -> tiny FPR
+
+
+def test_anti_join_seen_exact_with_bloom(spark):
+    seen = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(0, 100, 2)], "url_hash long, url_canon string"
+    )
+    cand = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(100)], "url_hash long, url_canon string"
+    )
+    bloom = build_bloom(seen)
+    out = {r["url_hash"] for r in anti_join_seen(cand, seen, bloom).collect()}
+    assert out == set(range(1, 100, 2))  # exactly the odd (unseen) keys
+    out2 = {r["url_hash"] for r in anti_join_seen(cand, seen, None).collect()}
+    assert out2 == out  # bloom path == plain anti-join path

@@ -1,0 +1,86 @@
+"""Dedup + text-analysis operator unit tests (planted fixtures with known
+answers — testdata-scale equivalence vs DuckDB is covered by the driver
+gate / tools/driver_check.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.text import fingerprint, lang_id, quality_score, token_count
+from crawler_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark engines"),
+        (5, "el gato la casa de que los"),  # spanish markers
+        (6, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in dedup_exact(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse, keeper = min id
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_recall(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(docs, n_hashes=8, min_band_matches=8).collect()}
+    assert (1, 2) in pairs  # exact dups agree on all bands
+    assert (4, 5) not in pairs
+
+
+def test_simhash(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]  # identical text -> identical signature
+    assert sig[1] != sig[4]
+    assert all(0 <= v < (1 << 16) for v in sig.values())
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # different bucket
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_neardup_pairs(emb, threshold=0.95, n_buckets=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (1, 4) not in pairs
+
+
+def test_lang_id_and_quality(docs):
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("n"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()}
+    assert out[1]["lang"] == "en"
+    assert out[5]["lang"] == "es"
+    assert out[6]["lang"] == "und"
+    assert 0.0 <= out[1]["q"] <= 1.0
+    assert out[1]["n"] == 9
+    assert out[1]["fp"] == out[2]["fp"] != out[3]["fp"]

@@ -1,0 +1,124 @@
+"""Enrichment joins (J6/W2/A7/W1), multimodal plumbing, streaming agg."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.codecs import encode
+from crawler_spark.operators.enrich import (
+    fallback_join,
+    jaccard_tokens,
+    latest_per_key,
+    scenario_first_hit,
+    top1_per_group,
+)
+from crawler_spark.operators.multimodal import (
+    decode_external,
+    decode_stats,
+    embed_images,
+    frame_sample,
+    resize_images,
+)
+
+
+def test_fallback_join(spark):
+    base = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    prim = spark.createDataFrame([(1, 10.0)], "k int, val double")
+    sec = spark.createDataFrame([(2, 20.0), (1, 99.0)], "k int, val double")
+    out = {r["k"]: (r["val"], r["enrich_source"]) for r in
+           fallback_join(base, prim, sec, "k", ["val"]).collect()}
+    assert out[1] == (10.0, "primary")    # primary wins even if secondary has it
+    assert out[2] == (20.0, "secondary")  # fallback fires only on miss
+    assert out[3] == (None, "none")
+
+
+def test_scenario_first_hit(spark):
+    base = spark.createDataFrame(
+        [(1, ["full addr q", "shorter q", "name"]), (2, ["nope", "name"])],
+        "id int, scenarios array<string>",
+    )
+    lookup = spark.createDataFrame(
+        [("shorter q", 5.0), ("name", 7.0)], "q string, score double"
+    )
+    out = {r["id"]: (r["hit_val"], r["hit_pos"]) for r in
+           scenario_first_hit(base, "scenarios", lookup, "q", "score", "id").collect()}
+    assert out[1] == (5.0, 1)  # first validated scenario wins, not best score
+    assert out[2] == (7.0, 1)
+
+
+def test_latest_and_top1(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (2, 15, 9.0), (2, 15, 3.0)],
+        "k int, ts int, v double",
+    )
+    latest = {r["k"]: r["ts"] for r in latest_per_key(df, "k", "ts", "v").collect()}
+    assert latest == {1: 20, 2: 15}
+    top = {r["k"]: r["v"] for r in top1_per_group(df, "k", "v", "ts").collect()}
+    assert top == {1: 2.0, 2: 9.0}
+
+
+def test_jaccard_tokens(spark):
+    df = spark.createDataFrame([("a b c", "b c d")], "x string, y string")
+    assert df.select(jaccard_tokens(F.col("x"), F.col("y")).alias("j")).first()["j"] == 0.5
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(6):
+        px = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+        fmt = "png" if i % 2 else "qdct"
+        rows.append((f"img-{i}", bytearray(encode(px, fmt)), fmt))
+    return spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+
+def test_decode_stats_and_resize(images):
+    stats = decode_stats(images).collect()
+    assert len(stats) == 6
+    assert all(r["w"] == 32 and r["h"] == 32 and 0 <= r["mean_px"] <= 255 for r in stats)
+    small = resize_images(images, 8, 8).collect()
+    assert all(r["w"] == 8 and r["h"] == 8 for r in small)
+    embs = embed_images(images, dim=16).collect()
+    assert all(len(r["embedding"]) == 16 for r in embs)
+    for r in embs:
+        assert abs(float(np.linalg.norm(r["embedding"])) - 1.0) < 1e-5
+
+
+def test_frame_sample_udtf_shape(spark):
+    vids = spark.createDataFrame(
+        [("v1", bytearray(b"x" * 4096)), ("v2", bytearray(b"y" * 1024))],
+        "media_id string, bytes binary",
+    )
+    frames = frame_sample(vids, every_n=2).collect()
+    assert {r["media_id"] for r in frames} == {"v1", "v2"}
+    assert len([r for r in frames if r["media_id"] == "v1"]) == 2  # 4 frames, every 2
+
+
+def test_decode_external_is_stubbed(images):
+    with pytest.raises(NotImplementedError):
+        decode_external(images, "jpeg")
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    import shutil
+
+    from crawler_spark.streaming.events import run_events_stream
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
+    name = run_events_stream(spark, str(d))
+    out = spark.sql(f"SELECT * FROM {name}")
+    rows = out.collect()
+    assert rows and {"window", "event_type", "n", "total_value"} <= set(out.columns)
+    # reconcile against batch: same totals per event_type
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("event_type").count().collect()
+    )
+    batch_n = {r["event_type"]: r["count"] for r in batch}
+    stream_n = {}
+    for r in rows:
+        stream_n[r["event_type"]] = stream_n.get(r["event_type"], 0) + r["n"]
+    assert stream_n == batch_n
