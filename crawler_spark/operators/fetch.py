@@ -94,11 +94,23 @@ def make_fetch_parse(web: SynthWeb):
                             "link_seq": int(row.discovery_seq) * SEQ_FANOUT + i + 1,
                         }
                     )
-            pdf_out = pd.DataFrame(out, columns=[f.name for f in FETCHED_SCHEMA.fields])
-            # columns mixing None with int64 would coerce to float64 and
-            # silently lose low bits of 64-bit hashes — force nullable Int64
-            for c in ("phash", "link_seq", "w", "h", "url_hash", "discovery_seq"):
-                pdf_out[c] = pdf_out[c].astype("Int64")
+            # build columns explicitly: pd.DataFrame(list-of-dicts) infers
+            # float64 for int+None columns, silently rounding 64-bit hashes
+            # past 2^53 — nullable Int64 arrays keep them exact
+            int_cols = {
+                "phash", "link_seq", "w", "h", "url_hash", "discovery_seq", "priority",
+            }
+            names = [f.name for f in FETCHED_SCHEMA.fields]
+            pdf_out = pd.DataFrame(
+                {
+                    n: (
+                        pd.array([r[n] for r in out], dtype="Int64")
+                        if n in int_cols
+                        else pd.array([r[n] for r in out], dtype=object)
+                    )
+                    for n in names
+                }
+            )
             yield pdf_out
 
     return fetch_parse
