@@ -248,6 +248,164 @@ def q_segment_stats(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# enrichment pipeline (geocode analogs): fallback join, scenario first-hit,
+# dimension upsert, union-dedup, weighted similarity
+# --------------------------------------------------------------------------
+
+def q_enrich_fallback(spark, sf_dir):
+    """J6: primary lookup, secondary only on miss, first hit wins
+    (reference: map_api/__init__.py:62-118)."""
+    from crawler_spark.operators.enrich import fallback_join
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = c.select("c_custkey", F.col("c_nationkey").alias("nkey"))
+    primary = n.filter(F.col("n_nationkey") % 3 != 0).select(
+        F.col("n_nationkey").alias("nkey"), F.col("n_name").alias("val")
+    )
+    secondary = n.select(
+        F.col("n_nationkey").alias("nkey"), F.lower("n_name").alias("val")
+    )
+    return fallback_join(base, primary, secondary, "nkey", ["val"])
+
+
+def q_scenario_first_hit(spark, sf_dir):
+    """W2/D2/C12: ordered scenario list (full -> reduced -> wildcard),
+    first validated hit wins (reference: kakao_api.py:131-155,219-247)."""
+    from crawler_spark.operators.enrich import scenario_first_hit
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.array(
+            F.concat_ws("|", "source", "lang"),
+            F.col("source"),
+            F.lit("*"),
+        ).alias("scenarios"),
+    )
+    s1 = (
+        d.filter(F.col("lang") == "en")
+        .select(F.concat_ws("|", "source", "lang").alias("q"))
+        .distinct()
+    )
+    s2 = (
+        d.filter(F.length("source") % 2 == 0)
+        .select(F.col("source").alias("q"))
+        .distinct()
+    )
+    s3 = spark.createDataFrame([("*",)], "q string")
+    lookup = s1.union(s2).union(s3).distinct().withColumn("val", F.upper("q"))
+    return scenario_first_hit(base, "scenarios", lookup, "q", "val", "doc_id")
+
+
+def q_dim_upsert(spark, sf_dir):
+    """K2/J2: MERGE-style dimension upsert — left join the dim, generate
+    deterministic rows for misses (reference: database.py:59-89)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    incoming = n.select(
+        (
+            F.col("n_regionkey")
+            + F.when(F.col("n_nationkey") % 5 == 0, F.lit(10)).otherwise(F.lit(0))
+        ).alias("rkey")
+    ).distinct()
+    return (
+        incoming.join(
+            F.broadcast(r.select(F.col("r_regionkey").alias("rkey"), "r_name")),
+            "rkey",
+            "left",
+        )
+        .select(
+            "rkey",
+            F.coalesce(
+                F.col("r_name"), F.concat(F.lit("new-region-"), F.col("rkey"))
+            ).alias("name"),
+            F.col("r_name").isNull().cast("long").alias("is_new"),
+        )
+    )
+
+
+def q_union_dedup_first_wins(spark, sf_dir):
+    """K4/D1: existing ∪ new with first-wins dedup on the key, existing
+    rows take precedence (reference: csv_handler.py:13-66)."""
+    e = _t(spark, sf_dir, "events")
+    old = e.filter(F.col("event_id") % 2 == 0).withColumn("src", F.lit("old"))
+    new = e.filter(F.col("event_id") % 3 == 0).withColumn("src", F.lit("new"))
+    both = old.unionByName(new).withColumn(
+        "src_rank", F.when(F.col("src") == "old", F.lit(0)).otherwise(F.lit(1))
+    )
+    w = Window.partitionBy("event_id").orderBy("src_rank")
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "src", F.round("value", 4).alias("value"))
+    )
+
+
+def q_pair_similarity(spark, sf_dir):
+    """A8/A9: token-set Jaccard + weighted similarity between adjacent
+    documents (reference: address_parser.py:206-264)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = lambda c: F.array_distinct(  # noqa: E731
+        F.filter(F.split(F.lower(F.trim(c)), "\\s+"), lambda t: F.length(t) > 0)
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        toks(F.col("text")).alias("ta"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        toks(F.col("text")).alias("tb"),
+    )
+    jac = F.size(F.array_intersect("ta", "tb")) / F.greatest(
+        F.size(F.array_union("ta", "tb")), F.lit(1)
+    )
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(
+                F.when(F.col("lang_a") == F.col("lang_b"), F.lit(0.6)).otherwise(
+                    F.lit(0.0)
+                )
+                + jac * 0.4,
+                6,
+            ).alias("weighted"),
+        )
+    )
+
+
+def q_rollup_event_stats(spark, sf_dir):
+    """Rollup/grouping-sets aggregation: per (event_type, cohort) with
+    subtotals and grand total."""
+    e = _t(spark, sf_dir, "events").withColumn("cohort", F.col("user_id") % 10)
+    return (
+        e.rollup("event_type", "cohort")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_image_decode_stats(spark, sf_dir):
+    """Multimodal: decode engine-encoded png/qdct images -> pixel stats via
+    Arrow-batched mapInPandas. No SQL oracle (binary codec); rows-only."""
+    from crawler_spark.operators.multimodal import decode_stats
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return decode_stats(images)
+
+
+# --------------------------------------------------------------------------
 # dedup suite (documents)
 # --------------------------------------------------------------------------
 
@@ -439,6 +597,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "segment_stats": q_segment_stats,
+        "enrich_fallback": q_enrich_fallback,
+        "scenario_first_hit": q_scenario_first_hit,
+        "dim_upsert": q_dim_upsert,
+        "union_dedup_first_wins": q_union_dedup_first_wins,
+        "pair_similarity": q_pair_similarity,
+        "rollup_event_stats": q_rollup_event_stats,
+        "image_decode_stats": q_image_decode_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_simhash": q_dedup_simhash,
@@ -590,6 +755,102 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_custkey) AS n_customers
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "enrich_fallback": """
+            WITH base AS (SELECT c_custkey, c_nationkey AS nkey FROM customer),
+            p AS (SELECT n_nationkey AS nkey, n_name AS val
+                  FROM nation WHERE n_nationkey % 3 != 0),
+            s AS (SELECT n_nationkey AS nkey, lower(n_name) AS val FROM nation)
+            SELECT base.c_custkey, base.nkey,
+                   coalesce(p.val, s.val) AS val,
+                   CASE WHEN p.val IS NOT NULL THEN 'primary'
+                        WHEN s.val IS NOT NULL THEN 'secondary'
+                        ELSE 'none' END AS enrich_source
+            FROM base
+            LEFT JOIN p ON base.nkey = p.nkey
+            LEFT JOIN s ON base.nkey = s.nkey
+        """,
+        "scenario_first_hit": """
+            WITH base AS (
+              SELECT doc_id,
+                     source || '|' || lang AS sc0,
+                     source AS sc1,
+                     '*' AS sc2
+              FROM documents
+            ),
+            lookup AS (
+              SELECT DISTINCT q, upper(q) AS val FROM (
+                SELECT source || '|' || lang AS q FROM documents WHERE lang = 'en'
+                UNION
+                SELECT source AS q FROM documents WHERE length(source) % 2 = 0
+                UNION
+                SELECT '*' AS q
+              )
+            ),
+            exploded AS (
+              SELECT doc_id, 0 AS pos, sc0 AS q FROM base
+              UNION ALL SELECT doc_id, 1, sc1 FROM base
+              UNION ALL SELECT doc_id, 2, sc2 FROM base
+            ),
+            hits AS (
+              SELECT e.doc_id, e.pos, l.val
+              FROM exploded e JOIN lookup l ON e.q = l.q
+            )
+            SELECT doc_id, arg_min(val, pos) AS hit_val,
+                   CAST(min(pos) AS INT) AS hit_pos
+            FROM hits GROUP BY doc_id
+        """,
+        "dim_upsert": """
+            WITH incoming AS (
+              SELECT DISTINCT n_regionkey
+                + CASE WHEN n_nationkey % 5 = 0 THEN 10 ELSE 0 END AS rkey
+              FROM nation
+            )
+            SELECT i.rkey,
+                   coalesce(r.r_name, 'new-region-' || i.rkey) AS name,
+                   CAST(CASE WHEN r.r_name IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_new
+            FROM incoming i
+            LEFT JOIN region r ON i.rkey = r.r_regionkey
+        """,
+        "union_dedup_first_wins": """
+            WITH both_src AS (
+              SELECT event_id, value, 'old' AS src, 0 AS src_rank
+              FROM events WHERE event_id % 2 = 0
+              UNION ALL
+              SELECT event_id, value, 'new' AS src, 1 AS src_rank
+              FROM events WHERE event_id % 3 = 0
+            )
+            SELECT event_id, src, round(value, 4) AS value FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY event_id ORDER BY src_rank) AS rn
+              FROM both_src
+            ) WHERE rn = 1
+        """,
+        "pair_similarity": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                list_distinct(list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  t -> length(t) > 0)) AS tk
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              round(len(list_intersect(a.tk, b.tk)) * 1.0
+                / greatest(len(list_distinct(list_concat(a.tk, b.tk))), 1), 6)
+                AS jaccard,
+              round(
+                (CASE WHEN a.lang = b.lang THEN 0.6 ELSE 0.0 END)
+                + (len(list_intersect(a.tk, b.tk)) * 1.0
+                   / greatest(len(list_distinct(list_concat(a.tk, b.tk))), 1)) * 0.4,
+                6) AS weighted
+            FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        """,
+        "rollup_event_stats": """
+            SELECT event_type, user_id % 10 AS cohort,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY ROLLUP (event_type, (user_id % 10))
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
