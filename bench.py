@@ -191,6 +191,11 @@ image encode -> results/metrics append -> snapshot commit.
 `{s['efficiency_8_to_32']}` = throughput32 / (4 x throughput8)
 (target: >= 0.8)
 
+Packaging: the same job ships to a real cluster via
+`spark-submit --py-files crawler_spark.zip` — evidenced by
+`python tools/submit_check.py` (zips the package, submits a full crawl
+from a clean working directory so imports can only come from the zip).
+
 Reference baseline: the reference crawler is single-threaded with hard
 sleeps — ~0.5-2 stores/s while saving (BASELINE.md); this engine's
 single-round throughput above exceeds it by >3 orders of magnitude at

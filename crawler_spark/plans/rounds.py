@@ -165,7 +165,9 @@ def run_round(
         )
     )
     bloom = build_bloom(seen) if use_bloom else None
-    unseen = anti_join_seen(new_urls, seen, bloom)
+    # persisted: referenced by the frontier rewrite, the seen append AND
+    # the new_links counter — without it the bloom UDF + anti-join run 3x
+    unseen = anti_join_seen(new_urls, seen, bloom).persist()
     new_frontier = (
         unseen.withColumn("priority", F.lit(0))
         .withColumn("discovery_ts", F.timestamp_micros(F.col("discovery_seq")))
@@ -235,17 +237,26 @@ def run_round(
     catalog.stage_append("round_metrics", metrics)
     catalog.stage_append("schedule_log", schedule_log)
 
+    # one aggregation job over the persisted fetch output replaces four
+    # separate count() jobs (scheduled/results/failed/links)
+    m = metrics.groupBy().agg(
+        F.sum("scheduled").alias("scheduled"),
+        F.sum("results").alias("results"),
+        F.sum("failed").alias("failed"),
+        F.sum("links").alias("links"),
+    ).first()
     stats = {
         "round_id": round_id,
-        "scheduled": scheduled.count(),
-        "results": results_new.count(),
-        "failed": failures_new.count(),
+        "scheduled": int(m["scheduled"] or 0),
+        "results": int(m["results"] or 0),
+        "failed": int(m["failed"] or 0),
         "new_links": unseen.count(),
         "denied": denied.count(),
     }
     catalog.commit()
     scheduled.unpersist()
     fetched.unpersist()
+    unseen.unpersist()
     return stats
 
 
