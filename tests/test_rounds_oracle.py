@@ -122,8 +122,13 @@ def test_determinism_two_runs(spark, tmp_path):
     c1, _ = run_crawl(spark, str(tmp_path / "a"), web, round_seconds=ROUND_S)
     c2, _ = run_crawl(spark, str(tmp_path / "b"), web, round_seconds=ROUND_S)
     assert _engine_schedule(c1) == _engine_schedule(c2)
-    h1 = c1.read("results").select(F.sum(F.xxhash64("image_id", "caption", "phash"))).first()[0]
-    h2 = c2.read("results").select(F.sum(F.xxhash64("image_id", "caption", "phash"))).first()[0]
+    # order-insensitive checksum; bit_xor can't overflow under ANSI mode
+    h1 = c1.read("results").select(
+        F.bit_xor(F.xxhash64("image_id", "caption", "phash"))
+    ).first()[0]
+    h2 = c2.read("results").select(
+        F.bit_xor(F.xxhash64("image_id", "caption", "phash"))
+    ).first()[0]
     assert h1 == h2
 
 
