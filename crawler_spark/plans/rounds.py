@@ -147,6 +147,28 @@ def run_round(
         F.lit(1).alias("attempts"),
     )
 
+    # ---- per-partition metrics (A6: crawling_stats analog) --------------
+    # aggregated FIRST: this one job materializes scheduled+fetched into
+    # the cache, replaces four separate count() actions, and tells us
+    # whether the round discovered any links at all
+    metrics = (
+        fetched.groupBy("partition_id")
+        .agg(
+            F.count_distinct("url_hash", "url_canon").alias("scheduled"),
+            F.sum((F.col("kind") == "result").cast("long")).alias("results"),
+            F.sum((F.col("kind") == "fail").cast("long")).alias("failed"),
+            F.sum((F.col("kind") == "link").cast("long")).alias("links"),
+        )
+        .withColumn("round_id", F.lit(round_id))
+    )
+    m = metrics.groupBy().agg(
+        F.sum("scheduled").alias("scheduled"),
+        F.sum("results").alias("results"),
+        F.sum("failed").alias("failed"),
+        F.sum("links").alias("links"),
+    ).first()
+    n_links = int(m["links"] or 0)
+
     # ---- expand frontier: canonicalize links, first-discovery-wins dedup,
     # bloom-prefiltered exact anti-join against the seen set --------------
     links = fetched.filter(F.col("kind") == "link").select(
@@ -164,10 +186,15 @@ def run_round(
             F.min("depth").alias("depth"),
         )
     )
-    bloom = build_bloom(seen) if use_bloom else None
-    # persisted: referenced by the frontier rewrite, the seen append AND
-    # the new_links counter — without it the bloom UDF + anti-join run 3x
-    unseen = anti_join_seen(new_urls, seen, bloom).persist()
+    if n_links:
+        bloom = build_bloom(seen) if use_bloom else None
+        # persisted: referenced by the frontier rewrite, the seen append
+        # AND the new_links counter — without it the bloom UDF +
+        # anti-join run 3x
+        unseen = anti_join_seen(new_urls, seen, bloom).persist()
+    else:
+        # leaf-only round: skip the bloom build and the anti-join stages
+        unseen = spark.createDataFrame([], new_urls.schema)
     new_frontier = (
         unseen.withColumn("priority", F.lit(0))
         .withColumn("discovery_ts", F.timestamp_micros(F.col("discovery_seq")))
@@ -209,17 +236,6 @@ def run_round(
         .unionByName(_frontier_select(new_frontier))
     )
 
-    # ---- per-partition metrics (A6: crawling_stats analog) --------------
-    metrics = (
-        fetched.groupBy("partition_id")
-        .agg(
-            F.count_distinct("url_hash", "url_canon").alias("scheduled"),
-            F.sum((F.col("kind") == "result").cast("long")).alias("results"),
-            F.sum((F.col("kind") == "fail").cast("long")).alias("failed"),
-            F.sum((F.col("kind") == "link").cast("long")).alias("links"),
-        )
-        .withColumn("round_id", F.lit(round_id))
-    )
     schedule_log = scheduled.select(
         F.lit(round_id).alias("round_id"),
         "url_canon",
@@ -231,32 +247,27 @@ def run_round(
     )
 
     catalog.stage_overwrite("frontier", frontier_next)
-    catalog.stage_append("seen", unseen.select("url_hash", "url_canon"))
+    if n_links:
+        catalog.stage_append("seen", unseen.select("url_hash", "url_canon"))
     catalog.stage_append("results", results_new)
     catalog.stage_append("fetch_failures", failures_new)
-    catalog.stage_append("round_metrics", metrics)
+    # one row per fetch partition -> single small file per round
+    catalog.stage_append("round_metrics", metrics.coalesce(1))
     catalog.stage_append("schedule_log", schedule_log)
 
-    # one aggregation job over the persisted fetch output replaces four
-    # separate count() jobs (scheduled/results/failed/links)
-    m = metrics.groupBy().agg(
-        F.sum("scheduled").alias("scheduled"),
-        F.sum("results").alias("results"),
-        F.sum("failed").alias("failed"),
-        F.sum("links").alias("links"),
-    ).first()
     stats = {
         "round_id": round_id,
         "scheduled": int(m["scheduled"] or 0),
         "results": int(m["results"] or 0),
         "failed": int(m["failed"] or 0),
-        "new_links": unseen.count(),
+        "new_links": unseen.count() if n_links else 0,
         "denied": denied.count(),
     }
     catalog.commit()
     scheduled.unpersist()
     fetched.unpersist()
-    unseen.unpersist()
+    if n_links:
+        unseen.unpersist()
     return stats
 
 
