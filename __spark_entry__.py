@@ -377,6 +377,44 @@ def q_pair_similarity(spark, sf_dir):
     )
 
 
+def q_range_scan(spark, sf_dir):
+    """S7: range/offset scan as row_number over a total order + range
+    filter (reference: crawler.py:859-901). At scale partitioning
+    subsumes this; the window form is the literal analog."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        .select("rn", "event_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+def q_validated_match(spark, sf_dir):
+    """J7/C7: validation join — equi on a derived (digit-stripped) key
+    plus an expression predicate tier (reference: kakao_api.py:157-209,
+    address_parser.py:245-251)."""
+    d = _t(spark, sf_dir, "documents")
+    left = d.select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("#"), (F.col("doc_id") % 3).cast("string")
+        ).alias("source_q"),
+        "lang",
+    )
+    dim = d.select("source", "lang").distinct()
+    stripped = F.regexp_replace(F.col("source_q"), "#[0-9]+$", "")
+    return (
+        left.join(
+            F.broadcast(dim),
+            (stripped == dim["source"])
+            & (left["lang"] == dim["lang"])
+            & (F.length(dim["source"]) > 3),
+        )
+        .select("doc_id", "source_q", "source", left["lang"].alias("lang"))
+    )
+
+
 def q_rollup_event_stats(spark, sf_dir):
     """Rollup/grouping-sets aggregation: per (event_type, cohort) with
     subtotals and grand total."""
@@ -602,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_upsert": q_dim_upsert,
         "union_dedup_first_wins": q_union_dedup_first_wins,
         "pair_similarity": q_pair_similarity,
+        "range_scan": q_range_scan,
+        "validated_match": q_validated_match,
         "rollup_event_stats": q_rollup_event_stats,
         "image_decode_stats": q_image_decode_stats,
         "dedup_exact": q_dedup_exact,
@@ -845,6 +885,26 @@ def oracle_sql() -> dict[str, str]:
                    / greatest(len(list_distinct(list_concat(a.tk, b.tk))), 1)) * 0.4,
                 6) AS weighted
             FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        """,
+        "range_scan": """
+            SELECT rn, event_id, event_type, round(value, 4) AS value FROM (
+              SELECT event_id, event_type, value,
+                     ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+              FROM events
+            ) WHERE rn > 100 AND rn <= 200
+        """,
+        "validated_match": """
+            WITH lft AS (
+              SELECT doc_id, source || '#' || (doc_id % 3) AS source_q, lang
+              FROM documents
+            ),
+            dim AS (SELECT DISTINCT source, lang FROM documents)
+            SELECT l.doc_id, l.source_q, d.source, l.lang
+            FROM lft l
+            JOIN dim d
+              ON regexp_replace(l.source_q, '#[0-9]+$', '') = d.source
+             AND l.lang = d.lang
+             AND length(d.source) > 3
         """,
         "rollup_event_stats": """
             SELECT event_type, user_id % 10 AS cohort,

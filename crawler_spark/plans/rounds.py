@@ -117,8 +117,16 @@ def run_round(
 
     allowed, denied = robots_gate(pending, robots, round_seconds)
     scheduled = politeness_select(allowed, n_salt=n_salt).persist()
+    # The fetch stage is compute-heavy but byte-light: AQE would coalesce
+    # the window shuffle's ~MBs of URL rows into 1-2 partitions and
+    # serialize the Python fetch workers. Explicitly hash-repartition to
+    # the cluster's parallelism (explicit numPartitions is exempt from
+    # AQE coalescing); url_hash spreads any single mega-host evenly.
+    # 4x cores: fine enough that each stage's straggler tail is a small
+    # fraction of a wave, coarse enough to amortize per-task overhead
+    n_fetch = 4 * spark.sparkContext.defaultParallelism
     fetched = (
-        run_fetch(scheduled, web)
+        run_fetch(scheduled.repartition(n_fetch, "url_hash"), web)
         .withColumn("partition_id", F.spark_partition_id())
         .persist()
     )
@@ -246,14 +254,31 @@ def run_round(
         "discovery_seq",
     )
 
-    catalog.stage_overwrite("frontier", frontier_next)
+    # Stage all table writes concurrently: the writes are independent
+    # jobs over the persisted fetch output, and overlapping them lets the
+    # scheduler backfill each job's straggler tail with the next job's
+    # tasks (serial writes idle (cores-1) slots at every tail).
+    writes = [
+        ("frontier", frontier_next, True),
+        ("results", results_new, False),
+        ("fetch_failures", failures_new, False),
+        # one row per fetch partition -> single small file per round
+        ("round_metrics", metrics.coalesce(1), False),
+        ("schedule_log", schedule_log, False),
+    ]
     if n_links:
-        catalog.stage_append("seen", unseen.select("url_hash", "url_canon"))
-    catalog.stage_append("results", results_new)
-    catalog.stage_append("fetch_failures", failures_new)
-    # one row per fetch partition -> single small file per round
-    catalog.stage_append("round_metrics", metrics.coalesce(1))
-    catalog.stage_append("schedule_log", schedule_log)
+        writes.append(("seen", unseen.select("url_hash", "url_canon"), False))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(
+                catalog.stage_overwrite if ow else catalog.stage_append, t, df
+            )
+            for t, df, ow in writes
+        ]
+        for f in futs:
+            f.result()
 
     stats = {
         "round_id": round_id,

@@ -8,6 +8,7 @@ spark-submit --py-files.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -26,6 +27,18 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    # Local-mode thread sizing: every Arrow-UDF stage pairs each JVM task
+    # thread with a Python worker process. At local[ncpu] that is 2x ncpu
+    # runnable processes plus GC/driver threads — measured 3-4x slowdown
+    # at exactly ncpu threads (convoying), while ncpu-8 is stable. A real
+    # cluster sizes executors with vcore accounting; local mode must
+    # leave the headroom manually.
+    ncpu = os.cpu_count() or 8
+    m = re.fullmatch(r"local\[(\*|\d+)\]", master)
+    if m and ncpu >= 16:
+        n = ncpu if m.group(1) == "*" else int(m.group(1))
+        if n >= ncpu:
+            master = f"local[{max(4, ncpu - 8)}]"
     nshuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS)
     )
@@ -44,6 +57,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd over snappy: ~3.5x faster writes for the incompressible
+        # image-bytes payload (measured), and the standard choice at
+        # 100TB scale for size; snappy spends CPU for no ratio here
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

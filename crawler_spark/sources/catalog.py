@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,6 +44,10 @@ class SnapshotCatalog:
         self.spark = spark
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         self._staged: dict[str, list[str]] = {}
+        # stage_* may be called from concurrent driver threads (the round
+        # driver overlaps its independent table writes to backfill idle
+        # cores between job tails)
+        self._lock = threading.Lock()
 
     # ---- snapshot bookkeeping ---------------------------------------
     def current_id(self) -> int:
@@ -69,12 +74,14 @@ class SnapshotCatalog:
             self.root, table, "data", f"s{self.current_id() + 1}-{uuid.uuid4().hex[:8]}"
         )
         df.write.mode("overwrite").parquet(d)
-        self._staged.setdefault(table, []).append(d)
+        with self._lock:
+            self._staged.setdefault(table, []).append(d)
 
     def stage_overwrite(self, table: str, df: DataFrame) -> None:
         """Replace the table's file set at the next commit."""
         self.stage_append(table, df)
-        self._staged[table].insert(0, "__OVERWRITE__")
+        with self._lock:
+            self._staged[table].insert(0, "__OVERWRITE__")
 
     def commit(self) -> int:
         """Atomically publish all staged writes as one snapshot."""
