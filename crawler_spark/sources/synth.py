@@ -166,6 +166,17 @@ class SynthWeb:
         return ((base.astype(np.uint16) + noise) % 256).astype(np.uint8)
 
     # ---- robots --------------------------------------------------------
+    def robots_txt(self, host: str) -> str:
+        """The host's robots.txt body — the raw-text form of
+        :meth:`robots_rows` (functions/robots.py parses one back into
+        the other; tests assert the round-trip)."""
+        row = next(r for r in self.robots_rows() if r["host"] == host)
+        lines = ["# synthetic robots.txt", "User-agent: *"]
+        for p in row["deny_prefixes"]:
+            lines.append(f"Disallow: {p}")
+        lines.append(f"Crawl-delay: {row['crawl_delay_s']}")
+        return "\n".join(lines) + "\n"
+
     def robots_rows(self) -> list[dict]:
         """Per-host robots dimension (broadcast-joined; reference analog:
         the consent/filter-popup gate, crawler.py:65-117, and
