@@ -130,7 +130,7 @@ def bench_crawl_round(spark, n_urls: int = BENCH_URLS) -> dict:
         shutil.rmtree(td, ignore_errors=True)
 
 
-def _session(master: str):
+def _session(master: str | None):
     from crawler_spark.session import get_spark
 
     return get_spark(app="bench", master=master, shuffle_partitions=32)
@@ -145,7 +145,8 @@ def _pinned_probe(master: str, ncores: int, n_urls: int) -> dict:
 
     here = os.path.abspath(__file__)
     cmd = [sys.executable, here, "--scale-probe", master, str(n_urls)]
-    if _shutil.which("taskset"):
+    pinned = bool(_shutil.which("taskset"))
+    if pinned:
         cmd = ["taskset", "-c", f"0-{ncores - 1}"] + cmd
     proc = subprocess.run(
         cmd, capture_output=True, text=True, timeout=3000,
@@ -158,7 +159,9 @@ def _pinned_probe(master: str, ncores: int, n_urls: int) -> dict:
         raise RuntimeError(
             f"scale probe {master} failed: {proc.stderr[-2000:]}"
         )
-    return json.loads(line)
+    r = json.loads(line)
+    r["pinned"] = pinned  # recorded so the evidence doc can't overclaim
+    return r
 
 
 def _cpu_probe(nprocs: int) -> None:
@@ -222,10 +225,12 @@ def main():
         _cpu_probe(int(sys.argv[sys.argv.index("--cpu-probe") + 1]))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     scaling = "--scaling" in sys.argv
 
-    spark = _session(f"local[{cpus}]")
+    # master=None: get_spark derives it from SPARK_GRAFT_CPUS and may
+    # apply the local-mode stability downsize; we record the EFFECTIVE
+    # master so the bench artifact never misstates the parallelism.
+    spark = _session(None)
     queries = bench_queries(spark, sf_dir)
     crawl = bench_crawl_round(spark)
     out = {
@@ -234,6 +239,7 @@ def main():
         "unit": "sec",
         "queries": queries,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "master": spark.sparkContext.master,
         "crawl_round": crawl,
         "frontier_throughput_urls_per_sec": crawl["throughput"],
     }
@@ -294,6 +300,12 @@ def main():
             "masters": [lo, hi],
             "n_small": n_small,
             "n_large": n_large,
+            "n_reps": n_reps,
+            "pinned": all(
+                best[m][s].get("pinned", False)
+                for m, _ in pairs
+                for s in ("small", "large")
+            ),
             "efficiency_N_to_4N_raw": eff_raw,
             "efficiency_N_to_4N_steady": eff_steady,
             "hardware_ceiling_N_to_4N": ceiling,
@@ -321,7 +333,7 @@ local[32], or N and 4N cores) on the same input") we run the SAME
 crawl-round job on the SAME input at {lo} vs {hi} (4x cores) and report
 throughput at both.
 
-**Methodology — pinned cores, not just threads.** Each probe runs in a
+**Methodology — pinned cores, not just threads.** {"Every probe in this run ran pinned under taskset." if s.get("pinned") else "WARNING: taskset was unavailable — probes in this run ran UNPINNED (thread-count only), so the core-count claim below does not hold for this run."} Each probe runs in a
 subprocess under `taskset -c` with exactly N (resp. 4N) CPUs visible —
 the same resource envelope a vcore-limited N-core executor gets from
 YARN/k8s on a real cluster. Thread count alone is not a faithful core
@@ -339,7 +351,7 @@ anti-join -> mapInPandas fetch/parse with real PNG/qdct image encode ->
 results/metrics append -> snapshot commit. Timed rounds at
 {s['n_small']} and {s['n_large']} urls on identical input, each probe
 preceded by an in-process warmup round; the two levels' rounds are
-INTERLEAVED in time and the best of 2 kept per (level, size), because
+INTERLEAVED in time and the best of {s.get('n_reps', '?')} kept per (level, size), because
 this VM's host throughput drifts by up to 2x over minutes — probes run
 minutes apart would compare different machines. Dirty pages are synced
 before each timed round so runs don't inherit each other's writeback.

@@ -79,17 +79,23 @@ def parse_robots_txt(
                         g["delay"] = float(value)
                     except ValueError:
                         pass
-    chosen = None
+    # RFC 9309 §2.2.1 group selection: a group applies when its
+    # user-agent token is a (case-insensitive) substring of OUR product
+    # token — never the reverse direction — and the LONGEST matching
+    # token wins over file order (most-specific group).
     a = agent.lower()
-    for ua in groups:
-        if ua != "*" and (ua in a or a in ua):
-            chosen = groups[ua]
-            break
-    if chosen is None:
+    matching = [ua for ua in groups if ua != "*" and ua in a]
+    if matching:
+        chosen = groups[max(matching, key=len)]
+    else:
         chosen = groups.get("*")
     if chosen is None:
         return [], [], DEFAULT_DELAY_S
     delay = chosen["delay"] if chosen["delay"] is not None else DEFAULT_DELAY_S
+    # Crawl-delay <= 0 would make the politeness budget infinite (or
+    # negative) downstream; treat it as absent per the defensive default
+    if delay <= 0:
+        delay = DEFAULT_DELAY_S
     return chosen["deny"], chosen["allow"], delay
 
 
@@ -109,7 +115,12 @@ def robots_rules_udf(texts: pd.Series) -> pd.DataFrame:
 def robots_dim(robots_texts: DataFrame, host_col: str = "host",
                text_col: str = "robots_txt") -> DataFrame:
     """(host, robots_txt) → the broadcastable politeness dimension with
-    the exact schema plans/rounds.py expects."""
+    the exact schema plans/rounds.py expects.
+
+    Note: only ``deny_prefixes`` gate scheduling downstream —
+    ``Allow:`` lines are parsed but intentionally not applied, so a host
+    with ``Disallow: /`` plus ``Allow: /public`` blocks everything (the
+    conservative direction for a polite crawler)."""
     parsed = robots_texts.select(
         F.col(host_col).alias("host"), robots_rules_udf(F.col(text_col)).alias("r")
     )

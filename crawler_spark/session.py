@@ -25,6 +25,7 @@ def get_spark(
 
     master defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]).
     """
+    defaulted = master is None
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     # Local-mode thread sizing: every Arrow-UDF stage pairs each JVM task
@@ -32,10 +33,15 @@ def get_spark(
     # runnable processes plus GC/driver threads — measured 3-4x slowdown
     # at exactly ncpu threads (convoying), while ncpu-8 is stable. A real
     # cluster sizes executors with vcore accounting; local mode must
-    # leave the headroom manually.
+    # leave the headroom manually. Applied ONLY when the master was
+    # defaulted (env/None) — an explicitly passed local[N] is honored
+    # verbatim — and can be disabled with SPARK_GRAFT_NO_DOWNSIZE=1.
+    # Callers that record parallelism must read the effective master from
+    # spark.sparkContext.master, not from their own request.
     ncpu = os.cpu_count() or 8
     m = re.fullmatch(r"local\[(\*|\d+)\]", master)
-    if m and ncpu >= 16:
+    downsize_ok = defaulted and not os.environ.get("SPARK_GRAFT_NO_DOWNSIZE")
+    if m and ncpu >= 16 and downsize_ok:
         n = ncpu if m.group(1) == "*" else int(m.group(1))
         if n >= ncpu:
             master = f"local[{max(4, ncpu - 8)}]"

@@ -41,6 +41,36 @@ Crawl-delay: 1
     assert deny == ["/a"] and delay == 9.0
 
 
+def test_parse_agent_longest_match_spec_direction():
+    """RFC 9309: the ua token must be a substring of OUR agent (never the
+    reverse), and the longest matching token wins over file order."""
+    txt = """
+User-agent: ark
+Disallow: /substring-trap
+User-agent: crawler
+Disallow: /short
+User-agent: crawler-spark
+Disallow: /exact
+User-agent: *
+Disallow: /star
+"""
+    # "ark" IS a substring of "crawler-spark" so it matches, but
+    # "crawler-spark" is the longest match and must win over file order
+    deny, _, _ = parse_robots_txt(txt, agent="crawler-spark")
+    assert deny == ["/exact"]
+    # reverse-direction match must NOT fire: agent "c" is a substring of
+    # every token but no token is a substring of "c" -> fall to *
+    deny, _, _ = parse_robots_txt(txt, agent="c")
+    assert deny == ["/star"]
+
+
+def test_parse_crawl_delay_clamped():
+    """Zero/negative Crawl-delay must not produce an infinite budget."""
+    for bad in ("0", "-3"):
+        _, _, delay = parse_robots_txt(f"User-agent: *\nCrawl-delay: {bad}\n")
+        assert delay == DEFAULT_DELAY_S
+
+
 def test_parse_edge_cases():
     assert parse_robots_txt(None) == ([], [], DEFAULT_DELAY_S)
     assert parse_robots_txt("") == ([], [], DEFAULT_DELAY_S)
