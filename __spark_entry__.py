@@ -551,46 +551,68 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """LSH-bucketed near-dup pairs: sign-pattern bucket on first 3 dims
-    restricts the self-join; exact cosine >= 0.3 verifies candidates."""
-    e = _t(spark, sf_dir, "embeddings")
-    keyed = e.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
+    """SRP (random-hyperplane) banded LSH near-dup pairs: 16 deterministic
+    Rademacher hyperplanes -> 4 bands x 4 bits; candidates = pairs
+    agreeing on >= 1 band; exact cosine >= 0.35 verifies. Collision rate
+    tracks the cosine angle, so candidate volume tracks true near-dups
+    (the old fixed 8-bucket sign scheme put ~n^2/8 pairs per bucket)."""
+    from crawler_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=16, n_bands=4
+    )
+
+
+def q_dedup_simhash64(spark, sf_dir):
+    """64-bit SimHash as 4x16-bit banded signatures (corpus-scale form:
+    a 16-bit space collides massively at 10^10 docs)."""
+    from crawler_spark.operators.dedup import simhash64_band_signatures
+
+    return simhash64_band_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash64_pairs(spark, sf_dir):
+    """Banded Hamming<=3 near-dup pairs over the 64-bit SimHash;
+    candidate generation exact by pigeonhole (3 flips can't touch all 4
+    bands), verification via per-band xor + bit_count."""
+    from crawler_spark.operators.dedup import simhash64_hamming_pairs
+
+    return simhash64_hamming_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_scenario_generate(spark, sf_dir):
+    """C12 + W2 composed: generate the prefix-reduction scenario list
+    from a raw query string (kakao_api.py:131-145), then first validated
+    hit wins. Output: (doc_id, hit_val, hit_pos)."""
+    from crawler_spark.operators.enrich import generate_scenarios, scenario_first_hit
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
         F.concat_ws(
-            "",
-            *[
-                (F.element_at("embedding", i + 1) >= 0).cast("int").cast("string")
-                for i in range(3)
-            ],
-        ).alias("bucket"),
+            " ", "source", "lang", (F.col("doc_id") % 7).cast("string")
+        ).alias("q"),
+    ).withColumn("scenarios", generate_scenarios(F.col("q")))
+    s1 = (
+        d.filter(F.col("lang") == "en")
+        .select(F.concat_ws(" ", "source", "lang").alias("q"))
+        .distinct()
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cos = F.round(
-        _dot_d(F.col("a.v"), F.col("b.v"))
-        / (
-            F.sqrt(_dot_d(F.col("a.v"), F.col("a.v")))
-            * F.sqrt(_dot_d(F.col("b.v"), F.col("b.v")))
-        ),
-        6,
+    s2 = (
+        d.filter(F.length("source") % 2 == 0)
+        .select(F.col("source").alias("q"))
+        .distinct()
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.3)
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cosine"
-        )
-    )
+    s3 = spark.createDataFrame([("*",)], "q string")
+    lookup = s1.union(s2).union(s3).distinct().withColumn("val", F.upper("q"))
+    out = scenario_first_hit(base, "scenarios", lookup, "q", "val", "doc_id")
+    return out.select("doc_id", "hit_val", F.col("hit_pos").cast("long").alias("hit_pos"))
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (scale path) — no SQL oracle (iterative
-    centroid build); driver records rows-only check."""
+    """IVF approximate top-k (scale path): portable hash-group mean
+    centroids (md5-digit cells, round-9 stabilized) -> nearest-cell
+    assignment -> probe 3 cells -> exact cosine. Full SQL oracle."""
     from crawler_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -637,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_stats": q_segment_stats,
         "enrich_fallback": q_enrich_fallback,
         "scenario_first_hit": q_scenario_first_hit,
+        "scenario_generate": q_scenario_generate,
         "dim_upsert": q_dim_upsert,
         "union_dedup_first_wins": q_union_dedup_first_wins,
         "pair_similarity": q_pair_similarity,
@@ -647,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash64": q_dedup_simhash64,
+        "simhash64_pairs": q_simhash64_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lang_id": q_lang_id,
@@ -1098,23 +1123,204 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "embedding_neardup": """
-            WITH keyed AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                     CAST(embedding[1] >= 0 AS INT) || CAST(embedding[2] >= 0 AS INT)
-                       || CAST(embedding[3] >= 0 AS INT) AS bucket
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings
+            ),
+            votes AS (
+              SELECT vec_id, p.p, v[t.pos] AS x,
+                CASE WHEN substr(md5(p.p || '_' || (t.pos - 1)), 1, 1) >= '8'
+                     THEN 1.0 ELSE -1.0 END AS w
+              FROM e,
+                   unnest(generate_series(1, len(v))) AS t(pos),
+                   unnest(generate_series(0, 15)) AS p(p)
+            ),
+            dots AS (
+              SELECT vec_id, p, sum(x * w) AS dot FROM votes GROUP BY vec_id, p
+            ),
+            sig AS (
+              SELECT vec_id, CAST(p // 4 AS INT) AS band_id,
+                     CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
+                          * CAST(pow(2, p % 4) AS BIGINT)) AS BIGINT) AS band_val
+              FROM dots GROUP BY vec_id, p // 4
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM sig a JOIN sig b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.vec_id < b.vec_id
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-            FROM keyed a
-            JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.v, b.v)
-                  / (sqrt(list_dot_product(a.v, a.v))
-                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+            SELECT id_a, id_b,
+                   round(list_dot_product(ea.v, eb.v)
+                     / (sqrt(list_dot_product(ea.v, ea.v))
+                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+            FROM cand
+            JOIN e ea ON id_a = ea.vec_id
+            JOIN e eb ON id_b = eb.vec_id
+            WHERE round(list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v))
+                     * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.35
         """,
-        # ann_ivf_topk, crawl_smoke: intentionally no SQL oracle
-        # (iterative/stateful); driver records rows-only checks.
+        "dedup_simhash64": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            bands AS (
+              SELECT doc_id, b.band_id, md5(b.band_id || '|' || tok) AS h
+              FROM toks, unnest(generate_series(0, 3)) AS b(band_id)
+            ),
+            votes AS (
+              SELECT doc_id, band_id, t.bit,
+                     CASE WHEN substr(h, t.bit + 1, 1) >= '8'
+                          THEN 1 ELSE -1 END AS vote
+              FROM bands, unnest(generate_series(0, 15)) AS t(bit)
+            ),
+            per_bit AS (
+              SELECT doc_id, band_id, bit,
+                     CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS b
+              FROM votes GROUP BY doc_id, band_id, bit
+            )
+            SELECT doc_id, CAST(band_id AS INT) AS band_id,
+                   CAST(sum(b * CAST(pow(2, bit) AS BIGINT)) AS BIGINT) AS band_val
+            FROM per_bit GROUP BY doc_id, band_id
+        """,
+        "simhash64_pairs": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            bands AS (
+              SELECT doc_id, b.band_id, md5(b.band_id || '|' || tok) AS h
+              FROM toks, unnest(generate_series(0, 3)) AS b(band_id)
+            ),
+            votes AS (
+              SELECT doc_id, band_id, t.bit,
+                     CASE WHEN substr(h, t.bit + 1, 1) >= '8'
+                          THEN 1 ELSE -1 END AS vote
+              FROM bands, unnest(generate_series(0, 15)) AS t(bit)
+            ),
+            per_bit AS (
+              SELECT doc_id, band_id, bit,
+                     CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS b
+              FROM votes GROUP BY doc_id, band_id, bit
+            ),
+            sig AS (
+              SELECT doc_id, band_id,
+                     CAST(sum(b * CAST(pow(2, bit) AS BIGINT)) AS BIGINT) AS band_val
+              FROM per_bit GROUP BY doc_id, band_id
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sig a JOIN sig b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(sum(bit_count(xor(sa.band_val, sb.band_val))) AS BIGINT)
+                     AS hamming
+            FROM cand
+            JOIN sig sa ON doc_a = sa.doc_id
+            JOIN sig sb ON doc_b = sb.doc_id AND sa.band_id = sb.band_id
+            GROUP BY doc_a, doc_b
+            HAVING sum(bit_count(xor(sa.band_val, sb.band_val))) <= 3
+        """,
+        "scenario_generate": """
+            WITH base AS (
+              SELECT doc_id,
+                     source || ' ' || lang || ' ' || (doc_id % 7) AS q
+              FROM documents
+            ),
+            scen AS (
+              SELECT doc_id,
+                list_concat(
+                  list_transform(
+                    generate_series(len(string_split(q, ' ')), 1, -1),
+                    i -> array_to_string(string_split(q, ' ')[1:i], ' ')),
+                  ['*']) AS scenarios
+              FROM base
+            ),
+            exploded AS (
+              SELECT doc_id, t.pos - 1 AS pos, scenarios[t.pos] AS q
+              FROM scen, unnest(generate_series(1, len(scenarios))) AS t(pos)
+            ),
+            lookup AS (
+              SELECT q, upper(q) AS val FROM (
+                SELECT DISTINCT source || ' ' || lang AS q
+                FROM documents WHERE lang = 'en'
+                UNION
+                SELECT DISTINCT source AS q
+                FROM documents WHERE length(source) % 2 = 0
+                UNION
+                SELECT '*' AS q
+              )
+            ),
+            hits AS (
+              SELECT e.doc_id, e.pos, l.val
+              FROM exploded e JOIN lookup l ON e.q = l.q
+            )
+            SELECT doc_id, arg_min(val, pos) AS hit_val,
+                   CAST(min(pos) AS BIGINT) AS hit_pos
+            FROM hits GROUP BY doc_id
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            cells AS (
+              SELECT vec_id, v,
+                (strpos('0123456789abcdef',
+                        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) % 8
+                  AS cell_id
+              FROM e
+            ),
+            means AS (
+              SELECT cell_id, t.pos, round(avg(v[t.pos]), 9) AS m
+              FROM cells, unnest(generate_series(1, len(v))) AS t(pos)
+              GROUP BY cell_id, t.pos
+            ),
+            cents AS (
+              SELECT cell_id, list(m ORDER BY pos) AS centroid
+              FROM means GROUP BY cell_id
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            assigned AS (
+              SELECT vec_id, v, cell_id FROM (
+                SELECT c.vec_id, c.v, ct.cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                    round(list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))), 9)
+                      DESC, ct.cell_id ASC) AS rn
+                FROM cells c CROSS JOIN cents ct
+              ) WHERE rn = 1
+            ),
+            probe AS (
+              SELECT cell_id FROM (
+                SELECT ct.cell_id,
+                  ROW_NUMBER() OVER (ORDER BY
+                    round(list_dot_product(ct.centroid, q.qv)
+                      / (sqrt(list_dot_product(ct.centroid, ct.centroid))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 9)
+                      DESC, ct.cell_id ASC) AS rn
+                FROM cents ct, q
+              ) WHERE rn <= 3
+            )
+            SELECT a.vec_id,
+                   round(list_dot_product(a.v, q.qv)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+            FROM assigned a JOIN probe USING (cell_id), q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # crawl_smoke, image_decode_stats: intentionally no SQL oracle
+        # (engine-internal tables / binary codec); driver records
+        # rows-only checks.
     }

@@ -149,6 +149,101 @@ def simhash_signatures(
     )
 
 
+def simhash64_band_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """64-bit SimHash as ``n_bands`` x ``band_bits`` banded signatures —
+    the corpus-scale form. A single 16-bit signature space (65,536
+    values) collides massively at 10^10 docs; 64 bits with banded
+    Hamming<=k joins is the standard fix (Manku et al., WWW'07).
+
+    Band b's bit i is the majority vote over the doc's distinct tokens of
+    bit i of md5(b || '|' || token) (independent hash per band; each md5
+    hex digit's top bit is a fair coin — portable to any SQL oracle).
+    Output: (doc_id, band_id, band_val) — one 16-bit int per band, so
+    banded joins need no bit-slicing downstream.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    bands = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
+        "tok",
+    ).withColumn(
+        "h", F.md5(F.concat(F.col("band_id").cast("string"), F.lit("|"), F.col("tok")))
+    )
+    votes = bands.select(
+        "doc_id",
+        "band_id",
+        F.explode(F.sequence(F.lit(0), F.lit(band_bits - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        "vote",
+        F.when(F.expr("substring(h, bit + 1, 1)") >= "8", F.lit(1)).otherwise(F.lit(-1)),
+    )
+    per_bit = votes.groupBy("doc_id", "band_id", "bit").agg(
+        (F.sum("vote") > 0).cast("int").alias("b")
+    )
+    return per_bit.groupBy("doc_id", "band_id").agg(
+        F.sum(F.col("b") * F.pow(F.lit(2), F.col("bit")).cast("long")).alias("band_val")
+    )
+
+
+def simhash64_hamming_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs with 64-bit SimHash Hamming distance <= k.
+
+    Candidate generation is EXACT for k < n_bands by pigeonhole: <= 3
+    differing bits cannot touch all 4 bands, so every qualifying pair
+    agrees exactly on at least one 16-bit band — the banded equi-join
+    finds it without any O(n^2) comparison. Candidates then verify the
+    true 64-bit Hamming distance via per-band xor + bit_count.
+    """
+    sig = simhash64_band_signatures(docs, text_col, id_col, n_bands, band_bits)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "band_id", F.col("band_val").alias("va")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "band_id", F.col("band_val").alias("vb")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "band_id"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))).alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_dup_groups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
@@ -199,49 +294,105 @@ def ngram_jaccard_pairs(
 # ------------------------------------------- embedding cosine near-dup
 
 
+def srp_band_signatures(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Signed-random-projection (SRP / random-hyperplane) LSH signatures,
+    banded like MinHash (Charikar, STOC'02).
+
+    Hyperplane p's weight for dimension d is a deterministic Rademacher
+    ±1 drawn from md5(p || '_' || d) — a fixed literal family, so any
+    ANSI-SQL oracle reproduces it bit-for-bit and no plane table ships
+    with the job. Bit p of a vector's signature = sign(v · h_p); bits
+    group into ``n_bands`` bands of ``n_planes/n_bands`` bits.
+
+    This replaces coarse first-k-dimension sign bucketing: 8 fixed
+    buckets put ~n^2/8 pairs in each bucket at corpus scale, while SRP
+    banding's collision probability tracks the cosine angle, so
+    candidate volume tracks true near-duplicates.
+
+    Cost: one explode of n·dim·n_planes vote rows + two aggs — linear in
+    data size, shuffle keyed by (vec, plane): no skew.
+    """
+    band_bits = n_planes // n_bands
+    elems = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    votes = elems.select(
+        "vec_id",
+        "pos",
+        F.col("x").cast("double").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"),
+    ).withColumn(
+        "w",
+        F.when(
+            F.expr("substring(md5(concat(cast(p as string), '_', cast(pos as string))), 1, 1)") >= "8",
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    dots = votes.groupBy("vec_id", "p").agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    bits = dots.select(
+        "vec_id", "p", (F.col("dot") >= 0).cast("long").alias("bit")
+    )
+    return (
+        bits.withColumn("band_id", (F.col("p") / F.lit(band_bits)).cast("int"))
+        .withColumn("pib", F.col("p") % F.lit(band_bits))
+        .groupBy("vec_id", "band_id")
+        .agg(
+            F.sum(F.col("bit") * F.pow(F.lit(2), F.col("pib")).cast("long")).alias(
+                "band_val"
+            )
+        )
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    threshold: float = 0.95,
-    n_buckets: int = 8,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates, LSH-bucketed by coarse sign
-    pattern of the first ``log2(n_buckets)`` dimensions so the self-join
-    stays within buckets (scale path); exact cosine verifies candidates.
-    Uses native zip_with/aggregate — no UDFs."""
-    def norm(c):
-        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
-
-    keyed = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"),
-        F.concat_ws(
-            "",
-            *[
-                (F.element_at(F.col(vec_col), i + 1) >= 0).cast("int").cast("string")
-                for i in range(max(1, n_buckets.bit_length() - 1))
-            ],
-        ).alias("bucket"),
+    """Embedding-cosine near-duplicates: SRP band signatures generate
+    candidates (pairs agreeing on >= 1 band), exact cosine verifies.
+    Native expressions only — no UDFs."""
+    sig = srp_band_signatures(emb, vec_col, id_col, n_planes, n_bands)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+        )
+
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with(
+            F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            "cosine",
-        )
+        .select("id_a", "id_b", "cosine")
     )

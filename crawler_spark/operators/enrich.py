@@ -48,6 +48,23 @@ def fallback_join(
     return out_hit.unionByName(out_miss)
 
 
+def generate_scenarios(query_col) -> "F.Column":
+    """C12: build the ordered prefix-reduction scenario list from a raw
+    query string (reference: src/map_api/kakao_api.py:131-145 — the full
+    query, then each shorter prefix dropping the trailing token, finally
+    the wildcard probe). Pure native expressions:
+    ``transform(sequence(n, 1, -1), i -> first i tokens)`` + ['*'].
+    """
+    toks = F.filter(
+        F.split(F.trim(query_col), "\\s+"), lambda t: F.length(t) > 0
+    )
+    prefixes = F.transform(
+        F.sequence(F.size(toks), F.lit(1), F.lit(-1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, F.lit(1), i)),
+    )
+    return F.concat(prefixes, F.array(F.lit("*")))
+
+
 def scenario_first_hit(
     base: DataFrame,
     scenarios_col: str,

@@ -19,7 +19,14 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    # cast operands to double BEFORE multiplying: float32 products lose
+    # ~1e-7 relative precision, enough to flip a round(.., 6) vs an
+    # oracle that computes in double throughout
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
 
 
 def _norm(a):
@@ -60,7 +67,9 @@ def assign_cells(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         F.col("cell_id"),
-        (d / (na * nb)).alias("sim"),
+        # round(.., 9) pins the argmax against float-summation-order
+        # differences so an ANSI-SQL oracle lands on the same cell
+        F.round(d / (na * nb), 9).alias("sim"),
     )
     return scored.groupBy("vec_id").agg(
         F.max_by("cell_id", F.struct(F.col("sim"), -F.col("cell_id"))).alias("cell_id"),
@@ -68,14 +77,29 @@ def assign_cells(
     )
 
 
-def make_centroids(emb: DataFrame, n_cells: int = 8, vec_col: str = "embedding") -> DataFrame:
+def make_centroids(
+    emb: DataFrame, n_cells: int = 8, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
     """Cheap deterministic centroids: mean vector per hash-assigned group
-    (a k-means++ stand-in; one aggregation pass, broadcastable result)."""
-    dim_count = F.size(F.col(vec_col))
-    g = emb.withColumn("cell_id", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells)).cast("int"))
+    (a k-means++ stand-in; one aggregation pass, broadcastable result).
+
+    The group hash is the first md5 hex digit of the id (portable to any
+    ANSI-SQL oracle, uniform for n_cells <= 16); means are rounded to 9
+    decimals so cross-engine float-summation order can't flip downstream
+    nearest-centroid ties."""
+    g = emb.withColumn(
+        "cell_id",
+        F.expr(
+            f"pmod(instr('0123456789abcdef', "
+            f"substring(md5(cast({id_col} as string)), 1, 1)) - 1, {n_cells})"
+        ).cast("int"),
+    )
     # element-wise mean via posexplode + groupBy — stays native
     exploded = g.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
-    means = exploded.groupBy("cell_id", "pos").agg(F.avg("x").alias("m"))
+    means = exploded.groupBy("cell_id", "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), 9).alias("m")
+    )
     return (
         means.groupBy("cell_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
@@ -101,7 +125,9 @@ def ivf_topk(
         r["cell_id"]
         for r in cents.select(
             "cell_id",
-            (_dot(F.col("centroid"), q) / (_norm(F.col("centroid")) * F.lit(qn))).alias("sim"),
+            F.round(
+                _dot(F.col("centroid"), q) / (_norm(F.col("centroid")) * F.lit(qn)), 9
+            ).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.asc("cell_id"))
         .limit(n_probe)

@@ -61,13 +61,38 @@ def test_embedding_neardup(spark):
         (1, [1.0, 0.0, 0.0, 0.0]),
         (2, [0.99, 0.01, 0.0, 0.0]),  # near dup of 1
         (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
-        (4, [-1.0, 0.0, 0.0, 0.0]),   # different bucket
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # antipodal: no band can agree
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     pairs = {(r["id_a"], r["id_b"]) for r in
-             embedding_neardup_pairs(emb, threshold=0.95, n_buckets=8).collect()}
-    assert (1, 2) in pairs
+             embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert (1, 2) in pairs  # near-identical vectors share every SRP band
     assert (1, 3) not in pairs and (1, 4) not in pairs
+
+
+def test_simhash64_hamming_pairs(docs):
+    from crawler_spark.operators.dedup import (
+        simhash64_band_signatures,
+        simhash64_hamming_pairs,
+    )
+
+    sig = simhash64_band_signatures(docs).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], {})[r["band_id"]] = r["band_val"]
+    assert all(len(v) == 4 for v in by_doc.values())  # 4 bands per doc
+    assert all(0 <= bv < (1 << 16) for v in by_doc.values() for bv in v.values())
+    assert by_doc[1] == by_doc[2]  # identical text -> identical signature
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash64_hamming_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0  # exact dup: Hamming 0
+    # the one-word near-dup (1,3) measures Hamming 8 spread over all 4
+    # bands — outside the k<=3 radius the banding guarantees (pigeonhole:
+    # <=3 flipped bits can't touch all 4 bands), so it must NOT pair
+    assert (1, 3) not in pairs
+    assert (4, 5) not in pairs
+    assert all(h <= 3 for h in pairs.values())
 
 
 def test_lang_id_and_quality(docs):
