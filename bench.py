@@ -83,6 +83,7 @@ def _bench_frontier(spark, n_urls: int):
             F.col("id").alias("discovery_seq"),
             F.lit("pending").alias("status"),
             F.lit(0).alias("round_id"),
+            F.lit(0).alias("attempts"),
         )
         .withColumn("url_hash", F.xxhash64("url_canon"))
         .withColumn("host", F.parse_url("url_canon", F.lit("HOST")))

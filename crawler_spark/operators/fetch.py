@@ -10,10 +10,18 @@ oracle agree. A real deployment swaps ``make_fetch_parse``'s inner
 
 Output is a single union-schema DataFrame tagged by ``kind``:
   'result' — leaf page payload (input_hint image+caption schema)
-  'link'   — raw outlink + discovery_seq (document order encoded)
+  'link'   — raw outlink + sibling index (document order within the page)
   'fail'   — fetch failure + error_reason (failed-stores CSV analog,
              reference: src/crawler/base_crawler.py:350-362)
 One pass produces all three; the round driver filters and persists.
+
+Link rows carry the PARENT's full ordering key (priority, depth,
+discovery_seq, url_hash) plus ``link_seq`` = sibling index. The round
+driver orders new discoveries by (parent key, sibling) and assigns each
+a dense global ``discovery_seq`` via ``operators/sequence.py`` — the
+encounter order of a sequential crawler, computed as a batch. (The
+previous positional-radix encoding, parent_seq*4096+sibling, consumed
+12 bits per depth level and overflowed int64 at depth >= 6.)
 """
 
 from __future__ import annotations
@@ -26,9 +34,6 @@ from pyspark.sql import types as T
 
 from crawler_spark.sources.synth import SynthWeb
 
-# children inherit order from (parent_seq, sibling_idx); 4096 > any fanout
-SEQ_FANOUT = 4096
-
 FETCHED_SCHEMA = T.StructType(
     [
         T.StructField("kind", T.StringType()),
@@ -38,6 +43,7 @@ FETCHED_SCHEMA = T.StructType(
         T.StructField("priority", T.IntegerType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("discovery_seq", T.LongType()),
+        T.StructField("attempts", T.IntegerType()),  # prior attempt count
         # result payload (input_hint)
         T.StructField("image_id", T.StringType()),
         T.StructField("bytes", T.BinaryType()),
@@ -72,8 +78,9 @@ def make_fetch_parse(web: SynthWeb):
                     priority=int(row.priority),
                     depth=int(row.depth),
                     discovery_seq=int(row.discovery_seq),
+                    attempts=int(row.attempts),
                 )
-                err = web.fetch_error(row.url_canon)
+                err = web.fetch_error(row.url_canon, attempt=int(row.attempts) + 1)
                 if err is not None:
                     out.append({**base, "kind": "fail", "error_reason": err})
                     continue
@@ -91,14 +98,15 @@ def make_fetch_parse(web: SynthWeb):
                             **base,
                             "kind": "link",
                             "link_raw": raw,
-                            "link_seq": int(row.discovery_seq) * SEQ_FANOUT + i + 1,
+                            "link_seq": i,  # sibling index (document order)
                         }
                     )
             # build columns explicitly: pd.DataFrame(list-of-dicts) infers
             # float64 for int+None columns, silently rounding 64-bit hashes
             # past 2^53 — nullable Int64 arrays keep them exact
             int_cols = {
-                "phash", "link_seq", "w", "h", "url_hash", "discovery_seq", "priority",
+                "phash", "link_seq", "w", "h", "url_hash", "discovery_seq",
+                "priority", "attempts",
             }
             names = [f.name for f in FETCHED_SCHEMA.fields]
             pdf_out = pd.DataFrame(
@@ -118,5 +126,6 @@ def make_fetch_parse(web: SynthWeb):
 
 def run_fetch(scheduled: DataFrame, web: SynthWeb) -> DataFrame:
     return scheduled.select(
-        "url_canon", "url_hash", "host", "priority", "depth", "discovery_seq"
+        "url_canon", "url_hash", "host", "priority", "depth",
+        "discovery_seq", "attempts",
     ).mapInPandas(make_fetch_parse(web), schema=FETCHED_SCHEMA)

@@ -20,7 +20,6 @@ from dataclasses import dataclass, field
 
 from crawler_spark.functions.canon import normalize_url
 from crawler_spark.functions.xxh import xxh64_str
-from crawler_spark.operators.fetch import SEQ_FANOUT
 from crawler_spark.sources.synth import SynthWeb
 
 
@@ -32,6 +31,7 @@ class _Entry:
     url_hash: int
     url_canon: str = field(compare=False)
     host: str = field(compare=False)
+    attempts: int = field(default=0, compare=False)
 
 
 def _entry(url_canon: str, priority: int, depth: int, seq: int) -> _Entry:
@@ -45,9 +45,11 @@ class OracleCrawler:
         web: SynthWeb,
         seeds_raw: list[str] | None = None,
         round_seconds: float = 16.0,
+        max_attempts: int = 2,
     ):
         self.web = web
         self.round_seconds = round_seconds
+        self.max_attempts = max_attempts
         self.robots = {r["host"]: r for r in web.robots_rows()}
         self.pending: list[_Entry] = []
         self.seen: set[str] = set()
@@ -61,6 +63,13 @@ class OracleCrawler:
             if c not in self.seen:
                 self.seen.add(c)
                 self.pending.append(_entry(c, 0, 0, i))
+        # global dense discovery counter: every URL's discovery_seq is its
+        # encounter order, exactly what a sequential crawler's pending
+        # list encodes — bounded by the URL count, so int64-safe at any
+        # depth (the old parent_seq*4096+i positional radix was not)
+        self.next_seq = (
+            max(e.discovery_seq for e in self.pending) + 1 if self.pending else 0
+        )
 
     def _budget(self, host: str) -> int:
         delay = self.robots.get(host, {}).get("crawl_delay_s", 1.0)
@@ -93,20 +102,29 @@ class OracleCrawler:
         self.pending = deferred
         for e in taken:
             self.schedule.append((round_id, e.url_canon))
-            err = self.web.fetch_error(e.url_canon)
+            err = self.web.fetch_error(e.url_canon, attempt=e.attempts + 1)
             if err is not None:
-                self.failures.append((e.url_canon, err))
+                # T3 retry budget: re-queue (next round, same ordering
+                # key) below the budget; terminal failure at the budget
+                if e.attempts + 1 < self.max_attempts:
+                    self.pending.append(
+                        _Entry(
+                            e.priority, e.depth, e.discovery_seq, e.url_hash,
+                            e.url_canon, e.host, e.attempts + 1,
+                        )
+                    )
+                else:
+                    self.failures.append((e.url_canon, err))
                 continue
             if self.web.is_leaf(e.url_canon):
                 self.results.append(e.url_canon)
                 continue
-            for i, raw in enumerate(self.web.outlinks_raw(e.url_canon)):
+            for raw in self.web.outlinks_raw(e.url_canon):
                 c = normalize_url(raw)
                 if c not in self.seen:
                     self.seen.add(c)
-                    self.pending.append(
-                        _entry(c, 0, e.depth + 1, e.discovery_seq * SEQ_FANOUT + i + 1)
-                    )
+                    self.pending.append(_entry(c, 0, e.depth + 1, self.next_seq))
+                    self.next_seq += 1
         return len(taken)
 
     def run(self, max_rounds: int = 32) -> None:

@@ -29,6 +29,7 @@ from crawler_spark.functions.canon import with_url_cols
 from crawler_spark.operators.fetch import run_fetch
 from crawler_spark.operators.politeness import politeness_select, robots_gate
 from crawler_spark.operators.seen import anti_join_seen, build_bloom
+from crawler_spark.operators.sequence import assign_dense_seq
 from crawler_spark.sources.catalog import SnapshotCatalog
 from crawler_spark.sources.synth import SynthWeb
 
@@ -42,6 +43,7 @@ FRONTIER_COLS = [
     "discovery_ts",
     "status",
     "round_id",
+    "attempts",
 ]
 
 ROBOTS_SCHEMA = T.StructType(
@@ -82,12 +84,16 @@ def init_crawl(
         .withColumn("discovery_ts", F.timestamp_micros(F.col("discovery_seq")))
         .withColumn("status", F.lit("pending"))
         .withColumn("round_id", F.lit(0))
+        .withColumn("attempts", F.lit(0))
     )
     robots = spark.createDataFrame(web.robots_rows(), schema=ROBOTS_SCHEMA)
     catalog.stage_overwrite("frontier", _frontier_select(frontier))
     catalog.stage_overwrite("seen", frontier.select("url_hash", "url_canon"))
     catalog.stage_overwrite("robots", robots)
-    return catalog.commit()
+    # global discovery counter continues after the largest seed seq
+    # (raw seed indexes; duplicates collapsed by the first-wins dedup)
+    mx = frontier.agg(F.max("discovery_seq")).first()[0]
+    return catalog.commit(meta={"next_seq": int(mx) + 1 if mx is not None else 0})
 
 
 def run_round(
@@ -97,6 +103,7 @@ def run_round(
     n_salt: int = 16,
     use_bloom: bool = True,
     target_host_contains: str | None = None,
+    max_attempts: int = 2,
 ) -> dict:
     """Execute one crawl round; returns counters (crawling_stats analog,
     reference: src/crawler/base_crawler.py:38-47).
@@ -104,6 +111,13 @@ def run_round(
     ``target_host_contains`` is the single-region targeting filter (F9,
     reference: crawler.py:1205-1226) — a frontier pre-filter, i.e.
     partition pruning by seed subset.
+
+    ``max_attempts`` is the fetch retry budget (T3, reference:
+    base_crawler.py:33,232-284 retries failed work up to 2 attempts):
+    a failed URL below the budget re-enters the frontier as pending with
+    ``attempts+1`` — the batch analog of the reference's in-place retry
+    is a re-queue into the NEXT round, keeping its original ordering key
+    — and only at the budget does it become terminal in fetch_failures.
     """
     spark = catalog.spark
     round_id = catalog.current_id() + 1
@@ -116,6 +130,9 @@ def run_round(
         pending = pending.filter(F.col("host").contains(target_host_contains))
 
     allowed, denied = robots_gate(pending, robots, round_seconds)
+    # denied is referenced by the frontier rewrite, the status anti-join
+    # and the denied counter; persist so the robots-gate branch runs once
+    denied = denied.persist()
     scheduled = politeness_select(allowed, n_salt=n_salt).persist()
     # The fetch stage is compute-heavy but byte-light: AQE would coalesce
     # the window shuffle's ~MBs of URL rows into 1-2 partitions and
@@ -145,14 +162,20 @@ def run_round(
         "caption",
         "phash",
     )
-    failures_new = fetched.filter(F.col("kind") == "fail").select(
-        "url_canon",
-        "url_hash",
-        "host",
-        F.lit(round_id).alias("round_id"),
-        "partition_id",
-        "error_reason",
-        F.lit(1).alias("attempts"),
+    # only failures that exhausted the retry budget are terminal; the
+    # rest re-enter the frontier as pending below (T3)
+    failures_new = (
+        fetched.filter(F.col("kind") == "fail")
+        .select(
+            "url_canon",
+            "url_hash",
+            "host",
+            F.lit(round_id).alias("round_id"),
+            "partition_id",
+            "error_reason",
+            (F.col("attempts") + F.lit(1)).alias("attempts"),
+        )
+        .filter(F.col("attempts") >= F.lit(max_attempts))
     )
 
     # ---- per-partition metrics (A6: crawling_stats analog) --------------
@@ -178,52 +201,98 @@ def run_round(
     n_links = int(m["links"] or 0)
 
     # ---- expand frontier: canonicalize links, first-discovery-wins dedup,
-    # bloom-prefiltered exact anti-join against the seen set --------------
+    # bloom-prefiltered exact anti-join against the seen set, then assign
+    # each survivor a dense global discovery_seq in encounter order ------
+    # Link rows carry the PARENT's ordering key; a sequential crawler
+    # encounters link (P, i) before (P', i') iff P precedes P' in the
+    # schedule order or P == P' and i < i'. min(struct(...)) per
+    # url_canon = the first encounter, which also pins the child's depth
+    # to the winning parent's depth + 1 (a min over a separate depth
+    # column could disagree with the winning encounter).
     links = fetched.filter(F.col("kind") == "link").select(
         F.col("link_raw").alias("url"),
-        F.col("link_seq"),
-        (F.col("depth") + 1).alias("depth"),
+        F.struct(
+            F.col("priority").alias("p_priority"),
+            F.col("depth").alias("p_depth"),
+            F.col("discovery_seq").alias("p_seq"),
+            F.col("url_hash").alias("p_hash"),
+            F.col("link_seq").alias("sibling"),
+        ).alias("dk"),
     )
     link_canon = with_url_cols(links)
     new_urls = (
         link_canon.groupBy("url_canon")
         .agg(
-            F.min("link_seq").alias("discovery_seq"),
+            F.min("dk").alias("dk"),
             F.any_value("url_hash").alias("url_hash"),
             F.any_value("host").alias("host"),
-            F.min("depth").alias("depth"),
         )
+        .withColumn("depth", (F.col("dk.p_depth") + F.lit(1)).cast("int"))
     )
+    seq_handle = None
     if n_links:
         bloom = build_bloom(seen) if use_bloom else None
+        unseen_raw = anti_join_seen(new_urls, seen, bloom)
+        # dense discovery_seq: offset carried in snapshot meta (no
+        # per-round rescan of the frontier); fallback aggregates the
+        # frontier's max once for catalogs created before this counter
+        offset = catalog.meta().get("next_seq")
+        if offset is None:
+            mx = frontier.agg(F.max("discovery_seq")).first()[0]
+            offset = int(mx) + 1 if mx is not None else 0
+        seqd, n_new, seq_handle = assign_dense_seq(
+            unseen_raw,
+            order_cols=["dk.p_priority", "dk.p_depth", "dk.p_seq",
+                        "dk.p_hash", "dk.sibling"],
+            seq_col="discovery_seq",
+            offset=offset,
+        )
         # persisted: referenced by the frontier rewrite, the seen append
-        # AND the new_links counter — without it the bloom UDF +
-        # anti-join run 3x
-        unseen = anti_join_seen(new_urls, seen, bloom).persist()
+        # AND the metrics — without it the bloom UDF + anti-join run 3x
+        unseen = seqd.drop("dk").persist()
+        next_seq = offset + n_new
     else:
         # leaf-only round: skip the bloom build and the anti-join stages
-        unseen = spark.createDataFrame([], new_urls.schema)
+        n_new = 0
+        next_seq = catalog.meta().get("next_seq")
+        empty_schema = new_urls.drop("dk").schema.add("discovery_seq", T.LongType())
+        unseen = spark.createDataFrame([], empty_schema)
     new_frontier = (
         unseen.withColumn("priority", F.lit(0))
         .withColumn("discovery_ts", F.timestamp_micros(F.col("discovery_seq")))
         .withColumn("status", F.lit("pending"))
         .withColumn("round_id", F.lit(round_id))
+        .withColumn("attempts", F.lit(0))
     )
 
     # ---- frontier status update ----------------------------------------
     keys = ["url_hash", "url_canon"]
     sched_keys = scheduled.select(*keys)
     denied_keys = denied.select(*keys)
-    fail_keys = failures_new.select(*keys).withColumn("_failed", F.lit(True))
+    fail_keys = (
+        fetched.filter(F.col("kind") == "fail")
+        .select(*keys)
+        .withColumn("_failed", F.lit(True))
+    )
     still_pending = (
         pending.join(sched_keys, keys, "left_anti").join(denied_keys, keys, "left_anti")
     )
+    # T3 retry budget: a failed fetch below max_attempts goes BACK to
+    # pending (with its original ordering key, so it reschedules in
+    # order next round); at the budget it becomes terminal 'failed'
     done = (
         scheduled.join(fail_keys, keys, "left")
         .withColumn(
             "status",
-            F.when(F.col("_failed"), F.lit("failed")).otherwise(F.lit("fetched")),
+            F.when(
+                F.col("_failed")
+                & (F.col("attempts") + F.lit(1) < F.lit(max_attempts)),
+                F.lit("pending"),
+            )
+            .when(F.col("_failed"), F.lit("failed"))
+            .otherwise(F.lit("fetched")),
         )
+        .withColumn("attempts", (F.col("attempts") + F.lit(1)).cast("int"))
         .withColumn("round_id", F.lit(round_id))
     )
     denied_rows = denied.withColumn("status", F.lit("denied")).withColumn(
@@ -285,14 +354,17 @@ def run_round(
         "scheduled": int(m["scheduled"] or 0),
         "results": int(m["results"] or 0),
         "failed": int(m["failed"] or 0),
-        "new_links": unseen.count() if n_links else 0,
+        "new_links": n_new,
         "denied": denied.count(),
     }
-    catalog.commit()
+    catalog.commit(meta={"next_seq": next_seq} if next_seq is not None else None)
     scheduled.unpersist()
     fetched.unpersist()
+    denied.unpersist()
     if n_links:
         unseen.unpersist()
+    if seq_handle is not None:
+        seq_handle.unpersist()
     return stats
 
 
@@ -305,6 +377,7 @@ def run_crawl(
     seeds_raw: list[str] | None = None,
     use_bloom: bool = True,
     n_salt: int = 16,
+    max_attempts: int = 2,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Full crawl loop: init + rounds until the frontier drains."""
     catalog = SnapshotCatalog(root, spark)
@@ -312,7 +385,8 @@ def run_crawl(
     history: list[dict] = []
     for _ in range(max_rounds):
         stats = run_round(
-            catalog, web, round_seconds=round_seconds, n_salt=n_salt, use_bloom=use_bloom
+            catalog, web, round_seconds=round_seconds, n_salt=n_salt,
+            use_bloom=use_bloom, max_attempts=max_attempts,
         )
         history.append(stats)
         if stats["scheduled"] == 0:
@@ -327,6 +401,7 @@ def resume_crawl(
     max_rounds: int = 32,
     round_seconds: float = 16.0,
     use_bloom: bool = True,
+    max_attempts: int = 2,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Resume from the latest committed snapshot (T2: save_crawling_state
     analog). Staged-but-uncommitted files from a crashed round are
@@ -334,7 +409,10 @@ def resume_crawl(
     catalog = SnapshotCatalog(root, spark)
     history: list[dict] = []
     for _ in range(max_rounds):
-        stats = run_round(catalog, web, round_seconds=round_seconds, use_bloom=use_bloom)
+        stats = run_round(
+            catalog, web, round_seconds=round_seconds, use_bloom=use_bloom,
+            max_attempts=max_attempts,
+        )
         history.append(stats)
         if stats["scheduled"] == 0:
             break

@@ -67,6 +67,15 @@ class SnapshotCatalog:
             return {}
         return self._manifest(sid)["tables"]
 
+    def meta(self, snapshot: int | None = None) -> dict:
+        """Small scalar state carried with each snapshot (e.g. the global
+        discovery-sequence counter) — the Iceberg snapshot-summary analog.
+        Avoids recomputing aggregates over 10^10-row tables per round."""
+        sid = self.current_id() if snapshot is None else snapshot
+        if sid < 0:
+            return {}
+        return self._manifest(sid).get("meta", {})
+
     # ---- staged writes ------------------------------------------------
     def stage_append(self, table: str, df: DataFrame) -> None:
         """Write df to immutable files, visible only after commit()."""
@@ -83,8 +92,10 @@ class SnapshotCatalog:
         with self._lock:
             self._staged[table].insert(0, "__OVERWRITE__")
 
-    def commit(self) -> int:
-        """Atomically publish all staged writes as one snapshot."""
+    def commit(self, meta: dict | None = None) -> int:
+        """Atomically publish all staged writes as one snapshot.
+
+        ``meta`` entries are merged over the parent snapshot's meta."""
         sid = self.current_id() + 1
         tables = {k: list(v) for k, v in self.tables().items()}
         for t, dirs in self._staged.items():
@@ -92,7 +103,12 @@ class SnapshotCatalog:
                 tables[t] = dirs[1:]
             else:
                 tables.setdefault(t, []).extend(dirs)
-        man = {"id": sid, "parent": sid - 1, "tables": tables}
+        man = {
+            "id": sid,
+            "parent": sid - 1,
+            "tables": tables,
+            "meta": {**self.meta(), **(meta or {})},
+        }
         mp = os.path.join(self.root, "snapshots", f"{sid}.json")
         tmp = mp + ".tmp"
         with open(tmp, "w") as f:

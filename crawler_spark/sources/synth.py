@@ -46,6 +46,15 @@ class SynthWeb:
     mega_host: int | None = None  # this host gets mega_mult x leaf fanout
     mega_mult: int = 8
     fail_mod: int = 23  # leaf urls with uh % fail_mod == 0 fail to fetch
+    # transient failures: leaf urls with uh % flaky_mod == 1 fail on
+    # attempt 1 and succeed from attempt 2 (0 = no flaky urls)
+    flaky_mod: int = 0
+    # deep chain mode: instead of the 3-level hierarchy, each host is a
+    # tree of /x{j} directories ``deep_levels`` deep with fanout 1-2 per
+    # level, leaves below. Exercises orderings that the positional-radix
+    # discovery_seq encoding could NOT represent (12 bits/level -> int64
+    # overflow at depth >= 6); the dense counter must handle any depth.
+    deep_levels: int = 0
 
     # ---- structure ----------------------------------------------------
     def host(self, i: int) -> str:
@@ -91,6 +100,21 @@ class SynthWeb:
         base = f"http://{host}"
         d = len(segs)
         links: list[str] = []
+        if self.deep_levels:
+            prefix = "/".join(segs)
+            stem = f"{base}/{prefix}" if prefix else base
+            if d < self.deep_levels:
+                n = self._fanout(f"{host}|{prefix}|x", 1, 2)
+                for j in range(n):
+                    u = f"{stem}/x{j}"
+                    if j % 3 == 1:
+                        u += "#frag"  # messy form; canon must strip it
+                    links.append(u)
+            else:
+                n = self._fanout(f"{host}|{prefix}|m", 1, self.max_img)
+                for m in range(n):
+                    links.append(f"{stem}/img-{m}")
+            return links
         if d == 0:
             n = self._fanout(f"{host}|p", 2, self.max_p)
             for j in range(n):
@@ -117,11 +141,20 @@ class SynthWeb:
         return links
 
     # ---- fetch behavior ------------------------------------------------
-    def fetch_error(self, url_canon: str) -> str | None:
+    def fetch_error(self, url_canon: str, attempt: int = 1) -> str | None:
         """Deterministic failure injection (reference analog: session
-        errors handled by base_crawler.py:232-284)."""
-        if self.is_leaf(url_canon) and _uh(url_canon) % self.fail_mod == 0:
+        errors retried by base_crawler.py:33,232-284 — up to 2 attempts).
+
+        Permanent failures fail every attempt; flaky ones fail only
+        attempt 1, modeling the transient resets a real crawl hits
+        constantly."""
+        if not self.is_leaf(url_canon):
+            return None
+        h = _uh(url_canon)
+        if h % self.fail_mod == 0:
             return "synthetic_timeout"
+        if self.flaky_mod and attempt < 2 and h % self.flaky_mod == 1:
+            return "synthetic_reset"
         return None
 
     def payload(self, url_canon: str) -> dict:
@@ -206,4 +239,11 @@ T1_SMOKE = SynthWeb(n_hosts=3)
 T2_CORRECTNESS = SynthWeb(
     n_hosts=10, max_p=4, max_d=4, max_img=6, mega_host=0, mega_mult=10
 )
+# depth-9 chains x 16 seeds: the old positional-radix discovery_seq
+# (12 bits/level) would need >100 bits here; the dense counter must stay
+# small and keep exact oracle ordering
+T3_DEEP = SynthWeb(n_hosts=16, deep_levels=8, max_img=2)
+# transient-failure web: ~1/5 of leaves fail their first attempt and
+# must be re-queued (T3 retry budget); fail_mod leaves stay permanent
+T4_FLAKY = SynthWeb(n_hosts=6, max_p=3, max_d=3, max_img=5, flaky_mod=5)
 BENCH = SynthWeb(n_hosts=50, max_p=6, max_d=8, max_img=25, mega_host=0, mega_mult=12)

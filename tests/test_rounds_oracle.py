@@ -12,7 +12,7 @@ from crawler_spark.functions.codecs import decode, psnr
 from crawler_spark.plans.oracle import OracleCrawler
 from crawler_spark.plans.rounds import init_crawl, resume_crawl, run_crawl, run_round
 from crawler_spark.sources.catalog import SnapshotCatalog
-from crawler_spark.sources.synth import T1_SMOKE, T2_CORRECTNESS
+from crawler_spark.sources.synth import T1_SMOKE, T2_CORRECTNESS, T3_DEEP, T4_FLAKY
 
 ROUND_S = 8.0
 ORDER = ["priority", "depth", "discovery_seq", "url_hash"]
@@ -55,6 +55,63 @@ def test_ordering_and_seen_match_oracle(spark, tmp_path, web, use_bloom):
         for r in catalog.read("fetch_failures").select("url_canon").collect()
     }
     assert engine_fail == {u for u, _ in oracle.failures}
+
+
+def test_deep_web_dense_seq_no_overflow(spark, tmp_path):
+    """Depth-9 chains across 16 seeds: exact ordering + seen match, and
+    discovery_seq stays dense (bounded by the URL count). The previous
+    positional-radix encoding (parent_seq*4096+sibling, 12 bits per
+    depth level) needed >100 bits for these paths — int64 overflow that
+    Spark 4's ANSI mode would turn into a hard error mid-crawl."""
+    web = T3_DEEP
+    catalog, history = run_crawl(
+        spark, str(tmp_path / "deep"), web, round_seconds=ROUND_S,
+        max_rounds=64, use_bloom=True,
+    )
+    oracle = OracleCrawler(web, round_seconds=ROUND_S)
+    oracle.run(max_rounds=64)
+    assert max(r for r, _ in oracle.schedule) >= 9  # actually went deep
+    assert _engine_schedule(catalog) == oracle.schedule
+    engine_seen = {
+        r["url_canon"] for r in catalog.read("seen").select("url_canon").collect()
+    }
+    assert engine_seen == oracle.seen
+    mx = catalog.read("frontier").agg(F.max("discovery_seq")).first()[0]
+    assert mx == len(oracle.seen) - 1  # dense: seqs are 0..n_urls-1
+
+
+def test_retry_budget_oracle_match(spark, tmp_path):
+    """T3 fetch retry budget (reference: base_crawler.py:33,232-284):
+    transiently-failing URLs are re-queued and succeed on attempt 2;
+    permanent failures become terminal with attempts == max_attempts.
+    Exact schedule (including the retry rows) + seen set vs oracle."""
+    web = T4_FLAKY
+    catalog, _ = run_crawl(
+        spark, str(tmp_path / "flaky"), web, round_seconds=ROUND_S, use_bloom=True
+    )
+    oracle = OracleCrawler(web, round_seconds=ROUND_S)
+    oracle.run()
+
+    # some URLs genuinely flaked and were retried (schedule has dups)
+    sched = oracle.schedule
+    assert len(sched) > len({u for _, u in sched}), "fixture has no flaky URLs"
+    assert _engine_schedule(catalog) == sched
+
+    engine_seen = {
+        r["url_canon"] for r in catalog.read("seen").select("url_canon").collect()
+    }
+    assert engine_seen == oracle.seen
+    # flaky URLs succeed on retry -> they are results, not failures
+    engine_results = {
+        r["url_canon"] for r in catalog.read("results").select("url_canon").collect()
+    }
+    assert engine_results == set(oracle.results)
+    flaky = {u for u in engine_results if web.fetch_error(u, attempt=1) is not None}
+    assert flaky, "no retried URL reached results"
+    # terminal failures carry the exhausted budget
+    fails = catalog.read("fetch_failures").select("url_canon", "attempts").collect()
+    assert {r["url_canon"] for r in fails} == {u for u, _ in oracle.failures}
+    assert fails and all(r["attempts"] == 2 for r in fails)
 
 
 def test_payload_invariants(spark, tmp_path):
