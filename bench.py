@@ -94,7 +94,8 @@ def _bench_frontier(spark, n_urls: int):
 def bench_crawl_round(spark, n_urls: int = BENCH_URLS) -> dict:
     """One full crawl round over n_urls pending leaf URLs; returns
     throughput (urls scheduled+fetched / wall sec)."""
-    from crawler_spark.plans.rounds import ROBOTS_SCHEMA, run_round
+    from crawler_spark.operators.seen import bloom_delta_rows, merge_bloom_rows
+    from crawler_spark.plans.rounds import BLOOM_CFG, ROBOTS_SCHEMA, run_round
     from crawler_spark.sources.catalog import SnapshotCatalog
     from crawler_spark.sources.synth import BENCH
 
@@ -110,9 +111,14 @@ def bench_crawl_round(spark, n_urls: int = BENCH_URLS) -> dict:
             schema=ROBOTS_SCHEMA,
         )
         catalog.stage_overwrite("frontier", frontier)
-        catalog.stage_overwrite("seen", frontier.select("url_hash", "url_canon").limit(0))
+        seen0 = frontier.select("url_hash", "url_canon").limit(0)
+        catalog.stage_overwrite("seen", seen0)
+        catalog.stage_overwrite(
+            "bloom",
+            merge_bloom_rows(bloom_delta_rows(seen0.select("url_hash"), **BLOOM_CFG)),
+        )
         catalog.stage_overwrite("robots", robots)
-        catalog.commit()
+        catalog.commit(meta={"next_seq": n_urls, "bloom": BLOOM_CFG})
         # flush prior rounds' dirty pages so this round isn't throttled by
         # another run's writeback (measurements are otherwise order-dependent)
         os.sync()

@@ -74,6 +74,116 @@ class NumpyBloom:
         return hit
 
 
+class BucketedBloom:
+    """``n_buckets`` independent bloom slices; a key routes to slice
+    ``unsigned(hash) % n_buckets``. This is the 10^10-scale layout from
+    SCALE.md §URL-seen: no single filter needs full-corpus capacity,
+    slices build/update in parallel, and (critically) the slices PERSIST
+    as a catalog table that is incrementally OR-updated with each
+    round's new keys — never rebuilt from a full seen-table scan."""
+
+    def __init__(self, n_buckets: int = 4, m_bits: int = 1 << 21, k: int = 5,
+                 bits_by_bucket: dict[int, np.ndarray] | None = None):
+        self.n_buckets = n_buckets
+        self.m_bits = m_bits
+        self.k = k
+        self.bits_by_bucket = bits_by_bucket if bits_by_bucket is not None else {}
+
+    def _bucket_of(self, hashes: np.ndarray) -> np.ndarray:
+        return (hashes.astype(np.uint64) % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        buckets = self._bucket_of(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        for b in np.unique(buckets):
+            bits = self.bits_by_bucket.get(int(b))
+            if bits is None:
+                continue  # empty slice: provably unseen
+            mask = buckets == b
+            bl = NumpyBloom(self.m_bits, self.k, bits=bits)
+            out[mask] = bl.contains_many(hashes[mask])
+        return out
+
+    def to_rows(self) -> list[tuple[int, bytes]]:
+        return [(int(b), bits.tobytes()) for b, bits in sorted(self.bits_by_bucket.items())]
+
+    @classmethod
+    def from_rows(cls, rows, n_buckets: int, m_bits: int, k: int) -> "BucketedBloom":
+        by = {
+            int(r["bucket_id"]): np.frombuffer(bytes(r["bits"]), dtype=np.uint8).copy()
+            for r in rows
+        }
+        return cls(n_buckets, m_bits, k, by)
+
+    def or_delta_rows(self, rows) -> None:
+        """OR per-bucket delta bitmaps (same m_bits/k) into this filter."""
+        for r in rows:
+            b = int(r["bucket_id"])
+            delta = np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
+            if b in self.bits_by_bucket:
+                self.bits_by_bucket[b] |= delta
+            else:
+                self.bits_by_bucket[b] = delta.copy()
+
+
+def bloom_delta_rows(
+    df: DataFrame, hash_col: str = "url_hash",
+    n_buckets: int = 4, m_bits: int = 1 << 21, k: int = 5,
+) -> DataFrame:
+    """One distributed pass over ``df``: per-partition, per-bucket delta
+    bitmaps as (bucket_id, bits) rows. Driver/table traffic is bounded by
+    n_partitions * touched_buckets * m/8 bytes — independent of row
+    count. The per-round input here is only the round's NEW keys, so the
+    incremental update cost is O(round), not O(total seen)."""
+    schema = T.StructType(
+        [T.StructField("bucket_id", T.IntegerType()), T.StructField("bits", T.BinaryType())]
+    )
+
+    def part_bitmaps(batches):
+        blooms: dict[int, NumpyBloom] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            buckets = (h.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+            for b in np.unique(buckets):
+                bl = blooms.setdefault(int(b), NumpyBloom(m_bits, k))
+                bl.add_many(h[buckets == b])
+        if blooms:
+            yield pd.DataFrame(
+                {
+                    "bucket_id": pd.array(sorted(blooms), dtype="Int64"),
+                    "bits": pd.array(
+                        [blooms[b].bits.tobytes() for b in sorted(blooms)], dtype=object
+                    ),
+                }
+            )
+
+    return df.select(hash_col).mapInPandas(part_bitmaps, schema=schema)
+
+
+def merge_bloom_rows(rows: DataFrame) -> DataFrame:
+    """Distributed per-bucket OR of (bucket_id, bits) rows — grouped by
+    bucket, so at 10^10 scale each of the 4096 slices reduces on its own
+    executor; no slice ever funnels through the driver."""
+    schema = T.StructType(
+        [T.StructField("bucket_id", T.IntegerType()), T.StructField("bits", T.BinaryType())]
+    )
+
+    def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: np.ndarray | None = None
+        for b in pdf["bits"]:
+            a = np.frombuffer(bytes(b), dtype=np.uint8)
+            acc = a.copy() if acc is None else (acc | a)
+        return pd.DataFrame(
+            {"bucket_id": [int(pdf["bucket_id"].iloc[0])], "bits": [acc.tobytes()]}
+        )
+
+    return rows.groupBy("bucket_id").applyInPandas(or_group, schema=schema)
+
+
 def build_bloom(seen: DataFrame, hash_col: str = "url_hash",
                 m_bits: int = 1 << 23, k: int = 5) -> NumpyBloom:
     """One distributed pass: per-partition bitmaps OR-reduced on the driver.
@@ -102,12 +212,12 @@ def build_bloom(seen: DataFrame, hash_col: str = "url_hash",
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame,
-                   bloom: NumpyBloom | None = None) -> DataFrame:
+                   bloom: "NumpyBloom | BucketedBloom | None" = None) -> DataFrame:
     """Exact NOT-EXISTS of candidates against the seen set.
 
-    With a bloom: rows the bloom proves unseen bypass the shuffle join
-    entirely (at real scale that is the vast majority of new outlinks);
-    only "maybe seen" rows join. Without: plain left_anti.
+    With a bloom (flat or bucketed): rows the bloom proves unseen bypass
+    the shuffle join entirely (at real scale that is the vast majority of
+    new outlinks); only "maybe seen" rows join. Without: plain left_anti.
     Join keys: (url_hash, url_canon) — hash for partitioning, the string
     as the exactness backstop against 64-bit collisions at 10^10 rows.
     """
@@ -117,14 +227,25 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
             on=["url_hash", "url_canon"],
             how="left_anti",
         )
-    bc = candidates.sparkSession.sparkContext.broadcast(
-        (bloom.bits.tobytes(), bloom.m_bits, bloom.k)
-    )
+    if isinstance(bloom, BucketedBloom):
+        payload = (
+            "bucketed", bloom.n_buckets, bloom.m_bits, bloom.k,
+            [(b, bits.tobytes()) for b, bits in bloom.bits_by_bucket.items()],
+        )
+    else:
+        payload = ("flat", 0, bloom.m_bits, bloom.k, bloom.bits.tobytes())
+    bc = candidates.sparkSession.sparkContext.broadcast(payload)
 
     @F.pandas_udf(T.BooleanType())
     def maybe_seen(h: pd.Series) -> pd.Series:
-        bits, m_bits, k = bc.value
-        bl = NumpyBloom(m_bits, k, bits=np.frombuffer(bits, dtype=np.uint8))
+        kind, n_buckets, m_bits, k, data = bc.value
+        if kind == "bucketed":
+            bl = BucketedBloom(
+                n_buckets, m_bits, k,
+                {b: np.frombuffer(raw, dtype=np.uint8) for b, raw in data},
+            )
+        else:
+            bl = NumpyBloom(m_bits, k, bits=np.frombuffer(data, dtype=np.uint8))
         return pd.Series(bl.contains_many(h.to_numpy(dtype=np.int64)))
 
     flagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_hash")))

@@ -28,10 +28,20 @@ from pyspark.sql import types as T
 from crawler_spark.functions.canon import with_url_cols
 from crawler_spark.operators.fetch import run_fetch
 from crawler_spark.operators.politeness import politeness_select, robots_gate
-from crawler_spark.operators.seen import anti_join_seen, build_bloom
+from crawler_spark.operators.seen import (
+    BucketedBloom,
+    anti_join_seen,
+    bloom_delta_rows,
+    merge_bloom_rows,
+)
 from crawler_spark.operators.sequence import assign_dense_seq
 from crawler_spark.sources.catalog import SnapshotCatalog
 from crawler_spark.sources.synth import SynthWeb
+
+# sandbox bloom sizing: 4 slices x 2^21 bits. At the 10^10 design scale
+# this becomes 4096 slices sized per-bucket (SCALE.md §URL-seen); the
+# maintenance protocol below is identical — only the constants grow.
+BLOOM_CFG = {"n_buckets": 4, "m_bits": 1 << 21, "k": 5}
 
 FRONTIER_COLS = [
     "url_canon",
@@ -90,10 +100,21 @@ def init_crawl(
     catalog.stage_overwrite("frontier", _frontier_select(frontier))
     catalog.stage_overwrite("seen", frontier.select("url_hash", "url_canon"))
     catalog.stage_overwrite("robots", robots)
+    # persistent bucketed bloom over the seen set, seeded here and then
+    # incrementally OR-updated each round (never rebuilt from a full
+    # seen-table scan)
+    catalog.stage_overwrite(
+        "bloom",
+        merge_bloom_rows(
+            bloom_delta_rows(frontier.select("url_hash"), **BLOOM_CFG)
+        ),
+    )
     # global discovery counter continues after the largest seed seq
     # (raw seed indexes; duplicates collapsed by the first-wins dedup)
     mx = frontier.agg(F.max("discovery_seq")).first()[0]
-    return catalog.commit(meta={"next_seq": int(mx) + 1 if mx is not None else 0})
+    return catalog.commit(
+        meta={"next_seq": int(mx) + 1 if mx is not None else 0, "bloom": BLOOM_CFG}
+    )
 
 
 def run_round(
@@ -230,8 +251,16 @@ def run_round(
         .withColumn("depth", (F.col("dk.p_depth") + F.lit(1)).cast("int"))
     )
     seq_handle = None
+    bloom_cfg = catalog.meta().get("bloom")
     if n_links:
-        bloom = build_bloom(seen) if use_bloom else None
+        # the bloom is a PERSISTED bucketed filter, incrementally updated
+        # each round — loading it is O(filter size), never a seen scan
+        bloom = None
+        if use_bloom and bloom_cfg and catalog.exists("bloom"):
+            bloom = BucketedBloom.from_rows(
+                catalog.read("bloom").collect(),
+                bloom_cfg["n_buckets"], bloom_cfg["m_bits"], bloom_cfg["k"],
+            )
         unseen_raw = anti_join_seen(new_urls, seen, bloom)
         # dense discovery_seq: offset carried in snapshot meta (no
         # per-round rescan of the frontier); fallback aggregates the
@@ -337,6 +366,16 @@ def run_round(
     ]
     if n_links:
         writes.append(("seen", unseen.select("url_hash", "url_canon"), False))
+        if bloom_cfg and catalog.exists("bloom"):
+            # incremental maintenance: OR only the round's new keys into
+            # the persisted slices (distributed per-bucket reduce) —
+            # O(round) work, not O(total seen). Maintained even when
+            # use_bloom=False so the filter can never go stale (a stale
+            # bloom's false negatives would skip the exact join and
+            # re-enqueue seen URLs).
+            delta = bloom_delta_rows(unseen.select("url_hash"), **bloom_cfg)
+            updated = merge_bloom_rows(catalog.read("bloom").unionByName(delta))
+            writes.append(("bloom", updated, True))
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
