@@ -298,6 +298,34 @@ def q_scenario_first_hit(spark, sf_dir):
     return scenario_first_hit(base, "scenarios", lookup, "q", "val", "doc_id")
 
 
+def q_alias_resolve(spark, sf_dir):
+    """J5: reusable exact-then-substring two-tier lookup against a
+    broadcast mapping (reference: address_parser.py:10-28,63-87).
+    Resolution = min(pos, tier, canon): earliest token, exact beats
+    substring, lexicographic canon as the deterministic tie-break;
+    marker-based fallback default when nothing matches."""
+    from crawler_spark.operators.enrich import two_tier_lookup
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.array("source", "lang").alias("parts"))
+    m = (
+        d.filter(F.length("source") == 4)
+        .filter(F.substring("source", 4, 1).isin("0", "1", "2", "4", "6", "8"))
+        .select(F.col("source").alias("alias"))
+        .union(
+            d.select(F.col("lang").alias("alias")).filter(
+                F.col("alias").isin("en", "fr")
+            )
+        )
+        .distinct()
+        .withColumn("canon", F.concat(F.upper("alias"), F.lit("-C")))
+    )
+    return two_tier_lookup(
+        base, "parts", m, "alias", "canon", "doc_id",
+        fallback_contains="z", fallback_value="DEFAULT",
+    )
+
+
 def q_dim_upsert(spark, sf_dir):
     """K2/J2: MERGE-style dimension upsert — left join the dim, generate
     deterministic rows for misses (reference: database.py:59-89)."""
@@ -378,15 +406,78 @@ def q_pair_similarity(spark, sf_dir):
 
 
 def q_range_scan(spark, sf_dir):
-    """S7: range/offset scan as row_number over a total order + range
-    filter (reference: crawler.py:859-901). At scale partitioning
-    subsumes this; the window form is the literal analog."""
+    """S7: range/offset scan (reference: crawler.py:859-901) — rows with
+    global rank in (100, 200] by event_id. Executed as TakeOrdered
+    (orderBy + limit = per-partition top-k + driver merge, no global
+    sort, no single-partition window); the tiny row_number then runs
+    over only the 200 surviving rows. Deep offset pagination at 10^10
+    rows is inherently O(offset) — partition pruning on the sort key is
+    the real scale path, which this plan degrades to gracefully."""
     e = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
+    top = e.orderBy("event_id").limit(200)
+    w = Window.orderBy("event_id")  # over exactly 200 rows — trivial
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 100)
         .select("rn", "event_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+def q_weighted_similarity(spark, sf_dir):
+    """A9: the reference's weighted component similarity with literal
+    3/3/2/1 weights and fuzzy degradation
+    (address_parser.py:206-243): a component's weight counts toward the
+    total only when BOTH sides have it; 'town' matches fuzzily
+    (digit-stripped) for half credit; 'detail' contributes its token-set
+    Jaccard; score = earned / total_weight (0 when nothing comparable).
+    Components derived deterministically from documents: province=source
+    (absent when doc_id%11==0), city=lang, town=source+digit,
+    detail=text tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = lambda c: F.array_distinct(  # noqa: E731
+        F.filter(F.split(F.lower(F.trim(c)), "\\s+"), lambda t: F.length(t) > 0)
+    )
+
+    def side(suf):
+        return d.select(
+            F.col("doc_id").alias(f"doc_{suf}"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+            .otherwise(F.col("source"))
+            .alias(f"prov_{suf}"),
+            F.col("lang").alias(f"city_{suf}"),
+            F.concat(F.col("source"), (F.col("doc_id") % 10).cast("string")).alias(
+                f"town_{suf}"
+            ),
+            toks(F.col("text")).alias(f"det_{suf}"),
+        )
+
+    j = side("a").join(side("b"), F.col("doc_b") == F.col("doc_a") + 1)
+    prov_both = F.col("prov_a").isNotNull() & F.col("prov_b").isNotNull()
+    det_both = (F.size("det_a") > 0) & (F.size("det_b") > 0)
+    town_clean = lambda c: F.regexp_replace(c, "[0-9]+", "")  # noqa: E731
+    det_jac = F.size(F.array_intersect("det_a", "det_b")) / F.greatest(
+        F.size(F.array_union("det_a", "det_b")), F.lit(1)
+    )
+    earned = (
+        F.when(prov_both & (F.col("prov_a") == F.col("prov_b")), 3.0).otherwise(0.0)
+        + F.when(F.col("city_a") == F.col("city_b"), 3.0).otherwise(0.0)
+        + F.when(F.col("town_a") == F.col("town_b"), 2.0)
+        .when(town_clean(F.col("town_a")) == town_clean(F.col("town_b")), 1.0)
+        .otherwise(0.0)
+        + F.when(det_both, det_jac).otherwise(0.0)
+    )
+    total = (
+        F.when(prov_both, 3.0).otherwise(0.0)
+        + F.lit(3.0)  # city (lang) always present
+        + F.lit(2.0)  # town always present
+        + F.when(det_both, 1.0).otherwise(0.0)
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.when(total > 0, earned / total).otherwise(F.lit(0.0)), 6
+        ).alias("weighted_sim"),
     )
 
 
@@ -660,9 +751,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_fallback": q_enrich_fallback,
         "scenario_first_hit": q_scenario_first_hit,
         "scenario_generate": q_scenario_generate,
+        "alias_resolve": q_alias_resolve,
         "dim_upsert": q_dim_upsert,
         "union_dedup_first_wins": q_union_dedup_first_wins,
         "pair_similarity": q_pair_similarity,
+        "weighted_similarity": q_weighted_similarity,
         "range_scan": q_range_scan,
         "validated_match": q_validated_match,
         "rollup_event_stats": q_rollup_event_stats,
@@ -865,6 +958,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(pos) AS INT) AS hit_pos
             FROM hits GROUP BY doc_id
         """,
+        "alias_resolve": """
+            WITH m AS (
+              SELECT alias, upper(alias) || '-C' AS canon FROM (
+                SELECT DISTINCT source AS alias FROM documents
+                WHERE length(source) = 4
+                  AND substr(source, 4, 1) IN ('0','1','2','4','6','8')
+                UNION
+                SELECT DISTINCT lang AS alias FROM documents
+                WHERE lang IN ('en', 'fr')
+              )
+            ),
+            parts AS (
+              SELECT doc_id, 0 AS pos, source AS part FROM documents
+              UNION ALL
+              SELECT doc_id, 1 AS pos, lang AS part FROM documents
+            ),
+            hits AS (
+              SELECT p.doc_id, p.pos, 0 AS tier, m.canon
+              FROM parts p JOIN m ON p.part = m.alias
+              UNION ALL
+              SELECT p.doc_id, p.pos, 1 AS tier, m.canon
+              FROM parts p JOIN m
+                ON p.part <> m.alias AND strpos(p.part, m.alias) > 0
+            ),
+            best AS (
+              SELECT doc_id, canon, tier FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY pos, tier, canon) AS rn
+                FROM hits
+              ) WHERE rn = 1
+            )
+            SELECT d.doc_id,
+              CASE WHEN b.canon IS NULL
+                    AND strpos(d.source || ' ' || d.lang, 'z') > 0
+                   THEN 'DEFAULT' ELSE b.canon END AS canon,
+              CASE WHEN b.canon IS NULL
+                    AND strpos(d.source || ' ' || d.lang, 'z') > 0
+                   THEN -1 ELSE b.tier END AS tier
+            FROM documents d LEFT JOIN best b USING (doc_id)
+        """,
         "dim_upsert": """
             WITH incoming AS (
               SELECT DISTINCT n_regionkey
@@ -917,6 +1050,47 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY event_id) AS rn
               FROM events
             ) WHERE rn > 100 AND rn <= 200
+        """,
+        "weighted_similarity": """
+            WITH side AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS prov,
+                lang AS city,
+                source || (doc_id % 10) AS town,
+                list_distinct(list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  t -> length(t) > 0)) AS det
+              FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                (a.prov IS NOT NULL AND b.prov IS NOT NULL) AS prov_both,
+                a.prov = b.prov AS prov_eq,
+                a.city = b.city AS city_eq,
+                a.town = b.town AS town_eq,
+                regexp_replace(a.town, '[0-9]+', '', 'g')
+                  = regexp_replace(b.town, '[0-9]+', '', 'g') AS town_fuzzy,
+                (len(a.det) > 0 AND len(b.det) > 0) AS det_both,
+                len(list_intersect(a.det, b.det)) * 1.0
+                  / greatest(len(list_distinct(list_concat(a.det, b.det))), 1)
+                  AS det_jac
+              FROM side a JOIN side b ON b.doc_id = a.doc_id + 1
+            ),
+            sc AS (
+              SELECT doc_a, doc_b,
+                (CASE WHEN prov_both AND prov_eq THEN 3.0 ELSE 0.0 END)
+                + (CASE WHEN city_eq THEN 3.0 ELSE 0.0 END)
+                + (CASE WHEN town_eq THEN 2.0
+                        WHEN town_fuzzy THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN det_both THEN det_jac ELSE 0.0 END) AS earned,
+                (CASE WHEN prov_both THEN 3.0 ELSE 0.0 END) + 3.0 + 2.0
+                + (CASE WHEN det_both THEN 1.0 ELSE 0.0 END) AS total
+              FROM pairs
+            )
+            SELECT doc_a, doc_b,
+              round(CASE WHEN total > 0 THEN earned / total ELSE 0.0 END, 6)
+                AS weighted_sim
+            FROM sc
         """,
         "validated_match": """
             WITH lft AS (

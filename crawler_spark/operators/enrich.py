@@ -89,6 +89,71 @@ def scenario_first_hit(
     )
 
 
+def two_tier_lookup(
+    base: DataFrame,
+    parts_col: str,
+    mapping: DataFrame,
+    alias_col: str,
+    canon_col: str,
+    id_col: str,
+    fallback_contains: str | None = None,
+    fallback_value: str | None = None,
+) -> DataFrame:
+    """J5: exact-then-substring alias resolution against a broadcast
+    mapping table (reference: address_parser.py:10-28,63-87 — per token
+    in order, try the mapping key exactly, then as a substring; first
+    hit wins; a marker-based default when nothing matches).
+
+    Resolution order is ``min(struct(pos, tier))``: earliest token
+    first, exact (tier 0) preferred over substring (tier 1) within a
+    token. The mapping is broadcast on both tiers; the substring tier is
+    a theta join, which is why the dim must be the small side.
+
+    Output: (id, canon, tier) — tier -1 marks the fallback default.
+    """
+    exploded = base.select(
+        F.col(id_col).alias("_id"), F.posexplode(parts_col).alias("pos", "part")
+    )
+    m = mapping.select(
+        F.col(alias_col).alias("_alias"), F.col(canon_col).alias("_canon")
+    )
+    exact = exploded.join(
+        F.broadcast(m), F.col("part") == F.col("_alias")
+    ).select("_id", "pos", F.lit(0).alias("tier"), "_canon")
+    sub = exploded.join(
+        F.broadcast(m),
+        (F.col("part") != F.col("_alias"))
+        & F.col("part").contains(F.col("_alias")),
+    ).select("_id", "pos", F.lit(1).alias("tier"), "_canon")
+    hits = exact.unionByName(sub)
+    best = hits.groupBy("_id").agg(
+        F.min_by(
+            F.struct(F.col("_canon"), F.col("tier")),
+            F.struct(F.col("pos"), F.col("tier"), F.col("_canon")),
+        ).alias("r")
+    ).select(
+        F.col("_id"), F.col("r._canon").alias("canon"), F.col("r.tier").alias("tier")
+    )
+    out = base.select(F.col(id_col).alias("_id"), F.col(parts_col).alias("_parts")).join(
+        best, "_id", "left"
+    )
+    if fallback_contains is not None:
+        joined_txt = F.concat_ws(" ", F.col("_parts"))
+        out = out.withColumn(
+            "canon",
+            F.when(
+                F.col("canon").isNull() & joined_txt.contains(fallback_contains),
+                F.lit(fallback_value),
+            ).otherwise(F.col("canon")),
+        ).withColumn(
+            "tier",
+            F.when(
+                F.col("canon").isNotNull() & F.col("tier").isNull(), F.lit(-1)
+            ).otherwise(F.col("tier")),
+        )
+    return out.select(F.col("_id").alias(id_col), "canon", "tier")
+
+
 def latest_per_key(df: DataFrame, key: str, ts_col: str, tie_col: str) -> DataFrame:
     """Newest row per key; deterministic tie-break on tie_col (desc)."""
     payload = F.struct(*[F.col(c) for c in df.columns])

@@ -46,6 +46,54 @@ def test_scenario_first_hit(spark):
     assert out[2] == (7.0, 1)
 
 
+def test_generate_scenarios(spark):
+    """C12 prefix reduction: full query -> shorter prefixes -> wildcard,
+    in that exact order (kakao_api.py:131-145 semantics)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.enrich import generate_scenarios
+
+    df = spark.createDataFrame(
+        [("seoul gangnam dong",), ("single",), ("  padded   q  ",)], "q string"
+    )
+    out = [r["s"] for r in df.select(generate_scenarios(F.col("q")).alias("s")).collect()]
+    assert out[0] == ["seoul gangnam dong", "seoul gangnam", "seoul", "*"]
+    assert out[1] == ["single", "*"]
+    assert out[2] == ["padded q", "padded", "*"]  # whitespace-robust
+
+
+def test_two_tier_lookup(spark):
+    """J5 exact-then-substring alias resolution: earliest token wins,
+    exact beats substring within a token, fallback marker default."""
+    from crawler_spark.operators.enrich import two_tier_lookup
+
+    base = spark.createDataFrame(
+        [
+            (1, ["seoul", "x"]),       # exact at pos 0
+            (2, ["seoul-city", "x"]),  # substring at pos 0
+            (3, ["nope", "busan"]),    # exact at pos 1
+            (4, ["nope", "zzz"]),      # no hit + marker -> fallback
+            (5, ["nope", "nah"]),      # no hit, no marker -> null
+        ],
+        "id int, parts array<string>",
+    )
+    mapping = spark.createDataFrame(
+        [("seoul", "SEOUL-FULL"), ("busan", "BUSAN-FULL")], "alias string, canon string"
+    )
+    out = {
+        r["id"]: (r["canon"], r["tier"])
+        for r in two_tier_lookup(
+            base, "parts", mapping, "alias", "canon", "id",
+            fallback_contains="zzz", fallback_value="DEFAULT",
+        ).collect()
+    }
+    assert out[1] == ("SEOUL-FULL", 0)
+    assert out[2] == ("SEOUL-FULL", 1)
+    assert out[3] == ("BUSAN-FULL", 0)
+    assert out[4] == ("DEFAULT", -1)
+    assert out[5] == (None, None)
+
+
 def test_latest_and_top1(spark):
     df = spark.createDataFrame(
         [(1, 10, 1.0), (1, 20, 2.0), (2, 15, 9.0), (2, 15, 3.0)],
