@@ -80,10 +80,18 @@ class OracleCrawler:
         path = "/" + e.url_canon.split("://", 1)[1].split("/", 1)[1] if "/" in e.url_canon.split("://", 1)[1] else "/"
         return any(path.startswith(p) for p in deny)
 
-    def run_round(self, round_id: int) -> int:
+    def run_round(self, round_id: int, target_host_contains: str | None = None) -> int:
         self.pending.sort()
-        # robots gate over ALL pending rows (engine applies the broadcast
-        # join to the whole pending set each round)
+        # F9 targeting: only pending rows whose host matches proceed this
+        # round; the rest stay pending untouched (engine: frontier
+        # pre-filter in run_round)
+        if target_host_contains is not None:
+            held = [e for e in self.pending if target_host_contains not in e.host]
+            self.pending = [e for e in self.pending if target_host_contains in e.host]
+        else:
+            held = []
+        # robots gate over the round's pending rows (engine applies the
+        # broadcast join to the whole targeted pending set each round)
         alive: list[_Entry] = []
         for e in self.pending:
             if self._is_denied(e):
@@ -125,9 +133,26 @@ class OracleCrawler:
                     self.seen.add(c)
                     self.pending.append(_entry(c, 0, e.depth + 1, self.next_seq))
                     self.next_seq += 1
+        self.pending.extend(held)
         return len(taken)
 
-    def run(self, max_rounds: int = 32) -> None:
+    def run(
+        self,
+        max_rounds: int = 32,
+        stop_on_caption_contains: str | None = None,
+    ) -> None:
+        """Round loop; with ``stop_on_caption_contains``, halts after the
+        first round that lands a matching result (stop-on-found,
+        reference: crawler.py:1149-1157)."""
         for r in range(1, max_rounds + 1):
-            if self.run_round(r) == 0:
+            n_before = len(self.results)
+            took = self.run_round(r)
+            if stop_on_caption_contains is not None:
+                new = self.results[n_before:]
+                if any(
+                    stop_on_caption_contains in self.web.payload(u)["caption"]
+                    for u in new
+                ):
+                    break
+            if took == 0:
                 break

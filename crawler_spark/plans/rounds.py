@@ -12,11 +12,14 @@ The §3.1 pipeline (SURVEY.md) as a declarative plan:
     -> per-partition metrics                         [A6]
     -> atomic snapshot commit (resume point)         [T2/T3]
 
-Scale notes: the frontier rewrite is a full overwrite here; on a real
-cluster the frontier is partitioned by pmod(url_hash, N) and only touched
-partitions rewrite (Iceberg MERGE). The one shuffle join per round is the
-seen anti-join, pre-filtered by the bucketed bloom so only "maybe seen"
-rows shuffle.
+Scale notes: the frontier is MERGE-ON-READ (the Iceberg v2 model): a
+``frontier`` base plus an append-only ``frontier_updates`` delta of
+status changes and new discoveries. A round writes O(round) delta rows —
+never a full frontier rewrite; reads resolve latest-row-per-key; a
+compaction folds deltas into the base only when they exceed a fraction
+of it (amortized O(frontier) every ~1/frac rounds of updates). The one
+shuffle join per round is the seen anti-join, pre-filtered by the
+persisted bucketed bloom so only "maybe seen" rows shuffle.
 """
 
 from __future__ import annotations
@@ -69,6 +72,30 @@ def _frontier_select(df: DataFrame) -> DataFrame:
     return df.select(*FRONTIER_COLS)
 
 
+def read_frontier(catalog: SnapshotCatalog) -> DataFrame:
+    """Resolved frontier view: base minus updated keys, union the latest
+    update row per key (max round_id wins; a key appears at most once
+    per round, so the order is total).
+
+    The anti-join's build side is only the delta KEY set — small between
+    compactions, so Spark broadcasts it and the base never shuffles."""
+    base = catalog.read("frontier")
+    if not catalog.exists("frontier_updates"):
+        return base
+    delta = catalog.read("frontier_updates")
+    keys = ["url_hash", "url_canon"]
+    latest = (
+        delta.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in FRONTIER_COLS]), F.col("round_id")
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    return base.join(latest.select(*keys), keys, "left_anti").unionByName(latest)
+
+
 def init_crawl(
     catalog: SnapshotCatalog, web: SynthWeb, seeds_raw: list[str] | None = None
 ) -> int:
@@ -110,10 +137,20 @@ def init_crawl(
         ),
     )
     # global discovery counter continues after the largest seed seq
-    # (raw seed indexes; duplicates collapsed by the first-wins dedup)
-    mx = frontier.agg(F.max("discovery_seq")).first()[0]
+    # (raw seed indexes; duplicates collapsed by the first-wins dedup);
+    # row counts ride in meta so compaction decisions never need a job
+    agg = frontier.agg(
+        F.max("discovery_seq").alias("mx"), F.count("*").alias("n")
+    ).first()
+    n_seeds = int(agg["n"] or 0)
     return catalog.commit(
-        meta={"next_seq": int(mx) + 1 if mx is not None else 0, "bloom": BLOOM_CFG}
+        meta={
+            "next_seq": int(agg["mx"]) + 1 if agg["mx"] is not None else 0,
+            "bloom": BLOOM_CFG,
+            "frontier_rows": n_seeds,
+            "frontier_base_rows": n_seeds,
+            "frontier_delta_rows": 0,
+        }
     )
 
 
@@ -125,6 +162,9 @@ def run_round(
     use_bloom: bool = True,
     target_host_contains: str | None = None,
     max_attempts: int = 2,
+    stop_on_caption_contains: str | None = None,
+    compact_frac: float = 0.3,
+    compact_min: int = 1024,
 ) -> dict:
     """Execute one crawl round; returns counters (crawling_stats analog,
     reference: src/crawler/base_crawler.py:38-47).
@@ -139,12 +179,29 @@ def run_round(
     ``attempts+1`` — the batch analog of the reference's in-place retry
     is a re-queue into the NEXT round, keeping its original ordering key
     — and only at the budget does it become terminal in fetch_failures.
+
+    ``stop_on_caption_contains`` reports ``target_hits`` in the returned
+    stats — the crawl loop's stop-on-found signal (reference:
+    crawler.py:1149-1157 breaks out once the targeted name is found).
+
+    ``compact_frac``/``compact_min``: fold the frontier_updates delta
+    into the base when it exceeds max(compact_min, compact_frac * base
+    rows) — the merge-on-read compaction cadence.
     """
     spark = catalog.spark
     round_id = catalog.current_id() + 1
-    frontier = catalog.read("frontier")
+    meta = catalog.meta()
+    frontier = read_frontier(catalog)
     seen = catalog.read("seen")
     robots = catalog.read("robots")
+
+    # ---- merge-on-read compaction (decided from meta counts: no jobs) --
+    base_rows = meta.get("frontier_base_rows")
+    delta_rows = meta.get("frontier_delta_rows", 0)
+    compacting = (
+        base_rows is not None
+        and delta_rows > max(compact_min, compact_frac * base_rows)
+    )
 
     pending = frontier.filter(F.col("status") == "pending")
     if target_host_contains:
@@ -296,15 +353,10 @@ def run_round(
 
     # ---- frontier status update ----------------------------------------
     keys = ["url_hash", "url_canon"]
-    sched_keys = scheduled.select(*keys)
-    denied_keys = denied.select(*keys)
     fail_keys = (
         fetched.filter(F.col("kind") == "fail")
         .select(*keys)
         .withColumn("_failed", F.lit(True))
-    )
-    still_pending = (
-        pending.join(sched_keys, keys, "left_anti").join(denied_keys, keys, "left_anti")
     )
     # T3 retry budget: a failed fetch below max_attempts goes BACK to
     # pending (with its original ordering key, so it reschedules in
@@ -327,17 +379,11 @@ def run_round(
     denied_rows = denied.withColumn("status", F.lit("denied")).withColumn(
         "round_id", F.lit(round_id)
     )
-    untouched = frontier.filter(F.col("status") != "pending")
-    if target_host_contains:
-        untouched = untouched.unionByName(
-            frontier.filter(F.col("status") == "pending").filter(
-                ~F.col("host").contains(target_host_contains)
-            )
-        )
-    frontier_next = (
-        _frontier_select(untouched)
-        .unionByName(_frontier_select(still_pending))
-        .unionByName(_frontier_select(done))
+    # merge-on-read: ONLY the touched rows are written — status changes
+    # (fetched/failed/retry-pending/denied) plus newly discovered pending
+    # rows. Unscheduled pending and historical rows are never rewritten.
+    delta_round = (
+        _frontier_select(done)
         .unionByName(_frontier_select(denied_rows))
         .unionByName(_frontier_select(new_frontier))
     )
@@ -356,8 +402,17 @@ def run_round(
     # jobs over the persisted fetch output, and overlapping them lets the
     # scheduler backfill each job's straggler tail with the next job's
     # tasks (serial writes idle (cores-1) slots at every tail).
+    if compacting:
+        # fold: base <- resolved frontier as-of round start (the one
+        # amortized full write), updates <- just this round's delta
+        frontier_writes = [
+            ("frontier", frontier, True),
+            ("frontier_updates", delta_round, True),
+        ]
+    else:
+        frontier_writes = [("frontier_updates", delta_round, False)]
     writes = [
-        ("frontier", frontier_next, True),
+        *frontier_writes,
         ("results", results_new, False),
         ("fetch_failures", failures_new, False),
         # one row per fetch partition -> single small file per round
@@ -396,7 +451,27 @@ def run_round(
         "new_links": n_new,
         "denied": denied.count(),
     }
-    catalog.commit(meta={"next_seq": next_seq} if next_seq is not None else None)
+    if stop_on_caption_contains is not None:
+        # stop-on-found signal (reference: crawler.py:1149-1157): did any
+        # result landed this round match the target? Cheap — a filter
+        # count over the persisted fetch output.
+        stats["target_hits"] = results_new.filter(
+            F.col("caption").contains(stop_on_caption_contains)
+        ).count()
+
+    new_meta: dict = {}
+    if next_seq is not None:
+        new_meta["next_seq"] = next_seq
+    total = meta.get("frontier_rows")
+    if total is not None:
+        round_delta = stats["scheduled"] + stats["denied"] + n_new
+        new_meta["frontier_rows"] = total + n_new
+        if compacting:
+            new_meta["frontier_base_rows"] = total
+            new_meta["frontier_delta_rows"] = round_delta
+        else:
+            new_meta["frontier_delta_rows"] = delta_rows + round_delta
+    catalog.commit(meta=new_meta or None)
     scheduled.unpersist()
     fetched.unpersist()
     denied.unpersist()
@@ -417,8 +492,15 @@ def run_crawl(
     use_bloom: bool = True,
     n_salt: int = 16,
     max_attempts: int = 2,
+    target_host_contains: str | None = None,
+    stop_on_caption_contains: str | None = None,
+    compact_frac: float = 0.3,
+    compact_min: int = 1024,
 ) -> tuple[SnapshotCatalog, list[dict]]:
-    """Full crawl loop: init + rounds until the frontier drains."""
+    """Full crawl loop: init + rounds until the frontier drains, or —
+    with ``stop_on_caption_contains`` — until a round lands a matching
+    result (the reference's stop-on-found early exit,
+    crawler.py:1149-1157,1308-1334)."""
     catalog = SnapshotCatalog(root, spark)
     init_crawl(catalog, web, seeds_raw)
     history: list[dict] = []
@@ -426,8 +508,13 @@ def run_crawl(
         stats = run_round(
             catalog, web, round_seconds=round_seconds, n_salt=n_salt,
             use_bloom=use_bloom, max_attempts=max_attempts,
+            target_host_contains=target_host_contains,
+            stop_on_caption_contains=stop_on_caption_contains,
+            compact_frac=compact_frac, compact_min=compact_min,
         )
         history.append(stats)
+        if stats.get("target_hits", 0) > 0:
+            break
         if stats["scheduled"] == 0:
             break
     return catalog, history

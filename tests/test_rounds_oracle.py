@@ -76,7 +76,9 @@ def test_deep_web_dense_seq_no_overflow(spark, tmp_path):
         r["url_canon"] for r in catalog.read("seen").select("url_canon").collect()
     }
     assert engine_seen == oracle.seen
-    mx = catalog.read("frontier").agg(F.max("discovery_seq")).first()[0]
+    from crawler_spark.plans.rounds import read_frontier
+
+    mx = read_frontier(catalog).agg(F.max("discovery_seq")).first()[0]
     assert mx == len(oracle.seen) - 1  # dense: seqs are 0..n_urls-1
 
 
@@ -153,6 +155,103 @@ def test_politeness_budget_respected(spark, tmp_path):
     for r in per:
         budget = max(1, math.floor(ROUND_S / robots[r["host"]]["crawl_delay_s"]))
         assert r["count"] <= budget, (r["host"], r["round_id"])
+
+
+def test_target_host_filter_oracle_match(spark, tmp_path):
+    """F9 single-region targeting (reference: crawler.py:1205-1226):
+    targeted rounds schedule only matching hosts while other pending rows
+    stay untouched; a following untargeted crawl completes; the full
+    schedule matches the oracle with the same targeting sequence."""
+    web = T1_SMOKE
+    catalog = SnapshotCatalog(str(tmp_path / "t"), spark)
+    init_crawl(catalog, web)
+    run_round(catalog, web, round_seconds=ROUND_S, target_host_contains="host-1")
+    run_round(catalog, web, round_seconds=ROUND_S, target_host_contains="host-1")
+    for _ in range(24):
+        if run_round(catalog, web, round_seconds=ROUND_S)["scheduled"] == 0:
+            break
+
+    oracle = OracleCrawler(web, round_seconds=ROUND_S)
+    oracle.run_round(1, target_host_contains="host-1")
+    oracle.run_round(2, target_host_contains="host-1")
+    r = 3
+    while oracle.run_round(r) > 0 and r < 26:
+        r += 1
+
+    sched = oracle.schedule
+    assert _engine_schedule(catalog) == sched
+    hosts_r1 = {u.split("//")[1].split("/")[0] for rid, u in sched if rid == 1}
+    assert hosts_r1 == {"host-1.test"}  # the filter actually filtered
+    all_hosts = {u.split("//")[1].split("/")[0] for _, u in sched}
+    assert len(all_hosts) == web.n_hosts  # untargeted rounds caught up
+
+
+def test_stop_on_found_early_exit(spark, tmp_path):
+    """Stop-on-found (reference: crawler.py:1149-1157): the crawl halts
+    after the round that lands a result matching the target caption —
+    identical early-exit point and schedule as the oracle."""
+    web = T1_SMOKE
+    full = OracleCrawler(web, round_seconds=ROUND_S)
+    full.run()
+    full_rounds = max(r for r, _ in full.schedule)
+    # target = the unique image id of a result from the FIRST results
+    # round, so the crawl provably stops early
+    first_result_round = min(
+        r for r, u in full.schedule if u in set(full.results)
+    )
+    target_url = next(
+        u for r, u in full.schedule
+        if r == first_result_round and u in set(full.results)
+    )
+    target = web.payload(target_url)["image_id"]
+
+    catalog, history = run_crawl(
+        spark, str(tmp_path / "s"), web, round_seconds=ROUND_S,
+        stop_on_caption_contains=target,
+    )
+    oracle = OracleCrawler(web, round_seconds=ROUND_S)
+    oracle.run(stop_on_caption_contains=target)
+    assert _engine_schedule(catalog) == oracle.schedule
+    assert history[-1]["target_hits"] > 0
+    assert len(history) == first_result_round < full_rounds
+
+
+def test_frontier_merge_on_read(spark, tmp_path):
+    """Merge-on-read frontier: with compaction disabled, the base table's
+    files are byte-identical across rounds (only O(round) delta rows ever
+    write); with compaction forced every round, the crawl still matches
+    the oracle exactly."""
+    import glob
+    import hashlib
+    import os
+
+    web = T1_SMOKE
+
+    def base_hashes(cat):
+        out = {}
+        for d in cat.tables()["frontier"]:
+            for f in sorted(glob.glob(os.path.join(d, "**", "*"), recursive=True)):
+                if os.path.isfile(f):
+                    with open(f, "rb") as fh:
+                        out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    catalog = SnapshotCatalog(str(tmp_path / "m"), spark)
+    init_crawl(catalog, web)
+    h0 = base_hashes(catalog)
+    run_round(catalog, web, round_seconds=ROUND_S, compact_min=10**9)
+    run_round(catalog, web, round_seconds=ROUND_S, compact_min=10**9)
+    assert base_hashes(catalog) == h0  # base untouched, bit for bit
+    assert catalog.exists("frontier_updates")
+
+    c2, _ = run_crawl(
+        spark, str(tmp_path / "m2"), web, round_seconds=ROUND_S, compact_min=0
+    )
+    oracle = OracleCrawler(web, round_seconds=ROUND_S)
+    oracle.run()
+    assert _engine_schedule(c2) == oracle.schedule
+    seen2 = {r["url_canon"] for r in c2.read("seen").select("url_canon").collect()}
+    assert seen2 == oracle.seen
 
 
 def test_resume_from_snapshot(spark, tmp_path):
