@@ -570,6 +570,28 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_minhash_banded_pairs(spark, sf_dir):
+    """Proper (b=4, r=2) MinHash banding — candidates must agree on all
+    r rows of a band (the S-curve 1-(1-s^r)^b), fixing the r=1 weak
+    banding's high candidate rate at corpus scale."""
+    from crawler_spark.operators.dedup import minhash_banded_pairs
+
+    return minhash_banded_pairs(
+        _t(spark, sf_dir, "documents"), n_bands=4, rows_per_band=2
+    )
+
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """n-gram Jaccard with hot-shingle DF capping: shingles in > max_df
+    docs are excluded from CANDIDATE generation (bounding the join's
+    worst key at max_df^2) but still count in the exact Jaccard."""
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, max_df=5
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis (documents)
 # --------------------------------------------------------------------------
@@ -767,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_pairs": q_simhash64_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_banded_pairs": q_minhash_banded_pairs,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_stats": q_token_stats,
@@ -1206,6 +1230,76 @@ def oracle_sql() -> dict[str, str]:
             JOIN sig b ON a.band_id = b.band_id AND a.sig = b.sig
                       AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "minhash_banded_pairs": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            rows_ AS (
+              SELECT doc_id, h.hash_id, shingle
+              FROM sh, unnest(generate_series(0, 7)) AS h(hash_id)
+            ),
+            sigs AS (
+              SELECT doc_id, hash_id,
+                     min(md5(hash_id || '|' || shingle)) AS sig
+              FROM rows_ GROUP BY doc_id, hash_id
+            ),
+            bands AS (
+              SELECT doc_id, hash_id // 2 AS band_id,
+                     md5(array_to_string(list(sig ORDER BY hash_id), '|'))
+                       AS band_sig
+              FROM sigs GROUP BY doc_id, hash_id // 2
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_bands
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "ngram_jaccard_capped": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            rare AS (
+              SELECT shingle FROM (
+                SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+              ) WHERE df <= 5
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a
+              JOIN rare r ON a.shingle = r.shingle
+              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
         """,
         "lang_id": """
             WITH scored AS (

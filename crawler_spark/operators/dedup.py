@@ -256,6 +256,63 @@ def simhash_dup_groups(
     )
 
 
+def minhash_banded_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Proper (b, r) MinHash banding: b bands of r rows each; candidates
+    agree on ALL r rows of at least one band. Collision probability is
+    the classic S-curve 1-(1-s^r)^b — r=1 bands (every shared shingle a
+    candidate) flood the join at corpus scale; r>=2 suppresses the
+    low-similarity mass. The band join key is the md5 of the r
+    concatenated row signatures: high-cardinality, uniform, no skew."""
+    sh = _shingles(docs, text_col, id_col, shingle_n)
+    n_hashes = n_bands * rows_per_band
+    rows = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_id"),
+        "shingle",
+    )
+    sigs = rows.groupBy("doc_id", "hash_id").agg(
+        F.min(
+            F.md5(
+                F.concat(F.col("hash_id").cast("string"), F.lit("|"), F.col("shingle"))
+            )
+        ).alias("sig")
+    )
+    bands = (
+        sigs.withColumn("band_id", (F.col("hash_id") / F.lit(rows_per_band)).cast("int"))
+        .groupBy("doc_id", "band_id")
+        # row sigs concatenated in hash_id order (collect_list order is
+        # nondeterministic; sorting (hash_id, sig) structs pins it)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("hash_id", "sig"))).alias("hs")
+        )
+        .select(
+            "doc_id",
+            "band_id",
+            F.md5(
+                F.concat_ws("|", F.transform("hs", lambda s: s["sig"]))
+            ).alias("band_sig"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
 # ------------------------------------------------------- ngram jaccard
 
 
@@ -265,13 +322,72 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold, computed as
     |A ∩ B| / (|A| + |B| - |A ∩ B|) via a shared-shingle self-join —
     only docs sharing at least one shingle ever pair up (the candidate
-    pre-filter), so the O(n^2) cross product never materializes."""
+    pre-filter), so the O(n^2) cross product never materializes.
+
+    ``max_df`` caps shingle document frequency in the CANDIDATE join
+    only: a shingle appearing in > max_df docs ("the end of the" at
+    corpus scale) would alone contribute ~df^2/2 join pairs — classic
+    hot-key skew. Capped shingles still count toward the exact Jaccard
+    (sizes and intersections use the full shingle sets); they just can't
+    be the sole reason two docs pair up, so a pair sharing ONLY
+    ultra-common shingles is below any useful threshold anyway and its
+    loss is principled, while the join's worst key is bounded at
+    max_df^2."""
     sh = _shingles(docs, text_col, id_col, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        cand_sh = sh.join(rare, "shingle")
+        cand = (
+            cand_sh.alias("a")
+            .join(
+                cand_sh.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        # exact intersection over the FULL shingle sets of candidates
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            cand.join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        return (
+            inter.join(
+                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
+                "doc_a",
+            )
+            .join(
+                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
+                "doc_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

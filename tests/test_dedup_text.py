@@ -42,6 +42,29 @@ def test_ngram_jaccard(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_df_cap(docs):
+    """max_df drops hot shingles from CANDIDATE generation only: (1,2)
+    still pairs via their df<=2 shingles with an exact full-set Jaccard
+    of 1.0, while (1,3) — whose shared shingles all have df=3 — stops
+    being a candidate at max_df=2."""
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in
+                ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 3) in uncapped
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+              ngram_jaccard_pairs(docs, threshold=0.5, max_df=2).collect()}
+    assert capped[(1, 2)] == 1.0  # exact Jaccard over FULL shingle sets
+    assert (1, 3) not in capped
+
+
+def test_minhash_banded_pairs(docs):
+    from crawler_spark.operators.dedup import minhash_banded_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in
+             minhash_banded_pairs(docs, n_bands=4, rows_per_band=2).collect()}
+    assert pairs[(1, 2)] == 4  # exact dups agree on every band
+    assert (4, 5) not in pairs  # disjoint docs share no band
+
+
 def test_minhash_lsh_recall(docs):
     pairs = {(r["doc_a"], r["doc_b"]) for r in
              minhash_lsh_pairs(docs, n_hashes=8, min_band_matches=8).collect()}
