@@ -37,6 +37,128 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_SESS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator: per-user session windows with
+    an inactivity gap, via ``applyInPandasWithState`` — the pattern for
+    stateful semantics the built-in windowed aggs can't express (the
+    frontier's per-host politeness state machine uses the same shape on
+    a real continuous crawl).
+
+    State per user = (session start, last event time, count, sum). An
+    event past the gap closes the session (emitted) and opens a new one;
+    the state times out GroupStateTimeout.EventTimeTimeout at the
+    watermark, flushing the final open session. Emitted rows are closed
+    sessions only — deterministic under replay because event-time, not
+    wall-clock, drives every transition.
+    """
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        out = []
+
+        def emit(s):
+            out.append(
+                (user_id, s[0], s[1], int(s[2]), float(s[3]))
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                emit(state.get)
+                state.remove()
+        else:
+            cur = list(state.get) if state.exists else None
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values("ts")
+            for ts, val in zip(rows["ts"], rows["value"]):
+                us = int(ts.value // 1000)  # pandas ns -> us
+                if cur is None:
+                    cur = [us, us, 1, float(val)]
+                elif us - cur[1] > gap_us:
+                    emit(cur)
+                    cur = [us, us, 1, float(val)]
+                else:
+                    cur[1] = max(cur[1], us)
+                    cur[2] += 1
+                    cur[3] += float(val)
+            if cur is not None:
+                state.update(tuple(cur))
+                # timeout once the watermark passes the session gap
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.array([o[0] for o in out], dtype="Int64"),
+                    "session_start": pd.to_datetime(
+                        [o[1] for o in out], unit="us", utc=True
+                    ).tz_localize(None),
+                    "session_end": pd.to_datetime(
+                        [o[2] for o in out], unit="us", utc=True
+                    ).tz_localize(None),
+                    "n_events": pd.array([o[3] for o in out], dtype="Int64"),
+                    "total_value": pd.array([o[4] for o in out], dtype="Float64"),
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession, parquet_dir: str, gap_seconds: int = 1800,
+    name: str = "sessions_out",
+):
+    """Drive the stateful sessionizer over a parquet dir as a stream."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(parquet_dir)
+    )
+    q = (
+        stateful_sessionize(src, gap_seconds=gap_seconds)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
 def run_events_stream(spark: SparkSession, parquet_dir: str, name: str = "stream_out"):
     """Drive the windowed agg over a parquet directory as a stream;
     returns the completed in-memory result table name."""

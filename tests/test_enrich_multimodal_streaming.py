@@ -148,6 +148,40 @@ def test_decode_external_is_stubbed(images):
         decode_external(images, "jpeg")
 
 
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    inactivity-gap sessions. A gap-exceeding event CLOSES and emits the
+    previous session; still-open sessions stay in state (emitted only at
+    event-time timeout). Event-time driven — deterministic on replay."""
+    import datetime as dt
+
+    from crawler_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_sessionize_stream,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # user 10: two events 10 min apart (one session), then an event
+        # 2 h later that closes it (gap = 30 min)
+        (1, base, 10, "a", 1.0, None),
+        (2, base + dt.timedelta(minutes=10), 10, "a", 2.0, None),
+        (3, base + dt.timedelta(hours=2), 10, "a", 3.0, None),
+        # user 20: single event -> open session, must NOT be emitted
+        (4, base, 20, "a", 5.0, None),
+    ]
+    d = str(tmp_path / "events_stream")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(d)
+    name = run_sessionize_stream(spark, d, gap_seconds=1800)
+    got = spark.table(name).collect()
+    assert len(got) == 1  # only the closed session
+    s = got[0]
+    assert s["user_id"] == 10
+    assert s["n_events"] == 2 and s["total_value"] == 3.0
+    assert s["session_start"] == base
+    assert s["session_end"] == base + dt.timedelta(minutes=10)
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     import shutil
 
