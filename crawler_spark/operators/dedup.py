@@ -70,15 +70,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: hash family h_i(s) = md5(i || s); the
     signature element i is min over shingles (lexicographic min of md5 hex
-    — portable to any ANSI-SQL oracle). Output: doc_id, band_id, sig."""
+    — portable to any ANSI-SQL oracle). Output: doc_id, band_id, sig.
+
+    Plan shape: all ``n_hashes`` mins are computed as parallel agg
+    columns in ONE pass over the shingles (then unpivoted doc-side), not
+    by exploding each shingle row n_hashes times first — at corpus scale
+    that explode multiplies the aggregation input by n_hashes for zero
+    information gain."""
     sh = _shingles(docs, text_col, id_col, shingle_n)
-    bands = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("band_id"),
-        "shingle",
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"_s{i}")
+            for i in range(n_hashes)
+        ]
     )
-    return bands.groupBy("doc_id", "band_id").agg(
-        F.min(F.md5(F.concat(F.col("band_id").cast("string"), F.lit("|"), F.col("shingle")))).alias("sig")
+    return per_doc.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"_s{i}") for i in range(n_hashes)])).alias(
+            "band_id", "sig"
+        ),
     )
 
 
@@ -129,24 +139,24 @@ def simhash_signatures(
         .distinct()
         .withColumn("tok_md5", F.md5("tok"))
     )
-    bit_votes = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "tok_md5",
-    ).withColumn(
-        # hex digits >= '8' lexicographically are exactly values 8..15 →
-        # a fair coin per digit; portable to any SQL oracle
-        "vote",
-        F.when(F.expr("substring(tok_md5, bit + 1, 1)") >= "8", F.lit(1)).otherwise(
-            F.lit(-1)
-        ),
-    )
-    per_bit = bit_votes.groupBy("doc_id", "bit").agg(
-        (F.sum("vote") > 0).cast("int").alias("b")
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.col("b") * F.pow(F.lit(2), F.col("bit")).cast("long")).alias("simhash")
-    )
+    # hex digits >= '8' lexicographically are exactly values 8..15 → a
+    # fair coin per digit; portable to any SQL oracle. All ``bits`` vote
+    # sums run as parallel agg columns in ONE pass over the tokens (no
+    # bits-way row explode before the aggregation).
+    votes = [
+        F.sum(
+            F.when(F.substring("tok_md5", i + 1, 1) >= "8", F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        term = (F.col(f"_v{i}") > 0).cast("long") * F.lit(1 << i)
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))
 
 
 def simhash64_band_signatures(
@@ -182,21 +192,22 @@ def simhash64_band_signatures(
     ).withColumn(
         "h", F.md5(F.concat(F.col("band_id").cast("string"), F.lit("|"), F.col("tok")))
     )
-    votes = bands.select(
-        "doc_id",
-        "band_id",
-        F.explode(F.sequence(F.lit(0), F.lit(band_bits - 1))).alias("bit"),
-        "h",
-    ).withColumn(
-        "vote",
-        F.when(F.expr("substring(h, bit + 1, 1)") >= "8", F.lit(1)).otherwise(F.lit(-1)),
-    )
-    per_bit = votes.groupBy("doc_id", "band_id", "bit").agg(
-        (F.sum("vote") > 0).cast("int").alias("b")
-    )
-    return per_bit.groupBy("doc_id", "band_id").agg(
-        F.sum(F.col("b") * F.pow(F.lit(2), F.col("bit")).cast("long")).alias("band_val")
-    )
+    # all ``band_bits`` vote sums as parallel agg columns in one pass —
+    # the band explode (n_bands x) stays because each band hashes
+    # independently, but the per-bit explode (band_bits x on top) would
+    # multiply aggregation input 16x for zero information gain
+    votes = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_v{i}")
+        for i in range(band_bits)
+    ]
+    per_band = bands.groupBy("doc_id", "band_id").agg(*votes)
+    val = None
+    for i in range(band_bits):
+        term = (F.col(f"_v{i}") > 0).cast("long") * F.lit(1 << i)
+        val = term if val is None else val + term
+    return per_band.select("doc_id", "band_id", val.alias("band_val"))
 
 
 def simhash64_hamming_pairs(
@@ -272,33 +283,30 @@ def minhash_banded_pairs(
     concatenated row signatures: high-cardinality, uniform, no skew."""
     sh = _shingles(docs, text_col, id_col, shingle_n)
     n_hashes = n_bands * rows_per_band
-    rows = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_id"),
-        "shingle",
+    # all n_hashes row-mins as parallel agg columns in one pass (no
+    # n_hashes-way explode), then each band's signature is the md5 of its
+    # r row sigs concatenated in hash_id order — column order is already
+    # deterministic, no collect_list/sort dance needed
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"_s{i}")
+            for i in range(n_hashes)
+        ]
     )
-    sigs = rows.groupBy("doc_id", "hash_id").agg(
-        F.min(
-            F.md5(
-                F.concat(F.col("hash_id").cast("string"), F.lit("|"), F.col("shingle"))
+    band_sigs = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"_s{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
             )
-        ).alias("sig")
-    )
-    bands = (
-        sigs.withColumn("band_id", (F.col("hash_id") / F.lit(rows_per_band)).cast("int"))
-        .groupBy("doc_id", "band_id")
-        # row sigs concatenated in hash_id order (collect_list order is
-        # nondeterministic; sorting (hash_id, sig) structs pins it)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("hash_id", "sig"))).alias("hs")
         )
-        .select(
-            "doc_id",
-            "band_id",
-            F.md5(
-                F.concat_ws("|", F.transform("hs", lambda s: s["sig"]))
-            ).alias("band_sig"),
-        )
+        for b in range(n_bands)
+    ]
+    bands = per_doc.select(
+        "doc_id", F.posexplode(F.array(*band_sigs)).alias("band_id", "band_sig")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -438,32 +446,27 @@ def srp_band_signatures(
     elems = emb.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+
+    def w(p: int):  # Rademacher ±1 for (plane, dimension) — fixed literal family
+        h = F.md5(F.concat(F.lit(f"{p}_"), F.col("pos").cast("string")))
+        return F.when(F.substring(h, 1, 1) >= "8", F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    # all n_planes dot products as parallel agg columns in ONE pass over
+    # the vector elements — no n_planes-way row explode multiplying the
+    # aggregation input 16x before the shuffle
+    per_vec = elems.groupBy("vec_id").agg(
+        *[F.sum(F.col("x") * w(p)).alias(f"_d{p}") for p in range(n_planes)]
     )
-    votes = elems.select(
-        "vec_id",
-        "pos",
-        F.col("x").cast("double").alias("x"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"),
-    ).withColumn(
-        "w",
-        F.when(
-            F.expr("substring(md5(concat(cast(p as string), '_', cast(pos as string))), 1, 1)") >= "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
-    dots = votes.groupBy("vec_id", "p").agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    bits = dots.select(
-        "vec_id", "p", (F.col("dot") >= 0).cast("long").alias("bit")
-    )
-    return (
-        bits.withColumn("band_id", (F.col("p") / F.lit(band_bits)).cast("int"))
-        .withColumn("pib", F.col("p") % F.lit(band_bits))
-        .groupBy("vec_id", "band_id")
-        .agg(
-            F.sum(F.col("bit") * F.pow(F.lit(2), F.col("pib")).cast("long")).alias(
-                "band_val"
-            )
-        )
+    band_vals = []
+    for b in range(n_bands):
+        val = None
+        for i in range(band_bits):
+            term = (F.col(f"_d{b * band_bits + i}") >= 0).cast("long") * F.lit(1 << i)
+            val = term if val is None else val + term
+        band_vals.append(val)
+    return per_vec.select(
+        "vec_id", F.posexplode(F.array(*band_vals)).alias("band_id", "band_val")
     )
 
 
