@@ -630,6 +630,31 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_corpus_select(spark, sf_dir):
+    """End-to-end training-corpus selection — the composition a real
+    LLM-data pipeline runs per batch: language-ID -> quality gate ->
+    token floor -> exact-dedup survivor (first-wins keep list). All
+    native expressions; the keep list lands as a LEFT SEMI join (at
+    corpus scale that is one hash shuffle keyed by doc_id, no column
+    duplication, and the filters prune before the join)."""
+    from crawler_spark.functions.text import lang_id, quality_score, token_count
+    from crawler_spark.operators.dedup import dedup_exact
+
+    d = _t(spark, sf_dir, "documents")
+    keep = dedup_exact(d).select(F.col("keep_id").alias("doc_id"))
+    scored = d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).filter(
+        (F.col("lang_pred") != "und")
+        & (F.col("quality") >= 0.55)
+        & (F.col("n_tokens") >= 5)
+    )
+    return scored.join(keep, "doc_id", "left_semi")
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -795,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
+        "corpus_select": q_corpus_select,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1372,6 +1398,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "corpus_select": """
+            WITH base AS (
+              SELECT doc_id, text, length(text) AS n,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id,
+                len(list_intersect(list_distinct(toks), ['the','and','of','to','in'])) AS s_en,
+                len(list_intersect(list_distinct(toks), ['el','la','de','que','los'])) AS s_es,
+                len(list_intersect(list_distinct(toks), ['le','la','les','des','est'])) AS s_fr,
+                len(list_intersect(list_distinct(toks), ['der','die','das','und','ist'])) AS s_de,
+                len(list_intersect(toks, ['the','and','of','to','in'])) * 1.0
+                  / greatest(len(toks), 1) AS stop_ratio,
+                length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0
+                  / greatest(n, 1) AS alpha_ratio,
+                length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                  / greatest(n, 1) AS punct_ratio,
+                CASE WHEN n >= 100 AND n <= 10000 THEN 1.0 ELSE 0.5 END AS len_band,
+                CAST(len(list_filter(toks, t -> length(t) > 0)) AS BIGINT) AS n_tokens
+              FROM base
+            ),
+            graded AS (
+              SELECT doc_id,
+                CASE
+                  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+                round(greatest(least(
+                  len_band * 0.4 + least(stop_ratio * 5, 1.0) * 0.3
+                  + alpha_ratio * 0.3 - punct_ratio * 0.2, 1.0), 0.0), 6) AS quality,
+                n_tokens
+              FROM scored
+            ),
+            keep AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            )
+            SELECT g.doc_id, g.lang_pred, g.quality, g.n_tokens
+            FROM graded g JOIN keep k ON g.doc_id = k.doc_id
+            WHERE g.lang_pred != 'und' AND g.quality >= 0.55 AND g.n_tokens >= 5
         """,
         "cosine_topk": """
             WITH q AS (

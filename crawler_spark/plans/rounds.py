@@ -308,7 +308,7 @@ def run_round(
         .withColumn("depth", (F.col("dk.p_depth") + F.lit(1)).cast("int"))
     )
     seq_handle = None
-    bloom_cfg = catalog.meta().get("bloom")
+    bloom_cfg = meta.get("bloom")
     if n_links:
         # the bloom is a PERSISTED bucketed filter, incrementally updated
         # each round — loading it is O(filter size), never a seen scan
@@ -322,7 +322,7 @@ def run_round(
         # dense discovery_seq: offset carried in snapshot meta (no
         # per-round rescan of the frontier); fallback aggregates the
         # frontier's max once for catalogs created before this counter
-        offset = catalog.meta().get("next_seq")
+        offset = meta.get("next_seq")
         if offset is None:
             mx = frontier.agg(F.max("discovery_seq")).first()[0]
             offset = int(mx) + 1 if mx is not None else 0
@@ -340,7 +340,7 @@ def run_round(
     else:
         # leaf-only round: skip the bloom build and the anti-join stages
         n_new = 0
-        next_seq = catalog.meta().get("next_seq")
+        next_seq = meta.get("next_seq")
         empty_schema = new_urls.drop("dk").schema.add("discovery_seq", T.LongType())
         unseen = spark.createDataFrame([], empty_schema)
     new_frontier = (
