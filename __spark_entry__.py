@@ -592,6 +592,59 @@ def q_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster reduction: MinHash-LSH candidate pairs ->
+    connected components -> (doc_id, cluster_id=min reachable doc id).
+    The step every LSH family needs before "keep one per cluster" —
+    pair output alone double-counts transitive duplicates."""
+    from crawler_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=4, min_band_matches=2
+    )
+    return dedup_clusters(pairs)
+
+
+def q_image_phash_neardup(spark, sf_dir):
+    """Image-axis near-dup (the graft cell's payload): decode ->
+    64-bit perceptual hash (mapInPandas, Arrow-batched) -> banded
+    Hamming<=7 pair join, exact by pigeonhole over 8x8-bit bands.
+    Input mixes engine-encoded originals with deterministic perturbed
+    variants (global +1 brightness = Hamming 0 after lossless
+    roundtrip; half-image +4 = a few flipped median-adjacent bits) so
+    the query demonstrably recalls both. No SQL oracle (binary codec,
+    Python phash); rows-only — brute-force parity is pytest-asserted
+    (tests/test_dedup_text.py)."""
+    import numpy as np
+
+    from crawler_spark.functions.codecs import decode, encode
+    from crawler_spark.operators.dedup import hamming64_pairs
+    from crawler_spark.operators.multimodal import decode_stats
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(48)]
+    rows = [
+        (r["image_id"], r["bytes"], r["fmt"])
+        for r in (T1_SMOKE.payload(u) for u in urls)
+    ]
+    variants = []
+    for image_id, data, fmt in rows[:16]:
+        px = decode(data, fmt).astype(np.uint16)
+        if int(image_id[-1], 16) % 2:
+            px = (px + 1) % 256  # uniform shift: phash-invariant twin
+        else:
+            half = px.shape[0] // 2
+            px[:half] = (px[:half] + 4) % 256  # near-dup, few bits flip
+        variants.append((image_id + "-v", encode(px.astype(np.uint8), "png"), "png"))
+    images = spark.createDataFrame(
+        rows + variants, "image_id string, bytes binary, fmt string"
+    )
+    sigs = decode_stats(images).select("image_id", "phash")
+    return hamming64_pairs(
+        sigs, id_col="image_id", sig_col="phash", max_hamming=7, n_bands=8
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis (documents)
 # --------------------------------------------------------------------------
@@ -814,6 +867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_pairs": q_simhash64_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "image_phash_neardup": q_image_phash_neardup,
         "minhash_banded_pairs": q_minhash_banded_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "lang_id": q_lang_id,
@@ -1256,6 +1311,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sig b ON a.band_id = b.band_id AND a.sig = b.sig
                       AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            bands AS (
+              SELECT doc_id, b.band_id, shingle
+              FROM sh, unnest(generate_series(0, 3)) AS b(band_id)
+            ),
+            sig AS (
+              SELECT doc_id, band_id, min(md5(band_id || '|' || shingle)) AS sig
+              FROM bands GROUP BY doc_id, band_id
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sig a
+              JOIN sig b ON a.band_id = b.band_id AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            e AS (
+              SELECT doc_a AS s, doc_b AS t FROM pairs
+              UNION
+              SELECT doc_b AS s, doc_a AS t FROM pairs
+            ),
+            reach(s, t) AS (
+              SELECT s, t FROM e
+              UNION
+              SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+            )
+            SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+            FROM reach GROUP BY s
         """,
         "minhash_banded_pairs": """
             WITH words AS (

@@ -515,3 +515,140 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------- 64-bit signature Hamming
+
+
+def hamming64_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig64",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column (perceptual image
+    hash, SimHash, feature fingerprint) with Hamming distance <=
+    ``max_hamming``.
+
+    Candidate generation is EXACT by pigeonhole when ``max_hamming <
+    n_bands``: k differing bits cannot touch all n_bands bands, so every
+    qualifying pair agrees on at least one whole band — the banded
+    equi-join finds it with no O(n^2) comparison. Candidates carry both
+    full signatures through the join, so verification is a single native
+    ``bit_count(xor)`` with no second lookup join.
+
+    Scale: the join key (band_id, band_val) is high-cardinality for
+    non-degenerate signatures; output ~ true near-dups. The classic use
+    is image dedup over the crawl results table's phash column
+    (reference stores one image per merchant row, dedup by exact
+    store_exists only — src/database.py:126-136; this is the
+    corpus-scale generalization).
+    """
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftrightunsigned(F.col("sig"), b * bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = (
+        sigs.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"))
+        .select("doc_id", "sig", F.explode(band_arr).alias("bv"))
+        .select("doc_id", "sig", "bv.band_id", "bv.band_val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ------------------------------------------------- duplicate clusters
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over candidate near-dup pairs: every doc that
+    appears in a pair is labeled with the MINIMUM doc id reachable
+    through the pair graph — the canonical "keep one per duplicate
+    cluster" reduction that follows any LSH family's candidate output.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes min(own label, neighbors' labels); the component minimum
+    travels one hop per round, so rounds = graph diameter — near-dup
+    clusters are shallow (dups of dups of one source), typically <= 3-4
+    hops. Each round is one shuffle join + one aggregation, and
+    ``localCheckpoint`` truncates the lineage so plans stay flat.
+    Convergence is detected with a changed-labels count (a driver-side
+    scalar, not a collect of data). At web scale the same loop is the
+    standard Spark CC construction; for adversarially long chains swap
+    in large-star/small-star (Kiveris et al., SoCC'14) — identical
+    interface, fewer rounds.
+
+    Output: (doc_id, cluster_id) for every doc appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") < F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

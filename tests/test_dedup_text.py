@@ -132,3 +132,64 @@ def test_lang_id_and_quality(docs):
     assert 0.0 <= out[1]["q"] <= 1.0
     assert out[1]["n"] == 9
     assert out[1]["fp"] == out[2]["fp"] != out[3]["fp"]
+
+
+def test_hamming64_pairs_bruteforce_parity(spark):
+    """Banded candidate generation must be EXACT (pigeonhole, k <
+    n_bands): pairs == brute-force cross-join pairs at Hamming <= 7,
+    over signatures with planted 0/1/7/8-bit-flip neighbors."""
+    from crawler_spark.operators.dedup import hamming64_pairs
+
+    def i64(v):  # wrap to signed int64 (Spark LongType)
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x5A5A_1234_ABCD_EF01
+    rows = [
+        (10, base),
+        (11, base),                                  # hamming 0
+        (12, base ^ 0x1),                            # hamming 1
+        (13, base ^ 0b1111111),                      # hamming 7 (boundary in)
+        (14, base ^ 0b11111111),                     # hamming 8 (boundary out)
+        (15, i64(base ^ ((1 << 63) | (1 << 62)))),   # high bits / sign flip
+        (16, -1),
+        (17, 0),
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, sig64 long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming64_pairs(sigs, sig_col="sig64", max_hamming=7, n_bands=8).collect()
+    }
+    want = {}
+    for i, (ida, sa) in enumerate(rows):
+        for idb, sb in rows[i + 1:]:
+            d = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if d <= 7:
+                want[(ida, idb)] = d
+    assert got == want
+    assert got[(10, 11)] == 0 and got[(10, 13)] == 7 and (10, 14) not in got
+
+
+def test_dedup_clusters_transitive(spark):
+    """Transitive chains collapse to the component-minimum label even
+    when no direct pair links the endpoints (diameter > 1)."""
+    from crawler_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5), (9, 8)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
+def test_phash_neardup_query_recalls_variants(spark):
+    """The image-axis near-dup query finds every planted variant pair
+    with the expected Hamming gap (uniform-shift twins at exactly 0)."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_image_phash_neardup(spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    twin = [(a, b) for (a, b) in pairs if b == a + "-v"]
+    assert len(twin) >= 12  # most planted variants recalled at k=7
+    zero = [p for p in twin if pairs[p] == 0]
+    assert zero and all(pairs[p] == 0 for p in zero)
