@@ -177,3 +177,51 @@ def run_events_stream(spark: SparkSession, parquet_dir: str, name: str = "stream
     q.processAllAvailable()
     q.stop()
     return name
+
+
+URLS_SCHEMA = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def streaming_url_dedup(urls: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch URL-seen gate (J1): first sighting of
+    each url_hash within the watermark horizon passes, replays and
+    cross-batch repeats are dropped by the state store. This is the
+    continuous-ingestion form of the frontier's anti-join — state is
+    bounded by the watermark (expired keys age out), so a 10^10-URL
+    stream holds only the horizon's working set per partition, not the
+    full history; the durable full-history filter stays the persisted
+    bucketed bloom + exact anti-join of the batch rounds.
+    """
+    return urls.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["url_hash"]
+    )
+
+
+def run_url_dedup_stream(
+    spark: SparkSession, parquet_dir: str, name: str = "url_dedup_out",
+    watermark: str = "2 hours",
+):
+    """Drive the streaming URL dedup over a parquet dir, one file per
+    micro-batch (so cross-batch duplicate suppression is exercised)."""
+    src = (
+        spark.readStream.schema(URLS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(parquet_dir)
+    )
+    q = (
+        streaming_url_dedup(src, watermark=watermark)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name

@@ -204,3 +204,35 @@ def test_streaming_windowed_counts(spark, tmp_path):
     for r in rows:
         stream_n[r["event_type"]] = stream_n.get(r["event_type"], 0) + r["n"]
     assert stream_n == batch_n
+
+
+def test_streaming_url_dedup(spark, tmp_path):
+    """Streaming URL-seen gate: duplicates within AND across micro-batches
+    are suppressed; each url_hash survives exactly once (first sighting)."""
+    import datetime as dt
+
+    from crawler_spark.streaming.events import URLS_SCHEMA, run_url_dedup_stream
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    batch1 = [
+        ("http://a.test/1", 101, "a.test", base),
+        ("http://a.test/1", 101, "a.test", base + dt.timedelta(seconds=1)),
+        ("http://b.test/2", 202, "b.test", base),
+    ]
+    batch2 = [
+        ("http://a.test/1", 101, "a.test", base + dt.timedelta(minutes=5)),
+        ("http://c.test/3", 303, "c.test", base + dt.timedelta(minutes=5)),
+    ]
+    import glob
+    import shutil
+
+    d = tmp_path / "urls_stream"
+    d.mkdir()
+    # two plain files in the dir -> two micro-batches (maxFilesPerTrigger=1)
+    for i, batch in enumerate([batch1, batch2]):
+        staged = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(batch, URLS_SCHEMA).coalesce(1).write.parquet(staged)
+        shutil.copy(glob.glob(f"{staged}/part-*.parquet")[0], d / f"b{i}.parquet")
+    name = run_url_dedup_stream(spark, str(d))
+    got = sorted(r["url_hash"] for r in spark.table(name).collect())
+    assert got == [101, 202, 303]
