@@ -43,6 +43,11 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "token_stats",
     "cosine_topk",
+    # round-2 additions (new keys append; prior keys stay comparable
+    # across BENCH_r{N}.json rounds)
+    "local_supplier_volume",
+    "corpus_select",
+    "dedup_clusters",
 ]
 
 BENCH_HOSTS = 50

@@ -603,10 +603,12 @@ def dedup_clusters(
     clusters are shallow (dups of dups of one source), typically <= 3-4
     hops. Each round is one shuffle join + one aggregation, and
     ``localCheckpoint`` truncates the lineage so plans stay flat.
-    Convergence is detected with a changed-labels count (a driver-side
-    scalar, not a collect of data). At web scale the same loop is the
-    standard Spark CC construction; for adversarially long chains swap
-    in large-star/small-star (Kiveris et al., SoCC'14) — identical
+    Labels only ever decrease, so the fixpoint test is one narrow
+    aggregate — sum(label) unchanged (decimal(38) accumulator: no int64
+    overflow at 10^10 x 64-bit ids) — instead of a join against the
+    previous labels. At web scale the same loop is the standard Spark
+    CC construction; for adversarially long chains swap in
+    large-star/small-star (Kiveris et al., SoCC'14) — identical
     interface, fewer rounds.
 
     Output: (doc_id, cluster_id) for every doc appearing in ``pairs``.
@@ -625,13 +627,16 @@ def dedup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    label_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()[0]
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 "id",
@@ -641,14 +646,11 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") < F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
