@@ -867,6 +867,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(e, qv, k=10, n_cells=8, n_probe=3)
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with Lloyd-refined centroids: hash-seeded means -> 2 fixed
+    spherical k-means iterations (round-9 pinned assignment + update)
+    -> probe 3 cells -> exact cosine. Full SQL oracle mirrors every
+    iteration."""
+    from crawler_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(e, qv, k=10, n_cells=8, n_probe=3, n_iter=2)
+
+
 def q_crawl_smoke(spark, sf_dir):
     """End-to-end crawl engine smoke (frontier->politeness->fetch->
     dedup->snapshot): results-by-host over a T1 synthetic crawl. No SQL
@@ -937,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -1828,6 +1841,97 @@ def oracle_sql() -> dict[str, str]:
                          * sqrt(list_dot_product(q.qv, q.qv))), 9)
                       DESC, ct.cell_id ASC) AS rn
                 FROM cents ct, q
+              ) WHERE rn <= 3
+            )
+            SELECT a.vec_id,
+                   round(list_dot_product(a.v, q.qv)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+            FROM assigned a JOIN probe USING (cell_id), q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_kmeans": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            cells AS (
+              SELECT vec_id, v,
+                (strpos('0123456789abcdef',
+                        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) % 8
+                  AS cell_id
+              FROM e
+            ),
+            means0 AS (
+              SELECT cell_id, t.pos, round(avg(v[t.pos]), 9) AS m
+              FROM cells, unnest(generate_series(1, len(v))) AS t(pos)
+              GROUP BY cell_id, t.pos
+            ),
+            cents0 AS (
+              SELECT cell_id, list(m ORDER BY pos) AS centroid
+              FROM means0 GROUP BY cell_id
+            ),
+            a1 AS (
+              SELECT vec_id, v, cell_id FROM (
+                SELECT c.vec_id, c.v, ct.cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                    round(list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))), 9)
+                      DESC, ct.cell_id ASC) AS rn
+                FROM e c CROSS JOIN cents0 ct
+              ) WHERE rn = 1
+            ),
+            means1 AS (
+              SELECT cell_id, t.pos, round(avg(v[t.pos]), 9) AS m
+              FROM a1, unnest(generate_series(1, len(v))) AS t(pos)
+              GROUP BY cell_id, t.pos
+            ),
+            cents1 AS (
+              SELECT cell_id, list(m ORDER BY pos) AS centroid
+              FROM means1 GROUP BY cell_id
+            ),
+            a2 AS (
+              SELECT vec_id, v, cell_id FROM (
+                SELECT c.vec_id, c.v, ct.cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                    round(list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))), 9)
+                      DESC, ct.cell_id ASC) AS rn
+                FROM e c CROSS JOIN cents1 ct
+              ) WHERE rn = 1
+            ),
+            means2 AS (
+              SELECT cell_id, t.pos, round(avg(v[t.pos]), 9) AS m
+              FROM a2, unnest(generate_series(1, len(v))) AS t(pos)
+              GROUP BY cell_id, t.pos
+            ),
+            cents2 AS (
+              SELECT cell_id, list(m ORDER BY pos) AS centroid
+              FROM means2 GROUP BY cell_id
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            assigned AS (
+              SELECT vec_id, v, cell_id FROM (
+                SELECT c.vec_id, c.v, ct.cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                    round(list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))), 9)
+                      DESC, ct.cell_id ASC) AS rn
+                FROM e c CROSS JOIN cents2 ct
+              ) WHERE rn = 1
+            ),
+            probe AS (
+              SELECT cell_id FROM (
+                SELECT ct.cell_id,
+                  ROW_NUMBER() OVER (ORDER BY
+                    round(list_dot_product(ct.centroid, q.qv)
+                      / (sqrt(list_dot_product(ct.centroid, ct.centroid))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 9)
+                      DESC, ct.cell_id ASC) AS rn
+                FROM cents2 ct, q
               ) WHERE rn <= 3
             )
             SELECT a.vec_id,

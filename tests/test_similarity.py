@@ -43,3 +43,26 @@ def test_centroids_shape(emb):
     assert len(c) == 4
     dim = len(emb.first()["embedding"])
     assert all(len(r["centroid"]) == dim for r in c)
+
+
+def test_ivf_kmeans_recall(emb):
+    """Lloyd refinement (n_iter=2) must keep exhaustive-probe exactness
+    and not degrade partial-probe recall below the unrefined seeding."""
+    from crawler_spark.operators.similarity import kmeans_refine
+
+    q = _qvec(emb)
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    refined_all = {
+        r["vec_id"]
+        for r in ivf_topk(emb, q, k=10, n_cells=4, n_probe=4, n_iter=2).collect()
+    }
+    assert refined_all == exact  # probing every cell == brute force
+    refined = {
+        r["vec_id"]
+        for r in ivf_topk(emb, q, k=10, n_cells=4, n_probe=2, n_iter=2).collect()
+    }
+    assert len(refined & exact) >= 5
+    # refined centroids keep full dimension and <= n_cells cells
+    c = kmeans_refine(emb, make_centroids(emb, n_cells=4), n_iter=2).collect()
+    dim = len(emb.first()["embedding"])
+    assert 0 < len(c) <= 4 and all(len(r["centroid"]) == dim for r in c)
