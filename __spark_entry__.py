@@ -668,9 +668,11 @@ def q_image_phash_neardup(spark, sf_dir):
     Input mixes engine-encoded originals with deterministic perturbed
     variants (global +1 brightness = Hamming 0 after lossless
     roundtrip; half-image +4 = a few flipped median-adjacent bits) so
-    the query demonstrably recalls both. No SQL oracle (binary codec,
-    Python phash); rows-only — brute-force parity is pytest-asserted
-    (tests/test_dedup_text.py)."""
+    the query demonstrably recalls both. Candidates then pass the
+    decoded-pixel PSNR verify (the north rule's invariant as an
+    operator): decode both sides, keep pairs >= 30 dB. No SQL oracle
+    (binary codec, Python phash); rows-only — brute-force parity is
+    pytest-asserted (tests/test_dedup_text.py)."""
     import numpy as np
 
     from crawler_spark.functions.codecs import decode, encode
@@ -685,20 +687,23 @@ def q_image_phash_neardup(spark, sf_dir):
     ]
     variants = []
     for image_id, data, fmt in rows[:16]:
-        px = decode(data, fmt).astype(np.uint16)
+        px = decode(data, fmt).astype(np.int16)
         if int(image_id[-1], 16) % 2:
-            px = (px + 1) % 256  # uniform shift: phash-invariant twin
+            px = np.clip(px + 1, 0, 255)  # brightness twin (no wraparound)
         else:
             half = px.shape[0] // 2
-            px[:half] = (px[:half] + 4) % 256  # near-dup, few bits flip
+            px[:half] = np.clip(px[:half] + 4, 0, 255)  # near-dup, few bits flip
         variants.append((image_id + "-v", encode(px.astype(np.uint8), "png"), "png"))
     images = spark.createDataFrame(
         rows + variants, "image_id string, bytes binary, fmt string"
     )
     sigs = decode_stats(images).select("image_id", "phash")
-    return hamming64_pairs(
+    cand = hamming64_pairs(
         sigs, id_col="image_id", sig_col="phash", max_hamming=7, n_bands=8
     )
+    from crawler_spark.operators.multimodal import verify_pairs_psnr
+
+    return verify_pairs_psnr(cand, images, min_psnr=30.0)
 
 
 # --------------------------------------------------------------------------

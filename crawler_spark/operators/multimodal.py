@@ -167,3 +167,73 @@ def embed_images(images: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame(rows, columns=["image_id", "embedding"])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(go, schema=schema)
+
+
+PAIR_PSNR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_a", T.StringType()),
+        T.StructField("doc_b", T.StringType()),
+        T.StructField("hamming", T.LongType()),
+        T.StructField("psnr_db", T.DoubleType()),
+    ]
+)
+
+
+def verify_pairs_psnr(
+    pairs: DataFrame,
+    images: DataFrame,
+    id_col: str = "image_id",
+    min_psnr: float = 30.0,
+) -> DataFrame:
+    """Exact verify stage after phash banding: decode both candidates
+    and keep pairs whose pixel PSNR clears ``min_psnr`` — the north
+    rule's decoded-pixel invariant as an operator. Candidate pairs are
+    ~true near-dups (banded LSH), so the expensive decode touches a
+    vanishing fraction of the corpus; the two image joins are plain
+    hash joins on the pair ids. Shape-mismatched pairs score 0 dB
+    (never near-dups); identical pixels cap at 99 dB (finite schema).
+
+    ``pairs``: (doc_a, doc_b, hamming) as produced by
+    ``dedup.hamming64_pairs``; ``images``: (image_id, bytes, fmt).
+    """
+    a = images.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("bytes").alias("bytes_a"),
+        F.col("fmt").alias("fmt_a"),
+    )
+    b = images.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("bytes").alias("bytes_b"),
+        F.col("fmt").alias("fmt_b"),
+    )
+    joined = pairs.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a", "doc_b", "hamming", "bytes_a", "fmt_a", "bytes_b", "fmt_b"
+    )
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawler_spark.functions.codecs import psnr
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pa = decode(bytes(r.bytes_a), r.fmt_a)
+                pb = decode(bytes(r.bytes_b), r.fmt_b)
+                if pa.shape != pb.shape:
+                    db = 0.0
+                else:
+                    db = min(float(psnr(pa, pb)), 99.0)
+                rows.append(
+                    {
+                        "doc_a": r.doc_a,
+                        "doc_b": r.doc_b,
+                        "hamming": int(r.hamming),
+                        "psnr_db": round(db, 3),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAIR_PSNR_SCHEMA.fields]
+            )
+
+    return joined.mapInPandas(go, schema=PAIR_PSNR_SCHEMA).filter(
+        F.col("psnr_db") >= min_psnr
+    )

@@ -184,12 +184,19 @@ def test_dedup_clusters_transitive(spark):
 
 def test_phash_neardup_query_recalls_variants(spark):
     """The image-axis near-dup query finds every planted variant pair
-    with the expected Hamming gap (uniform-shift twins at exactly 0)."""
+    with the expected Hamming gap (uniform-shift twins at exactly 0),
+    and the PSNR verify stage scores them as true near-dups: clipped
+    +1 brightness >= 48.13 dB, half-image +4 >= ~39 dB — both over
+    the 30 dB keep threshold."""
     import __spark_entry__ as entry
 
     rows = entry.q_image_phash_neardup(spark, "/root/testdata/sf0.001").collect()
-    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    pairs = {(r["doc_a"], r["doc_b"]): (r["hamming"], r["psnr_db"]) for r in rows}
     twin = [(a, b) for (a, b) in pairs if b == a + "-v"]
     assert len(twin) >= 12  # most planted variants recalled at k=7
-    zero = [p for p in twin if pairs[p] == 0]
-    assert zero and all(pairs[p] == 0 for p in zero)
+    # +1-brightness twins (odd trailing hex digit): hamming 0, psnr>=48;
+    # +4 half-image twins: psnr ~39 (may or may not flip bits)
+    bright = [(a, b) for (a, b) in twin if int(a[-1], 16) % 2]
+    assert bright
+    assert all(pairs[p][0] == 0 and pairs[p][1] >= 48.13 for p in bright)
+    assert all(pairs[p][1] >= 38.0 for p in twin)
