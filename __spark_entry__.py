@@ -769,6 +769,22 @@ def q_corpus_select(spark, sf_dir):
     return scored.join(keep, "doc_id", "left_semi")
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-50 (tokenizer-training / data-mixing pass):
+    TakeOrdered over map-side-combined token counts."""
+    from crawler_spark.operators.corpus import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+def q_tfidf_top(spark, sf_dir):
+    """Most salient token per doc by TF-IDF (ln(N/df), round-6 pinned,
+    deterministic tie-breaks)."""
+    from crawler_spark.operators.corpus import tfidf_top_token
+
+    return tfidf_top_token(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -951,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "corpus_select": q_corpus_select,
+        "vocab_topk": q_vocab_topk,
+        "tfidf_top": q_tfidf_top,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1639,6 +1657,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, g.lang_pred, g.quality, g.n_tokens
             FROM graded g JOIN keep k ON g.doc_id = k.doc_id
             WHERE g.lang_pred != 'und' AND g.quality >= 0.55 AND g.n_tokens >= 5
+        """,
+        "vocab_topk": """
+            WITH t AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            )
+            SELECT tok, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+            FROM t GROUP BY tok
+            ORDER BY n_occ DESC, tok ASC LIMIT 50
+        """,
+        "tfidf_top": """
+            WITH t AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok
+            ),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, tok, tf,
+                     round(tf * ln(n.n * 1.0 / df), 6) AS score
+              FROM tf JOIN df USING (tok), n
+            )
+            SELECT doc_id, tok AS top_tok, tf, score FROM (
+              SELECT doc_id, tok, tf, score,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, tf DESC, tok ASC) AS rn
+              FROM scored
+            ) WHERE rn = 1
         """,
         "cosine_topk": """
             WITH q AS (
