@@ -55,6 +55,27 @@ _FRONTIER_SQL = """
 """
 
 
+def _hexdig_sql(expr: str, i: int) -> str:
+    """DuckDB mirror of operators/pairs._hexdig (0-15 from md5 hex digit)."""
+    return f"(instr('0123456789abcdef', substring(md5({expr}), {i}, 1)) - 1)"
+
+
+_PAIR_META_SQL = f"""
+  SELECT doc_id AS image_id,
+         CAST(32 + 8 * (16 * {_hexdig_sql("cast(doc_id AS varchar)", 1)}
+                        + {_hexdig_sql("cast(doc_id AS varchar)", 2)}) AS INTEGER) AS w,
+         CAST(32 + 8 * (16 * {_hexdig_sql("cast(doc_id AS varchar)", 3)}
+                        + {_hexdig_sql("cast(doc_id AS varchar)", 4)}) AS INTEGER) AS h,
+         CASE WHEN {_hexdig_sql("cast(doc_id AS varchar)", 5)} < 8
+              THEN 'qdct' ELSE 'png' END AS fmt,
+         CAST(len(list_filter(
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS phash
+  FROM documents
+"""
+
+
 def q_frontier_schedule(spark, sf_dir):
     """W3/T1: politeness budget as a per-host window rank (budget=4)."""
     f = _frontier(spark, sf_dir)
@@ -785,6 +806,25 @@ def q_tfidf_top(spark, sf_dir):
     return tfidf_top_token(_t(spark, sf_dir, "documents"))
 
 
+def q_image_pairs_select(spark, sf_dir):
+    """LAION-style image+caption pair curation over the north-rule pair
+    table shape: resolution floor, aspect band, caption-token floor,
+    exact-phash first-wins dedup. Metadata-only (bytes never read)."""
+    from crawler_spark.operators.pairs import select_training_pairs, synth_pair_meta
+
+    meta = synth_pair_meta(_t(spark, sf_dir, "documents"))
+    return select_training_pairs(meta)
+
+
+def q_pair_corpus_stats(spark, sf_dir):
+    """Pair-curation dashboard: counts + mean resolution/caption length
+    per (fmt, orientation), one map-side-combinable aggregation."""
+    from crawler_spark.operators.pairs import pair_corpus_stats, synth_pair_meta
+
+    meta = synth_pair_meta(_t(spark, sf_dir, "documents"))
+    return pair_corpus_stats(meta)
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -969,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_select": q_corpus_select,
         "vocab_topk": q_vocab_topk,
         "tfidf_top": q_tfidf_top,
+        "image_pairs_select": q_image_pairs_select,
+        "pair_corpus_stats": q_pair_corpus_stats,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1694,6 +1736,31 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY score DESC, tf DESC, tok ASC) AS rn
               FROM scored
             ) WHERE rn = 1
+        """,
+        "image_pairs_select": f"""
+            WITH meta AS ({_PAIR_META_SQL}),
+            ok AS (
+              SELECT * FROM meta
+              WHERE w >= 64 AND h >= 64
+                AND greatest(w, h) <= 3 * least(w, h)
+                AND n_tokens >= 5
+            ),
+            keep AS (SELECT phash, min(image_id) AS image_id FROM ok GROUP BY phash)
+            SELECT o.image_id, o.w, o.h, o.fmt, o.n_tokens, o.phash
+            FROM ok o JOIN keep k ON o.phash = k.phash AND o.image_id = k.image_id
+        """,
+        "pair_corpus_stats": f"""
+            WITH meta AS ({_PAIR_META_SQL}),
+            shaped AS (
+              SELECT *, CASE WHEN w > h THEN 'landscape'
+                             WHEN w < h THEN 'portrait'
+                             ELSE 'square' END AS orientation
+              FROM meta
+            )
+            SELECT fmt, orientation, count(*) AS n_pairs,
+                   round(avg(w), 6) AS avg_w, round(avg(h), 6) AS avg_h,
+                   round(avg(n_tokens), 6) AS avg_tokens
+            FROM shaped GROUP BY fmt, orientation
         """,
         "cosine_topk": """
             WITH q AS (

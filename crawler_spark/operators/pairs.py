@@ -1,0 +1,100 @@
+"""Image+caption pair curation: the LAION-style training-set filter.
+
+The north-rule input table is (image_id, bytes, w, h, fmt, caption,
+phash); a 100 TB training-data pipeline's first pass over it is a
+metadata-only selection — resolution floor, aspect-ratio band, caption
+token floor, exact perceptual-hash dedup — that never touches `bytes`.
+That pass is what these operators implement, as pure native expressions
+(column-pruned scan: the binary column is never read), with exact
+ANSI-SQL oracles.
+
+For the oracle gate the pair *metadata* is derived deterministically
+from the `documents` table via portable md5-digit arithmetic (same
+trick as the IVF oracle's hash cells), so DuckDB can reproduce the
+identical table without reading engine-produced binaries. The engine's
+real pair table (with bytes) comes from sources/synth.py leaf pages;
+`select_training_pairs` works unchanged on either because it only
+touches the metadata columns.
+
+Scale notes: selection is filter + one groupBy(phash) shuffle with
+map-side combine; the dedup join is a semi-join on (phash, image_id),
+broadcastable when the survivor set is small, plain hash join otherwise.
+No window over an unpartitioned key, no UDFs, no bytes read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hexdig(expr: str, i: int) -> Column:
+    """Value 0-15 of the i-th (1-based) hex digit of md5(expr) —
+    portable to any ANSI oracle via instr over the hex alphabet."""
+    return F.expr(
+        f"instr('0123456789abcdef', substring(md5({expr}), {i}, 1)) - 1"
+    )
+
+
+def synth_pair_meta(docs: DataFrame) -> DataFrame:
+    """Deterministic pair-metadata table from `documents`:
+    (image_id, w, h, fmt, n_tokens, phash).
+
+    w/h in [32, 2072] step 8 from md5(doc_id) digits; fmt qdct/png from
+    digit 5; phash = first 15 md5(text) hex digits as int64 (60 bits) so
+    exact caption duplicates collide — the synthetic analog of identical
+    images hashing identically."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    return docs.select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(32) + 8 * (16 * _hexdig("cast(doc_id as string)", 1)
+                          + _hexdig("cast(doc_id as string)", 2)))
+        .cast("int").alias("w"),
+        (F.lit(32) + 8 * (16 * _hexdig("cast(doc_id as string)", 3)
+                          + _hexdig("cast(doc_id as string)", 4)))
+        .cast("int").alias("h"),
+        F.when(_hexdig("cast(doc_id as string)", 5) < 8, "qdct")
+        .otherwise("png").alias("fmt"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 0))
+        .cast("long").alias("n_tokens"),
+        F.expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)")
+        .alias("phash"),
+    )
+
+
+def select_training_pairs(
+    meta: DataFrame,
+    min_side: int = 64,
+    max_aspect: int = 3,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Training-set selection over pair metadata: resolution floor,
+    aspect band, caption-token floor, then exact-phash dedup keeping the
+    smallest image_id (first-wins, deterministic)."""
+    ok = meta.filter(
+        (F.col("w") >= min_side)
+        & (F.col("h") >= min_side)
+        & (F.greatest("w", "h") <= max_aspect * F.least("w", "h"))
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    keep = ok.groupBy("phash").agg(F.min("image_id").alias("image_id"))
+    return ok.join(keep, ["phash", "image_id"], "left_semi").select(
+        "image_id", "w", "h", "fmt", "n_tokens", "phash"
+    )
+
+
+def pair_corpus_stats(meta: DataFrame) -> DataFrame:
+    """Curation dashboard: per (fmt, orientation) pair counts, mean
+    resolution and caption length — one map-side-combinable aggregation."""
+    shaped = meta.withColumn(
+        "orientation",
+        F.when(F.col("w") > F.col("h"), "landscape")
+        .when(F.col("w") < F.col("h"), "portrait")
+        .otherwise("square"),
+    )
+    return shaped.groupBy("fmt", "orientation").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("w"), 6).alias("avg_w"),
+        F.round(F.avg("h"), 6).alias("avg_h"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )

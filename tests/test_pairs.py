@@ -1,0 +1,79 @@
+"""Image+caption pair curation (operators/pairs.py).
+
+Checks the selection invariants directly (filter bounds, first-wins
+phash dedup) and the scale properties (binary column never scanned,
+derivation deterministic).
+"""
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.pairs import (
+    pair_corpus_stats,
+    select_training_pairs,
+    synth_pair_meta,
+)
+
+META_COLS = ["image_id", "w", "h", "fmt", "n_tokens", "phash"]
+
+
+def _meta(spark, rows):
+    return spark.createDataFrame(rows, "image_id long, w int, h int, fmt string, n_tokens long, phash long")
+
+
+def test_select_filters_and_first_wins_dedup(spark):
+    rows = [
+        (1, 640, 480, "png", 10, 111),   # keep
+        (2, 640, 480, "png", 10, 111),   # dup phash, larger id -> dropped
+        (3, 32, 480, "png", 10, 222),    # below min side
+        (4, 2000, 480, "png", 10, 333),  # aspect > 3
+        (5, 640, 480, "png", 3, 444),    # too few caption tokens
+        (6, 64, 192, "qdct", 5, 555),    # boundary: exactly min side + 3:1 aspect -> keep
+    ]
+    got = {r.image_id: r for r in select_training_pairs(_meta(spark, rows)).collect()}
+    assert sorted(got) == [1, 6]
+    assert got[1].phash == 111 and got[6].fmt == "qdct"
+
+
+def test_synth_meta_deterministic_and_caption_dup_collides(spark):
+    docs = spark.createDataFrame(
+        [(1, "a shared caption"), (2, "a shared caption"), (3, "different words here")],
+        "doc_id long, text string",
+    )
+    a = synth_pair_meta(docs).orderBy("image_id").collect()
+    b = synth_pair_meta(docs).orderBy("image_id").collect()
+    assert a == b
+    assert [r.image_id for r in a] == [1, 2, 3]
+    # identical captions -> identical phash (the dedup key); distinct text differs
+    assert a[0].phash == a[1].phash != a[2].phash
+    # geometry is in range and 64-bit-safe
+    for r in a:
+        assert 32 <= r.w <= 2072 and 32 <= r.h <= 2072
+        assert 0 <= r.phash < 1 << 60
+
+
+def test_meta_scan_prunes_binary_column(spark, tmp_path):
+    """The curation pass must never read `bytes` — column pruning down to
+    the parquet scan is the difference between a metadata pass and a
+    100 TB full read."""
+    docs = spark.createDataFrame(
+        [(1, "caption one two three four five", bytearray(b"\x00" * 64))],
+        "doc_id long, text string, bytes binary",
+    )
+    p = str(tmp_path / "pairs_docs")
+    docs.write.mode("overwrite").parquet(p)
+    plan = select_training_pairs(
+        synth_pair_meta(spark.read.parquet(p))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "bytes" not in plan, plan
+
+
+def test_pair_stats_shape(spark):
+    rows = [
+        (1, 100, 50, "png", 5, 1),
+        (2, 50, 100, "png", 7, 2),
+        (3, 80, 80, "qdct", 9, 3),
+    ]
+    got = {(r.fmt, r.orientation): r for r in pair_corpus_stats(_meta(spark, rows)).collect()}
+    assert got[("png", "landscape")].n_pairs == 1
+    assert got[("png", "portrait")].avg_tokens == 7.0
+    assert got[("qdct", "square")].avg_w == 80.0
