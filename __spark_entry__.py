@@ -324,6 +324,65 @@ def q_returned_items(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped: the pure scan-filter-agg probe. All three
+    predicates must reach the parquet scan as PushedFilters; the agg is
+    a single partial+final sum with no grouping shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_priority_pipeline(spark, sf_dir):
+    """TPC-H Q4-shaped: orders with at least one returned lineitem
+    (EXISTS -> left-semi join, the dedup-free way), counted per
+    priority class."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped: large-volume orders (HAVING over a fact-side
+    pre-aggregation, then joins) — aggregate lineitem FIRST so the
+    order/customer joins see only the survivors, not 10^10 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
 # --------------------------------------------------------------------------
 # enrichment pipeline (geocode analogs): fallback join, scenario first-hit,
 # dimension upsert, union-dedup, weighted similarity
@@ -979,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_stats": q_segment_stats,
         "local_supplier_volume": q_local_supplier_volume,
         "returned_items": q_returned_items,
+        "forecast_revenue": q_forecast_revenue,
+        "priority_pipeline": q_priority_pipeline,
+        "large_orders": q_large_orders,
         "enrich_fallback": q_enrich_fallback,
         "scenario_first_hit": q_scenario_first_hit,
         "scenario_generate": q_scenario_generate,
@@ -1182,6 +1244,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "priority_pipeline": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > 300
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+            FROM big
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "enrich_fallback": """
             WITH base AS (SELECT c_custkey, c_nationkey AS nkey FROM customer),
