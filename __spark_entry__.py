@@ -324,6 +324,25 @@ def q_returned_items(spark, sf_dir):
     )
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (point-in-time): each purchase event gains the latest
+    prior-or-equal signup (ts, value) for its user. One hash shuffle,
+    per-key window — no range explosion. Oracle: DuckDB native ASOF
+    LEFT JOIN."""
+    from crawler_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(purchases, signups, on="user_id", value_cols=["value"])
+
+
 def q_forecast_revenue(spark, sf_dir):
     """TPC-H Q6-shaped: the pure scan-filter-agg probe. All three
     predicates must reach the parquet scan as PushedFilters; the agg is
@@ -1041,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "priority_pipeline": q_priority_pipeline,
         "large_orders": q_large_orders,
+        "asof_join_events": q_asof_join_events,
         "enrich_fallback": q_enrich_fallback,
         "scenario_first_hit": q_scenario_first_hit,
         "scenario_generate": q_scenario_generate,
@@ -1244,6 +1264,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "asof_join_events": """
+            WITH l AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ),
+            r AS (
+              SELECT user_id, ts, max(value) AS value FROM events
+              WHERE event_type = 'signup' GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS asof_ts, r.value AS asof_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -48,6 +48,9 @@ HEADLINE = [
     "local_supplier_volume",
     "corpus_select",
     "dedup_clusters",
+    "image_pairs_select",
+    "forecast_revenue",
+    "tfidf_top",
 ]
 
 BENCH_HOSTS = 50
