@@ -343,6 +343,44 @@ def q_asof_join_events(spark, sf_dir):
     return asof_join(purchases, signups, on="user_id", value_cols=["value"])
 
 
+def q_interval_join_events(spark, sf_dir):
+    """Bucketed interval (range) join: purchases landing inside the
+    hour after each signup, aggregated per signup. Hash join on time
+    buckets + exact re-check — never a nested-loop."""
+    from crawler_spark.operators.intervals import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"), "value"
+    )
+    return (
+        interval_join(points, intervals, bucket_seconds=3600)
+        .groupBy("signup_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles (median + p90 of doc length) per
+    language. At 100 TB you'd flip to approx_percentile (t-digest,
+    mergeable partial state); the exact form is the oracle-checkable
+    twin."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+    )
+
+
 def q_forecast_revenue(spark, sf_dir):
     """TPC-H Q6-shaped: the pure scan-filter-agg probe. All three
     predicates must reach the parquet scan as PushedFilters; the agg is
@@ -1061,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_pipeline": q_priority_pipeline,
         "large_orders": q_large_orders,
         "asof_join_events": q_asof_join_events,
+        "interval_join_events": q_interval_join_events,
+        "length_quantiles": q_length_quantiles,
         "enrich_fallback": q_enrich_fallback,
         "scenario_first_hit": q_scenario_first_hit,
         "scenario_generate": q_scenario_generate,
@@ -1278,6 +1318,27 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS asof_ts, r.value AS asof_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "interval_join_events": """
+            WITH i AS (
+              SELECT event_id AS signup_id, ts AS start_ts,
+                     ts + INTERVAL 1 HOUR AS end_ts
+              FROM events WHERE event_type = 'signup'
+            ),
+            p AS (
+              SELECT ts AS p_ts, value FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT signup_id, count(*) AS n_purchases,
+                   round(sum(value), 6) AS sum_value
+            FROM i JOIN p ON p_ts >= start_ts AND p_ts < end_ts
+            GROUP BY signup_id
+        """,
+        "length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90
+            FROM documents GROUP BY lang
         """,
         "forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
