@@ -324,6 +324,45 @@ def q_returned_items(spark, sf_dir):
     )
 
 
+def q_event_type_pivot(spark, sf_dir):
+    """Pivot (long -> wide): per-user event counts as one column per
+    type. Explicit value list = single pass, stable schema (no
+    discovery scan), map-side-combinable."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def q_running_revenue(spark, sf_dir):
+    """Running cumulative revenue per order-priority class: window sum
+    over an ordered frame, partitioned by priority — never a global
+    unpartitioned window."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_trunc("DAY", F.col("o_orderdate")).alias("day"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "day_rev",
+        F.round(F.sum("day_rev").over(w), 2).alias("cum_rev"),
+    )
+
+
 def q_asof_join_events(spark, sf_dir):
     """As-of join (point-in-time): each purchase event gains the latest
     prior-or-equal signup (ts, value) for its user. One hash shuffle,
@@ -922,6 +961,27 @@ def q_tfidf_top(spark, sf_dir):
     return tfidf_top_token(_t(spark, sf_dir, "documents"))
 
 
+def q_lang_mixture(spark, sf_dir):
+    """Training-mixture sampling weights per language (temperature
+    alpha=0.3): the data-mixing pass before corpus assembly."""
+    from crawler_spark.operators.corpus import lang_mixture_weights
+
+    return lang_mixture_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-gated stratified downsample (en 50%, de 25%,
+    rest 10%): reproducible across reruns and cluster sizes, unlike
+    partition-seeded df.sample()."""
+    from crawler_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "de": 0.25},
+        default_rate=0.1,
+    )
+
+
 def q_image_pairs_select(spark, sf_dir):
     """LAION-style image+caption pair curation over the north-rule pair
     table shape: resolution floor, aspect band, caption-token floor,
@@ -1101,6 +1161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "interval_join_events": q_interval_join_events,
         "length_quantiles": q_length_quantiles,
+        "event_type_pivot": q_event_type_pivot,
+        "running_revenue": q_running_revenue,
+        "lang_mixture": q_lang_mixture,
+        "stratified_sample": q_stratified_sample,
         "enrich_fallback": q_enrich_fallback,
         "scenario_first_hit": q_scenario_first_hit,
         "scenario_generate": q_scenario_generate,
@@ -1304,6 +1368,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+              count(*) FILTER (WHERE event_type = 'click')    AS "click",
+              count(*) FILTER (WHERE event_type = 'error')    AS "error",
+              count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+              count(*) FILTER (WHERE event_type = 'signup')   AS "signup",
+              count(*) FILTER (WHERE event_type = 'view')     AS "view"
+            FROM events GROUP BY user_id
+        """,
+        "running_revenue": """
+            WITH daily AS (
+              SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+                     round(sum(o_totalprice), 2) AS day_rev
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT o_orderpriority, day, day_rev,
+                   round(sum(day_rev) OVER (
+                     PARTITION BY o_orderpriority ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS cum_rev
+            FROM daily
+        """,
+        "lang_mixture": """
+            WITH c AS (
+              SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+            )
+            SELECT lang, n_docs,
+                   round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS p,
+                   round(pow(n_docs * 1.0, 0.3)
+                         / sum(pow(n_docs * 1.0, 0.3)) OVER (), 6) AS weight
+            FROM c
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE cast(concat('0x', substring(md5(cast(doc_id AS varchar)), 1, 4))
+                       AS INTEGER)
+                  < CASE lang WHEN 'en' THEN 32768
+                              WHEN 'de' THEN 16384
+                              ELSE 6553 END
         """,
         "asof_join_events": """
             WITH l AS (

@@ -44,6 +44,52 @@ def vocab_topk(
     )
 
 
+def lang_mixture_weights(
+    docs: DataFrame, alpha: float = 0.3, lang_col: str = "lang"
+) -> DataFrame:
+    """Temperature-scaled language sampling weights for training-data
+    mixing: weight_l ∝ (n_l/N)^alpha, normalized. alpha<1 upsamples
+    low-resource languages (the standard multilingual-corpus recipe).
+    One tiny aggregate (|langs| rows) cross-joined back — never a
+    global window over the fact table."""
+    counts = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("_tot"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), alpha)).alias("_powsum"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_tot"), 6).alias("p"),
+        F.round(
+            F.pow(F.col("n_docs").cast("double"), alpha) / F.col("_powsum"), 6
+        ).alias("weight"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff the first
+    4 md5 hex digits of its id (uniform on [0, 65536)) fall under the
+    stratum's rate threshold. Hash-gated sampling is reproducible across
+    reruns and cluster sizes — the property training-data lineage needs
+    that `df.sample()` (partition-seeded RNG) does not give."""
+    bucket = F.expr(
+        f"cast(conv(substring(md5(cast({id_col} as string)), 1, 4), 16, 10) as int)"
+    )
+    thresh = F.lit(int(default_rate * 65536))
+    for lang, rate in sorted(rates.items()):
+        thresh = F.when(F.col(lang_col) == lang, int(rate * 65536)).otherwise(thresh)
+    return docs.filter(bucket < thresh).select(id_col, lang_col)
+
+
 def tfidf_top_token(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
