@@ -193,6 +193,23 @@ def q_hourly_event_counts(spark, sf_dir):
     )
 
 
+def q_sliding_event_counts(spark, sf_dir):
+    """Sliding-window agg (10 min window, 5 min slide): each event lands
+    in exactly 2 windows. Batch form of the streaming sliding window —
+    the overlap factor (window/slide) is the shuffle-volume multiplier
+    to budget for at scale."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def q_sessionize_events(spark, sf_dir):
     """Sessionization: gap > 1800s starts a new session (lag + cumsum)."""
     e = _t(spark, sf_dir, "events")
@@ -1162,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": q_interval_join_events,
         "length_quantiles": q_length_quantiles,
         "event_type_pivot": q_event_type_pivot,
+        "sliding_event_counts": q_sliding_event_counts,
         "running_revenue": q_running_revenue,
         "lang_mixture": q_lang_mixture,
         "stratified_sample": q_stratified_sample,
@@ -1368,6 +1386,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "sliding_event_counts": """
+            WITH starts AS (
+              SELECT event_type,
+                     unnest([to_timestamp(floor(epoch(ts) / 300) * 300),
+                             to_timestamp(floor(epoch(ts) / 300) * 300
+                                          - 300)]) AS win_start,
+                     ts
+              FROM events
+            )
+            SELECT win_start, event_type, count(*) AS n
+            FROM starts
+            WHERE ts >= win_start AND ts < win_start + INTERVAL 10 MINUTE
+            GROUP BY win_start, event_type
         """,
         "event_type_pivot": """
             SELECT user_id,
