@@ -193,6 +193,25 @@ def q_hourly_event_counts(spark, sf_dir):
     )
 
 
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: typed from_json over the JSON props
+    column (schema-on-read, JVM-side parse — no Python), aggregated per
+    event type. The crawl analog: per-URL metadata blobs parsed at scan
+    time without a pre-ETL pass."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def q_sliding_event_counts(spark, sf_dir):
     """Sliding-window agg (10 min window, 5 min slide): each event lands
     in exactly 2 windows. Batch form of the streaming sliding window —
@@ -1180,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "event_type_pivot": q_event_type_pivot,
         "sliding_event_counts": q_sliding_event_counts,
+        "json_props_stats": q_json_props_stats,
         "running_revenue": q_running_revenue,
         "lang_mixture": q_lang_mixture,
         "stratified_sample": q_stratified_sample,
@@ -1386,6 +1406,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "json_props_stats": """
+            WITH parsed AS (
+              SELECT event_type,
+                     cast(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k,
+                   round(avg(k), 6) AS avg_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM parsed GROUP BY event_type
         """,
         "sliding_event_counts": """
             WITH starts AS (
