@@ -99,13 +99,17 @@ def tfidf_top_token(
     toks = _tokens(docs, text_col, id_col)
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = docs.select(id_col).distinct().count()
-    scored = tf.join(df, "tok").select(
+    # N as a broadcast scalar inside the plan — no driver-side action,
+    # no second scan of the corpus at 100 TB
+    n_docs = docs.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n_docs")
+    )
+    scored = tf.join(df, "tok").crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
         "tok",
         "tf",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
         ).alias("score"),
     )
     best = scored.groupBy("doc_id").agg(
