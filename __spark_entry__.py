@@ -515,6 +515,204 @@ def q_large_orders(spark, sf_dir):
     )
 
 
+def q_customer_order_counts(spark, sf_dir):
+    """TPC-H Q13-shaped: order-count distribution including zero-order
+    customers. The filter lives in the JOIN condition (pre-filtering the
+    fact side before a LEFT join — equivalent and pushdown-friendly), and
+    the distribution is a second, tiny aggregation over the first."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14-shaped: conditional-aggregation ratio (promo revenue
+    share) over a month of lineitem joined to a broadcast part dim.
+    One fact pass, two sums, one row out."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_disjunctive_bands(spark, sf_dir):
+    """TPC-H Q19-shaped: OR of conjunctive (brand, size, quantity) bands.
+    The disjunction involves both sides of the join, so it evaluates
+    post-join, but the OR of the part-only and lineitem-only envelopes
+    (p_size <= 25, l_quantity <= 30) is pushable; Catalyst's
+    constraint propagation handles that — the query's job is to express
+    the predicate declaratively and not force row-at-a-time logic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_lone_flagger_suppliers(spark, sf_dir):
+    """TPC-H Q21-shaped: EXISTS + NOT EXISTS against the same fact.
+    Suppliers who shipped a returned ('R') item on a finished
+    multi-supplier order where NO other supplier's item was returned —
+    a left-semi (another supplier exists) chained with a left-anti
+    (no other flagged supplier exists), both on the distinct
+    (order, supplier) projection so fact rows never multiply."""
+    li = _t(spark, sf_dir, "lineitem")
+    o_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    r_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    flagged = r_pairs.join(o_f, r_pairs.l_orderkey == o_f.o_orderkey).select(
+        "l_orderkey", "l_suppkey"
+    )
+    other = pairs.withColumnRenamed("l_suppkey", "o_suppkey")
+    other_r = r_pairs.withColumnRenamed("l_suppkey", "r_suppkey")
+    lone = (
+        flagged.join(
+            other,
+            (flagged.l_orderkey == other.l_orderkey)
+            & (flagged.l_suppkey != other.o_suppkey),
+            "left_semi",
+        )
+        .join(
+            other_r,
+            (flagged.l_orderkey == other_r.l_orderkey)
+            & (flagged.l_suppkey != other_r.r_suppkey),
+            "left_anti",
+        )
+    )
+    return (
+        lone.join(F.broadcast(s), lone.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_order_priority_cube(spark, sf_dir):
+    """CUBE grouping-sets (the full lattice, vs rollup_event_stats'
+    hierarchy) with an explicit grouping_id so every subtotal level is
+    distinguishable. One shuffle: Spark expands grouping sets map-side."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_ntile_value_deciles(spark, sf_dir):
+    """W-family breadth: ntile(10) decile assignment per event_type
+    (deterministic tie-break on event_id), then per-decile envelope —
+    the classic score-calibration / threshold-picking query."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+def q_event_user_setops(spark, sf_dir):
+    """D-family set ops (SURVEY §2.6): INTERSECT and EXCEPT over distinct
+    user sets — converters (click AND purchase) vs bouncers (click and
+    NOT purchase). Spark compiles both to semi/anti hash joins on the
+    deduped sets, never a sort."""
+    e = _t(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(purchasers).withColumn(
+        "relation", F.lit("click_and_purchase")
+    )
+    only = clickers.subtract(purchasers).withColumn(
+        "relation", F.lit("click_not_purchase")
+    )
+    return both.unionByName(only)
+
+
+def q_skewed_join_counts(spark, sf_dir):
+    """Skew-salted large-large join (operators/skew.py): 75% of event
+    rows share one hot key; the build side is replicated n_salts ways so
+    the hot key spreads over 8 reducers instead of melting one. The
+    oracle is the PLAIN join — salting must be row-for-row invisible."""
+    from crawler_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "k",
+        F.when(F.col("user_id") % 4 < 3, F.lit(0)).otherwise(
+            (F.col("user_id") % 50).cast("int")
+        ),
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") % 50).cast("int").alias("k"), "n_chars")
+    )
+    joined = salted_join(e, d, "k", F.col("event_id"), n_salts=8)
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # enrichment pipeline (geocode analogs): fallback join, scenario first-hit,
 # dimension upsert, union-dedup, weighted similarity
@@ -1194,6 +1392,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "priority_pipeline": q_priority_pipeline,
         "large_orders": q_large_orders,
+        "customer_order_counts": q_customer_order_counts,
+        "promo_revenue_share": q_promo_revenue_share,
+        "disjunctive_bands": q_disjunctive_bands,
+        "lone_flagger_suppliers": q_lone_flagger_suppliers,
+        "order_priority_cube": q_order_priority_cube,
+        "ntile_value_deciles": q_ntile_value_deciles,
+        "event_user_setops": q_event_user_setops,
+        "skewed_join_counts": q_skewed_join_counts,
         "asof_join_events": q_asof_join_events,
         "interval_join_events": q_interval_join_events,
         "length_quantiles": q_length_quantiles,
@@ -1727,6 +1933,115 @@ def oracle_sql() -> dict[str, str]:
               ON regexp_replace(l.source_q, '#[0-9]+$', '') = d.source
              AND l.lang = d.lang
              AND length(d.source) > 3
+        """,
+        "customer_order_counts": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "promo_revenue_share": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS promo_share_pct,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate <  TIMESTAMP '1997-10-01'
+        """,
+        "disjunctive_bands": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 20
+                     AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 25
+                     AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "lone_flagger_suppliers": """
+            WITH pairs AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            ),
+            r_pairs AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_returnflag = 'R'
+            ),
+            flagged AS (
+              SELECT r.l_orderkey, r.l_suppkey FROM r_pairs r
+              JOIN orders ON r.l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+            )
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM flagged f
+            JOIN supplier ON f.l_suppkey = s_suppkey
+            WHERE EXISTS (
+              SELECT 1 FROM pairs p
+              WHERE p.l_orderkey = f.l_orderkey AND p.l_suppkey <> f.l_suppkey
+            )
+            AND NOT EXISTS (
+              SELECT 1 FROM r_pairs r2
+              WHERE r2.l_orderkey = f.l_orderkey AND r2.l_suppkey <> f.l_suppkey
+            )
+            GROUP BY s_suppkey, s_name
+        """,
+        "order_priority_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "ntile_value_deciles": """
+            SELECT event_type, decile, count(*) AS n,
+                   round(min(value), 6) AS lo, round(max(value), 6) AS hi
+            FROM (
+              SELECT event_type, value,
+                     CAST(ntile(10) OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                     ) AS BIGINT) AS decile
+              FROM events
+            ) GROUP BY event_type, decile
+        """,
+        "event_user_setops": """
+            WITH clickers AS (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            ),
+            purchasers AS (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            )
+            SELECT user_id, 'click_and_purchase' AS relation
+            FROM (SELECT user_id FROM clickers
+                  INTERSECT SELECT user_id FROM purchasers)
+            UNION ALL
+            SELECT user_id, 'click_not_purchase' AS relation
+            FROM (SELECT user_id FROM clickers
+                  EXCEPT SELECT user_id FROM purchasers)
+        """,
+        "skewed_join_counts": """
+            WITH e AS (
+              SELECT *,
+                     CASE WHEN user_id % 4 < 3 THEN 0
+                          ELSE CAST(user_id % 50 AS INTEGER) END AS k
+              FROM events
+            ),
+            d AS (
+              SELECT CAST(doc_id % 50 AS INTEGER) AS k, n_chars
+              FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT k, count(*) AS n_pairs,
+                   round(sum(value), 2) AS sum_value,
+                   sum(n_chars) AS sum_chars
+            FROM e JOIN d USING (k)
+            GROUP BY k
         """,
         "rollup_event_stats": """
             SELECT event_type, user_id % 10 AS cohort,

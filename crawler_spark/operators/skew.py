@@ -1,0 +1,72 @@
+"""Salted join for skewed large-large joins.
+
+When one join key carries a disproportionate share of rows (a hot host,
+a viral URL, an empty-string caption), a plain hash join sends the whole
+hot key to one reducer and the stage runs at the speed of that single
+task. AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`,
+on by default in our session) is the first resort — it splits oversized
+partitions at runtime *when the non-skewed side can be replicated
+per-split*. Salting is the explicit, planner-independent version of the
+same idea, and the only option when AQE can't kick in (e.g. the join is
+followed by a window that pins the partitioning, or the build side
+arrives pre-shuffled from a previous stage and AQE sees no skewed
+shuffle to split).
+
+Mechanics: the skewed (probe) side derives a deterministic salt in
+``[0, n_salts)`` from a row-unique column; the other (build) side is
+replicated ``n_salts`` times via ``explode(sequence(...))``. Joining on
+``(key, salt)`` spreads each hot key over ``n_salts`` reducers. Row
+multiplicity is exactly preserved: every probe row lands in one salt
+bucket and meets exactly the one replica of each matching build row
+that carries its salt — so the result is row-for-row identical to the
+unsalted join (the oracle for `skewed_join_counts` is the plain join).
+
+Cost model at scale: build-side shuffle volume multiplies by
+``n_salts``, so salt only the keys that need it — at 100 TB, pass
+``hot_keys`` (from a cheap approximate top-k pre-pass) and the operator
+salts those keys while the long tail joins unsalted, keeping the
+replication factor on >99% of the build rows at 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    salt_src: Column,
+    n_salts: int = 8,
+    how: str = "inner",
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Join `probe` (skewed side) with `build` on `key`, spreading each
+    key across `n_salts` reducers.
+
+    salt_src: any probe-side expression that varies within a key (a
+    row id, a url hash) — salts are derived with xxhash64 so they are
+    deterministic across reruns and cluster sizes (unlike F.rand()).
+    hot_keys: if given, only these key values are salted/replicated;
+    the rest join with a constant salt of 0 (replication factor 1).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    is_hot = F.col(key).isin(hot_keys) if hot_keys is not None else F.lit(True)
+    salt = F.pmod(F.xxhash64(salt_src), F.lit(n_salts)).cast("int")
+    p = probe.withColumn(SALT_COL, F.when(is_hot, salt).otherwise(F.lit(0)))
+    b = build.withColumn(
+        SALT_COL,
+        F.explode(
+            F.when(is_hot, F.sequence(F.lit(0), F.lit(n_salts - 1)))
+            .otherwise(F.array(F.lit(0)))
+        ),
+    )
+    # shuffle_hash: the whole point is distributing the shuffle; a
+    # broadcast of the replicated build side would hide the mechanism
+    # (and a build side big enough to need salting never broadcasts).
+    return p.join(b.hint("shuffle_hash"), [key, SALT_COL], how).drop(SALT_COL)

@@ -179,6 +179,80 @@ def run_events_stream(spark: SparkSession, parquet_dir: str, name: str = "stream
     return name
 
 
+def stream_stream_attribution(
+    left: DataFrame,
+    right: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with a time-bound: attribute each
+    right-side event (purchase / fetch-result) to the same user's
+    left-side event (click / scheduled URL) that preceded it within
+    `horizon`. Both sides are watermarked and the join condition carries
+    the event-time range — that pair is what lets the state store
+    evict: a buffered left row can be dropped once the right watermark
+    passes `l.ts + horizon`, so state is bounded by the horizon's
+    working set, not the stream's history. Without the range condition
+    Spark would (correctly) refuse unbounded-state append joins.
+
+    Returns (user_id, left_ts, right_ts, left_value, right_value);
+    inner join, so the result equals the batch join of the same inputs
+    — asserted in tests.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("ts").alias("left_ts"),
+        F.col("value").alias("left_value"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("right_ts"),
+        F.col("value").alias("right_value"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"user_id = r_user_id AND right_ts >= left_ts "
+            f"AND right_ts <= left_ts + INTERVAL {horizon}"
+        ),
+    ).select("user_id", "left_ts", "right_ts", "left_value", "right_value")
+
+
+def run_attribution_stream(
+    spark: SparkSession,
+    parquet_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "30 minutes",
+    name: str = "attribution_out",
+):
+    """Drive the stream-stream join: two readStreams over the same
+    parquet dir, filtered to the two event types, one file per
+    micro-batch so the join buffers state across batches."""
+
+    def src():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(parquet_dir)
+        )
+
+    out = stream_stream_attribution(
+        src().filter(F.col("event_type") == left_type),
+        src().filter(F.col("event_type") == right_type),
+        horizon=horizon,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
 URLS_SCHEMA = T.StructType(
     [
         T.StructField("url_canon", T.StringType()),

@@ -1,0 +1,88 @@
+"""salted_join (operators/skew.py): row-for-row parity with the plain
+join, deterministic salts, and the hot-keys-only replication path.
+
+Skew context: a crawl frontier always has hot hosts (SCALE.md §Skew);
+salting is the planner-independent fallback when AQE's runtime skew
+split can't apply. Parity with the unsalted join is the whole contract
+— the operator must be invisible in the result.
+"""
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.skew import SALT_COL, salted_join
+
+
+def _sides(spark):
+    # 80% of probe rows on key 0, multiple build rows per key.
+    probe = spark.range(0, 4000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 5 < 4, F.lit(0))
+        .otherwise((F.col("id") % 7).cast("int"))
+        .alias("k"),
+        (F.col("id") * 3 % 101).alias("v"),
+    )
+    build = spark.range(0, 70).select(
+        (F.col("id") % 7).cast("int").alias("k"),
+        (F.col("id") * 11 % 13).alias("w"),
+    )
+    return probe, build
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_inner_parity(spark):
+    probe, build = _sides(spark)
+    plain = probe.join(build, "k").select("row_id", "k", "v", "w")
+    salted = salted_join(probe, build, "k", F.col("row_id"), n_salts=8).select(
+        "row_id", "k", "v", "w"
+    )
+    assert _canon(salted) == _canon(plain)
+    assert SALT_COL not in salted.columns
+
+
+def test_salted_left_parity_keeps_unmatched(spark):
+    probe, build = _sides(spark)
+    b5 = build.filter(F.col("k") < 5)  # keys 5,6 unmatched on build side
+    plain = probe.join(b5, "k", "left").select("row_id", "k", "v", "w")
+    salted = salted_join(probe, b5, "k", F.col("row_id"), how="left", n_salts=4).select(
+        "row_id", "k", "v", "w"
+    )
+    assert _canon(salted) == _canon(plain)
+
+
+def test_hot_keys_only_limits_replication(spark):
+    probe, build = _sides(spark)
+    plain = probe.join(build, "k").select("row_id", "k", "v", "w")
+    salted = salted_join(
+        probe, build, "k", F.col("row_id"), n_salts=8, hot_keys=[0]
+    ).select("row_id", "k", "v", "w")
+    assert _canon(salted) == _canon(plain)
+    # cold keys carry exactly one build replica (salt 0)
+    b = build.withColumn(
+        SALT_COL,
+        F.explode(
+            F.when(F.col("k").isin([0]), F.sequence(F.lit(0), F.lit(7)))
+            .otherwise(F.array(F.lit(0)))
+        ),
+    )
+    per_key = {r["k"]: r["n"] for r in b.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["k"]: r["n"] for r in build.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k, n in per_key.items():
+        assert n == base[k] * (8 if k == 0 else 1)
+
+
+def test_salt_in_join_keys_and_deterministic(spark):
+    probe, build = _sides(spark)
+    out = salted_join(probe, build, "k", F.col("row_id"), n_salts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert SALT_COL in plan  # the shuffle really spreads on (k, salt)
+    # xxhash64-derived salts: identical across reruns
+    a = _canon(out.select("row_id", "k", "v", "w"))
+    b = _canon(
+        salted_join(probe, build, "k", F.col("row_id"), n_salts=8).select(
+            "row_id", "k", "v", "w"
+        )
+    )
+    assert a == b
