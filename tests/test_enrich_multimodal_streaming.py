@@ -236,3 +236,65 @@ def test_streaming_url_dedup(spark, tmp_path):
     name = run_url_dedup_stream(spark, str(d))
     got = sorted(r["url_hash"] for r in spark.table(name).collect())
     assert got == [101, 202, 303]
+
+
+def test_stream_stream_attribution(spark, tmp_path):
+    """Stream-stream time-bound inner join: purchases attributed to the
+    same user's click within 30 min, state evictable via the range
+    condition + watermarks. Inner join => result must equal the batch
+    join of the same inputs, including across micro-batch boundaries
+    (clicks and purchases arrive in different files)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_attribution_stream,
+        stream_stream_attribution,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    clicks = [
+        (1, base, 10, "click", 1.0, None),
+        (2, base + dt.timedelta(minutes=50), 10, "click", 2.0, None),
+        (3, base, 20, "click", 3.0, None),
+    ]
+    purchases = [
+        # matches click 1 (10 min after) but NOT click 2
+        (4, base + dt.timedelta(minutes=10), 10, "purchase", 9.0, None),
+        # matches click 2 (within 30 min of it)
+        (5, base + dt.timedelta(minutes=70), 10, "purchase", 8.0, None),
+        # user 20: 40 min after the click -> outside horizon, no match
+        (6, base + dt.timedelta(minutes=40), 20, "purchase", 7.0, None),
+    ]
+    d = tmp_path / "attr_stream"
+    d.mkdir()
+    # separate files => separate micro-batches; the join must buffer
+    # click state across batches to match later purchase arrivals
+    for i, batch in enumerate((clicks, purchases)):
+        staged = str(tmp_path / f"attr_stage{i}")
+        spark.createDataFrame(batch, EVENTS_SCHEMA).coalesce(1).write.parquet(staged)
+        import glob
+        import shutil
+
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, str(d / f"b{i}.parquet"))
+    name = run_attribution_stream(spark, str(d))
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    ev = spark.createDataFrame(clicks + purchases, EVENTS_SCHEMA)
+    want = sorted(
+        tuple(r)
+        for r in stream_stream_attribution(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 2
+    matched_pairs = {(r[1], r[2]) for r in got}
+    assert (base, base + dt.timedelta(minutes=10)) in matched_pairs
+    assert (
+        base + dt.timedelta(minutes=50),
+        base + dt.timedelta(minutes=70),
+    ) in matched_pairs

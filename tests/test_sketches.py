@@ -1,0 +1,75 @@
+"""Sketch accuracy envelopes: the 100 TB substitutes for exact
+distinct-count and exact percentiles.
+
+At sandbox scale the engine's shipped queries use exact forms
+(count(DISTINCT), interpolated percentile in `length_quantiles`) so the
+DuckDB oracle can hash-match them. At 10^10 rows, exact distinct is a
+full shuffle of the key universe and exact percentiles a global sort —
+both replaced by one-pass mergeable sketches (HyperLogLog++ via
+`approx_count_distinct`, KLL-style via `percentile_approx`). These
+tests pin the error envelope we rely on when making that swap, on the
+same testdata tables the exact queries run over.
+"""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_distinct_within_rsd(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    rsd = 0.02
+    got = e.agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
+    ).first()
+    # HLL++ standard error ~ rsd; 5x headroom keeps this deterministic
+    assert abs(got["approx"] - got["exact"]) <= max(5, 5 * rsd * got["exact"])
+
+
+def test_hll_distinct_per_group_within_rsd(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(5, 0.1 * r["exact"])
+
+
+def test_percentile_approx_brackets_exact(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    got = d.agg(
+        F.percentile_approx("n_chars", [0.5, 0.9], 10000).alias("approx"),
+        F.expr("percentile(n_chars, array(0.5, 0.9))").alias("exact"),
+    ).first()
+    n = d.count()
+    # accuracy parameter 10000 => rank error <= n/10000
+    tol_rank = max(1, n // 10000)
+    for a, x in zip(got["approx"], got["exact"]):
+        # approx returns an actual data value within tol_rank ranks;
+        # bound the VALUE error by the exact quantile neighborhood
+        lo = d.filter(F.col("n_chars") <= a).count()
+        want_lo = d.filter(F.col("n_chars") <= x).count()
+        assert abs(lo - want_lo) <= max(tol_rank, int(0.01 * n))
+
+
+def test_sketches_are_mergeable_across_partitions(spark):
+    """The property that makes sketches the scale path: partial
+    per-partition sketches merged == one global sketch (no second
+    full-data pass). Spark guarantees this internally; assert it
+    end-to-end by comparing a repartitioned run to a single-partition
+    run — identical estimates, not merely close ones."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    a = e.repartition(16).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("x")
+    ).first()["x"]
+    b = e.coalesce(1).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("x")
+    ).first()["x"]
+    assert a == b
