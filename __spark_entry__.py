@@ -76,6 +76,20 @@ _PAIR_META_SQL = f"""
 """
 
 
+def _twin_sig_sql(t: int) -> str:
+    """DuckDB mirror of operators/pairs.phash_with_twins' twin-t
+    signature: phash with 3 md5-chosen bits (< 60) flipped."""
+    key = f"(cast(image_id AS varchar) || '#{t}')"
+    sig = "phash"
+    for j in (1, 2, 3):
+        pos = (
+            f"((16 * {_hexdig_sql(key, 2 * j - 1)}"
+            f" + {_hexdig_sql(key, 2 * j)}) % 60)"
+        )
+        sig = f"xor({sig}, (CAST(1 AS BIGINT) << {pos}))"
+    return sig
+
+
 def q_frontier_schedule(spark, sf_dir):
     """W3/T1: politeness budget as a per-host window rank (budget=4)."""
     f = _frontier(spark, sf_dir)
@@ -1235,6 +1249,29 @@ def q_pair_corpus_stats(spark, sf_dir):
     return pair_corpus_stats(meta)
 
 
+def q_image_dup_clusters(spark, sf_dir):
+    """Image near-dup clustering over the STORED phash column of the
+    north-rule pair table (no decode in the hot path — the 100 TB-scale
+    default when phash is materialized at ingest): base hashes plus two
+    deterministic Hamming<=3 perturbed twins per image (re-encoded-copy
+    analogs) -> banded Hamming<=7 pair join (exact by pigeonhole over
+    8x8-bit bands) -> connected components -> (image_id, cluster_id).
+    The oracle brute-forces ALL pairs with bit_count(xor) and clusters
+    via a recursive CTE, independently re-proving the banding's
+    exactness. Complements `image_phash_neardup` (which computes phash
+    from decoded bytes and so is rows-only)."""
+    from crawler_spark.operators.dedup import dedup_clusters, hamming64_pairs
+    from crawler_spark.operators.pairs import phash_with_twins, synth_pair_meta
+
+    sigs = phash_with_twins(synth_pair_meta(_t(spark, sf_dir, "documents")))
+    pairs = hamming64_pairs(
+        sigs, id_col="image_id", sig_col="sig", max_hamming=7, n_bands=8
+    )
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").alias("image_id"), "cluster_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -1441,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top": q_tfidf_top,
         "image_pairs_select": q_image_pairs_select,
         "pair_corpus_stats": q_pair_corpus_stats,
+        "image_dup_clusters": q_image_dup_clusters,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2430,6 +2468,33 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(w), 6) AS avg_w, round(avg(h), 6) AS avg_h,
                    round(avg(n_tokens), 6) AS avg_tokens
             FROM shaped GROUP BY fmt, orientation
+        """,
+        "image_dup_clusters": f"""
+            WITH RECURSIVE meta AS ({_PAIR_META_SQL}),
+            sigs AS (
+              SELECT CAST(image_id AS BIGINT) AS image_id, phash AS sig FROM meta
+              UNION ALL
+              SELECT image_id + 1000000000, {_twin_sig_sql(1)} FROM meta
+              UNION ALL
+              SELECT image_id + 2000000000, {_twin_sig_sql(2)} FROM meta
+            ),
+            pairs AS (
+              SELECT a.image_id AS s, b.image_id AS t
+              FROM sigs a JOIN sigs b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.sig, b.sig)) <= 7
+            ),
+            e AS (
+              SELECT s, t FROM pairs
+              UNION
+              SELECT t AS s, s AS t FROM pairs
+            ),
+            reach(s, t) AS (
+              SELECT s, t FROM e
+              UNION
+              SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+            )
+            SELECT s AS image_id, least(s, min(t)) AS cluster_id
+            FROM reach GROUP BY s
         """,
         "cosine_topk": """
             WITH q AS (

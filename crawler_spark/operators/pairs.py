@@ -83,6 +83,54 @@ def select_training_pairs(
     )
 
 
+def _pos_sql(key: str, j: int) -> str:
+    """SQL expr for the j-th (1..3) perturbation bit position (0-59):
+    two md5 hex digits of `key` combined mod 60 — portable arithmetic
+    shared verbatim by the Spark plan and the ANSI oracle."""
+    def d(i: int) -> str:
+        return f"(instr('0123456789abcdef', substring(md5({key}), {i}, 1)) - 1)"
+
+    return f"((16 * {d(2 * j - 1)} + {d(2 * j)}) % 60)"
+
+
+def phash_with_twins(
+    meta: DataFrame, n_twins: int = 2, id_offset: int = 1_000_000_000
+) -> DataFrame:
+    """Base perceptual hashes plus deterministic near-duplicate twins:
+    twin t of image i has id = i + t*id_offset and sig = phash with 3
+    md5-chosen bits (positions < 60) flipped — the synthetic analog of
+    re-encoded / slightly-edited copies of the same crawled image.
+    Every twin is within Hamming 3 of its base and within 6 of the
+    base's other twins, i.e. inside a banded Hamming<=7 recall radius,
+    so hamming64_pairs + dedup_clusters over this table must recover
+    one 3-node cluster per distinct caption. Pure native expressions;
+    an ANSI oracle reproduces the table bit-for-bit.
+
+    Output: (image_id: long, sig: long).
+    """
+    parts = [
+        meta.select(
+            F.col("image_id").cast("long").alias("image_id"),
+            F.col("phash").alias("sig"),
+        )
+    ]
+    for t in range(1, n_twins + 1):
+        key = f"concat(cast(image_id as string), '#{t}')"
+        sig = "phash"
+        for j in (1, 2, 3):
+            sig = f"({sig} ^ shiftleft(cast(1 as bigint), {_pos_sql(key, j)}))"
+        parts.append(
+            meta.select(
+                (F.col("image_id").cast("long") + t * id_offset).alias("image_id"),
+                F.expr(sig).alias("sig"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def pair_corpus_stats(meta: DataFrame) -> DataFrame:
     """Curation dashboard: per (fmt, orientation) pair counts, mean
     resolution and caption length — one map-side-combinable aggregation."""

@@ -77,3 +77,34 @@ def test_pair_stats_shape(spark):
     assert got[("png", "landscape")].n_pairs == 1
     assert got[("png", "portrait")].avg_tokens == 7.0
     assert got[("qdct", "square")].avg_w == 80.0
+
+
+def test_phash_twins_hamming_bound_and_cluster_recall(spark):
+    """Every perturbed twin must sit within Hamming 3 of its base (and 6
+    of the sibling twin), so banded Hamming<=7 + connected components
+    must recover exactly one 3-node cluster per distinct caption."""
+    from crawler_spark.operators.dedup import dedup_clusters, hamming64_pairs
+    from crawler_spark.operators.pairs import phash_with_twins
+
+    docs = spark.createDataFrame(
+        [(i, f"caption number {i} alpha beta gamma") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    sigs = phash_with_twins(synth_pair_meta(docs))
+    rows = {r.image_id: r.sig for r in sigs.collect()}
+    assert len(rows) == 24
+    for i in range(1, 9):
+        base, t1, t2 = rows[i], rows[i + 10**9], rows[i + 2 * 10**9]
+        assert 1 <= bin(base ^ t1).count("1") <= 3
+        assert 1 <= bin(base ^ t2).count("1") <= 3
+        assert bin(t1 ^ t2).count("1") <= 6
+    pairs = hamming64_pairs(
+        sigs, id_col="image_id", sig_col="sig", max_hamming=7, n_bands=8
+    )
+    labels = dedup_clusters(pairs).collect()
+    by_cluster = {}
+    for r in labels:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert len(by_cluster) == 8
+    for i in range(1, 9):
+        assert by_cluster[i] == {i, i + 10**9, i + 2 * 10**9}
