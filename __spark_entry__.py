@@ -90,6 +90,52 @@ def _twin_sig_sql(t: int) -> str:
     return sig
 
 
+def _link_rank_sql(n_iter: int = 3) -> str:
+    """DuckDB mirror of q_host_link_rank: the same edge derivation and
+    n_iter unrolled PageRank iterations. `(CAST(1 AS DOUBLE) - CAST(0.85
+    AS DOUBLE))` reproduces Python's `1.0 - 0.85` double bit-for-bit
+    (decimal literal arithmetic would give exact 0.15 instead)."""
+    d6 = _hexdig_sql("cast(doc_id AS varchar)", 6)
+    d7 = _hexdig_sql("cast(doc_id AS varchar)", 7)
+    teleport = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    sql = f"""
+        WITH edges AS (
+          SELECT src, dst, count(*) AS weight FROM (
+            SELECT doc_id % 20 AS src, (16 * {d6} + {d7}) % 20 AS dst
+            FROM documents
+          ) WHERE src != dst GROUP BY src, dst
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+        outw AS (
+          SELECT src, CAST(sum(weight) AS DOUBLE) AS outw
+          FROM edges GROUP BY src
+        ),
+        shares AS (
+          SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) / o.outw AS share
+          FROM edges e JOIN outw o ON e.src = o.src
+        ),
+        r0 AS (
+          SELECT node, round(1.0 / n_nodes, 9) AS rank
+          FROM nodes CROSS JOIN nn
+        )"""
+    for k in range(1, n_iter + 1):
+        sql += f""",
+        c{k} AS (
+          SELECT s.dst, sum(r.rank * s.share) AS inflow
+          FROM shares s JOIN r{k - 1} r ON s.src = r.node GROUP BY s.dst
+        ),
+        r{k} AS (
+          SELECT n.node,
+                 round({teleport} / nn.n_nodes
+                       + CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0), 9) AS rank
+          FROM nodes n LEFT JOIN c{k} c ON n.node = c.dst CROSS JOIN nn
+        )"""
+    sql += f"""
+        SELECT node AS host_id, round(rank, 6) AS rank FROM r{n_iter}"""
+    return sql
+
+
 def q_frontier_schedule(spark, sf_dir):
     """W3/T1: politeness budget as a per-host window rank (budget=4)."""
     f = _frontier(spark, sf_dir)
@@ -98,6 +144,33 @@ def q_frontier_schedule(spark, sf_dir):
         f.withColumn("sched_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sched_rank") <= 4)
         .select("host", "doc_id", "priority", "depth", "sched_rank")
+    )
+
+
+def q_host_link_rank(spark, sf_dir):
+    """Frontier priority prior: fixed-iteration weighted PageRank over
+    the host link graph (operators/rank.py). Edges are derived
+    portably from documents — src = doc_id % 20 (the same host id
+    _frontier uses), dst = two md5 digits mod 20, weight = outlink
+    count per (src, dst). 3 iterations, damping 0.85, per-iteration
+    round-9 stabilization; dangling mass dropped (classic contribs
+    formulation), mirrored exactly by the unrolled-CTE oracle."""
+    from crawler_spark.operators.rank import link_rank
+
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.select(
+            (F.col("doc_id") % 20).alias("src"),
+            F.expr(f"(16 * {d6} + {d7}) % 20").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    return link_rank(edges, n_iter=3, damping=0.85).select(
+        F.col("node").alias("host_id"), F.round("rank", 6).alias("rank")
     )
 
 
@@ -1413,6 +1486,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_schedule": q_frontier_schedule,
+        "host_link_rank": q_host_link_rank,
         "urlseen_antijoin": q_urlseen_antijoin,
         "robots_gate": q_robots_gate,
         "canonicalize": q_canonicalize,
@@ -1498,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
               ) AS sched_rank FROM f
             ) WHERE sched_rank <= 4
         """,
+        "host_link_rank": _link_rank_sql(n_iter=3),
         "urlseen_antijoin": f"""
             WITH f AS ({frontier}),
             cand AS (SELECT *, md5(url) AS url_md5 FROM f),

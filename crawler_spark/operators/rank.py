@@ -1,0 +1,91 @@
+"""Link-based host authority for frontier prioritization.
+
+The reference schedules work FIFO per category (crawler.py round loop);
+an OCIP-style frontier at 10^10 URLs wants a smarter priority column.
+This operator computes fixed-iteration weighted PageRank over the host
+link graph (hosts = nodes, aggregated outlink counts = edge weights) —
+the standard authority prior a crawl scheduler multiplies into its
+(priority, depth, discovery_seq) ordering key.
+
+Scale shape: per iteration, one hash join of edges against the current
+rank vector (both partitioned by the join key) + one map-side-combined
+aggregation — the canonical Spark PageRank dataflow. The node count is
+folded in as a broadcast scalar (one-row crossJoin), never a driver-side
+collect. Hosts are ~10^7 at web scale (vs 10^10 URLs), so each
+iteration's state is small relative to the frontier; the edge table is
+reused across iterations (cache-friendly, lineage truncated by the
+caller if iterating deep).
+
+Determinism: ranks are rounded to 9 decimals each iteration (the same
+stabilization the IVF k-means refinement uses) so an ANSI-SQL oracle
+unrolling the iterations reproduces hashes exactly. Dangling-node mass
+is dropped (the classic contribs formulation, as in Spark's own
+PageRank example) — documented, mirrored by the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def link_rank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    round_iter: int = 9,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank.
+
+    ``edges``: (src, dst, weight). Returns (node, rank) for every node
+    appearing as src or dst, rank rounded to ``round_iter`` decimals.
+
+    r_0(v) = 1/N;  r_{k+1}(v) = (1-d)/N + d * sum over in-edges (u,v)
+    of r_k(u) * w_uv / outw(u), where outw(u) = sum of u's out-weights.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+    outw = edges.groupBy("src").agg(
+        F.sum(F.col("weight").cast("double")).alias("outw")
+    )
+    # (src, dst, share): share = weight/outw, fixed across iterations
+    shares = (
+        edges.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("weight").cast("double") / F.col("outw")).alias("share"),
+        )
+        .persist()
+    )
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.round(F.lit(1.0) / F.col("n_nodes"), round_iter).alias("rank")
+    )
+    for _ in range(n_iter):
+        inflow = (
+            shares.join(ranks, shares["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+        )
+        # localCheckpoint keeps the plan flat at any n_iter (same pattern
+        # as dedup_clusters' label loop) and makes the shares persist
+        # effective across the per-iteration jobs.
+        ranks = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    round_iter,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    shares.unpersist()
+    return ranks

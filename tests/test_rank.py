@@ -1,0 +1,59 @@
+"""Link-rank frontier prior (operators/rank.py).
+
+Checks the fixed-iteration PageRank against an independent pure-Python
+replica of the same formula, and the structural properties a crawl
+scheduler relies on (authority concentrates on heavily-linked hosts,
+total mass bounded by 1).
+"""
+
+import pytest
+
+from crawler_spark.operators.rank import link_rank
+
+
+def _pure_python_rank(edges, n_iter=3, damping=0.85):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = float(len(nodes))
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + float(w)
+    ranks = {v: round(1.0 / n, 9) for v in nodes}
+    for _ in range(n_iter):
+        inflow = {}
+        for s, d, w in edges:
+            inflow[d] = inflow.get(d, 0.0) + ranks[s] * (float(w) / outw[s])
+        ranks = {
+            v: round((1.0 - damping) / n + damping * inflow.get(v, 0.0), 9)
+            for v in nodes
+        }
+    return ranks
+
+
+def test_link_rank_matches_pure_python(spark):
+    edges = [
+        (1, 2, 3),
+        (1, 3, 1),
+        (2, 3, 2),
+        (3, 1, 1),
+        (4, 3, 5),  # 4 is a pure source; 3 is the hub
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = {r.node: r.rank for r in link_rank(df, n_iter=3).collect()}
+    want = _pure_python_rank(edges, n_iter=3)
+    assert set(got) == set(want)
+    for v in want:
+        # 2e-9 tolerance: Spark rounds HALF_UP, Python HALF_EVEN
+        assert got[v] == pytest.approx(want[v], abs=2e-9)
+    # a pure source earns only teleport mass (0.15/4); total mass <= 1
+    # (node 3's inflow leaks to the dangling drop)
+    assert got[4] == min(got.values()) == pytest.approx(0.0375, abs=1e-9)
+    assert sum(got.values()) <= 1.0 + 1e-6
+
+
+def test_link_rank_uniform_cycle_stays_uniform(spark):
+    # a weight-balanced cycle is the PageRank fixpoint: ranks stay 1/N
+    edges = [(i, (i + 1) % 4, 1) for i in range(4)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = {r.node: r.rank for r in link_rank(df, n_iter=5).collect()}
+    for v, r in got.items():
+        assert r == pytest.approx(0.25, abs=1e-8), (v, r)
