@@ -391,6 +391,157 @@ def q_segment_stats(spark, sf_dir):
     )
 
 
+def q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7-shaped: bidirectional nation-pair trade volume by ship
+    year. Two independent dimension chains hang off the same fact row
+    (supplier nation via lineitem, customer nation via orders) and the
+    pair predicate is an OR of both directions — the join-reorder +
+    broadcast-dim case where the fact-fact join must happen first."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped: one nation's share of a region's revenue for one
+    part type, per order year — conditional aggregation as a ratio of
+    two sums over the same joined fact set (no second scan)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_nation_profit(spark, sf_dir):
+    """TPC-H Q9-shaped: per (supplier nation, order year) profit where
+    the cost side comes from a second dimension's column (part
+    retailprice standing in for partsupp supplycost, which the dataset
+    does not carry) — a wide fact expression across two join chains."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped: revenue from orders below 20% of the part's own
+    average quantity — the correlated scalar subquery decorrelated into
+    a per-part aggregate joined back to the fact (quantities are
+    integer-valued doubles, so the threshold is bit-identical on both
+    engines regardless of sum order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_floor")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_floor"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22-shaped: positive-balance customers above the global
+    positive-balance average (scalar subquery folded in as a broadcast
+    one-row crossJoin, no driver collect) with no order placed
+    since 2000-01-01 (anti-join against the recent slice; every customer
+    has SOME order in this dataset), counted per derived country code."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("bal_floor")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("bal_floor"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
 def q_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5-shaped: 6-way join chain (fact-fact on orders/lineitem,
     broadcast dims for supplier/nation/region) with a co-nation
@@ -1499,6 +1650,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "segment_stats": q_segment_stats,
         "local_supplier_volume": q_local_supplier_volume,
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "idle_customers": q_idle_customers,
         "returned_items": q_returned_items,
         "forecast_revenue": q_forecast_revenue,
         "priority_pipeline": q_priority_pipeline,
@@ -1697,6 +1853,83 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_custkey) AS n_customers
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "nation_trade_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "market_share": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY o_year
+        """,
+        "nation_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity), 2) AS profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_type = 'LARGE'
+            GROUP BY n_name, o_year
+        """,
+        "small_quantity_revenue": """
+            WITH part_avg AS (
+              SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_floor
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN part_avg USING (l_partkey)
+            WHERE p_brand = 'Brand#1' AND l_quantity < qty_floor
+        """,
+        "idle_customers": """
+            WITH floor_ AS (
+              SELECT avg(c_acctbal) AS bal_floor FROM customer
+              WHERE c_acctbal > 0.0
+            )
+            SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+                   count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+            FROM customer CROSS JOIN floor_
+            WHERE c_acctbal > bal_floor
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY cntrycode
         """,
         "local_supplier_volume": """
             SELECT n_name,
