@@ -51,6 +51,9 @@ HEADLINE = [
     "image_pairs_select",
     "forecast_revenue",
     "tfidf_top",
+    "host_link_rank",
+    "image_dup_clusters",
+    "nation_trade_volume",
 ]
 
 BENCH_HOSTS = 50
