@@ -174,6 +174,65 @@ def q_host_link_rank(spark, sf_dir):
     )
 
 
+def q_url_template_stats(spark, sf_dir):
+    """Crawl-structure mining: collapse numeric path segments to '{n}'
+    and count URLs/hosts per template — the pass a crawl planner runs to
+    find crawler traps and prioritize page types. Pure native regexp
+    over deterministically messy paths (three md5-chosen shapes)."""
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("host-"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        F.expr(
+            f"""CASE {d6} % 3
+                WHEN 0 THEN concat('/cat-', cast({d7} % 4 as string),
+                            '/item/', cast(doc_id as string))
+                WHEN 1 THEN concat('/page/', cast(doc_id as string),
+                            '/rev/', cast({d7} % 9 as string))
+                ELSE concat('/static/img', cast(doc_id as string), '.png')
+            END"""
+        ).alias("path"),
+    )
+    return (
+        urls.withColumn(
+            "template", F.regexp_replace("path", "[0-9]+", "{n}")
+        )
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+def q_host_degree_histogram(spark, sf_dir):
+    """Web-graph degree distribution over the host link graph (same edge
+    derivation as host_link_rank): hosts per log2 degree bucket, in and
+    out directions in one pass. The bucket is length(bin(deg))-1 —
+    integer/string arithmetic, immune to float log rounding at exact
+    powers of two."""
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 20).alias("src"),
+        F.expr(f"(16 * {d6} + {d7}) % 20").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    out_deg = edges.groupBy(F.col("src").alias("host_id")).agg(
+        F.count("*").alias("degree")
+    ).withColumn("direction", F.lit("out"))
+    in_deg = edges.groupBy(F.col("dst").alias("host_id")).agg(
+        F.count("*").alias("degree")
+    ).withColumn("direction", F.lit("in"))
+    return (
+        out_deg.unionByName(in_deg)
+        .withColumn("bucket", F.expr("length(bin(degree)) - 1").cast("int"))
+        .groupBy("direction", "bucket")
+        .agg(F.count("*").alias("n_hosts"))
+    )
+
+
 def q_urlseen_antijoin(spark, sf_dir):
     """J1: URL-seen anti-join; seen = every third doc URL (md5-keyed)."""
     f = _frontier(spark, sf_dir)
@@ -1638,6 +1697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_schedule": q_frontier_schedule,
         "host_link_rank": q_host_link_rank,
+        "url_template_stats": q_url_template_stats,
+        "host_degree_histogram": q_host_degree_histogram,
         "urlseen_antijoin": q_urlseen_antijoin,
         "robots_gate": q_robots_gate,
         "canonicalize": q_canonicalize,
@@ -1729,6 +1790,43 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE sched_rank <= 4
         """,
         "host_link_rank": _link_rank_sql(n_iter=3),
+        "url_template_stats": f"""
+            WITH urls AS (
+              SELECT 'host-' || (doc_id % 20) AS host,
+                     CASE {_hexdig_sql("cast(doc_id AS varchar)", 6)} % 3
+                       WHEN 0 THEN '/cat-' || ({_hexdig_sql("cast(doc_id AS varchar)", 7)} % 4)
+                                   || '/item/' || doc_id
+                       WHEN 1 THEN '/page/' || doc_id || '/rev/'
+                                   || ({_hexdig_sql("cast(doc_id AS varchar)", 7)} % 9)
+                       ELSE '/static/img' || doc_id || '.png'
+                     END AS path
+              FROM documents
+            )
+            SELECT regexp_replace(path, '[0-9]+', '{{n}}', 'g') AS template,
+                   count(*) AS n_urls, count(DISTINCT host) AS n_hosts
+            FROM urls GROUP BY template
+        """,
+        "host_degree_histogram": f"""
+            WITH edges AS (
+              SELECT doc_id % 20 AS src,
+                     (16 * {_hexdig_sql("cast(doc_id AS varchar)", 6)}
+                      + {_hexdig_sql("cast(doc_id AS varchar)", 7)}) % 20 AS dst
+              FROM documents
+              WHERE doc_id % 20 != (16 * {_hexdig_sql("cast(doc_id AS varchar)", 6)}
+                                    + {_hexdig_sql("cast(doc_id AS varchar)", 7)}) % 20
+            ),
+            degs AS (
+              SELECT src AS host_id, count(*) AS degree, 'out' AS direction
+              FROM edges GROUP BY src
+              UNION ALL
+              SELECT dst AS host_id, count(*) AS degree, 'in' AS direction
+              FROM edges GROUP BY dst
+            )
+            SELECT direction,
+                   CAST(length(bin(degree)) - 1 AS INTEGER) AS bucket,
+                   count(*) AS n_hosts
+            FROM degs GROUP BY direction, bucket
+        """,
         "urlseen_antijoin": f"""
             WITH f AS ({frontier}),
             cand AS (SELECT *, md5(url) AS url_md5 FROM f),
