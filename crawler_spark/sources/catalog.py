@@ -138,6 +138,33 @@ class SnapshotCatalog:
             raise KeyError(f"table {table!r} absent at snapshot {snapshot}")
         return self.spark.read.parquet(*dirs)
 
+    def compact(self, table: str, target_bytes: int = 128 << 20) -> int:
+        """Small-file compaction (Iceberg rewrite_data_files analog).
+
+        Every crawl round and every streaming micro-batch appends its own
+        directory; at 10^10-URL scale a hot table accumulates thousands
+        of sub-target files whose per-file open/footer cost dominates
+        scans. This rewrites the table into ceil(bytes/target_bytes)
+        files via ONE coalesce job (no shuffle — coalesce only merges
+        read splits) and commits the new layout as a snapshot, so the
+        rewrite is atomic, crash-safe, and time-travel keeps the old
+        layout readable. The target file count comes from manifest-side
+        fs metadata — no data pass.
+
+        Returns the new snapshot id.
+        """
+        current_bytes = 0
+        for d in self.tables().get(table, []):
+            for root_, _, files in os.walk(d):
+                current_bytes += sum(
+                    os.path.getsize(os.path.join(root_, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        n_files = max(1, -(-current_bytes // target_bytes))
+        self.stage_overwrite(table, self.read(table).coalesce(n_files))
+        return self.commit()
+
     def expire_snapshots(self, keep_last: int = 3) -> int:
         """GC analog of the reference's cleanup_old_files
         (csv_handler.py:186-212): drop old manifests, keep files referenced

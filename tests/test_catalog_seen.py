@@ -121,3 +121,26 @@ def test_bloom_table_incremental_matches_rebuild(spark, tmp_path):
         assert np.array_equal(
             incremental.bits_by_bucket[b], rebuilt.bits_by_bucket[b]
         ), f"bucket {b} diverged"
+
+
+def test_compact_merges_files_preserves_rows_and_time_travel(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    for k in range(5):
+        cat.stage_append(
+            "t", spark.range(10 * k, 10 * k + 10).withColumnRenamed("id", "v")
+        )
+        cat.commit()
+    pre_snap = cat.current_id()
+    assert len(cat.tables()["t"]) == 5
+    pre = sorted(r.v for r in cat.read("t").collect())
+
+    sid = cat.compact("t")
+    assert sid == pre_snap + 1
+    dirs = cat.tables()["t"]
+    assert len(dirs) == 1
+    import glob
+    assert len(glob.glob(f"{dirs[0]}/*.parquet")) == 1  # one target-size file
+    assert sorted(r.v for r in cat.read("t").collect()) == pre
+    # old layout still readable at the pre-compaction snapshot
+    assert len(cat.tables(snapshot=pre_snap)["t"]) == 5
+    assert sorted(r.v for r in cat.read("t", snapshot=pre_snap).collect()) == pre
