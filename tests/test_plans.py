@@ -1,0 +1,66 @@
+"""Physical-plan regression guards for the analytics shapes.
+
+Correctness is the oracle gate's job; these tests pin the PLANS — the
+properties that decide whether a query survives a 100× scale-up:
+dimension joins stay broadcast (no dim-side shuffle), selective filters
+reach the parquet scan (PushedFilters), and nothing degenerates into a
+cartesian/nested-loop join.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name,min_broadcasts",
+    [
+        ("local_supplier_volume", 3),  # supplier, nation, region dims
+        ("nation_trade_volume", 3),    # supplier + both nation aliases
+        ("market_share", 4),           # part, nations, region, supplier
+        ("nation_profit", 3),          # part, supplier, nation
+        ("small_quantity_revenue", 1), # part dim broadcast
+        ("idle_customers", 1),         # one-row scalar floor broadcast
+    ],
+)
+def test_dims_stay_broadcast(spark, name, min_broadcasts):
+    plan = _plan(spark, name)
+    assert plan.count("BroadcastHashJoin") >= min_broadcasts, plan
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin is legitimate ONLY for the deliberate
+    # one-row scalar crossJoins; never for a keyed dim join
+    if name != "idle_customers":
+        assert "BroadcastNestedLoopJoin" not in plan or "Cross" in plan
+
+
+def test_selective_filters_reach_the_scan(spark):
+    # Q6 shape: date/discount/quantity predicates must be in PushedFilters
+    plan = _plan(spark, "forecast_revenue")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+
+
+def test_pair_selection_prunes_to_metadata_columns(spark):
+    # ReadSchema on documents must carry only the derivation columns
+    plan = _plan(spark, "image_pairs_select")
+    read_schemas = [
+        seg.split(">", 1)[0] for seg in plan.split("ReadSchema: struct<")[1:]
+    ]
+    assert read_schemas, plan
+    for rs in read_schemas:
+        cols = {c.split(":")[0] for c in rs.split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    # cosine_topk must plan TakeOrderedAndProject, not a full Sort+Limit
+    plan = _plan(spark, "cosine_topk")
+    assert "TakeOrderedAndProject" in plan, plan
