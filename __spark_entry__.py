@@ -14,6 +14,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.zorder import zvalue_duckdb_sql as _zvalue_duckdb_sql
+
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
@@ -1532,6 +1534,20 @@ def q_pair_corpus_stats(spark, sf_dir):
     return pair_corpus_stats(meta)
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over the pair table's (w, h) —
+    the layout key a 100 TB store sorts by so parquet min/max pruning
+    skips on BOTH resolution columns (functions/zorder.py; Delta
+    OPTIMIZE ZORDER analog). Single native shift-mask expression."""
+    from crawler_spark.functions.zorder import zvalue_sql
+    from crawler_spark.operators.pairs import synth_pair_meta
+
+    meta = synth_pair_meta(_t(spark, sf_dir, "documents"))
+    return meta.select(
+        "image_id", F.expr(zvalue_sql("w", "h", bits=12)).alias("zkey")
+    )
+
+
 def q_image_dup_clusters(spark, sf_dir):
     """Image near-dup clustering over the STORED phash column of the
     north-rule pair table (no decode in the hot path — the 100 TB-scale
@@ -1770,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pairs_select": q_image_pairs_select,
         "pair_corpus_stats": q_pair_corpus_stats,
         "image_dup_clusters": q_image_dup_clusters,
+        "zorder_key": q_zorder_key,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2874,6 +2891,11 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(w), 6) AS avg_w, round(avg(h), 6) AS avg_h,
                    round(avg(n_tokens), 6) AS avg_tokens
             FROM shaped GROUP BY fmt, orientation
+        """,
+        "zorder_key": f"""
+            WITH meta AS ({_PAIR_META_SQL})
+            SELECT image_id, {_zvalue_duckdb_sql("w", "h", bits=12)} AS zkey
+            FROM meta
         """,
         "image_dup_clusters": f"""
             WITH RECURSIVE meta AS ({_PAIR_META_SQL}),
