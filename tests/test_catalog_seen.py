@@ -144,3 +144,26 @@ def test_compact_merges_files_preserves_rows_and_time_travel(spark, tmp_path):
     # old layout still readable at the pre-compaction snapshot
     assert len(cat.tables(snapshot=pre_snap)["t"]) == 5
     assert sorted(r.v for r in cat.read("t", snapshot=pre_snap).collect()) == pre
+
+
+def test_read_incremental_returns_appended_delta_only(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    snaps = []
+    for k in range(4):
+        cat.stage_append(
+            "t", spark.range(10 * k, 10 * k + 10).withColumnRenamed("id", "v")
+        )
+        snaps.append(cat.commit())
+    # delta between consecutive snapshots is exactly that round's rows
+    got = sorted(r.v for r in cat.read_incremental("t", snaps[1], snaps[2]).collect())
+    assert got == list(range(20, 30))
+    # open-ended: everything after snapshot 0
+    got = sorted(r.v for r in cat.read_incremental("t", snaps[0]).collect())
+    assert got == list(range(10, 40))
+    # same-snapshot window is empty but keeps the schema
+    empty = cat.read_incremental("t", snaps[3], snaps[3])
+    assert empty.count() == 0 and empty.columns == ["v"]
+    # compaction rewrites file identity -> incremental across it raises
+    cat.compact("t")
+    with pytest.raises(ValueError, match="incremental read unsound"):
+        cat.read_incremental("t", snaps[2])
