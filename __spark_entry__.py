@@ -1435,6 +1435,24 @@ def q_quality_scores(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_gopher_flags(spark, sf_dir):
+    """Gopher-rule pre-training gate (word-count bounds, mean word
+    length band, lexical diversity, stopword presence) — one
+    shuffle-free native-array pass per document."""
+    from crawler_spark.functions.text import gopher_stats
+
+    d = _t(spark, sf_dir, "documents")
+    s = gopher_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["n_words"].cast("int").alias("n_words"),
+        s["mean_word_len"].alias("mean_word_len"),
+        s["distinct_ratio"].alias("distinct_ratio"),
+        s["stop_hits"].cast("int").alias("stop_hits"),
+        s["pass_gopher"].alias("pass_gopher"),
+    )
+
+
 def q_token_stats(spark, sf_dir):
     from crawler_spark.functions.text import subword_count, token_count
 
@@ -1778,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "gopher_flags": q_gopher_flags,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "corpus_select": q_corpus_select,
@@ -2746,6 +2765,31 @@ def oracle_sql() -> dict[str, str]:
                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
                 ELSE 'fr' END) THEN 1 ELSE 0 END AS BIGINT) AS agree
             FROM scored
+        """,
+        "gopher_flags": """
+            WITH base AS (
+              SELECT doc_id,
+                list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  t -> len(t) > 0) AS toks
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_words,
+                round(list_sum(list_transform(toks, t -> len(t))) * 1.0
+                      / greatest(len(toks), 1), 6) AS mean_word_len,
+                round(len(list_distinct(toks)) * 1.0
+                      / greatest(len(toks), 1), 6) AS distinct_ratio,
+                CAST(len(list_intersect(toks, ['the','and','of','to','in']))
+                     AS INTEGER) AS stop_hits
+              FROM base
+            )
+            SELECT doc_id, n_words, mean_word_len, distinct_ratio, stop_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND distinct_ratio >= 0.2 AND stop_hits >= 1) AS pass_gopher
+            FROM r
         """,
         "quality_scores": """
             WITH base AS (

@@ -90,6 +90,39 @@ def quality_score(text: Column) -> Column:
     return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6)
 
 
+def gopher_stats(text: Column) -> dict[str, Column]:
+    """Gopher-rule document gate (Rae et al. 2021 §A1.1, public): word
+    count bounds, mean word length band, lexical diversity, and a
+    required stopword presence — the standard pre-training corpus
+    filter, all native array expressions (no explode: per-doc state
+    stays one row, so the pass is shuffle-free)."""
+    toks = F.filter(_tokens(text), lambda t: F.length(t) > 0)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_word_len = F.round(sum_len / F.greatest(n_words, F.lit(1)), 6)
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(toks)) / F.greatest(n_words, F.lit(1)), 6
+    )
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (distinct_ratio >= 0.2)
+        & (stop_hits >= 1)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "distinct_ratio": distinct_ratio,
+        "stop_hits": stop_hits,
+        "pass_gopher": passes,
+    }
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
     text (the rolling-hash analog, portable to the SQL oracle)."""
