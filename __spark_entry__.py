@@ -1453,6 +1453,64 @@ def q_gopher_flags(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher's repetition signal: the fraction of a document's word
+    bigrams taken by its single most frequent bigram — high values mark
+    boilerplate/spam. Explode -> two-level agg; bigram counts partial-
+    aggregate map-side, so the shuffle carries (doc, bigram) partials,
+    not raw grams."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_ratio"),
+        )
+    )
+
+
+def q_sequence_packing(spark, sf_dir):
+    """LLM training sequence packing: assign documents to fixed
+    token-budget bins (budget 512) with greedy next-fit over a running
+    token sum, decreasing-size order, inside 32 parallel hash buckets —
+    the distributed form of first-fit-decreasing (each bucket packs
+    independently; the straddling doc overflows its bin, as real packers
+    truncate). Output: per-bin fill statistics."""
+    from crawler_spark.functions.text import token_count
+
+    budget = 512
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 32).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n_tokens"), "doc_id")
+    return (
+        d.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(budget))).cast(
+                "long"
+            ),
+        )
+        .groupBy("bucket", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_packed"),
+            F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+        )
+    )
+
+
 def q_token_stats(spark, sf_dir):
     from crawler_spark.functions.text import subword_count, token_count
 
@@ -1797,6 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "gopher_flags": q_gopher_flags,
+        "repetition_stats": q_repetition_stats,
+        "sequence_packing": q_sequence_packing,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "corpus_select": q_corpus_select,
@@ -2765,6 +2825,43 @@ def oracle_sql() -> dict[str, str]:
                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
                 ELSE 'fr' END) THEN 1 ELSE 0 END AS BIGINT) AS agree
             FROM scored
+        """,
+        "repetition_stats": """
+            WITH words AS (
+              SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+              FROM words, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 2
+            ),
+            c AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                   round(max(cnt) * 1.0 / sum(cnt), 6) AS top_bigram_ratio
+            FROM c GROUP BY doc_id
+        """,
+        "sequence_packing": """
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len(list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+                doc_id % 32 AS bucket
+              FROM documents
+            ),
+            r AS (
+              SELECT *, sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY n_tokens DESC, doc_id
+              ) AS cum FROM t
+            )
+            SELECT bucket,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
+                   round(sum(n_tokens) / 512.0, 6) AS fill_ratio
+            FROM r GROUP BY bucket, bin_id
         """,
         "gopher_flags": """
             WITH base AS (
