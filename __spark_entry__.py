@@ -1570,6 +1570,25 @@ def q_tfidf_top(spark, sf_dir):
     return tfidf_top_token(_t(spark, sf_dir, "documents"))
 
 
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining: top-20 bigrams by PMI (min count 5) — phrase
+    / tokenizer-merge discovery with broadcast unigram joins and
+    broadcast scalar totals."""
+    from crawler_spark.operators.corpus import bigram_pmi_topk
+
+    return bigram_pmi_topk(_t(spark, sf_dir, "documents"), k=20, min_count=5)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index construction: per token df >= 2 plus a
+    deterministic posting sample (first 10 doc ids ascending) —
+    sort_array before slice makes the sample reproducible across
+    cluster sizes despite collect_list's nondeterministic order."""
+    from crawler_spark.operators.corpus import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), max_postings=10, min_df=2)
+
+
 def q_lang_mixture(spark, sf_dir):
     """Training-mixture sampling weights per language (temperature
     alpha=0.3): the data-mixing pass before corpus assembly."""
@@ -1828,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "running_revenue": q_running_revenue,
         "lang_mixture": q_lang_mixture,
+        "bigram_pmi": q_bigram_pmi,
+        "inverted_index": q_inverted_index,
         "stratified_sample": q_stratified_sample,
         "enrich_fallback": q_enrich_fallback,
         "scenario_first_hit": q_scenario_first_hit,
@@ -2199,6 +2220,52 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                    AS cum_rev
             FROM daily
+        """,
+        "bigram_pmi": """
+            WITH words AS (
+              SELECT doc_id,
+                list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  t -> len(t) > 0) AS ws
+              FROM documents
+            ),
+            uni AS (
+              SELECT tok, count(*) AS n_uni
+              FROM (SELECT unnest(ws) AS tok FROM words) GROUP BY tok
+            ),
+            uni_total AS (SELECT CAST(sum(n_uni) AS DOUBLE) AS uni_total FROM uni),
+            bi AS (
+              SELECT ws[i] AS tok_a, ws[i+1] AS tok_b, count(*) AS n_bi
+              FROM words, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 2
+              GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            bi_total AS (SELECT CAST(sum(n_bi) AS DOUBLE) AS bi_total FROM bi)
+            SELECT tok_a, tok_b, n_bi,
+                   round(ln((n_bi / bi_total)
+                            / ((ua.n_uni / uni_total) * (ub.n_uni / uni_total))),
+                         6) AS pmi
+            FROM bi
+            JOIN uni ua ON bi.tok_a = ua.tok
+            JOIN uni ub ON bi.tok_b = ub.tok
+            CROSS JOIN uni_total CROSS JOIN bi_total
+            ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
+        """,
+        "inverted_index": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(
+                  list_filter(
+                    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                    t -> len(t) > 0)) AS tok
+                FROM documents
+              )
+            )
+            SELECT tok, count(*) AS df,
+                   array_to_string(
+                     list_transform(list_sort(list(doc_id))[1:10],
+                                    x -> CAST(x AS VARCHAR)), ',') AS posting_sample
+            FROM toks GROUP BY tok HAVING count(*) >= 2
         """,
         "lang_mixture": """
             WITH c AS (

@@ -127,3 +127,108 @@ def tfidf_top_token(
             F.any_value("score").alias("score"),
         )
     )
+
+
+def bigram_pmi_topk(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation mining: top-k word bigrams by pointwise mutual
+    information, PMI = ln(p(xy) / (p(x)p(y))) with a minimum bigram
+    count (rare pairs have unreliable PMI) — the standard phrase /
+    tokenizer-merge discovery pass.
+
+    Shape: one explode for unigram counts, one for bigram counts, two
+    map-side-combined aggregations, two BROADCAST joins of the (small)
+    unigram vocabulary onto bigram counts, TakeOrdered for top-k. Corpus
+    totals fold in as broadcast one-row scalars; nothing collects to the
+    driver. ln is applied to identical doubles on both engines and the
+    result rounds at 6, pinning oracle hashes.
+    """
+    uni = (
+        _tokens(docs, text_col, id_col)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_uni"))
+    )
+    n_uni_total = uni.agg(F.sum("n_uni").cast("double").alias("uni_total"))
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("tok_a"),
+            F.element_at(toks, i + 1).alias("tok_b"),
+        ),
+    )
+    bi = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("g"))
+        .select("g.tok_a", "g.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_bi"))
+        .filter(F.col("n_bi") >= min_count)
+    )
+    n_bi_total = bi.agg(F.sum("n_bi").cast("double").alias("bi_total"))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("n_uni").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("n_uni").alias("n_b"))
+    return (
+        bi.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_uni_total))
+        .crossJoin(F.broadcast(n_bi_total))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_bi",
+            F.round(
+                F.log(
+                    (F.col("n_bi") / F.col("bi_total"))
+                    / ((F.col("n_a") / F.col("uni_total"))
+                       * (F.col("n_b") / F.col("uni_total")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(k)
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    max_postings: int = 10,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index construction (search-serving / retrieval-eval
+    pass): per token, document frequency and a deterministic sample of
+    the posting list (first `max_postings` doc ids, ascending).
+
+    collect_list order is nondeterministic under parallelism, so the
+    posting sample is sort_array'd before slicing — reproducible across
+    cluster sizes. Emitted as a comma-joined string (portable to the
+    SQL oracle; a real index would write the full list per shard).
+    Postings skew (stopwords appear in every doc) is bounded: the list
+    is capped at max_postings AFTER a distinct (doc_id, tok) reduction,
+    and df itself comes from the same map-side-combinable count."""
+    return (
+        _tokens(docs, text_col, id_col)
+        .distinct()
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.sort_array(F.collect_list("doc_id")), 1, max_postings
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("posting_sample"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
