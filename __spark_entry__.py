@@ -176,6 +176,44 @@ def q_host_link_rank(spark, sf_dir):
     )
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Freshness-driven recrawl planning: every URL gets a refetch
+    interval from its change-rate band (news 6h / active 24h / static
+    168h), doubled per consecutive failure (capped exponential backoff,
+    the reference's retry ceiling generalized to scheduling); the query
+    reports, per host, how much of the frontier is due at the planning
+    horizon and when the next URL comes due. Pure native timestamp
+    arithmetic — the scheduler pass a 10^10-URL frontier runs each
+    round to size its fetch budget."""
+    d8 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 8, 1)) - 1)"
+    d9 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 9, 1)) - 1)"
+    f = _frontier(spark, sf_dir)
+    planned = f.select(
+        "host",
+        "doc_id",
+        F.expr(
+            "timestamp'2026-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, cast(doc_id % 72 as int), 0, 0)"
+        ).alias("last_fetch"),
+        F.expr(f"cast({d8} % 3 as int)").alias("failures"),
+        F.expr(
+            f"element_at(array(6, 24, 168), cast({d9} % 3 as int) + 1)"
+        ).alias("interval_h"),
+    ).withColumn(
+        "next_fetch",
+        F.expr(
+            "last_fetch + make_interval(0, 0, 0, 0, "
+            "cast(interval_h * shiftleft(1, failures) as int), 0, 0)"
+        ),
+    )
+    horizon = "timestamp'2026-01-04 00:00:00'"
+    return planned.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.expr(f"cast(next_fetch <= {horizon} as int)")).cast("long").alias("n_due"),
+        F.min("next_fetch").alias("next_due_ts"),
+    )
+
+
 def q_url_template_stats(spark, sf_dir):
     """Crawl-structure mining: collapse numeric path segments to '{n}'
     and count URLs/hosts per template — the pass a crawl planner runs to
@@ -1809,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "host_link_rank": q_host_link_rank,
         "url_template_stats": q_url_template_stats,
+        "recrawl_schedule": q_recrawl_schedule,
         "host_degree_histogram": q_host_degree_histogram,
         "urlseen_antijoin": q_urlseen_antijoin,
         "robots_gate": q_robots_gate,
@@ -1907,6 +1946,29 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE sched_rank <= 4
         """,
         "host_link_rank": _link_rank_sql(n_iter=3),
+        "recrawl_schedule": f"""
+            WITH f AS ({frontier}),
+            planned AS (
+              SELECT host, doc_id,
+                TIMESTAMP '2026-01-01 00:00:00'
+                  + to_hours(doc_id % 72) AS last_fetch,
+                CAST({_hexdig_sql("cast(doc_id AS varchar)", 8)} % 3 AS INTEGER)
+                  AS failures,
+                ([6, 24, 168])[CAST({_hexdig_sql("cast(doc_id AS varchar)", 9)} % 3
+                               AS INTEGER) + 1] AS interval_h
+              FROM f
+            ),
+            nf AS (
+              SELECT host,
+                last_fetch + to_hours(interval_h * (1 << failures)) AS next_fetch
+              FROM planned
+            )
+            SELECT host, count(*) AS n_urls,
+                   CAST(sum(CASE WHEN next_fetch <= TIMESTAMP '2026-01-04 00:00:00'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_due,
+                   min(next_fetch) AS next_due_ts
+            FROM nf GROUP BY host
+        """,
         "url_template_stats": f"""
             WITH urls AS (
               SELECT 'host-' || (doc_id % 20) AS host,
