@@ -54,6 +54,10 @@ HEADLINE = [
     "host_link_rank",
     "image_dup_clusters",
     "nation_trade_volume",
+    "bigram_pmi",
+    "sequence_packing",
+    "gopher_flags",
+    "recrawl_schedule",
 ]
 
 BENCH_HOSTS = 50
