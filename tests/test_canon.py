@@ -49,3 +49,81 @@ def test_with_url_cols(spark):
         assert r["url_hash"] == xxh64_str(want)
         # parse_url(HOST) yields the hostname without the port
         assert r["host"] == want.split("://")[1].split("/")[0].split("?")[0].split(":")[0]
+
+
+# ---- property-based fuzzing (hypothesis) -----------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _host = st.from_regex(r"[a-zA-Z0-9]([a-zA-Z0-9.-]{0,20}[a-zA-Z0-9])?", fullmatch=True)
+    _path = st.from_regex(r"(/[a-zA-Z0-9._~%!$&()*+,;=:@-]{0,12}){0,5}", fullmatch=True)
+    _query = st.from_regex(r"([a-z]{1,5}=[a-zA-Z0-9%]{0,8}(&[a-z]{1,5}=[a-zA-Z0-9%]{0,8}){0,4})?", fullmatch=True)
+    _frag = st.from_regex(r"(#[a-zA-Z0-9]{0,8})?", fullmatch=True)
+
+    @st.composite
+    def _urls(draw):
+        scheme = draw(st.sampled_from(["http", "HTTP", "https", "HtTpS"]))
+        port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+        q = draw(_query)
+        return (
+            f"{scheme}://{draw(_host)}{port}{draw(_path)}"
+            + (f"?{q}" if q else "")
+            + draw(_frag)
+        )
+
+    @settings(max_examples=300, deadline=None)
+    @given(_urls())
+    def test_normalize_url_invariants_fuzz(url):
+        c = normalize_url(url)
+        # idempotent (the property the URL-seen set's correctness rests on)
+        assert normalize_url(c) == c, (url, c)
+        # no fragment survives; scheme+host are lowercase; path present
+        assert "#" not in c
+        scheme, rest = c.split("://", 1)
+        assert scheme == scheme.lower()
+        netloc = rest.split("/", 1)[0]
+        assert netloc == netloc.lower()
+        assert "/" in rest or rest == netloc
+        # default ports are stripped, non-default kept
+        if ":80" in url and scheme == "http":
+            assert not netloc.endswith(":80")
+        if ":8080" in url:
+            assert netloc.endswith(":8080")
+        # query params, when present, are sorted
+        if "?" in c:
+            params = c.split("?", 1)[1].split("&")
+            assert params == sorted(params)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=120))
+    def test_xxh64_python_spec_fuzz(s):
+        # pure-numpy xxh64 stays within uint64 and is deterministic;
+        # (Spark-parity on arbitrary unicode is pinned by
+        # test_xxh64_matches_spark on fixed vectors + the crawl oracle)
+        a = xxh64_str(s)
+        assert a == xxh64_str(s)
+        assert -(1 << 63) <= a < (1 << 63)
+
+
+def test_xxh64_matches_spark_seeded_fuzz(spark):
+    """300 seeded-random strings (ascii, unicode, long, empty) through
+    the numpy xxh64 vs Spark's xxhash64 in ONE batched job."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    pool = "abcXYZ019 /:?&=#._-%한글漢字éß€" + chr(0x1F600)
+    strs = list({
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 120)))
+        for _ in range(300)
+    })
+    df = spark.createDataFrame(pd.DataFrame({"s": strs}))
+    got = {r["s"]: r["x"] for r in df.select("s", F.xxhash64("s").alias("x")).collect()}
+    for s in strs:
+        assert xxh64_str(s) == got[s], repr(s)
