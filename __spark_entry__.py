@@ -1549,6 +1549,44 @@ def q_sequence_packing(spark, sf_dir):
     )
 
 
+def q_training_shards(spark, sf_dir):
+    """End-to-end corpus shard manifest in ONE plan: Gopher-rule gate ->
+    exact dedup (first-wins by normalized-text fingerprint) -> token
+    packing into 512-token bins inside 16 hash buckets -> per-shard
+    manifest (docs, tokens, fill). The composition every pre-training
+    data build runs; here it is a single Catalyst plan (the gate's
+    array expressions, the dedup's one groupBy+semi-join shuffle, the
+    packing window) — no intermediate materialization."""
+    from crawler_spark.functions.text import fingerprint, gopher_stats, token_count
+
+    budget = 512
+    d = _t(spark, sf_dir, "documents")
+    s = gopher_stats(F.col("text"))
+    gated = d.filter(s["pass_gopher"]).select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    keep = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(keep, ["fp", "doc_id"], "left_semi")
+    w = Window.partitionBy("bucket").orderBy(F.desc("n_tokens"), "doc_id")
+    return (
+        deduped.withColumn("bucket", F.col("doc_id") % 16)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(budget))).cast(
+                "long"
+            ),
+        )
+        .groupBy("bucket", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_packed"),
+        )
+    )
+
+
 def q_token_stats(spark, sf_dir):
     from crawler_spark.functions.text import subword_count, token_count
 
@@ -1917,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_flags": q_gopher_flags,
         "repetition_stats": q_repetition_stats,
         "sequence_packing": q_sequence_packing,
+        "training_shards": q_training_shards,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "corpus_select": q_corpus_select,
@@ -2990,6 +3029,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
                    round(sum(n_tokens) / 512.0, 6) AS fill_ratio
+            FROM r GROUP BY bucket, bin_id
+        """,
+        "training_shards": """
+            WITH base AS (
+              SELECT doc_id, text,
+                list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  t -> len(t) > 0) AS toks
+              FROM documents
+            ),
+            gated AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM (
+                SELECT *,
+                  CAST(len(toks) AS INTEGER) AS n_words,
+                  round(list_sum(list_transform(toks, t -> len(t))) * 1.0
+                        / greatest(len(toks), 1), 6) AS mean_word_len,
+                  round(len(list_distinct(toks)) * 1.0
+                        / greatest(len(toks), 1), 6) AS distinct_ratio,
+                  len(list_intersect(toks, ['the','and','of','to','in'])) AS stop_hits
+                FROM base
+              )
+              WHERE n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND distinct_ratio >= 0.2 AND stop_hits >= 1
+            ),
+            keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
+            deduped AS (
+              SELECT g.doc_id, g.n_tokens, g.doc_id % 16 AS bucket
+              FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id
+            ),
+            r AS (
+              SELECT *, sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY n_tokens DESC, doc_id
+              ) AS cum FROM deduped
+            )
+            SELECT bucket,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens_packed
             FROM r GROUP BY bucket, bin_id
         """,
         "gopher_flags": """
