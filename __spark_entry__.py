@@ -176,6 +176,40 @@ def q_host_link_rank(spark, sf_dir):
     )
 
 
+def q_host_triangles(spark, sf_dir):
+    """Web-graph triangle count over the host link graph (same edges as
+    host_link_rank, undirected + deduped): the clustering-coefficient
+    numerator used to separate organic link neighborhoods from spam
+    farms. Plan shape: degree-ordered edge orientation (a < b) then a
+    3-way self-join — each join keyed on a node column, so at web scale
+    it hash-partitions; the orientation bounds the join fan-out by max
+    out-degree (the standard node-iterator++ trick)."""
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        (F.col("doc_id") % 20).alias("u"),
+        F.expr(f"(16 * {d6} + {d7}) % 20").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    edges = (
+        raw.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).distinct()
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.count_distinct("x").alias("n_apex_hosts"),
+    )
+
+
 def q_recrawl_schedule(spark, sf_dir):
     """Freshness-driven recrawl planning: every URL gets a refetch
     interval from its change-rate band (news 6h / active 24h / static
@@ -1886,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_rank": q_host_link_rank,
         "url_template_stats": q_url_template_stats,
         "recrawl_schedule": q_recrawl_schedule,
+        "host_triangles": q_host_triangles,
         "host_degree_histogram": q_host_degree_histogram,
         "urlseen_antijoin": q_urlseen_antijoin,
         "robots_gate": q_robots_gate,
@@ -1985,6 +2020,27 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE sched_rank <= 4
         """,
         "host_link_rank": _link_rank_sql(n_iter=3),
+        "host_triangles": f"""
+            WITH raw AS (
+              SELECT doc_id % 20 AS u,
+                     (16 * {_hexdig_sql("cast(doc_id AS varchar)", 6)}
+                      + {_hexdig_sql("cast(doc_id AS varchar)", 7)}) % 20 AS v
+              FROM documents
+            ),
+            edges AS (
+              SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+              FROM raw WHERE u != v
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM edges e1
+              JOIN edges e2 ON e1.b = e2.a
+              JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT count(*) AS n_triangles,
+                   count(DISTINCT x) AS n_apex_hosts
+            FROM tri
+        """,
         "recrawl_schedule": f"""
             WITH f AS ({frontier}),
             planned AS (
