@@ -827,6 +827,34 @@ def q_length_quantiles(spark, sf_dir):
     )
 
 
+def q_price_outliers(spark, sf_dir):
+    """Robust (median/MAD) outlier detection per group — the
+    data-quality pass that survives the heavy tails that wreck
+    mean/stddev z-scores. Two grouped exact-percentile passes (median,
+    then median absolute deviation) each broadcast back onto the fact;
+    rows beyond 3 MADs are counted per group. At 100 TB both medians
+    flip to approx_percentile (mergeable t-digest) with the same plan
+    shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = j.groupBy("l_returnflag").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        j.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("adev") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+        )
+    )
+
+
 def q_forecast_revenue(spark, sf_dir):
     """TPC-H Q6-shaped: the pure scan-filter-agg probe. All three
     predicates must reach the parquet scan as PushedFilters; the agg is
@@ -1954,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "interval_join_events": q_interval_join_events,
         "length_quantiles": q_length_quantiles,
+        "price_outliers": q_price_outliers,
         "event_type_pivot": q_event_type_pivot,
         "sliding_event_counts": q_sliding_event_counts,
         "json_props_stats": q_json_props_stats,
@@ -2470,6 +2499,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM i JOIN p ON p_ts >= start_ts AND p_ts < end_ts
             GROUP BY signup_id
+        """,
+        "price_outliers": """
+            WITH med AS (
+              SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+              FROM lineitem GROUP BY l_returnflag
+            ),
+            j AS (
+              SELECT li.l_returnflag, med,
+                     abs(l_extendedprice - med) AS adev
+              FROM lineitem li JOIN med USING (l_returnflag)
+            ),
+            mad AS (
+              SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+              FROM j GROUP BY l_returnflag
+            )
+            SELECT j.l_returnflag, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers,
+                   round(min(med), 6) AS med, round(min(mad), 6) AS mad
+            FROM j JOIN mad USING (l_returnflag)
+            GROUP BY j.l_returnflag
         """,
         "length_quantiles": """
             SELECT lang, count(*) AS n_docs,
