@@ -165,7 +165,13 @@ class SnapshotCatalog:
             return self.read(table, to_snapshot).limit(0)
         return self.spark.read.parquet(*delta)
 
-    def compact(self, table: str, target_bytes: int = 128 << 20) -> int:
+    def compact(
+        self,
+        table: str,
+        target_bytes: int = 128 << 20,
+        zorder_by: tuple[str, str] | None = None,
+        zorder_bits: int = 16,
+    ) -> int:
         """Small-file compaction (Iceberg rewrite_data_files analog).
 
         Every crawl round and every streaming micro-batch appends its own
@@ -178,6 +184,11 @@ class SnapshotCatalog:
         layout readable. The target file count comes from manifest-side
         fs metadata — no data pass.
 
+        ``zorder_by=(x, y)`` additionally clusters the rewrite by the
+        Morton key of two integer columns (Delta OPTIMIZE ZORDER BY
+        analog): one range shuffle instead of coalesce, buying row-group
+        min/max pruning on BOTH columns for every future scan.
+
         Returns the new snapshot id.
         """
         current_bytes = 0
@@ -189,7 +200,14 @@ class SnapshotCatalog:
                     if f.endswith(".parquet")
                 )
         n_files = max(1, -(-current_bytes // target_bytes))
-        self.stage_overwrite(table, self.read(table).coalesce(n_files))
+        df = self.read(table)
+        if zorder_by is not None:
+            from crawler_spark.functions.zorder import zorder_layout
+
+            df = zorder_layout(df, zorder_by[0], zorder_by[1], n_files, zorder_bits)
+        else:
+            df = df.coalesce(n_files)
+        self.stage_overwrite(table, df)
         return self.commit()
 
     def expire_snapshots(self, keep_last: int = 3) -> int:

@@ -62,3 +62,40 @@ def test_zorder_layout_keeps_both_dims_tight(spark):
     # and w stays prunable too (both dims tight, not a trade)
     z_w = spreads(z, "w")
     assert z_w[len(z_w) // 2] <= 128, z_w
+
+
+def test_zorder_compaction_tightens_rowgroup_stats(spark, tmp_path):
+    """compact(zorder_by=...) must produce parquet files whose FOOTER
+    min/max (what scans actually prune on) are tight on BOTH columns —
+    verified from real row-group metadata, not partition contents."""
+    import duckdb
+
+    from crawler_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    # appends arrive in insertion (w-major) order, as crawl rounds would
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("w"),
+        (F.col("id") / 256).cast("int").alias("h"),
+    )
+    cat.stage_append("imgs", grid)
+    cat.commit()
+    cat.compact("imgs", target_bytes=1, zorder_by=("w", "h"), zorder_bits=8)
+
+    con = duckdb.connect()
+    d = cat.tables()["imgs"][0]
+    stats = con.execute(
+        f"""
+        SELECT path_in_schema,
+               avg(stats_max::INT - stats_min::INT) AS avg_spread
+        FROM parquet_metadata('{d}/*.parquet')
+        WHERE path_in_schema IN ('w', 'h')
+        GROUP BY path_in_schema
+        """
+    ).fetchall()
+    spreads = {r[0]: r[1] for r in stats}
+    # row counts force multiple row groups; both dims must stay tight
+    assert spreads["w"] <= 128, spreads
+    assert spreads["h"] <= 128, spreads
+    # rows preserved
+    assert cat.read("imgs").count() == 256 * 256
