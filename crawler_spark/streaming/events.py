@@ -299,3 +299,52 @@ def run_url_dedup_stream(
     q.processAllAvailable()
     q.stop()
     return name
+
+
+def streaming_robots_gate(
+    urls: DataFrame, robots_dim: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment: gate a continuous URL stream against
+    the robots dimension (T5's streaming twin). Structured Streaming
+    re-resolves the static side every micro-batch, so robots refreshes
+    land without restarting the query; the dim is broadcast (hosts are
+    ~10^7 rows — small next to the stream) and unknown hosts default to
+    allowed with the default delay, exactly like the batch gate."""
+    dim = robots_dim.select(
+        "host",
+        F.col("denied").alias("_denied"),
+        F.col("crawl_delay_s").alias("_delay"),
+    )
+    return (
+        urls.join(F.broadcast(dim), "host", "left")
+        .filter(~F.coalesce(F.col("_denied"), F.lit(False)))
+        .select(
+            "url_canon",
+            "url_hash",
+            "host",
+            "ts",
+            F.coalesce(F.col("_delay"), F.lit(1.0)).alias("crawl_delay_s"),
+        )
+    )
+
+
+def run_robots_gate_stream(
+    spark: SparkSession, parquet_dir: str, robots_dim: DataFrame,
+    name: str = "robots_gate_out",
+):
+    """Drive the stream-static robots gate over a parquet URL stream."""
+    src = (
+        spark.readStream.schema(URLS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(parquet_dir)
+    )
+    q = (
+        streaming_robots_gate(src, robots_dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name

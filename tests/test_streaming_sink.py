@@ -50,3 +50,27 @@ def test_full_stream_rerun_does_not_duplicate(spark, tmp_path):
     # is at or below the committed marker -> entire rerun is a no-op
     run_stream_to_catalog(spark, src, cat, table="stream_results", sink_id="u1")
     assert cat.read("stream_results").count() == 30
+
+
+def test_stream_static_robots_gate(spark, tmp_path):
+    """Stream-static join: denied hosts are dropped mid-stream, known
+    hosts carry their crawl delay, unknown hosts default to allowed."""
+    from crawler_spark.streaming.events import run_robots_gate_stream
+
+    src = str(tmp_path / "in")
+    for k in range(2):
+        _urls(spark, 10 * k, 10 * k + 10).coalesce(1).write.mode("append").parquet(src)
+    robots = spark.createDataFrame(
+        [("h0.test", True, 2.0), ("h1.test", False, 5.0)],
+        "host string, denied boolean, crawl_delay_s double",
+    )
+    name = run_robots_gate_stream(spark, src, robots)
+    out = spark.table(name).collect()
+    hosts = {r.host for r in out}
+    assert "h0.test" not in hosts            # denied host gone
+    assert {"h1.test", "h2.test"} <= hosts   # allowed + unknown pass
+    delays = {r.host: r.crawl_delay_s for r in out}
+    assert delays["h1.test"] == 5.0
+    assert delays["h2.test"] == 1.0          # unknown host default
+    # every input row for allowed hosts survived (20 rows, h0 drops 1/3)
+    assert len(out) == sum(1 for i in range(20) if i % 3 != 0)
