@@ -176,6 +176,62 @@ def q_host_link_rank(spark, sf_dir):
     )
 
 
+def q_dataset_split(spark, sf_dir):
+    """Canonical train/val/test split by content-stable hash bucket
+    (md5 of doc_id -> 100 buckets -> 80/10/10): disjoint and exhaustive
+    by construction, reproducible across reruns and cluster sizes —
+    never df.randomSplit, whose assignment depends on partitioning."""
+    b = (
+        f"((16 * {_hexdig_sql('cast(doc_id as string)', 1)}"
+        f" + {_hexdig_sql('cast(doc_id as string)', 2)}) % 100)"
+    )
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "split",
+            F.expr(
+                f"CASE WHEN {b} < 80 THEN 'train' "
+                f"WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+
+
+def q_host_reciprocity(spark, sf_dir):
+    """Link reciprocity of the host graph (same edges as
+    host_link_rank): the share of directed edges whose reverse edge also
+    exists — spam rings reciprocate near 1.0, organic links don't. One
+    left-semi self-join on the swapped key pair."""
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.select(
+            (F.col("doc_id") % 20).alias("src"),
+            F.expr(f"(16 * {d6} + {d7}) % 20").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = edges.join(rev, ["src", "dst"], "left_semi")
+    n_all = edges.agg(F.count("*").alias("n_edges"))
+    n_rec = recip.agg(F.count("*").alias("n_reciprocal"))
+    return (
+        n_all.crossJoin(n_rec)
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.round(F.col("n_reciprocal") / F.col("n_edges"), 6).alias("reciprocity"),
+        )
+    )
+
+
 def q_host_triangles(spark, sf_dir):
     """Web-graph triangle count over the host link graph (same edges as
     host_link_rank, undirected + deduped): the clustering-coefficient
@@ -1949,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_stats": q_url_template_stats,
         "recrawl_schedule": q_recrawl_schedule,
         "host_triangles": q_host_triangles,
+        "dataset_split": q_dataset_split,
+        "host_reciprocity": q_host_reciprocity,
         "host_degree_histogram": q_host_degree_histogram,
         "urlseen_antijoin": q_urlseen_antijoin,
         "robots_gate": q_robots_gate,
@@ -2049,6 +2107,40 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE sched_rank <= 4
         """,
         "host_link_rank": _link_rank_sql(n_iter=3),
+        "dataset_split": f"""
+            WITH b AS (
+              SELECT n_chars,
+                CASE WHEN (16 * {_hexdig_sql("cast(doc_id AS varchar)", 1)}
+                           + {_hexdig_sql("cast(doc_id AS varchar)", 2)}) % 100 < 80
+                     THEN 'train'
+                     WHEN (16 * {_hexdig_sql("cast(doc_id AS varchar)", 1)}
+                           + {_hexdig_sql("cast(doc_id AS varchar)", 2)}) % 100 < 90
+                     THEN 'val' ELSE 'test' END AS split
+              FROM documents
+            )
+            SELECT split, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+            FROM b GROUP BY split
+        """,
+        "host_reciprocity": f"""
+            WITH edges AS (
+              SELECT DISTINCT doc_id % 20 AS src,
+                     (16 * {_hexdig_sql("cast(doc_id AS varchar)", 6)}
+                      + {_hexdig_sql("cast(doc_id AS varchar)", 7)}) % 20 AS dst
+              FROM documents
+              WHERE doc_id % 20 != (16 * {_hexdig_sql("cast(doc_id AS varchar)", 6)}
+                                    + {_hexdig_sql("cast(doc_id AS varchar)", 7)}) % 20
+            ),
+            recip AS (
+              SELECT e.src, e.dst FROM edges e
+              WHERE EXISTS (SELECT 1 FROM edges r
+                            WHERE r.src = e.dst AND r.dst = e.src)
+            )
+            SELECT (SELECT count(*) FROM edges) AS n_edges,
+                   (SELECT count(*) FROM recip) AS n_reciprocal,
+                   round((SELECT count(*) FROM recip) * 1.0
+                         / (SELECT count(*) FROM edges), 6) AS reciprocity
+        """,
         "host_triangles": f"""
             WITH raw AS (
               SELECT doc_id % 20 AS u,
