@@ -1614,15 +1614,20 @@ def q_repetition_stats(spark, sf_dir):
     bigrams taken by its single most frequent bigram — high values mark
     boilerplate/spam. Explode -> two-level agg; bigram counts partial-
     aggregate map-side, so the shuffle carries (doc, bigram) partials,
-    not raw grams."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    not raw grams. Token array projected once before the lambda (no CSE
+    inside higher-order functions — else split() re-runs per gram)."""
+    ws = F.col("__ws")
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
     )
     d = _t(spark, sf_dir, "documents")
     return (
-        d.filter(F.size(toks) >= 2)
+        d.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__ws"),
+        )
+        .filter(F.size(ws) >= 2)
         .select("doc_id", F.explode(grams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("cnt"))

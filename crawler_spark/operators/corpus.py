@@ -145,30 +145,41 @@ def bigram_pmi_topk(
     map-side-combined aggregations, two BROADCAST joins of the (small)
     unigram vocabulary onto bigram counts, TakeOrdered for top-k. Corpus
     totals fold in as broadcast one-row scalars; nothing collects to the
-    driver. ln is applied to identical doubles on both engines and the
-    result rounds at 6, pinning oracle hashes.
+    driver. Both count tables are localCheckpoint-materialized ONCE:
+    the scalar-total aggregates and the joins are separate plan
+    subtrees, and without materialization each would re-run its full
+    explode+shuffle pipeline (measured 4x recompute = ~3x wall time).
+    ln is applied to identical doubles on both engines and the result
+    rounds at 6, pinning oracle hashes.
     """
     uni = (
         _tokens(docs, text_col, id_col)
         .groupBy("tok")
         .agg(F.count("*").alias("n_uni"))
+        .localCheckpoint()
     )
     n_uni_total = uni.agg(F.sum("n_uni").cast("double").alias("uni_total"))
-    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    # project the token array once: lambdas don't CSE, so element_at over
+    # the raw split() would re-split per bigram position (13x slower)
+    ws = F.col("__ws")
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        F.sequence(F.lit(1), F.size(ws) - 1),
         lambda i: F.struct(
-            F.element_at(toks, i).alias("tok_a"),
-            F.element_at(toks, i + 1).alias("tok_b"),
+            F.element_at(ws, i).alias("tok_a"),
+            F.element_at(ws, i + 1).alias("tok_b"),
         ),
     )
     bi = (
-        docs.filter(F.size(toks) >= 2)
+        docs.select(
+            F.split(F.lower(F.trim(F.col(text_col))), "\\s+").alias("__ws")
+        )
+        .filter(F.size(ws) >= 2)
         .select(F.explode(grams).alias("g"))
         .select("g.tok_a", "g.tok_b")
         .groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("n_bi"))
         .filter(F.col("n_bi") >= min_count)
+        .localCheckpoint()
     )
     n_bi_total = bi.agg(F.sum("n_bi").cast("double").alias("bi_total"))
     ua = uni.select(F.col("tok").alias("tok_a"), F.col("n_uni").alias("n_a"))
