@@ -1591,6 +1591,78 @@ def q_quality_scores(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing (the mandatory pre-training pass): regex-redact
+    emails, E.164-ish phone numbers, and IPv4 addresses, reporting
+    per-doc hit counts and the redacted length. The corpus is clean by
+    construction, so deterministic synthetic PII is appended to a
+    md5-chosen subset first — the redactor must find exactly what was
+    planted (count columns double as the oracle's proof of recall).
+    One native regexp chain, no UDF."""
+    d8 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 8, 1)) - 1)"
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"\+[0-9]{11}"
+    ip_re = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.expr(
+            f"""CASE {d8} % 4
+                WHEN 0 THEN concat(text, ' contact user', doc_id,
+                            '@example.com now')
+                WHEN 1 THEN concat(text, ' call +1555', lpad(cast(doc_id % 10000000 as string), 7, '0'))
+                WHEN 2 THEN concat(text, ' from 10.', doc_id % 256, '.0.',
+                            (doc_id * 7) % 256)
+                ELSE text
+            END"""
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ),
+        ip_re,
+        "<IP>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(ip_re), F.lit(0)))
+        .cast("int")
+        .alias("n_ips"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination check (the eval-hygiene pass): flag
+    training documents sharing any word 8-gram with the eval set (here:
+    docs 0-49 stand in as the benchmark — 8-grams flag exactly the true
+    near-duplicates, no false positives on this corpus). Eval grams broadcast (eval
+    sets are tiny next to the corpus); the join runs on the gram hash;
+    output is per-contaminated-doc overlap counts."""
+    from crawler_spark.operators.dedup import _shingles
+
+    d = _t(spark, sf_dir, "documents")
+    grams = _shingles(d, "text", "doc_id", n=8)
+    eval_grams = (
+        grams.filter(F.col("doc_id") < 50).select("shingle").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= 50)
+        .join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
 def q_gopher_flags(spark, sf_dir):
     """Gopher-rule pre-training gate (word-count bounds, mean word
     length band, lexical diversity, stopword presence) — one
@@ -2080,6 +2152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "gopher_flags": q_gopher_flags,
+        "pii_redaction": q_pii_redaction,
+        "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
         "sequence_packing": q_sequence_packing,
         "training_shards": q_training_shards,
@@ -3233,6 +3307,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
                    round(sum(n_tokens) / 512.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, bin_id
+        """,
+        "pii_redaction": f"""
+            WITH seeded AS (
+              SELECT doc_id,
+                CASE {_hexdig_sql("cast(doc_id AS varchar)", 8)} % 4
+                  WHEN 0 THEN text || ' contact user' || doc_id || '@example.com now'
+                  WHEN 1 THEN text || ' call +1555' || lpad(cast(doc_id % 10000000 AS varchar), 7, '0')
+                  WHEN 2 THEN text || ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+                  ELSE text
+                END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INTEGER) AS n_emails,
+              CAST(len(regexp_extract_all(text, '\\+[0-9]{{11}}')) AS INTEGER) AS n_phones,
+              CAST(len(regexp_extract_all(text,
+                '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS INTEGER) AS n_ips,
+              CAST(length(
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+                  '\\+[0-9]{{11}}', '<PHONE>', 'g'),
+                  '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '<IP>', 'g')
+              ) AS BIGINT) AS redacted_len
+            FROM seeded
+        """,
+        "contamination_check": """
+            WITH words AS (
+              SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' '
+                || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+              WHERE len(ws) >= 8
+            ),
+            ev AS (SELECT DISTINCT shingle FROM grams WHERE doc_id < 50)
+            SELECT g.doc_id, count(*) AS n_shared_grams
+            FROM grams g JOIN ev USING (shingle)
+            WHERE g.doc_id >= 50
+            GROUP BY g.doc_id
         """,
         "training_shards": """
             WITH base AS (
