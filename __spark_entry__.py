@@ -1949,6 +1949,52 @@ def _dot_d(a, b):
     )
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding (class centroids — the IVF/k-NN prior
+    and the drift monitor's reference vector): posexplode to (label,
+    dim, value), one map-side-combinable two-key aggregation. Emitted
+    long-form (label, dim, centroid) — at 10^6 labels x 512 dims the
+    long form IS the scalable layout (no giant array rebuild)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+    )
+
+
+def q_embedding_quantization(spark, sf_dir):
+    """Int8 quantization prep (the storage/serving compression pass):
+    per-vector absmax scale (127/max|x|) and the checksum of the
+    quantized values. floor(x*scale + 0.5) on BOTH engines — F.round
+    (HALF_UP) and DuckDB round (HALF_EVEN) disagree on exact .5
+    boundaries, floor(+0.5) cannot."""
+    e = _t(spark, sf_dir, "embeddings")
+    # project max_abs FIRST: referencing the aggregate expression inside
+    # the checksum lambda would recompute it per element (the lambda-CSE
+    # trap, SCALE.md)
+    withmax = e.select(
+        "vec_id",
+        "embedding",
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+        ).alias("max_abs"),
+    )
+    scale = F.lit(127.0) / F.greatest(F.col("max_abs"), F.lit(1e-30))
+    return withmax.select(
+        "vec_id",
+        F.round("max_abs", 6).alias("max_abs"),
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("long"),
+            lambda a, x: a
+            + F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        ).alias("int8_checksum"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact top-10 by cosine vs the vec_id=0 embedding —
     native zip_with/aggregate, TakeOrdered top-k (no global sort)."""
@@ -2167,6 +2213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_clusters": q_image_dup_clusters,
         "zorder_key": q_zorder_key,
         "cosine_topk": q_cosine_topk,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_quantization": q_embedding_quantization,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -3595,6 +3643,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS image_id, least(s, min(t)) AS cluster_id
             FROM reach GROUP BY s
+        """,
+        "embedding_centroids": """
+            SELECT label, CAST(t.i - 1 AS INTEGER) AS dim,
+                   round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS centroid
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY label, dim
+        """,
+        "embedding_quantization": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+              FROM embeddings
+            )
+            SELECT vec_id, round(max_abs, 6) AS max_abs,
+              CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE)
+                     * (127.0 / greatest(max_abs, 1e-30)) + 0.5) AS BIGINT)))
+                AS BIGINT) AS int8_checksum
+            FROM m
         """,
         "cosine_topk": """
             WITH q AS (
