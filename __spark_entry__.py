@@ -1782,6 +1782,47 @@ def q_training_shards(spark, sf_dir):
     )
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): per user, the first
+    view, the first click strictly after it, the first purchase
+    strictly after that — three conditional-min aggregations over ONE
+    grouped pass (no self-joins: each stage's timestamp is a min over a
+    when() of the previous stage's, computed via two chained tiny
+    aggs), then stage conversion counts."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_view = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").join(first_view, "user_id")
+    first_click = (
+        clicks.filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.min("t_view").alias("t_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").join(
+        first_click, "user_id"
+    )
+    first_purchase = (
+        purchases.filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        first_view.agg(F.count("*").alias("n"))
+        .select(F.lit("1_view").alias("stage"), "n")
+        .unionByName(
+            first_click.agg(F.count("*").alias("n")).select(
+                F.lit("2_click_after_view").alias("stage"), "n"
+            )
+        )
+        .unionByName(
+            first_purchase.agg(F.count("*").alias("n")).select(
+                F.lit("3_purchase_after_click").alias("stage"), "n"
+            )
+        )
+    )
+
+
 def q_token_stats(spark, sf_dir):
     from crawler_spark.functions.text import subword_count, token_count
 
@@ -2203,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "sequence_packing": q_sequence_packing,
         "training_shards": q_training_shards,
+        "event_funnel": q_event_funnel,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "corpus_select": q_corpus_select,
@@ -3355,6 +3397,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
                    round(sum(n_tokens) / 512.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, bin_id
+        """,
+        "event_funnel": """
+            WITH fv AS (
+              SELECT user_id, min(ts) AS t_view FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            fc AS (
+              SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN fv USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > fv.t_view
+              GROUP BY e.user_id
+            ),
+            fp AS (
+              SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN fc USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > fc.t_click
+              GROUP BY e.user_id
+            )
+            SELECT '1_view' AS stage, count(*) AS n FROM fv
+            UNION ALL
+            SELECT '2_click_after_view', count(*) FROM fc
+            UNION ALL
+            SELECT '3_purchase_after_click', count(*) FROM fp
         """,
         "pii_redaction": f"""
             WITH seeded AS (
