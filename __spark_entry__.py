@@ -304,6 +304,27 @@ def q_recrawl_schedule(spark, sf_dir):
     )
 
 
+def q_depth_histogram(spark, sf_dir):
+    """Frontier depth profile: URL counts per crawl depth plus the
+    cumulative share of the frontier at or above each depth — what a
+    crawl operator reads to set the depth cutoff. The running-sum
+    window is over the DEPTH HISTOGRAM (a handful of rows), never the
+    frontier itself."""
+    f = _frontier(spark, sf_dir)
+    hist = f.groupBy("depth").agg(F.count("*").alias("n_urls"))
+    total = hist.agg(F.sum("n_urls").cast("double").alias("total"))
+    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("cum_urls", F.sum("n_urls").over(w))
+        .select(
+            "depth",
+            "n_urls",
+            F.round(F.col("cum_urls") / F.col("total"), 6).alias("cum_share"),
+        )
+    )
+
+
 def q_url_template_stats(spark, sf_dir):
     """Crawl-structure mining: collapse numeric path segments to '{n}'
     and count URLs/hosts per template — the pass a crawl planner runs to
@@ -2167,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "host_link_rank": q_host_link_rank,
         "url_template_stats": q_url_template_stats,
+        "depth_histogram": q_depth_histogram,
         "recrawl_schedule": q_recrawl_schedule,
         "host_triangles": q_host_triangles,
         "dataset_split": q_dataset_split,
@@ -2330,6 +2352,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_triangles,
                    count(DISTINCT x) AS n_apex_hosts
             FROM tri
+        """,
+        "depth_histogram": f"""
+            WITH f AS ({frontier}),
+            hist AS (SELECT depth, count(*) AS n_urls FROM f GROUP BY depth),
+            t AS (SELECT CAST(sum(n_urls) AS DOUBLE) AS total FROM hist)
+            SELECT depth, n_urls,
+                   round(sum(n_urls) OVER (ORDER BY depth
+                         ROWS UNBOUNDED PRECEDING) / total, 6) AS cum_share
+            FROM hist CROSS JOIN t
         """,
         "recrawl_schedule": f"""
             WITH f AS ({frontier}),
