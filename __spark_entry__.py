@@ -1962,6 +1962,48 @@ def q_pair_corpus_stats(spark, sf_dir):
     return pair_corpus_stats(meta)
 
 
+def q_caption_stats_by_resolution(spark, sf_dir):
+    """Image-curation diagnostic: caption token statistics per
+    resolution band (megapixel log2 bucket) and format — the join of
+    quality thresholds to image size a LAION-style filter is tuned
+    from. Bucket = length(bin(w*h))-1 (integer-safe log2)."""
+    from crawler_spark.operators.pairs import synth_pair_meta
+
+    meta = synth_pair_meta(_t(spark, sf_dir, "documents"))
+    return (
+        meta.withColumn(
+            "res_bucket",
+            F.expr("length(bin(cast(w as bigint) * h)) - 1").cast("int"),
+        )
+        .groupBy("fmt", "res_bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Dedup diagnostics segmented by origin: per source, exact-dup
+    rate via fingerprint multiplicity — the per-feed quality report
+    that decides which crawl sources get down-weighted. Two map-side-
+    combinable aggs (fingerprint counts, then per-source rollup)."""
+    from crawler_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    fp_counts = (
+        d.select("source", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source", "fp")
+        .agg(F.count("*").alias("n"))
+    )
+    return fp_counts.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") - 1).alias("n_dup_docs"),
+        F.round(F.sum(F.col("n") - 1) / F.sum("n"), 6).alias("dup_rate"),
+    )
+
+
 def q_zorder_key(spark, sf_dir):
     """Z-order (Morton) clustering key over the pair table's (w, h) —
     the layout key a 100 TB store sorts by so parquet min/max pruning
@@ -2276,6 +2318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_corpus_stats": q_pair_corpus_stats,
         "image_dup_clusters": q_image_dup_clusters,
         "zorder_key": q_zorder_key,
+        "caption_stats_by_resolution": q_caption_stats_by_resolution,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "cosine_topk": q_cosine_topk,
         "embedding_centroids": q_embedding_centroids,
         "embedding_quantization": q_embedding_quantization,
@@ -3707,6 +3751,28 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(w), 6) AS avg_w, round(avg(h), 6) AS avg_h,
                    round(avg(n_tokens), 6) AS avg_tokens
             FROM shaped GROUP BY fmt, orientation
+        """,
+        "caption_stats_by_resolution": f"""
+            WITH meta AS ({_PAIR_META_SQL})
+            SELECT fmt,
+                   CAST(length(bin(CAST(w AS BIGINT) * h)) - 1 AS INTEGER)
+                     AS res_bucket,
+                   count(*) AS n_pairs,
+                   round(avg(n_tokens), 6) AS avg_tokens,
+                   CAST(max(n_tokens) AS BIGINT) AS max_tokens
+            FROM meta GROUP BY fmt, res_bucket
+        """,
+        "dup_rate_by_source": """
+            WITH fp AS (
+              SELECT source,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f,
+                     count(*) AS n
+              FROM documents GROUP BY source, f
+            )
+            SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(sum(n - 1) AS BIGINT) AS n_dup_docs,
+                   round(sum(n - 1) * 1.0 / sum(n), 6) AS dup_rate
+            FROM fp GROUP BY source
         """,
         "zorder_key": f"""
             WITH meta AS ({_PAIR_META_SQL})
