@@ -1803,6 +1803,30 @@ def q_training_shards(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lag window partitioned by user (ordered by ts with
+    event_id tie-break for determinism), then one count + conditional
+    probability rollup — the session-flow model behind next-event
+    prediction and bot detection."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    w2 = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w2), 6).alias("p"),
+    )
+
+
 def q_event_funnel(spark, sf_dir):
     """Ordered funnel (view -> click -> purchase): per user, the first
     view, the first click strictly after it, the first purchase
@@ -2309,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "training_shards": q_training_shards,
         "event_funnel": q_event_funnel,
+        "event_transitions": q_event_transitions,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "corpus_select": q_corpus_select,
@@ -3472,6 +3497,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
                    round(sum(n_tokens) / 512.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, bin_id
+        """,
+        "event_transitions": """
+            WITH pairs AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type,
+                     event_type AS next_type
+              FROM events
+            ),
+            c AS (
+              SELECT prev_type, next_type, count(*) AS n
+              FROM pairs WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, next_type
+            )
+            SELECT prev_type, next_type, n,
+                   round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+            FROM c
         """,
         "event_funnel": """
             WITH fv AS (
