@@ -1803,6 +1803,26 @@ def q_training_shards(spark, sf_dir):
     )
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention matrix: users bucketed by first-seen week
+    (cohort), counted as active per later week offset — the engagement
+    table every events pipeline serves. First-seen is one grouped min;
+    the cohort join is broadcast (cohort table = |users|, small next to
+    events); week arithmetic via integer epoch-day division (no
+    calendar-week function disagreements between engines)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts") / (7 * 86400)).alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     sequences: lag window partitioned by user (ordered by ts with
@@ -2334,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "event_funnel": q_event_funnel,
         "event_transitions": q_event_transitions,
+        "retention_cohorts": q_retention_cohorts,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "corpus_select": q_corpus_select,
@@ -3497,6 +3518,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
                    round(sum(n_tokens) / 512.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, bin_id
+        """,
+        "retention_cohorts": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+              FROM events
+            ),
+            first_ AS (
+              SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+            ),
+            act AS (
+              SELECT DISTINCT ev.user_id, cohort_week,
+                     week - cohort_week AS week_offset
+              FROM ev JOIN first_ USING (user_id)
+            )
+            SELECT cohort_week, week_offset, count(*) AS n_active
+            FROM act GROUP BY cohort_week, week_offset
         """,
         "event_transitions": """
             WITH pairs AS (
