@@ -1803,6 +1803,38 @@ def q_training_shards(spark, sf_dir):
     )
 
 
+def q_null_safe_match(spark, sf_dir):
+    """Null-safe join semantics (<=> / IS NOT DISTINCT FROM): a
+    nullable derived key (json k mod 7, the 0 residue nulled out)
+    grouped on both halves of the events table, joined null-safely so
+    the NULL group matches itself — the semantic corner where a plain
+    equality join silently drops rows. Grouped-then-joined, so the
+    null-safe comparison runs on |keys| rows, not the fact table."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("long") % 7,
+            F.lit(0),
+        ).alias("k"),
+    )
+    left = ev.filter(F.col("event_id") % 2 == 0).groupBy("k").agg(
+        F.count("*").alias("n_left")
+    )
+    right = ev.filter(F.col("event_id") % 2 == 1).groupBy("k").agg(
+        F.count("*").alias("n_right")
+    )
+    return (
+        left.alias("l")
+        .join(F.broadcast(right.alias("r")), F.col("l.k").eqNullSafe(F.col("r.k")))
+        .select(
+            F.col("l.k").alias("k"),
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).alias("n_pairs"),
+        )
+    )
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Weekly retention matrix: users bucketed by first-seen week
     (cohort), counted as active per later week offset — the engagement
@@ -2355,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "event_transitions": q_event_transitions,
         "retention_cohorts": q_retention_cohorts,
+        "null_safe_match": q_null_safe_match,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "corpus_select": q_corpus_select,
@@ -3518,6 +3551,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
                    round(sum(n_tokens) / 512.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, bin_id
+        """,
+        "null_safe_match": """
+            WITH ev AS (
+              SELECT event_id,
+                     nullif(cast(json_extract(props, '$.k') AS BIGINT) % 7, 0) AS k
+              FROM events
+            ),
+            l AS (SELECT k, count(*) AS n_left FROM ev
+                  WHERE event_id % 2 = 0 GROUP BY k),
+            r AS (SELECT k, count(*) AS n_right FROM ev
+                  WHERE event_id % 2 = 1 GROUP BY k)
+            SELECT l.k, n_left, n_right, n_left * n_right AS n_pairs
+            FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
         """,
         "retention_cohorts": """
             WITH ev AS (
