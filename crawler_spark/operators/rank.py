@@ -65,15 +65,12 @@ def link_rank(
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", F.round(F.lit(1.0) / F.col("n_nodes"), round_iter).alias("rank")
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         inflow = (
             shares.join(ranks, shares["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
         )
-        # localCheckpoint keeps the plan flat at any n_iter (same pattern
-        # as dedup_clusters' label loop) and makes the shares persist
-        # effective across the per-iteration jobs.
         ranks = (
             nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
             .crossJoin(F.broadcast(n_nodes))
@@ -85,7 +82,13 @@ def link_rank(
                     round_iter,
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        # checkpoint every 4th iteration: keeps the plan from growing
+        # exponentially at deep n_iter (same concern as dedup_clusters'
+        # label loop) while short runs stay one fully-lazy plan — the
+        # eager per-iteration jobs were 6x the wall time of the final
+        # query for n_iter=3.
+        if (it + 1) % 4 == 0 and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
     shares.unpersist()
     return ranks
