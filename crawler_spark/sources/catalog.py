@@ -136,7 +136,12 @@ class SnapshotCatalog:
         dirs = self.tables(snapshot).get(table)
         if not dirs:
             raise KeyError(f"table {table!r} absent at snapshot {snapshot}")
-        return self.spark.read.parquet(*dirs)
+        # mergeSchema: columns added by later appends must not silently
+        # vanish (without it Spark takes one file's schema and drops the
+        # rest — schema evolution is table-format table stakes). Real
+        # Iceberg resolves this from manifest metadata without touching
+        # footers; this layer pays the footer union instead.
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def read_incremental(
         self, table: str, from_snapshot: int, to_snapshot: int | None = None

@@ -167,3 +167,24 @@ def test_read_incremental_returns_appended_delta_only(spark, tmp_path):
     cat.compact("t")
     with pytest.raises(ValueError, match="incremental read unsound"):
         cat.read_incremental("t", snaps[2])
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """Columns added by later appends survive reads (schema evolution);
+    pre-evolution rows surface NULL for the new column, and time travel
+    to the pre-evolution snapshot still shows the narrow schema."""
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    cat.stage_append("t", spark.range(3).withColumnRenamed("id", "v"))
+    s1 = cat.commit()
+    cat.stage_append(
+        "t",
+        spark.range(3, 6).withColumnRenamed("id", "v").withColumn(
+            "extra", F.concat(F.lit("x"), F.col("v").cast("string"))
+        ),
+    )
+    cat.commit()
+    got = cat.read("t")
+    assert set(got.columns) == {"v", "extra"}
+    rows = {r.v: r.extra for r in got.collect()}
+    assert rows[0] is None and rows[5] == "x5"
+    assert cat.read("t", snapshot=s1).columns == ["v"]
