@@ -1803,6 +1803,43 @@ def q_training_shards(spark, sf_dir):
     )
 
 
+def q_corpus_health(spark, sf_dir):
+    """One-row corpus health report: doc count, exact-dup rate
+    (fingerprint multiplicity), Gopher-gate pass rate, and language
+    entropy in nats — the dashboard a data-curation team watches per
+    ingestion batch. Everything reduces through map-side-combinable
+    aggregates; the entropy sums over the (tiny) language histogram."""
+    from crawler_spark.functions.text import fingerprint, gopher_stats
+
+    d = _t(spark, sf_dir, "documents")
+    s = gopher_stats(F.col("text"))
+    base = d.select(
+        "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        s["pass_gopher"].cast("int").alias("passes"),
+    )
+    core = base.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique"),
+        F.sum("passes").alias("n_pass"),
+    )
+    lang_h = (
+        base.groupBy("lang")
+        .agg(F.count("*").cast("double").alias("n"))
+        .crossJoin(F.broadcast(core.select("n_docs")))
+        .select((F.col("n") / F.col("n_docs")).alias("p"))
+        .agg((-F.sum(F.col("p") * F.log("p"))).alias("lang_entropy"))
+    )
+    return core.crossJoin(F.broadcast(lang_h)).select(
+        "n_docs",
+        F.round(
+            (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        F.round(F.col("n_pass") / F.col("n_docs"), 6).alias("gopher_pass_rate"),
+        F.round("lang_entropy", 6).alias("lang_entropy"),
+    )
+
+
 def q_null_safe_match(spark, sf_dir):
     """Null-safe join semantics (<=> / IS NOT DISTINCT FROM): a
     nullable derived key (json k mod 7, the 0 residue nulled out)
@@ -2388,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "retention_cohorts": q_retention_cohorts,
         "null_safe_match": q_null_safe_match,
+        "corpus_health": q_corpus_health,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "corpus_select": q_corpus_select,
@@ -3551,6 +3589,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
                    round(sum(n_tokens) / 512.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, bin_id
+        """,
+        "corpus_health": """
+            WITH base AS (
+              SELECT lang,
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                CASE WHEN n_words >= 50 AND n_words <= 100000
+                      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND distinct_ratio >= 0.2 AND stop_hits >= 1
+                     THEN 1 ELSE 0 END AS passes
+              FROM (
+                SELECT lang, text,
+                  CAST(len(toks) AS INTEGER) AS n_words,
+                  round(list_sum(list_transform(toks, t -> len(t))) * 1.0
+                        / greatest(len(toks), 1), 6) AS mean_word_len,
+                  round(len(list_distinct(toks)) * 1.0
+                        / greatest(len(toks), 1), 6) AS distinct_ratio,
+                  len(list_intersect(toks, ['the','and','of','to','in'])) AS stop_hits
+                FROM (
+                  SELECT lang, text,
+                    list_filter(
+                      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                      t -> len(t) > 0) AS toks
+                  FROM documents
+                )
+              )
+            ),
+            core AS (
+              SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+                     sum(passes) AS n_pass
+              FROM base
+            ),
+            lh AS (
+              SELECT -sum(p * ln(p)) AS lang_entropy FROM (
+                SELECT count(*) * 1.0 / (SELECT n_docs FROM core) AS p
+                FROM base GROUP BY lang
+              )
+            )
+            SELECT n_docs,
+                   round((n_docs - n_unique) * 1.0 / n_docs, 6) AS dup_rate,
+                   round(n_pass * 1.0 / n_docs, 6) AS gopher_pass_rate,
+                   round(lang_entropy, 6) AS lang_entropy
+            FROM core CROSS JOIN lh
         """,
         "null_safe_match": """
             WITH ev AS (
