@@ -1803,6 +1803,33 @@ def q_training_shards(spark, sf_dir):
     )
 
 
+def q_join_key_skew(spark, sf_dir):
+    """Join-key skew report over the fact tables' join columns: rows,
+    distinct keys, the hottest key's row share, and max/avg frequency
+    ratio — the numbers that decide whether a join needs salting or AQE
+    skew handling (operators/skew.py) before it ships. One grouped
+    count per column, rolled up to a single row each."""
+    def profile(df, col):
+        freq = df.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("n"))
+        return freq.agg(
+            F.lit(col).alias("join_col"),
+            F.sum("n").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.round(F.max("n") / F.sum("n"), 6).alias("top_key_share"),
+            F.round(F.max("n") / F.avg("n"), 6).alias("max_avg_ratio"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        profile(li, "l_partkey")
+        .unionByName(profile(li, "l_suppkey"))
+        .unionByName(profile(o, "o_custkey"))
+        .unionByName(profile(ev, "user_id"))
+    )
+
+
 def q_corpus_health(spark, sf_dir):
     """One-row corpus health report: doc count, exact-dup rate
     (fingerprint multiplicity), Gopher-gate pass rate, and language
@@ -2426,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "null_safe_match": q_null_safe_match,
         "corpus_health": q_corpus_health,
+        "join_key_skew": q_join_key_skew,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "corpus_select": q_corpus_select,
@@ -3589,6 +3617,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
                    round(sum(n_tokens) / 512.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, bin_id
+        """,
+        "join_key_skew": """
+            WITH p1 AS (SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+            p2 AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+            p3 AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+            p4 AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1)
+            SELECT 'l_partkey' AS join_col, CAST(sum(n) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   round(max(n) * 1.0 / sum(n), 6) AS top_key_share,
+                   round(max(n) * 1.0 / avg(n), 6) AS max_avg_ratio FROM p1
+            UNION ALL
+            SELECT 'l_suppkey', CAST(sum(n) AS BIGINT), count(*),
+                   round(max(n) * 1.0 / sum(n), 6),
+                   round(max(n) * 1.0 / avg(n), 6) FROM p2
+            UNION ALL
+            SELECT 'o_custkey', CAST(sum(n) AS BIGINT), count(*),
+                   round(max(n) * 1.0 / sum(n), 6),
+                   round(max(n) * 1.0 / avg(n), 6) FROM p3
+            UNION ALL
+            SELECT 'user_id', CAST(sum(n) AS BIGINT), count(*),
+                   round(max(n) * 1.0 / sum(n), 6),
+                   round(max(n) * 1.0 / avg(n), 6) FROM p4
         """,
         "corpus_health": """
             WITH base AS (
