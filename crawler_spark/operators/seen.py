@@ -232,8 +232,12 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
             "bucketed", bloom.n_buckets, bloom.m_bits, bloom.k,
             [(b, bits.tobytes()) for b, bits in bloom.bits_by_bucket.items()],
         )
-    else:
+    elif isinstance(bloom, NumpyBloom):
         payload = ("flat", 0, bloom.m_bits, bloom.k, bloom.bits.tobytes())
+    else:
+        # any other membership filter exposing contains_many (e.g.
+        # operators/cuckoo.BucketedCuckoo) ships whole via broadcast
+        payload = ("obj", 0, 0, 0, bloom)
     bc = candidates.sparkSession.sparkContext.broadcast(payload)
 
     @F.pandas_udf(T.BooleanType())
@@ -244,6 +248,8 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
                 n_buckets, m_bits, k,
                 {b: np.frombuffer(raw, dtype=np.uint8) for b, raw in data},
             )
+        elif kind == "obj":
+            bl = data
         else:
             bl = NumpyBloom(m_bits, k, bits=np.frombuffer(data, dtype=np.uint8))
         return pd.Series(bl.contains_many(h.to_numpy(dtype=np.int64)))

@@ -31,6 +31,12 @@ from pyspark.sql import types as T
 from crawler_spark.functions.canon import with_url_cols
 from crawler_spark.operators.fetch import run_fetch
 from crawler_spark.operators.politeness import politeness_select, robots_gate
+from crawler_spark.operators.cuckoo import (
+    CUCKOO_CFG,
+    BucketedCuckoo,
+    cuckoo_delta_rows,
+    merge_cuckoo_rows,
+)
 from crawler_spark.operators.seen import (
     BucketedBloom,
     anti_join_seen,
@@ -97,10 +103,17 @@ def read_frontier(catalog: SnapshotCatalog) -> DataFrame:
 
 
 def init_crawl(
-    catalog: SnapshotCatalog, web: SynthWeb, seeds_raw: list[str] | None = None
+    catalog: SnapshotCatalog, web: SynthWeb, seeds_raw: list[str] | None = None,
+    seen_filter: str = "bloom",
 ) -> int:
     """Snapshot 0: canonicalized+deduped seeds as the pending frontier,
-    seeds in the seen set, robots dimension loaded."""
+    seeds in the seen set, robots dimension loaded.
+
+    ``seen_filter`` picks the persisted prefilter sidecar: "bloom"
+    (default, densest) or "cuckoo" (supports DELETE — required for the
+    recrawl-expiry path, see ``expire_urls``). Both share the same
+    contract: negatives skip the exact anti-join, positives are
+    confirmed by it."""
     spark = catalog.spark
     seeds_raw = seeds_raw if seeds_raw is not None else web.seeds_raw()
     seeds = spark.createDataFrame(
@@ -127,15 +140,26 @@ def init_crawl(
     catalog.stage_overwrite("frontier", _frontier_select(frontier))
     catalog.stage_overwrite("seen", frontier.select("url_hash", "url_canon"))
     catalog.stage_overwrite("robots", robots)
-    # persistent bucketed bloom over the seen set, seeded here and then
-    # incrementally OR-updated each round (never rebuilt from a full
+    # persistent bucketed prefilter over the seen set, seeded here and
+    # then incrementally updated each round (never rebuilt from a full
     # seen-table scan)
-    catalog.stage_overwrite(
-        "bloom",
-        merge_bloom_rows(
-            bloom_delta_rows(frontier.select("url_hash"), **BLOOM_CFG)
-        ),
-    )
+    if seen_filter == "cuckoo":
+        filter_meta = {"cuckoo": CUCKOO_CFG}
+        catalog.stage_overwrite(
+            "cuckoo",
+            merge_cuckoo_rows(
+                cuckoo_delta_rows(frontier.select("url_hash"), **CUCKOO_CFG),
+                CUCKOO_CFG["n_slots"], CUCKOO_CFG["slot_width"],
+            ),
+        )
+    else:
+        filter_meta = {"bloom": BLOOM_CFG}
+        catalog.stage_overwrite(
+            "bloom",
+            merge_bloom_rows(
+                bloom_delta_rows(frontier.select("url_hash"), **BLOOM_CFG)
+            ),
+        )
     # global discovery counter continues after the largest seed seq
     # (raw seed indexes; duplicates collapsed by the first-wins dedup);
     # row counts ride in meta so compaction decisions never need a job
@@ -146,7 +170,7 @@ def init_crawl(
     return catalog.commit(
         meta={
             "next_seq": int(agg["mx"]) + 1 if agg["mx"] is not None else 0,
-            "bloom": BLOOM_CFG,
+            **filter_meta,
             "frontier_rows": n_seeds,
             "frontier_base_rows": n_seeds,
             "frontier_delta_rows": 0,
@@ -309,11 +333,17 @@ def run_round(
     )
     seq_handle = None
     bloom_cfg = meta.get("bloom")
+    cuckoo_cfg = meta.get("cuckoo")
     if n_links:
-        # the bloom is a PERSISTED bucketed filter, incrementally updated
-        # each round — loading it is O(filter size), never a seen scan
+        # the prefilter is a PERSISTED bucketed sidecar (bloom or cuckoo,
+        # whichever init_crawl seeded), incrementally updated each round
+        # — loading it is O(filter size), never a seen scan
         bloom = None
-        if use_bloom and bloom_cfg and catalog.exists("bloom"):
+        if use_bloom and cuckoo_cfg and catalog.exists("cuckoo"):
+            bloom = BucketedCuckoo.from_rows(
+                catalog.read("cuckoo").collect(), **cuckoo_cfg
+            )
+        elif use_bloom and bloom_cfg and catalog.exists("bloom"):
             bloom = BucketedBloom.from_rows(
                 catalog.read("bloom").collect(),
                 bloom_cfg["n_buckets"], bloom_cfg["m_bits"], bloom_cfg["k"],
@@ -431,6 +461,17 @@ def run_round(
             delta = bloom_delta_rows(unseen.select("url_hash"), **bloom_cfg)
             updated = merge_bloom_rows(catalog.read("bloom").unionByName(delta))
             writes.append(("bloom", updated, True))
+        if cuckoo_cfg and catalog.exists("cuckoo"):
+            # same incremental protocol for the cuckoo sidecar; this is
+            # also what self-heals an expired key once it is refetched:
+            # it re-enters via the unseen set and its fingerprint is
+            # re-inserted here.
+            delta = cuckoo_delta_rows(unseen.select("url_hash"), **cuckoo_cfg)
+            updated = merge_cuckoo_rows(
+                catalog.read("cuckoo").unionByName(delta),
+                cuckoo_cfg["n_slots"], cuckoo_cfg["slot_width"],
+            )
+            writes.append(("cuckoo", updated, True))
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
@@ -496,13 +537,14 @@ def run_crawl(
     stop_on_caption_contains: str | None = None,
     compact_frac: float = 0.3,
     compact_min: int = 1024,
+    seen_filter: str = "bloom",
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Full crawl loop: init + rounds until the frontier drains, or —
     with ``stop_on_caption_contains`` — until a round lands a matching
     result (the reference's stop-on-found early exit,
     crawler.py:1149-1157,1308-1334)."""
     catalog = SnapshotCatalog(root, spark)
-    init_crawl(catalog, web, seeds_raw)
+    init_crawl(catalog, web, seeds_raw, seen_filter=seen_filter)
     history: list[dict] = []
     for _ in range(max_rounds):
         stats = run_round(
@@ -543,3 +585,73 @@ def resume_crawl(
         if stats["scheduled"] == 0:
             break
     return catalog, history
+
+
+def expire_urls(catalog: SnapshotCatalog, url_hashes: list[int]) -> int:
+    """Recrawl expiry: delete the given keys' fingerprints from the
+    persisted cuckoo sidecar — an O(touched-slices) update, NOT a
+    10^10-row seen-table MERGE. An expired URL then reads as unseen the
+    next time any page rediscovers it (filter-negative rows skip the
+    exact anti-join by contract), it is refetched once, and the round's
+    incremental filter maintenance re-inserts its fingerprint — after
+    which rediscoveries are blocked again. The seen table itself is
+    never rewritten; its duplicate (url_hash, url_canon) row after the
+    refetch is harmless to ``left_anti`` semantics.
+
+    Requires the catalog to have been initialized with
+    ``seen_filter="cuckoo"`` — a bloom cannot delete (the reason the
+    north rule names both filters). Returns how many fingerprints were
+    actually removed. At design scale only the touched bucket slices
+    are rewritten; the sandbox catalog overwrites the (4-row) table.
+    """
+    meta = catalog.meta()
+    cfg = meta.get("cuckoo")
+    if not cfg or not catalog.exists("cuckoo"):
+        raise ValueError(
+            "expire_urls requires seen_filter='cuckoo' (bloom filters "
+            "cannot delete; init_crawl(..., seen_filter='cuckoo'))"
+        )
+    filt = BucketedCuckoo.from_rows(catalog.read("cuckoo").collect(), **cfg)
+    import numpy as np
+
+    removed = filt.delete_many(np.asarray(url_hashes, dtype=np.int64))
+    spark = catalog.spark
+    rows = spark.createDataFrame(
+        filt.to_rows(), schema="bucket_id int, tbl binary, stash binary"
+    )
+    catalog.stage_overwrite("cuckoo", rows)
+    catalog.commit()
+    return removed
+
+
+def requeue_urls(catalog: SnapshotCatalog, url_hashes: list[int]) -> int:
+    """Direct recrawl: flip the given frontier rows back to pending (an
+    O(keys) merge-on-read delta append — the frontier base is never
+    rewritten). The rows keep their original ordering key, so they
+    reschedule at their original position among this wave's pending
+    work. Use when the frontier row is known; use ``expire_urls`` when
+    re-entry should instead happen on organic rediscovery. Do not do
+    both for the same key in the same round (two same-round updates to
+    one key would tie in the latest-per-key resolution)."""
+    spark = catalog.spark
+    round_id = catalog.current_id() + 1
+    keys = spark.createDataFrame(
+        [(int(h),) for h in url_hashes], "url_hash long"
+    )
+    rows = (
+        read_frontier(catalog)
+        .join(F.broadcast(keys), "url_hash", "left_semi")
+        .withColumn("status", F.lit("pending"))
+        .withColumn("attempts", F.lit(0))
+        .withColumn("round_id", F.lit(round_id))
+    )
+    delta = _frontier_select(rows).persist()
+    n = delta.count()
+    catalog.stage_append("frontier_updates", delta)
+    meta = catalog.meta()
+    new_meta = {}
+    if meta.get("frontier_rows") is not None:
+        new_meta["frontier_delta_rows"] = meta.get("frontier_delta_rows", 0) + n
+    catalog.commit(meta=new_meta or None)
+    delta.unpersist()
+    return n
