@@ -392,6 +392,37 @@ def q_urlseen_antijoin(spark, sf_dir):
     return cand.join(seen, "url_md5", "left_anti").select("doc_id", "url", "url_md5")
 
 
+def q_urlseen_cuckoo(spark, sf_dir):
+    """J1b: the same URL-seen anti-join semantics, prefiltered by the
+    DELETE-capable cuckoo sidecar (operators/cuckoo.py) built with the
+    distributed mapInPandas -> per-bucket merge protocol. The filter is
+    advisory by contract — negatives skip the exact join, positives are
+    confirmed by it — so the result is EXACTLY the SQL NOT EXISTS, which
+    is what the oracle asserts. The collect() pulls only the 4 serialized
+    filter slices (the persisted-sidecar read path of plans/rounds.py),
+    never data rows."""
+    from crawler_spark.operators.cuckoo import (
+        BucketedCuckoo,
+        cuckoo_delta_rows,
+        merge_cuckoo_rows,
+    )
+    from crawler_spark.operators.seen import anti_join_seen
+
+    f = _frontier(spark, sf_dir)
+    cand = f.select(
+        "doc_id",
+        F.col("url").alias("url_canon"),
+        F.xxhash64("url").alias("url_hash"),
+    )
+    seen = cand.filter(F.col("doc_id") % 3 == 0).select("url_hash", "url_canon")
+    cfg = {"n_buckets": 4, "n_slots": 1 << 12, "slot_width": 4}
+    rows = merge_cuckoo_rows(
+        cuckoo_delta_rows(seen, **cfg), cfg["n_slots"], cfg["slot_width"]
+    ).collect()
+    filt = BucketedCuckoo.from_rows(rows, **cfg)
+    return anti_join_seen(cand, seen, filt).select("doc_id", "url_canon")
+
+
 def q_robots_gate(spark, sf_dir):
     """T5/J5: robots dimension broadcast join + deny filter + budget calc."""
     f = _frontier(spark, sf_dir)
@@ -1108,6 +1139,56 @@ def q_lone_flagger_suppliers(spark, sf_dir):
         lone.join(F.broadcast(s), lone.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15-shaped: a per-supplier revenue view over a shipdate
+    quarter, then the supplier(s) achieving the global maximum. The
+    scalar subquery (SELECT max(total_revenue) FROM rev) is realized as
+    a broadcast one-row join — no driver-side collect, and the max's
+    rescan of the tiny per-supplier aggregate is cheap (it reruns the
+    agg subtree, not the fact scan, once AQE caches the shuffle).
+    Revenue is rounded to 2 decimals BEFORE the max/equality so the
+    float sum's last-ulp order dependence can't flip the winner."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_nation_acctbal_share(spark, sf_dir):
+    """TPC-H Q11-shaped: per-group value vs a fraction of the global
+    total (HAVING sum > f * (SELECT sum ...)). The global scalar enters
+    as a broadcast one-row cross join against the (tiny) per-group
+    aggregate, so the threshold comparison stays inside the plan."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("s_acctbal").alias("_sum"))
+    )
+    total = per.agg(F.sum("_sum").alias("_tot"))
+    return (
+        per.join(F.broadcast(total))
+        .filter(F.col("_sum") > 0.04 * F.col("_tot"))
+        .select(
+            "n_name",
+            F.round("_sum", 2).alias("acctbal_sum"),
+            F.round(F.col("_sum") / F.col("_tot") * 100, 4).alias("share_pct"),
+        )
     )
 
 
@@ -2377,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reciprocity": q_host_reciprocity,
         "host_degree_histogram": q_host_degree_histogram,
         "urlseen_antijoin": q_urlseen_antijoin,
+        "urlseen_cuckoo": q_urlseen_cuckoo,
         "robots_gate": q_robots_gate,
         "canonicalize": q_canonicalize,
         "latest_event_per_user": q_latest_event_per_user,
@@ -2401,6 +2483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": q_promo_revenue_share,
         "disjunctive_bands": q_disjunctive_bands,
         "lone_flagger_suppliers": q_lone_flagger_suppliers,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "nation_acctbal_share": q_nation_acctbal_share,
         "order_priority_cube": q_order_priority_cube,
         "ntile_value_deciles": q_ntile_value_deciles,
         "event_user_setops": q_event_user_setops,
@@ -2617,6 +2701,13 @@ def oracle_sql() -> dict[str, str]:
             seen AS (SELECT url_md5 FROM cand WHERE doc_id % 3 = 0)
             SELECT doc_id, url, url_md5 FROM cand c
             WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url_md5 = c.url_md5)
+        """,
+        "urlseen_cuckoo": f"""
+            WITH f AS ({frontier})
+            SELECT doc_id, url AS url_canon FROM f c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM f s WHERE s.doc_id % 3 = 0 AND s.url = c.url
+            )
         """,
         "robots_gate": f"""
             WITH f AS ({frontier}),
@@ -3286,6 +3377,32 @@ def oracle_sql() -> dict[str, str]:
               WHERE r2.l_orderkey = f.l_orderkey AND r2.l_suppkey <> f.l_suppkey
             )
             GROUP BY s_suppkey, s_name
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "nation_acctbal_share": """
+            WITH per AS (
+              SELECT n_name, sum(s_acctbal) AS v
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_name
+            ),
+            tot AS (SELECT sum(v) AS t FROM per)
+            SELECT n_name,
+                   round(v, 2) AS acctbal_sum,
+                   round(v / t * 100, 4) AS share_pct
+            FROM per, tot
+            WHERE v > 0.04 * t
         """,
         "order_priority_cube": """
             SELECT o_orderstatus, o_orderpriority,
