@@ -2183,6 +2183,29 @@ def q_pair_corpus_stats(spark, sf_dir):
     return pair_corpus_stats(meta)
 
 
+def q_caption_alignment(spark, sf_dir):
+    """CLIP-score-shaped pair filter: rowwise cosine between the stored
+    image embedding (first 32 dims) and a deterministic 32-dim caption
+    projection, thresholded at 0.05 on the round-6 score. The join,
+    zip_with dot product and aggregate folds are the real pipeline's
+    plan; only the caption encoder is the deterministic stand-in."""
+    from crawler_spark.operators.pairs import caption_alignment
+
+    return caption_alignment(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
+def q_ar_bucket_batches(spark, sf_dir):
+    """Aspect-ratio bucket batching: five exact integer-arithmetic AR
+    bands, fixed-size batches in image_id order per band, one manifest
+    row per batch."""
+    from crawler_spark.operators.pairs import ar_bucket_batches, synth_pair_meta
+
+    meta = synth_pair_meta(_t(spark, sf_dir, "documents"))
+    return ar_bucket_batches(meta, batch_size=32)
+
+
 def q_caption_stats_by_resolution(spark, sf_dir):
     """Image-curation diagnostic: caption token statistics per
     resolution band (megapixel log2 bucket) and format — the join of
@@ -2545,6 +2568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top": q_tfidf_top,
         "image_pairs_select": q_image_pairs_select,
         "pair_corpus_stats": q_pair_corpus_stats,
+        "caption_alignment": q_caption_alignment,
+        "ar_bucket_batches": q_ar_bucket_batches,
         "image_dup_clusters": q_image_dup_clusters,
         "zorder_key": q_zorder_key,
         "caption_stats_by_resolution": q_caption_stats_by_resolution,
@@ -4124,6 +4149,52 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(w), 6) AS avg_w, round(avg(h), 6) AS avg_h,
                    round(avg(n_tokens), 6) AS avg_tokens
             FROM shaped GROUP BY fmt, orientation
+        """,
+        "caption_alignment": """
+            WITH cap AS (
+              SELECT doc_id, md5(text) AS m FROM documents
+            ),
+            comp AS (
+              SELECT c.doc_id,
+                     (instr('0123456789abcdef', substring(c.m, i, 1)) - 1)
+                       / 7.5 - 1.0 AS a,
+                     CAST(e.embedding[i] AS DOUBLE) AS b
+              FROM cap c
+              JOIN embeddings e ON e.vec_id = c.doc_id,
+              unnest(generate_series(1, 32)) AS t(i)
+            ),
+            scores AS (
+              SELECT doc_id AS image_id,
+                     round(round(sum(a * b), 9)
+                           / (sqrt(round(sum(a * a), 9))
+                              * sqrt(round(sum(b * b), 9))), 6)
+                       AS align_score
+              FROM comp GROUP BY doc_id
+            )
+            SELECT image_id, align_score, align_score >= 0.05 AS kept
+            FROM scores
+        """,
+        "ar_bucket_batches": f"""
+            WITH meta AS ({_PAIR_META_SQL}),
+            banded AS (
+              SELECT image_id, w, h,
+                     CASE WHEN w > 2 * h THEN 'ultrawide'
+                          WHEN w * 3 > h * 4 THEN 'wide'
+                          WHEN h > 2 * w THEN 'ultratall'
+                          WHEN h * 3 > w * 4 THEN 'tall'
+                          ELSE 'square' END AS bucket
+              FROM meta
+            ),
+            packed AS (
+              SELECT *, CAST(floor((ROW_NUMBER() OVER (
+                       PARTITION BY bucket ORDER BY image_id
+                     ) - 1) / 32.0) AS BIGINT) AS batch_id
+              FROM banded
+            )
+            SELECT bucket, batch_id, count(*) AS n_images,
+                   min(image_id) AS first_id, max(image_id) AS last_id,
+                   round(avg(CAST(w AS DOUBLE) / h), 6) AS avg_ar
+            FROM packed GROUP BY bucket, batch_id
         """,
         "caption_stats_by_resolution": f"""
             WITH meta AS ({_PAIR_META_SQL})

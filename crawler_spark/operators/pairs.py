@@ -24,7 +24,7 @@ No window over an unpartitioned key, no UDFs, no bytes read.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -129,6 +129,110 @@ def phash_with_twins(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def caption_alignment(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    dim: int = 32,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """CLIP-score-shaped alignment filter: rowwise cosine between each
+    pair's image embedding and its caption embedding, thresholded — the
+    curation step that drops pairs whose caption does not describe the
+    image. No CLIP model ships in this environment, so the caption
+    embedding is a deterministic 32-dim projection (one md5 call gives
+    exactly 32 hex digits; element i = digit_i/7.5 - 1 in [-1, 1]) and
+    the image side is the stored embedding's first ``dim`` components —
+    the Spark shape (broadcast-free equi-join on the id, zip_with dot
+    product, native aggregate fold, no UDF) is exactly the real
+    pipeline's.
+
+    Output: (image_id, align_score, kept) for every pair. Scores are
+    computed on doubles (float32 products lose ~1e-7 — cast BEFORE
+    multiply) and rounded to 6 decimals; ``kept`` compares the rounded
+    score so the oracle can't disagree at the last ulp.
+    """
+    m = docs.select(F.col("doc_id").alias("image_id"), F.md5("text").alias("__m"))
+    # caption vector from the 32 md5 hex digits — the md5 is projected
+    # ONCE (higher-order/array expressions are not CSE'd)
+    cap = m.select(
+        "image_id",
+        F.array(
+            *[
+                # 7.5D / 1.0D: bare SQL literals are DECIMAL(2,1) in
+                # Spark, and decimal division truncates at ~1e-6 —
+                # the oracle computes in doubles, so we must too
+                F.expr(
+                    f"(instr('0123456789abcdef', substring(__m, {i}, 1)) - 1)"
+                    f" / 7.5D - 1.0D"
+                )
+                for i in range(1, dim + 1)
+            ]
+        ).alias("a"),
+    )
+    img = embeddings.select(
+        F.col("vec_id").alias("image_id"),
+        F.slice(F.col("embedding"), 1, dim).cast("array<double>").alias("b"),
+    )
+    j = cap.join(img, "image_id")
+    # round-9 stabilization on each fold BEFORE the division: the fold
+    # order differs between engines, so the raw sums can differ in the
+    # last ulp — pinning them at 9 decimals makes the round-6 score
+    # bit-identical everywhere (same recipe as the IVF oracle)
+    dot = F.round(
+        F.aggregate(
+            F.zip_with("a", "b", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    na = F.sqrt(
+        F.round(F.aggregate(F.col("a"), F.lit(0.0), lambda acc, x: acc + x * x), 9)
+    )
+    nb = F.sqrt(
+        F.round(F.aggregate(F.col("b"), F.lit(0.0), lambda acc, x: acc + x * x), 9)
+    )
+    scored = j.select(
+        "image_id", F.round(dot / (na * nb), 6).alias("align_score")
+    )
+    return scored.withColumn("kept", F.col("align_score") >= threshold)
+
+
+def ar_bucket_batches(meta: DataFrame, batch_size: int = 32) -> DataFrame:
+    """Aspect-ratio bucket batching (the SDXL-style trainer prep step):
+    every image lands in one of five AR bands, images within a band are
+    packed into fixed-size batches in deterministic image_id order, and
+    each batch emits one manifest row. Band edges are decided by integer
+    cross-multiplication (w*3 > h*4, not w/h > 4/3) so the bucketing is
+    exact in any engine — no float ratio, no log, no rounding mode.
+
+    One shuffle on the band key for the window; the manifest agg reuses
+    the same partitioning. Output: (bucket, batch_id, n_images,
+    first_id, last_id, avg_ar)."""
+    banded = meta.select(
+        "image_id",
+        "w",
+        "h",
+        F.when(F.col("w") > 2 * F.col("h"), "ultrawide")
+        .when(F.col("w") * 3 > F.col("h") * 4, "wide")
+        .when(F.col("h") > 2 * F.col("w"), "ultratall")
+        .when(F.col("h") * 3 > F.col("w") * 4, "tall")
+        .otherwise("square")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("image_id")
+    packed = banded.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    return packed.groupBy("bucket", "batch_id").agg(
+        F.count("*").alias("n_images"),
+        F.min("image_id").alias("first_id"),
+        F.max("image_id").alias("last_id"),
+        F.round(F.avg(F.col("w").cast("double") / F.col("h")), 6).alias("avg_ar"),
+    )
 
 
 def pair_corpus_stats(meta: DataFrame) -> DataFrame:

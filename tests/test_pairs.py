@@ -108,3 +108,63 @@ def test_phash_twins_hamming_bound_and_cluster_recall(spark):
     assert len(by_cluster) == 8
     for i in range(1, 9):
         assert by_cluster[i] == {i, i + 10**9, i + 2 * 10**9}
+
+
+def test_ar_bucket_batches_partition_and_fill(spark):
+    """Every image lands in exactly one AR band; batches fill to
+    batch_size in image_id order with at most one partial batch per
+    band; band edges are exact integer cross-multiplication."""
+    from crawler_spark.operators.pairs import ar_bucket_batches
+
+    rows = [(i, 100 + (i % 7) * 40, 100, "png", 5, i) for i in range(70)]
+    rows += [(100 + i, 50, 300, "png", 5, 100 + i) for i in range(5)]
+    out = ar_bucket_batches(_meta(spark, rows), batch_size=16).collect()
+    assert sum(r.n_images for r in out) == 75
+    for bucket in {r.bucket for r in out}:
+        batches = sorted(
+            (r for r in out if r.bucket == bucket), key=lambda r: r.batch_id
+        )
+        assert [r.batch_id for r in batches] == list(range(len(batches)))
+        assert all(r.n_images == 16 for r in batches[:-1])  # only tail partial
+        # batches are contiguous id ranges (packed in image_id order)
+        for a, b in zip(batches, batches[1:]):
+            assert a.last_id < b.first_id
+    # w=50,h=300 -> h > 2w: ultratall, exactly the 5 planted rows
+    ut = [r for r in out if r.bucket == "ultratall"]
+    assert sum(r.n_images for r in ut) == 5
+
+
+def test_caption_alignment_scores_and_threshold(spark):
+    """align_score is the cosine of the md5-digit caption vector vs the
+    stored embedding's first 32 dims (numpy-verified), and `kept`
+    mirrors the threshold on the rounded score."""
+    import numpy as np
+
+    from crawler_spark.operators.pairs import caption_alignment
+
+    docs = spark.createDataFrame(
+        [(i, f"caption {i} with words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(8, 64)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.image_id: r for r in caption_alignment(docs, emb).collect()}
+    import hashlib
+
+    for i in range(8):
+        m = hashlib.md5(f"caption {i} with words".encode()).hexdigest()
+        a = np.array(
+            ["0123456789abcdef".index(c) / 7.5 - 1.0 for c in m], dtype=np.float64
+        )
+        b = vecs[i][:32].astype(np.float64)
+        want = round(
+            round(float((a * b).sum()), 9)
+            / (np.sqrt(round(float((a * a).sum()), 9)) * np.sqrt(round(float((b * b).sum()), 9))),
+            6,
+        )
+        assert abs(out[i].align_score - want) < 2e-6
+        assert out[i].kept == (out[i].align_score >= 0.05)
