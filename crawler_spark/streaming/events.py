@@ -137,6 +137,96 @@ def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800,
     )
 
 
+POLITE_URLS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("discovery_seq", T.LongType()),
+    ]
+)
+
+POLITE_OUT_SCHEMA = T.StructType(
+    POLITE_URLS_SCHEMA.fields
+    + [
+        T.StructField("decision", T.StringType()),
+        T.StructField("serve_slot", T.LongType()),
+    ]
+)
+
+_POLITE_STATE_SCHEMA = T.StructType([T.StructField("served", T.LongType())])
+
+
+def streaming_politeness(urls: DataFrame, budget_per_batch: int = 2) -> DataFrame:
+    """Per-host politeness budget as a custom stateful streaming
+    operator — the continuous-crawl form of the batch round's salted
+    two-phase window (T1, operators/politeness.py).
+
+    Each micro-batch admits at most ``budget_per_batch`` URLs per host
+    in frontier order (priority, depth, discovery_seq) and emits the
+    overflow as ``decision='deferred'`` (a real frontier keeps deferred
+    rows pending for the next wave). State per host is a single long —
+    how many URLs the host has ever been served — so admitted rows
+    carry a per-host ``serve_slot`` that is contiguous across
+    micro-batches and deterministic under replay (no wall clock, no
+    processing-time anywhere). The grouping key partitions hosts across
+    executors exactly like the batch window's partitionBy(host)."""
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        served = int(state.get[0]) if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # mergesort = stable, so equal (priority, depth) ties stay in
+        # discovery order exactly like the batch ORDER_COLS window
+        rows = rows.sort_values(
+            ["priority", "depth", "discovery_seq"], kind="mergesort"
+        ).reset_index(drop=True)
+        n_admit = min(budget_per_batch, len(rows))
+        n_defer = len(rows) - n_admit
+        state.update((served + n_admit,))
+        yield rows.assign(
+            decision=["admitted"] * n_admit + ["deferred"] * n_defer,
+            serve_slot=pd.array(
+                [served + i + 1 for i in range(n_admit)] + [-1] * n_defer,
+                dtype="Int64",
+            ),
+        )
+
+    return urls.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=POLITE_OUT_SCHEMA,
+        stateStructType=_POLITE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_politeness_stream(
+    spark: SparkSession, parquet_dir: str, budget_per_batch: int = 2,
+    name: str = "polite_out",
+):
+    """Drive the streaming politeness gate over a parquet dir, one file
+    per micro-batch, so the cross-batch serve_slot continuity is
+    exercised."""
+    src = (
+        spark.readStream.schema(POLITE_URLS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(parquet_dir)
+    )
+    q = (
+        streaming_politeness(src, budget_per_batch=budget_per_batch)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
 def run_sessionize_stream(
     spark: SparkSession, parquet_dir: str, gap_seconds: int = 1800,
     name: str = "sessions_out",

@@ -298,3 +298,60 @@ def test_stream_stream_attribution(spark, tmp_path):
         base + dt.timedelta(minutes=50),
         base + dt.timedelta(minutes=70),
     ) in matched_pairs
+
+
+def test_streaming_politeness_budget_across_batches(spark, tmp_path):
+    """Per-host budget enforced per micro-batch in frontier order;
+    serve_slot is contiguous per host ACROSS batches (the stateful
+    carry); overflow rows are emitted deferred, never dropped."""
+    import glob
+    import shutil
+
+    from crawler_spark.streaming.events import (
+        POLITE_URLS_SCHEMA,
+        run_politeness_stream,
+    )
+
+    # batch 1: host a has 3 candidates (budget 2), host b has 1
+    batch1 = [
+        ("a.test", "http://a.test/low", 2, 1, 10),
+        ("a.test", "http://a.test/hi", 0, 0, 11),
+        ("a.test", "http://a.test/mid", 1, 0, 12),
+        ("b.test", "http://b.test/1", 0, 0, 13),
+    ]
+    # batch 2: host a gets 2 more, host b 2 more
+    batch2 = [
+        ("a.test", "http://a.test/p4", 0, 2, 14),
+        ("a.test", "http://a.test/p5", 0, 2, 15),
+        ("b.test", "http://b.test/2", 1, 1, 16),
+        ("b.test", "http://b.test/3", 0, 1, 17),
+    ]
+    d = tmp_path / "polite_stream"
+    d.mkdir()
+    for i, batch in enumerate([batch1, batch2]):
+        staged = str(tmp_path / f"pstage{i}")
+        spark.createDataFrame(batch, POLITE_URLS_SCHEMA).coalesce(1).write.parquet(
+            staged
+        )
+        shutil.copy(glob.glob(f"{staged}/part-*.parquet")[0], d / f"b{i}.parquet")
+    name = run_politeness_stream(spark, str(d), budget_per_batch=2)
+    rows = {r["url_canon"]: r for r in spark.table(name).collect()}
+    assert len(rows) == 8  # every candidate emitted exactly once
+
+    # batch 1, host a: priority order hi(0) < mid(1) < low(2); budget 2
+    assert rows["http://a.test/hi"]["decision"] == "admitted"
+    assert rows["http://a.test/hi"]["serve_slot"] == 1
+    assert rows["http://a.test/mid"]["decision"] == "admitted"
+    assert rows["http://a.test/mid"]["serve_slot"] == 2
+    assert rows["http://a.test/low"]["decision"] == "deferred"
+    assert rows["http://a.test/low"]["serve_slot"] == -1
+    assert rows["http://b.test/1"]["serve_slot"] == 1
+
+    # batch 2: host a's slots CONTINUE at 3,4 (state carried);
+    # b.test/3 (priority 0) outranks b.test/2 (priority 1)
+    assert rows["http://a.test/p4"]["serve_slot"] == 3
+    assert rows["http://a.test/p5"]["serve_slot"] == 4
+    assert rows["http://b.test/3"]["serve_slot"] == 2
+    assert rows["http://b.test/2"]["serve_slot"] == 3
+    admitted = [r for r in rows.values() if r["decision"] == "admitted"]
+    assert len(admitted) == 7
