@@ -200,3 +200,48 @@ def test_recrawl_expire_then_rediscover_refetches_once(spark, tmp_path):
         .collect()
     }
     assert wave3 == seed_urls
+
+
+# ---- property-based fuzzing (hypothesis) -----------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    def _h(key_id: int) -> np.int64:
+        # fixed id->hash map with good spread (golden-ratio multiply)
+        return np.int64((key_id * 0x9E3779B97F4A7C15) % (2**63))
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["ins", "del"]), st.integers(0, 300)),
+            max_size=120,
+        )
+    )
+    def test_cuckoo_fuzz_interleaved_insert_delete_no_false_negative(ops):
+        """Cuckoo contract under arbitrary interleavings: any key whose
+        inserts outnumber its deletes MUST read present (negatives skip
+        the exact join, so one false negative is a lost URL). Deletes
+        are only issued for currently-inserted keys (standard
+        cuckoo-filter precondition) and must each remove exactly one
+        copy. Tiny table (2^8 x 2 slots) so eviction chains and the
+        stash engage constantly."""
+        filt = NumpyCuckoo(n_slots=1 << 8, slot_width=2)
+        live: dict[int, int] = {}
+        for op, k in ops:
+            if op == "ins":
+                filt.insert_many(np.array([_h(k)], dtype=np.int64))
+                live[k] = live.get(k, 0) + 1
+            elif live.get(k, 0) > 0:
+                assert filt.delete_many(np.array([_h(k)], dtype=np.int64)) == 1
+                live[k] -= 1
+        alive = [k for k, n in live.items() if n > 0]
+        if alive:
+            got = filt.contains_many(np.array([_h(k) for k in alive], dtype=np.int64))
+            assert got.all(), f"false negative among live keys {alive}"
