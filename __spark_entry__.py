@@ -423,6 +423,20 @@ def q_urlseen_cuckoo(spark, sf_dir):
     return anti_join_seen(cand, seen, filt).select("doc_id", "url_canon")
 
 
+def q_drain_forecast(spark, sf_dir):
+    """Crawl planning: with a per-host politeness budget of B URLs per
+    round, host h needs ceil(pending_h / B) rounds to drain — the
+    frontier's critical path is the max. Pure integer arithmetic
+    (div / //, never float ceil) so every engine agrees exactly."""
+    f = _frontier(spark, sf_dir)
+    per = f.groupBy("host").agg(F.count(F.lit(1)).alias("n_pending"))
+    return per.select(
+        "host",
+        "n_pending",
+        F.expr("div(n_pending + 3, 4)").alias("rounds_to_drain"),
+    )
+
+
 def q_robots_gate(spark, sf_dir):
     """T5/J5: robots dimension broadcast join + deny filter + budget calc."""
     f = _frontier(spark, sf_dir)
@@ -2482,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_degree_histogram": q_host_degree_histogram,
         "urlseen_antijoin": q_urlseen_antijoin,
         "urlseen_cuckoo": q_urlseen_cuckoo,
+        "drain_forecast": q_drain_forecast,
         "robots_gate": q_robots_gate,
         "canonicalize": q_canonicalize,
         "latest_event_per_user": q_latest_event_per_user,
@@ -2733,6 +2748,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM f s WHERE s.doc_id % 3 = 0 AND s.url = c.url
             )
+        """,
+        "drain_forecast": f"""
+            WITH f AS ({frontier}),
+            per AS (SELECT host, count(*) AS n_pending FROM f GROUP BY host)
+            SELECT host, n_pending, (n_pending + 3) // 4 AS rounds_to_drain
+            FROM per
         """,
         "robots_gate": f"""
             WITH f AS ({frontier}),

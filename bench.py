@@ -58,6 +58,10 @@ HEADLINE = [
     "sequence_packing",
     "gopher_flags",
     "recrawl_schedule",
+    # late round-2 additions
+    "urlseen_cuckoo",
+    "caption_alignment",
+    "ar_bucket_batches",
 ]
 
 BENCH_HOSTS = 50

@@ -86,3 +86,41 @@ def test_salt_in_join_keys_and_deterministic(spark):
         )
     )
     assert a == b
+
+
+def test_politeness_two_phase_exact_under_single_host_skew(spark):
+    """Pathological frontier: EVERY pending URL on one mega-host. The
+    salted two-phase select must (a) return exactly the true top-B in
+    frontier order — the strict-superset construction loses nothing —
+    and (b) actually run as two Window phases with the salt in phase 1,
+    so no single window partition ever holds the whole host."""
+    import random
+
+    from crawler_spark.operators.politeness import ORDER_COLS, politeness_select
+
+    rng = random.Random(7)
+    n, budget = 5000, 7
+    rows = [
+        (
+            "mega.test",
+            rng.randrange(3),            # priority
+            rng.randrange(4),            # depth
+            i,                           # discovery_seq (unique)
+            rng.randrange(-2**62, 2**62),  # url_hash
+            budget,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "host string, priority int, depth int, discovery_seq long, "
+        "url_hash long, budget int",
+    ).repartition(16)
+    got = politeness_select(df).collect()
+    want = sorted(rows, key=lambda r: (r[1], r[2], r[3], r[4]))[:budget]
+    got_keys = sorted((r.priority, r.depth, r.discovery_seq, r.url_hash) for r in got)
+    assert got_keys == sorted((r[1], r[2], r[3], r[4]) for r in want)
+
+    plan = politeness_select(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2  # both phases survive optimization
+    assert "_salt" in plan  # phase 1 partitions by (host, salt)
