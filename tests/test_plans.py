@@ -64,3 +64,21 @@ def test_topk_is_take_ordered_not_global_sort(spark):
     # cosine_topk must plan TakeOrderedAndProject, not a full Sort+Limit
     plan = _plan(spark, "cosine_topk")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_caption_alignment_stays_native(spark):
+    # the CLIP-shaped filter must be pure JVM expressions — any Python
+    # row/batch eval node means the hot path fell off whole-stage codegen
+    plan = _plan(spark, "caption_alignment")
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ar_bucket_batches_single_exchange(spark):
+    # band key -> window -> agg must reuse ONE hash partitioning: the
+    # window's (bucket) partitioning also serves the groupBy(bucket,
+    # batch_id) agg, so exactly one shuffle of the fact rows
+    plan = _plan(spark, "ar_bucket_batches")
+    body = plan.split("== Initial Plan ==")[0]
+    assert body.count("Exchange hashpartitioning") == 1, body
