@@ -1206,6 +1206,76 @@ def q_nation_acctbal_share(spark, sf_dir):
     )
 
 
+def q_revenue_ma7(spark, sf_dir):
+    """Bounded-ROWS window frame: 7-row moving average of daily order
+    revenue, partitioned by order priority so no window ever needs a
+    global sort (the scale rule every trend query must obey — an
+    unpartitioned orderBy window is a single-partition bottleneck)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("day_total")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "o_orderdate",
+        "day_total",
+        F.round(F.avg("day_total").over(w), 6).alias("ma7"),
+    )
+
+
+def q_referential_orphans(spark, sf_dir):
+    """Data-quality audit: orphan counts per foreign-key edge of the
+    star schema (rows whose parent is missing), each edge a left-anti
+    join with the dimension side broadcast. All-zero counts are the
+    PASSING result — the query is the integrity gate a pipeline runs
+    before training-set assembly."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+
+    def edge(name, fact, dim, fk, pk):
+        return (
+            fact.join(
+                F.broadcast(dim.select(pk)), fact[fk] == dim[pk], "left_anti"
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("edge"), "n_orphans")
+        )
+
+    return (
+        edge("orders->customer", o, c, "o_custkey", "c_custkey")
+        .unionByName(edge("lineitem->orders", li, o, "l_orderkey", "o_orderkey"))
+        .unionByName(edge("lineitem->part", li, p, "l_partkey", "p_partkey"))
+        .unionByName(edge("lineitem->supplier", li, s, "l_suppkey", "s_suppkey"))
+    )
+
+
+def q_activity_islands(spark, sf_dir):
+    """Gaps-and-islands: per-user runs of consecutive active DAYS via
+    the date-minus-row_number grouping trick (no self-join, no loop —
+    one partitioned window then one aggregation)."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    islands = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("streak").alias("longest_streak"),
+    )
+
+
 def q_order_priority_cube(spark, sf_dir):
     """CUBE grouping-sets (the full lattice, vs rollup_event_stats'
     hierarchy) with an explicit grouping_id so every subtotal level is
@@ -2523,6 +2593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lone_flagger_suppliers": q_lone_flagger_suppliers,
         "top_supplier_revenue": q_top_supplier_revenue,
         "nation_acctbal_share": q_nation_acctbal_share,
+        "revenue_ma7": q_revenue_ma7,
+        "referential_orphans": q_referential_orphans,
+        "activity_islands": q_activity_islands,
         "order_priority_cube": q_order_priority_cube,
         "ntile_value_deciles": q_ntile_value_deciles,
         "event_user_setops": q_event_user_setops,
@@ -3449,6 +3522,55 @@ def oracle_sql() -> dict[str, str]:
                    round(v / t * 100, 4) AS share_pct
             FROM per, tot
             WHERE v > 0.04 * t
+        """,
+        "revenue_ma7": """
+            WITH daily AS (
+              SELECT o_orderpriority, o_orderdate,
+                     round(sum(o_totalprice), 2) AS day_total
+              FROM orders GROUP BY o_orderpriority, o_orderdate
+            )
+            SELECT o_orderpriority, o_orderdate, day_total,
+                   round(avg(day_total) OVER (
+                     PARTITION BY o_orderpriority ORDER BY o_orderdate
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ), 6) AS ma7
+            FROM daily
+        """,
+        "referential_orphans": """
+            SELECT 'orders->customer' AS edge, count(*) AS n_orphans
+            FROM orders o WHERE NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'lineitem->orders', count(*) FROM lineitem l
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'lineitem->part', count(*) FROM lineitem l
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+            UNION ALL
+            SELECT 'lineitem->supplier', count(*) FROM lineitem l
+            WHERE NOT EXISTS (
+              SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        """,
+        "activity_islands": """
+            WITH days AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ),
+            grouped AS (
+              SELECT user_id, day,
+                     day - CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day
+                     ) AS INTEGER) AS grp
+              FROM days
+            ),
+            islands AS (
+              SELECT user_id, grp, count(*) AS streak
+              FROM grouped GROUP BY user_id, grp
+            )
+            SELECT user_id, count(*) AS n_islands,
+                   max(streak) AS longest_streak
+            FROM islands GROUP BY user_id
         """,
         "order_priority_cube": """
             SELECT o_orderstatus, o_orderpriority,
