@@ -243,3 +243,60 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def incremental_corpus_select(
+    wave_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.55,
+    min_tokens: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Curate ONE new wave of documents against everything already
+    processed — the content analog of the crawl's URL-seen anti-join
+    (SCALE.md §URL-seen). A 100 TB pipeline must never re-curate the
+    whole corpus when a crawl round appends new pages: each wave does
+    O(wave) row-local work (first-wins dedup inside the wave, then the
+    language/quality/token gates) plus ONE anti-join of the wave's
+    distinct text hashes against the persisted seen-hash table — at
+    scale a bloom/cuckoo-prefiltered join exactly like
+    ``operators/seen.anti_join_seen``.
+
+    ``seen_hashes`` is the hash set of every text EVER ENCOUNTERED
+    (kept or not), not just the kept ones — the same "seen, not
+    fetched" distinction the URL frontier makes. Provided waves arrive
+    in ascending ``id_col`` order (the crawl's append-only discovery
+    order), the union of per-wave selections is row-identical to the
+    one-shot ``corpus_select`` over the concatenated corpus — asserted
+    in tests/test_dedup_text.py.
+
+    Returns ``(selected, wave_hashes)``: the wave's kept rows
+    (id, lang_pred, quality, n_tokens) and the DISTINCT ``text_md5``
+    set to append to the seen-hash table for the next wave.
+    """
+    from crawler_spark.functions.text import lang_id, quality_score, token_count
+
+    hashed = wave_docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(F.col(text_col)).alias("text_md5"),
+    )
+    # first-wins inside the wave (same key as dedup_exact)
+    winner_keys = hashed.groupBy("text_md5").agg(F.min(id_col).alias(id_col))
+    winners = hashed.join(winner_keys, ["text_md5", id_col], "left_semi")
+    # cross-wave first-wins: hashes seen in ANY earlier wave are not ours
+    fresh = winners.join(
+        seen_hashes.select("text_md5"), "text_md5", "left_anti"
+    )
+    selected = fresh.select(
+        id_col,
+        lang_id(F.col(text_col)).alias("lang_pred"),
+        quality_score(F.col(text_col)).alias("quality"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).filter(
+        (F.col("lang_pred") != "und")
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    return selected, hashed.select("text_md5").distinct()

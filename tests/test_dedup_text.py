@@ -200,3 +200,61 @@ def test_phash_neardup_query_recalls_variants(spark):
     assert bright
     assert all(pairs[p][0] == 0 and pairs[p][1] >= 48.13 for p in bright)
     assert all(pairs[p][1] >= 38.0 for p in twin)
+
+
+def test_incremental_corpus_select_equals_one_shot(spark):
+    """Wave-by-wave curation against the seen-hash table must reproduce
+    the one-shot corpus_select pipeline row-for-row: cross-wave
+    duplicates are suppressed by the anti-join (kept OR rejected — a
+    gate-failing text must not resurface via a later-wave copy), and
+    within-wave duplicates by the first-wins dedup."""
+    from crawler_spark.functions.text import lang_id, quality_score, token_count
+    from crawler_spark.operators.corpus import incremental_corpus_select
+    from crawler_spark.operators.dedup import dedup_exact
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    alt = "a different perfectly reasonable sentence with many common words"
+    bad = "zzz qqq xxx"  # fails the language/quality gates
+    rows = []
+    for i in range(300):
+        if i % 50 == 7:
+            text = good  # cross- and within-wave duplicates of a keeper
+        elif i % 50 == 9:
+            text = bad  # duplicated rejected text
+        else:
+            text = f"{alt} number {i} of the corpus stream"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # one-shot reference: global first-wins dedup, then the gates
+    keep = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    one_shot = (
+        docs.select(
+            "doc_id",
+            lang_id(F.col("text")).alias("lang_pred"),
+            quality_score(F.col("text")).alias("quality"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .filter(
+            (F.col("lang_pred") != "und")
+            & (F.col("quality") >= 0.55)
+            & (F.col("n_tokens") >= 5)
+        )
+        .join(keep, "doc_id", "left_semi")
+    )
+    want = sorted(tuple(r) for r in one_shot.collect())
+
+    seen = spark.createDataFrame([], "text_md5 string")
+    got = []
+    for lo in (0, 100, 200):  # ascending-id waves (append-only order)
+        wave = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100))
+        sel, wave_hashes = incremental_corpus_select(wave, seen)
+        got.extend(tuple(r) for r in sel.collect())
+        seen = seen.unionByName(wave_hashes).distinct().localCheckpoint()
+
+    assert sorted(got) == want
+    # the duplicated keeper survives exactly once, in its first wave
+    keeper_ids = [r[0] for r in got if r[0] % 50 == 7]
+    assert keeper_ids == [7]
+    # the rejected text never appears, from any wave
+    assert all(r[0] % 50 != 9 for r in got)
