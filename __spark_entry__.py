@@ -1156,6 +1156,148 @@ def q_lone_flagger_suppliers(spark, sf_dir):
     )
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped: cheapest supplier per part via a correlated MIN
+    decorrelated into a per-part aggregate joined back on exact double
+    equality (unit cost = min extendedprice/quantity per (part, supplier)
+    pair; lineitem stands in for partsupp — this dataset has no partsupp
+    table). IEEE division and MIN are order-independent, so the equality
+    join against the per-part minimum is bit-identical on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & F.col("p_size").between(10, 30))
+        .select("p_partkey", "p_name")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cost = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        cost.join(
+            best,
+            (cost.p_partkey == best.bp) & (cost.unit_cost == best.best_cost),
+        )
+        .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            # floor of a scaled double is bit-deterministic across engines,
+            # unlike round() whose half-tie behavior differs at some digits
+            F.floor(F.col("unit_cost") * 10000.0).alias("min_unit_cost_e4"),
+        )
+    )
+
+
+def q_ship_delay_priority(spark, sf_dir):
+    """TPC-H Q12-shaped conditional aggregation: lineitems bucketed by
+    order-to-ship latency (the shipmode surrogate — this dataset has no
+    l_shipmode), counting urgent/high-priority orders against the rest
+    per bucket for one shipdate year."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    j = li.join(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.withColumn(
+            "delay_bucket",
+            F.when(delay <= 30, "FAST").when(delay <= 90, "MEDIUM").otherwise("SLOW"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_supplier_part_variety(spark, sf_dir):
+    """TPC-H Q16-shaped: distinct-supplier counts per part attribute
+    combo, excluding a supplier blacklist via NOT IN (anti-join; negative
+    account balance stands in for the reference's complaint scan). The
+    distinct (part, supplier) projection of lineitem stands in for
+    partsupp."""
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_surplus_suppliers(spark, sf_dir):
+    """TPC-H Q20-shaped nested semi-join: suppliers holding surplus stock
+    of red parts — total quantity ever supplied per (part, supplier)
+    exceeds half of what shipped in 1998 (the availqty > 0.5*sum(qty)
+    correlated subquery, decorrelated into two aggregates joined on the
+    pair key). Quantities are integer-valued doubles, so the halved sum
+    compares exactly on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    avail = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("avail_qty"))
+    )
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sp"), F.col("l_suppkey").alias("ss")
+        )
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_shipped"))
+    )
+    surplus = avail.join(
+        shipped,
+        (avail.l_partkey == shipped.sp)
+        & (avail.l_suppkey == shipped.ss)
+        & (avail.avail_qty > shipped.half_shipped),
+        "left_semi",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(surplus.select("l_suppkey").distinct(), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 def q_top_supplier_revenue(spark, sf_dir):
     """TPC-H Q15-shaped: a per-supplier revenue view over a shipdate
     quarter, then the supplier(s) achieving the global maximum. The
@@ -2583,6 +2725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_profit": q_nation_profit,
         "small_quantity_revenue": q_small_quantity_revenue,
         "idle_customers": q_idle_customers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "ship_delay_priority": q_ship_delay_priority,
+        "supplier_part_variety": q_supplier_part_variety,
+        "surplus_suppliers": q_surplus_suppliers,
         "returned_items": q_returned_items,
         "forecast_revenue": q_forecast_revenue,
         "priority_pipeline": q_priority_pipeline,
@@ -3008,6 +3154,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             JOIN part_avg USING (l_partkey)
             WHERE p_brand = 'Brand#1' AND l_quantity < qty_floor
+        """,
+        "min_cost_supplier": """
+            WITH cost AS (
+              SELECT p_partkey, p_name, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS unit_cost
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 30
+              GROUP BY p_partkey, p_name, l_suppkey
+            ), best AS (
+              SELECT p_partkey AS bp, min(unit_cost) AS best_cost
+              FROM cost GROUP BY p_partkey
+            )
+            SELECT p_partkey, p_name, s_name, n_name,
+                   CAST(floor(unit_cost * 10000.0) AS BIGINT) AS min_unit_cost_e4
+            FROM cost
+            JOIN best ON p_partkey = bp AND unit_cost = best_cost
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "ship_delay_priority": """
+            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                        THEN 'FAST'
+                        WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+                        THEN 'MEDIUM' ELSE 'SLOW' END AS delay_bucket,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY delay_bucket
+        """,
+        "supplier_part_variety": """
+            WITH ps AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM ps
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0.0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "surplus_suppliers": """
+            WITH red AS (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+            ), avail AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS avail_qty
+              FROM lineitem JOIN red ON l_partkey = p_partkey
+              GROUP BY l_partkey, l_suppkey
+            ), shipped AS (
+              SELECT l_partkey AS sp, l_suppkey AS ss,
+                     0.5 * sum(l_quantity) AS half_shipped
+              FROM lineitem JOIN red ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                AND l_shipdate <  TIMESTAMP '1999-01-01'
+              GROUP BY l_partkey, l_suppkey
+            )
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM avail
+              JOIN shipped ON l_partkey = sp AND l_suppkey = ss
+              WHERE avail_qty > half_shipped
+            )
         """,
         "idle_customers": """
             WITH floor_ AS (
