@@ -2342,6 +2342,49 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog vocabulary-cardinality estimate vs exact distinct —
+    the O(m)-state sketch a 100 TB corpus uses instead of a full
+    distinct shuffle. Integer-scaled harmonic denominator makes the
+    estimate order-independent (operators/sketches.py)."""
+    from crawler_spark.operators.corpus import _tokens
+    from crawler_spark.operators.sketches import hll_estimate, hll_registers
+
+    toks = _tokens(_t(spark, sf_dir, "documents"), "text", "doc_id").select("tok")
+    est = hll_estimate(hll_registers(toks, "tok"))
+    exact = toks.agg(F.countDistinct("tok").alias("exact_distinct"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.floor(F.col("hll_estimate")).cast("long").alias("hll_floor"),
+            "exact_distinct",
+            F.floor(
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                * 1000.0
+            ).alias("rel_err_permille"),
+        )
+    )
+
+
+def q_countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min frequency estimates for the heavy vocabulary (exact
+    count >= 200): est >= exact always; the d*w-cell grid broadcasts so
+    the probe join never shuffles the token set."""
+    from crawler_spark.operators.corpus import _tokens
+    from crawler_spark.operators.sketches import countmin_build, countmin_estimate
+
+    toks = _tokens(_t(spark, sf_dir, "documents"), "text", "doc_id").select("tok")
+    sketch = countmin_build(toks, "tok")
+    heavy = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt")).filter(
+        F.col("exact_cnt") >= 200
+    )
+    est = countmin_estimate(sketch, heavy.select("tok"), "tok")
+    return heavy.join(est, "tok").select(
+        "tok", "exact_cnt", "cm_est", (F.col("cm_est") - F.col("exact_cnt")).alias("overcount")
+    )
+
+
 def q_tfidf_top(spark, sf_dir):
     """Most salient token per doc by TF-IDF (ln(N/df), round-6 pinned,
     deterministic tie-breaks)."""
@@ -2725,6 +2768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_profit": q_nation_profit,
         "small_quantity_revenue": q_small_quantity_revenue,
         "idle_customers": q_idle_customers,
+        "hll_distinct": q_hll_distinct,
+        "countmin_heavy_hitters": q_countmin_heavy_hitters,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -3154,6 +3199,77 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             JOIN part_avg USING (l_partkey)
             WHERE p_brand = 'Brand#1' AND l_quantity < qty_floor
+        """,
+        "hll_distinct": """
+            WITH t AS (
+              SELECT tok FROM (
+                SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            hw AS (
+              SELECT h % 256 AS idx, h >> 8 AS w FROM (
+                SELECT CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+                FROM t
+              )
+            ),
+            reg AS (
+              SELECT idx, max(CASE WHEN w = 0 THEN 53
+                                   ELSE length(bin(w & -w)) END) AS rho_max
+              FROM hw GROUP BY idx
+            ),
+            d AS (
+              SELECT sum(CAST(1 AS BIGINT) << (53 - rho_max))
+                     + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
+                     AS denom_scaled
+              FROM reg
+            ),
+            est AS (
+              SELECT round(47072.71267120224 * pow(CAST(2 AS DOUBLE), 53)
+                           / denom_scaled, 3) AS hll_estimate
+              FROM d
+            ),
+            exact AS (SELECT count(DISTINCT tok) AS exact_distinct FROM t)
+            SELECT CAST(floor(hll_estimate) AS BIGINT) AS hll_floor,
+                   exact_distinct,
+                   CAST(floor(abs(hll_estimate - exact_distinct)
+                              / exact_distinct * 1000.0) AS BIGINT)
+                     AS rel_err_permille
+            FROM est CROSS JOIN exact
+        """,
+        "countmin_heavy_hitters": """
+            WITH t AS (
+              SELECT tok FROM (
+                SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            cells AS (
+              SELECT r.cm_row,
+                     (instr('0123456789abcdef', substring(md5(concat('cm', r.cm_row, ':', tok)), 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substring(md5(concat('cm', r.cm_row, ':', tok)), 2, 1)) - 1)
+                       AS cm_col
+              FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS cm_row) r
+            ),
+            sketch AS (
+              SELECT cm_row, cm_col, count(*) AS cnt
+              FROM cells GROUP BY cm_row, cm_col
+            ),
+            heavy AS (
+              SELECT tok, count(*) AS exact_cnt FROM t
+              GROUP BY tok HAVING count(*) >= 200
+            ),
+            probes AS (
+              SELECT tok, exact_cnt, r.cm_row,
+                     (instr('0123456789abcdef', substring(md5(concat('cm', r.cm_row, ':', tok)), 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substring(md5(concat('cm', r.cm_row, ':', tok)), 2, 1)) - 1)
+                       AS cm_col
+              FROM heavy CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS cm_row) r
+            )
+            SELECT tok, exact_cnt, min(cnt) AS cm_est,
+                   min(cnt) - exact_cnt AS overcount
+            FROM probes JOIN sketch USING (cm_row, cm_col)
+            GROUP BY tok, exact_cnt
         """,
         "min_cost_supplier": """
             WITH cost AS (

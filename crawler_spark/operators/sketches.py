@@ -1,0 +1,141 @@
+"""Probabilistic summary sketches over the corpus — deterministic,
+SQL-portable constructions so the DuckDB oracle can reproduce every bit.
+
+A 100 TB pipeline needs cheap cardinality and frequency answers without a
+full distinct/groupBy shuffle of the raw keys:
+
+* HyperLogLog (Flajolet et al. 2007) — distinct-count estimate from m=2^p
+  max-rank registers. Built here as ONE groupBy over p-bit register ids
+  (shuffle carries at most m rows per partition after partial agg), so
+  the shuffle volume is O(m), not O(n_distinct). The harmonic-mean
+  denominator is computed in INTEGER arithmetic (sum of 2^(53-rho), each
+  term exact) so the estimate is order-independent and bit-identical on
+  any engine; a float sum of 2^-rho would be summation-order dependent.
+* Count-Min (Cormode & Muthukrishnan 2005) — d x w counter grid; point
+  estimate = min over d rows. Built as one explode -> groupBy (row, col);
+  the grid is d*w rows total regardless of corpus size, so it broadcasts
+  for the estimate join.
+
+Hashing is md5-digit arithmetic (same idiom as operators/pairs.py) so the
+oracle mirrors it verbatim — no engine-specific hash in the plan.
+
+Reference parity: the reference keeps only an exact seen-set
+(src/database.py:126-136); these sketches are the scale path the survey's
+dedup/metrics sections call for when exact state no longer fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit hash from the first 15 md5 hex digits: portable to DuckDB as
+# CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT).
+def _h60(expr: str) -> F.Column:
+    return F.expr(f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)")
+
+
+# ------------------------------------------------------------------ HLL
+
+HLL_P = 8  # 2^8 = 256 registers; expected rel. error ~ 1.04/sqrt(m) = 6.5%
+HLL_M = 1 << HLL_P
+# bias constant alpha_m for m >= 128 (Flajolet et al., Fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_registers(df: DataFrame, key_expr: str) -> DataFrame:
+    """Registers (idx, rho_max) of an HLL sketch over `key_expr`.
+
+    idx  = low p bits of the 60-bit hash
+    rho  = 1-based position of the lowest set bit of the remaining 52
+           bits (the max-trailing-zero variant — same estimator guarantees
+           as leading-zero, but expressible with `x & -x` + bin-length,
+           which both Spark and DuckDB evaluate identically), capped at
+           53 when the suffix is all zeros.
+    """
+    h = _h60(key_expr)
+    hw = df.select(h.alias("h")).select(
+        (F.col("h") % HLL_M).cast("int").alias("idx"),
+        F.expr(f"shiftright(h, {HLL_P})").alias("w"),
+    )
+    reg = hw.select(
+        "idx",
+        F.when(F.col("w") == 0, F.lit(53))
+        .otherwise(F.length(F.bin(F.col("w").bitwiseAND(-F.col("w")))))
+        .alias("rho"),
+    )
+    return reg.groupBy("idx").agg(F.max("rho").alias("rho_max"))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Raw HLL estimate alpha*m^2 / sum(2^-rho) from a register table.
+
+    Unseen registers contribute 2^0 = 1 to the harmonic denominator; the
+    sum is scaled by 2^53 and kept integral (each 2^(53-rho) term is an
+    exact int64; 256 terms < 2^61) so it is order-independent. The one
+    float division happens once at the end. Small-range / large-range
+    bias corrections are intentionally omitted (documented raw estimator)
+    so the oracle is a literal transcription.
+    """
+    return registers.agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 53 - rho_max)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))  # absent registers: rho=0
+            * F.lit(1 << 53).cast("long")
+        ).alias("denom_scaled")
+    ).select(
+        F.round(
+            F.lit(HLL_ALPHA * HLL_M * HLL_M)
+            * F.pow(F.lit(2.0), 53)
+            / F.col("denom_scaled"),
+            3,
+        ).alias("hll_estimate")
+    )
+
+
+# ------------------------------------------------------------ Count-Min
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def _cm_col(row: int, key: str) -> F.Column:
+    """Column index 0..255 for sketch row `row`: two md5 hex digits of the
+    salted key — portable digit arithmetic, no engine hash."""
+    salted = f"concat('cm{row}:', {key})"
+    d1 = f"(instr('0123456789abcdef', substring(md5({salted}), 1, 1)) - 1)"
+    d2 = f"(instr('0123456789abcdef', substring(md5({salted}), 2, 1)) - 1)"
+    return F.expr(f"cast({d1} * 16 + {d2} as int)")
+
+
+def countmin_build(df: DataFrame, key_col: str, weight_col: str | None = None) -> DataFrame:
+    """d x w Count-Min grid as (cm_row, cm_col, cnt): each key occurrence
+    increments one cell per row. One explode (d copies) + one groupBy —
+    output is CM_DEPTH*CM_WIDTH rows max, independent of input size."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    rows = [
+        df.select(
+            F.lit(r).alias("cm_row"), _cm_col(r, key_col).alias("cm_col"), w.alias("w")
+        )
+        for r in range(CM_DEPTH)
+    ]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("cm_row", "cm_col").agg(F.sum("w").alias("cnt"))
+
+
+def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point estimates: min over the d cells a key hashes to. The sketch
+    is tiny (d*w rows) -> broadcast join, no shuffle of the key set."""
+    probes = None
+    for r in range(CM_DEPTH):
+        p = keys.select(
+            F.col(key_col), F.lit(r).alias("cm_row"), _cm_col(r, key_col).alias("cm_col")
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(F.broadcast(sketch), ["cm_row", "cm_col"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cm_est"))
+    )

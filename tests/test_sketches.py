@@ -73,3 +73,52 @@ def test_sketches_are_mergeable_across_partitions(spark):
         F.approx_count_distinct("user_id", 0.02).alias("x")
     ).first()["x"]
     assert a == b
+
+
+def test_own_hll_estimate_error_and_mergeability(spark):
+    """The from-scratch deterministic HLL (operators/sketches.py): the
+    estimate lands within 4x the theoretical RSD (1.04/sqrt(256) = 6.5%),
+    and registers built on disjoint halves merge (max per idx) to exactly
+    the registers of the whole — the property that lets partial sketches
+    combine across partitions/executors without rescanning."""
+    from crawler_spark.operators.sketches import hll_estimate, hll_registers
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    keys = docs.select(F.col("doc_id").cast("string").alias("k"))
+    est = hll_estimate(hll_registers(keys, "k")).first()["hll_estimate"]
+    exact = keys.distinct().count()
+    assert abs(est - exact) / exact < 4 * 1.04 / (256 ** 0.5)
+
+    lo = keys.filter(F.col("k").cast("long") % 2 == 0)
+    hi = keys.filter(F.col("k").cast("long") % 2 == 1)
+    merged = (
+        hll_registers(lo, "k")
+        .unionByName(hll_registers(hi, "k"))
+        .groupBy("idx")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    whole = hll_registers(keys, "k")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_own_countmin_never_undercounts(spark):
+    """CM point estimates dominate exact counts (the one-sided error
+    guarantee) and the grid stays at most depth*width rows."""
+    from crawler_spark.operators.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        countmin_build,
+        countmin_estimate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    sketch = countmin_build(toks, "tok")
+    assert sketch.count() <= CM_DEPTH * CM_WIDTH
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = countmin_estimate(sketch, exact.select("tok"), "tok")
+    bad = exact.join(est, "tok").filter(F.col("cm_est") < F.col("exact_cnt"))
+    assert bad.count() == 0
