@@ -62,6 +62,9 @@ HEADLINE = [
     "urlseen_cuckoo",
     "caption_alignment",
     "ar_bucket_batches",
+    "hll_distinct",
+    "countmin_heavy_hitters",
+    "min_cost_supplier",
 ]
 
 BENCH_HOSTS = 50
