@@ -2715,6 +2715,18 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return ivf_topk(e, qv, k=10, n_cells=8, n_probe=3, n_iter=2)
 
 
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (the compressed-domain ANN path:
+    codes are m_subs bytes per vector, distances come from a broadcast
+    query-to-codeword table, integer-summed). Full SQL oracle mirrors
+    codebook build, encoding, and ADC scan."""
+    from crawler_spark.operators.similarity import pq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_adc_topk(e, qv, k=10, m_subs=4, n_codes=16)
+
+
 def q_crawl_smoke(spark, sf_dir):
     """End-to-end crawl engine smoke (frontier->politeness->fetch->
     dedup->snapshot): results-by-host over a T1 synthetic crawl. No SQL
@@ -2859,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "pq_adc_topk": q_pq_adc_topk,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -4911,6 +4924,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, arg_min(val, pos) AS hit_val,
                    CAST(min(pos) AS BIGINT) AS hit_pos
             FROM hits GROUP BY doc_id
+        """,
+        "pq_adc_topk": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            sub AS (
+              SELECT vec_id, t.m, v[t.m * 16 + 1 : t.m * 16 + 16] AS subv
+              FROM e, (SELECT unnest(generate_series(0, 3)) AS m) t
+            ),
+            g AS (
+              SELECT *, (strpos('0123456789abcdef',
+                substr(md5(concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))), 1, 1)) - 1) % 16
+                  AS code_id
+              FROM sub
+            ),
+            means AS (
+              SELECT m, code_id, t.pos, round(avg(subv[t.pos]), 9) AS c
+              FROM g, unnest(generate_series(1, len(subv))) AS t(pos)
+              GROUP BY m, code_id, t.pos
+            ),
+            cb AS (
+              SELECT m, code_id, list(c ORDER BY pos) AS codeword
+              FROM means GROUP BY m, code_id
+            ),
+            enc AS (
+              SELECT s.vec_id, s.m, cb.code_id,
+                CAST(floor(list_sum(list_transform(generate_series(1, len(s.subv)),
+                  i -> (s.subv[i] - cb.codeword[i]) * (s.subv[i] - cb.codeword[i])))
+                  * 1e9) AS BIGINT) AS d2_e9
+              FROM sub s JOIN cb ON s.m = cb.m
+            ),
+            codes AS (
+              SELECT vec_id, m, code_id AS code FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id, m ORDER BY d2_e9, code_id) AS rn
+                FROM enc
+              ) WHERE rn = 1
+            ),
+            q AS (SELECT m, subv AS qsub FROM sub WHERE vec_id = 0),
+            qtab AS (
+              SELECT cb.m, cb.code_id,
+                CAST(floor(list_sum(list_transform(generate_series(1, len(q.qsub)),
+                  i -> (q.qsub[i] - cb.codeword[i]) * (q.qsub[i] - cb.codeword[i])))
+                  * 1e9) AS BIGINT) AS qd_e9
+              FROM cb JOIN q ON cb.m = q.m
+            )
+            SELECT vec_id, CAST(sum(qd_e9) AS BIGINT) AS adc_e9
+            FROM codes JOIN qtab ON codes.m = qtab.m AND codes.code = qtab.code_id
+            GROUP BY vec_id
+            ORDER BY adc_e9, vec_id LIMIT 10
         """,
         "ann_ivf_topk": """
             WITH e AS (

@@ -177,3 +177,145 @@ def ivf_topk(
         F.round(_dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn)), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+# ------------------------------------------------------ product quantization
+
+
+def _l2sq(a, b):
+    """Squared L2 between two arrays, summed in index order via one
+    sequential fold — bit-identical on any engine that folds left-to-
+    right (same guarantee the cosine path relies on)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def pq_codebook(
+    emb: DataFrame,
+    m_subs: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codebook: the vector is split into `m_subs`
+    contiguous subspaces; each gets `n_codes` codewords = hash-group mean
+    subvectors (the same deterministic k-means-0 seeding as IVF's
+    make_centroids, per subspace). Output (m, code_id, codeword).
+
+    The codebook is m_subs * n_codes rows regardless of corpus size —
+    always broadcastable. At 100 TB the build is ONE pass: posexplode to
+    (group, pos) partial means, no iteration, no driver loop."""
+    sub = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m_subs - 1}), "
+                f"m -> slice({vec_col}, m * (size({vec_col}) div {m_subs}) + 1, "
+                f"size({vec_col}) div {m_subs}))"
+            )
+        ).alias("m", "subv"),
+    )
+    g = sub.withColumn(
+        "code_id",
+        F.expr(
+            f"pmod(instr('0123456789abcdef', substring(md5(concat("
+            f"cast(vec_id as string), ':', cast(m as string))), 1, 1)) - 1, {n_codes})"
+        ).cast("int"),
+    )
+    means = g.select("m", "code_id", F.posexplode("subv").alias("pos", "x")).groupBy(
+        "m", "code_id", "pos"
+    ).agg(F.round(F.avg(F.col("x").cast("double")), 9).alias("c"))
+    return (
+        means.groupBy("m", "code_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("m", "code_id", F.transform("pc", lambda s: s["c"]).alias("codeword"))
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m_subs: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as (vec_id, m, code): nearest codeword per
+    subspace by squared L2 (floor(d2 * 1e9) pins the argmin in integer
+    space, so no float-tie can diverge between engines). One broadcast
+    join against the tiny codebook; the 100 TB side never shuffles."""
+    sub = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m_subs - 1}), "
+                f"m -> slice({vec_col}, m * (size({vec_col}) div {m_subs}) + 1, "
+                f"size({vec_col}) div {m_subs}))"
+            )
+        ).alias("m", "subv"),
+    )
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        "vec_id",
+        "m",
+        "code_id",
+        F.floor(_l2sq(F.col("subv"), F.col("codeword")) * 1e9).alias("d2_e9"),
+    )
+    return scored.groupBy("vec_id", "m").agg(
+        F.min_by("code_id", F.struct(F.col("d2_e9"), F.col("code_id"))).alias("code")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m_subs: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query is NOT quantized; its
+    distance to every codeword is a tiny (m_subs x n_codes) table, and a
+    vector's approximate distance is the sum of its m_subs table entries
+    (integer-summed, order-independent). The scan side touches only the
+    code columns — at scale that is m_subs bytes per vector instead of
+    the full float array, the whole point of PQ."""
+    codebook = pq_codebook(emb, m_subs, n_codes, vec_col, id_col)
+    codes = pq_encode(emb, codebook, m_subs, vec_col, id_col)
+    d = len(query_vec) // m_subs
+    qsub = [
+        F.array(*[F.lit(float(x)) for x in query_vec[m * d : (m + 1) * d]])
+        for m in range(m_subs)
+    ]
+    qtab = codebook.select(
+        "m",
+        "code_id",
+        F.floor(
+            sum(
+                (
+                    F.when(F.col("m") == m, _l2sq(qsub[m], F.col("codeword"))).otherwise(
+                        F.lit(0.0)
+                    )
+                    for m in range(m_subs)
+                ),
+                F.lit(0.0),
+            )
+            * 1e9
+        ).alias("qd_e9"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtab),
+            (codes.m == qtab.m) & (codes.code == qtab.code_id),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("qd_e9").alias("adc_e9"))
+    )
+    return adc.orderBy(F.asc("adc_e9"), F.asc("vec_id")).limit(k)
