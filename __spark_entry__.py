@@ -2715,6 +2715,68 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return ivf_topk(e, qv, k=10, n_cells=8, n_probe=3, n_iter=2)
 
 
+def q_adaptive_politeness(spark, sf_dir):
+    """AIMD per-host politeness feedback: synthetic fetch outcomes
+    (md5-digit success, ~75%) -> halve the budget for hosts failing >20%,
+    +2 for healthy ones, delay stretched by failure rate. Integer
+    cross-product threshold so no float ratio can diverge
+    (operators/politeness.py:adaptive_budgets)."""
+    from crawler_spark.operators.politeness import adaptive_budgets
+
+    d = _t(spark, sf_dir, "documents")
+    outcomes = d.select(
+        F.concat(F.lit("host-"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        F.expr(
+            "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1) >= 4"
+        ).alias("ok"),
+    )
+    return adaptive_budgets(outcomes, base_budget=8)
+
+
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap-protocol frontier seeding: synthesize one sitemap XML blob
+    per host from the documents table (deterministic string-agg), parse
+    it back with native regex extraction (sources/sitemap.py — no XML
+    lib, no UDF), and admit the top-3 entries per host by priority.
+    Round-trips build -> parse -> rank entirely in whole-stage codegen."""
+    from crawler_spark.sources.sitemap import parse_sitemaps, top_candidates_per_host
+
+    d = _t(spark, sf_dir, "documents")
+    entries = d.select(
+        F.concat(F.lit("host-"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        F.concat(
+            F.lit("http://host-"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".test/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("loc"),
+        F.expr(
+            "concat('0.', cast(pmod(instr('0123456789abcdef', "
+            "substring(md5(cast(doc_id as string)), 6, 1)) - 1, 10) as string))"
+        ).alias("prio"),
+    )
+    xml = entries.groupBy("host").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("loc", "prio"))),
+                    lambda s: F.concat(
+                        F.lit("<url><loc>"),
+                        s["loc"],
+                        F.lit("</loc><priority>"),
+                        s["prio"],
+                        F.lit("</priority></url>"),
+                    ),
+                ),
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    return top_candidates_per_host(parse_sitemaps(xml), per_host=3)
+
+
 def q_pq_adc_topk(spark, sf_dir):
     """Product-quantization ADC top-k (the compressed-domain ANN path:
     codes are m_subs bytes per vector, distances come from a broadcast
@@ -2872,6 +2934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "pq_adc_topk": q_pq_adc_topk,
+        "sitemap_ingest": q_sitemap_ingest,
+        "adaptive_politeness": q_adaptive_politeness,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -4924,6 +4988,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, arg_min(val, pos) AS hit_val,
                    CAST(min(pos) AS BIGINT) AS hit_pos
             FROM hits GROUP BY doc_id
+        """,
+        "adaptive_politeness": """
+            WITH outcomes AS (
+              SELECT 'host-' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                     (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) >= 4 AS ok
+              FROM documents
+            ),
+            agg AS (
+              SELECT host, count(*) AS n,
+                     sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_fail
+              FROM outcomes GROUP BY host
+            )
+            SELECT host, n, n_fail,
+                   CAST(CASE WHEN n_fail * 10 > n * 2
+                        THEN greatest(1, CAST(floor(8 / 2.0) AS INTEGER))
+                        ELSE least(32, 10) END AS INTEGER) AS next_budget,
+                   CAST(floor(1000.0 * (1.0 + 9.0 * n_fail / n)) AS BIGINT)
+                     AS next_delay_ms
+            FROM agg
+        """,
+        "sitemap_ingest": """
+            WITH entries AS (
+              SELECT 'host-' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                     'http://host-' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.test/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+                     '0.' || CAST((strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) % 10
+                       AS VARCHAR) AS prio
+              FROM documents
+            ),
+            xml AS (
+              SELECT host,
+                     '<urlset>' || string_agg(
+                       '<url><loc>' || loc || '</loc><priority>' || prio
+                         || '</priority></url>', '' ORDER BY loc, prio)
+                       || '</urlset>' AS xml
+              FROM entries GROUP BY host
+            ),
+            parsed AS (
+              SELECT host,
+                     regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS locs,
+                     regexp_extract_all(xml, '<priority>([^<]*)</priority>', 1)
+                       AS prios
+              FROM xml
+            ),
+            flat AS (
+              SELECT host, locs[t.i] AS loc,
+                     CASE WHEN len(locs) = len(prios)
+                          THEN CAST(prios[t.i] AS DOUBLE) ELSE 0.5 END
+                       AS priority
+              FROM parsed, unnest(generate_series(1, len(locs))) AS t(i)
+            )
+            SELECT host, loc, priority, rk FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY host ORDER BY priority DESC, loc ASC) AS rk
+              FROM flat
+            ) WHERE rk <= 3
         """,
         "pq_adc_topk": """
             WITH e AS (

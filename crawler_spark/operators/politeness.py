@@ -96,3 +96,48 @@ def robots_gate(
         "_denied", "deny_prefixes", "crawl_delay_s"
     )
     return allowed, denied
+
+
+def adaptive_budgets(
+    outcomes: DataFrame,
+    base_budget: int = 8,
+    min_budget: int = 1,
+    max_budget: int = 32,
+    fail_threshold: float = 0.2,
+    base_delay_ms: int = 1000,
+) -> DataFrame:
+    """AIMD per-host budget adaptation from the previous round's fetch
+    outcomes (host, ok): hosts failing above `fail_threshold` halve
+    their budget (multiplicative decrease), healthy hosts gain +2
+    (additive increase), clamped to [min_budget, max_budget]; the
+    politeness delay stretches linearly with the failure rate.
+
+    One groupBy over (host) — the output is one row per host, broadcast-
+    sized for the next round's politeness_select join. The reference
+    backs off per-request with fixed sleeps (base_crawler.py retry loop);
+    at fleet scale the equivalent signal is this per-host feedback.
+    Failure rate compares as an exact integer cross-product
+    (n_fail * 10 > n * 2 for threshold 0.2) so no float ratio can
+    diverge between engines."""
+    thr_num = int(round(fail_threshold * 10))
+    agg = outcomes.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_fail"),
+    )
+    unhealthy = F.col("n_fail") * 10 > F.col("n") * thr_num
+    return agg.select(
+        "host",
+        "n",
+        "n_fail",
+        F.when(
+            unhealthy,
+            F.greatest(F.lit(min_budget), F.floor(F.lit(base_budget) / 2).cast("int")),
+        )
+        .otherwise(F.least(F.lit(max_budget), F.lit(base_budget + 2)))
+        .cast("int")
+        .alias("next_budget"),
+        F.floor(
+            F.lit(float(base_delay_ms))
+            * (F.lit(1.0) + F.lit(9.0) * F.col("n_fail") / F.col("n"))
+        ).alias("next_delay_ms"),
+    )

@@ -1,0 +1,61 @@
+"""Sitemap-protocol parsing + AIMD politeness feedback."""
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.politeness import adaptive_budgets
+from crawler_spark.sources.sitemap import parse_sitemaps, top_candidates_per_host
+
+
+def test_parse_sitemap_entries_and_priority_fallback(spark):
+    rows = [
+        (
+            "a.test",
+            "<urlset><url><loc>http://a.test/1</loc><priority>0.9</priority></url>"
+            "<url><loc>http://a.test/2</loc><priority>0.1</priority></url></urlset>",
+        ),
+        # one <priority> missing: counts mismatch -> protocol default 0.5
+        (
+            "b.test",
+            "<urlset><url><loc>http://b.test/x</loc></url>"
+            "<url><loc>http://b.test/y</loc><priority>0.8</priority></url></urlset>",
+        ),
+    ]
+    parsed = parse_sitemaps(spark.createDataFrame(rows, ["host", "xml"]))
+    got = {(r["host"], r["loc"]): r["priority"] for r in parsed.collect()}
+    assert got[("a.test", "http://a.test/1")] == 0.9
+    assert got[("a.test", "http://a.test/2")] == 0.1
+    assert got[("b.test", "http://b.test/x")] == 0.5
+    assert got[("b.test", "http://b.test/y")] == 0.5  # whole host falls back
+
+
+def test_top_candidates_ranking(spark):
+    xml = "<urlset>" + "".join(
+        f"<url><loc>http://h/{i}</loc><priority>0.{i}</priority></url>"
+        for i in range(6)
+    ) + "</urlset>"
+    parsed = parse_sitemaps(spark.createDataFrame([("h", xml)], ["host", "xml"]))
+    top = top_candidates_per_host(parsed, per_host=2).collect()
+    assert [(r["loc"], r["rk"]) for r in sorted(top, key=lambda r: r["rk"])] == [
+        ("http://h/5", 1),
+        ("http://h/4", 2),
+    ]
+
+
+def test_adaptive_budgets_aimd(spark):
+    # host bad: 3/6 failures (50% > 20%) -> halved budget, stretched delay
+    # host good: 0/4 failures -> +2 budget, base delay
+    rows = [("bad", i % 2 == 0) for i in range(6)] + [("good", True)] * 4
+    out = adaptive_budgets(
+        spark.createDataFrame(rows, ["host", "ok"]), base_budget=8
+    ).collect()
+    by = {r["host"]: r for r in out}
+    assert by["bad"]["next_budget"] == 4 and by["bad"]["n_fail"] == 3
+    assert by["bad"]["next_delay_ms"] == 1000 + 4500
+    assert by["good"]["next_budget"] == 10 and by["good"]["next_delay_ms"] == 1000
+
+
+def test_adaptive_budgets_clamps(spark):
+    all_fail = spark.createDataFrame([("h", False)] * 3, ["host", "ok"])
+    r = adaptive_budgets(all_fail, base_budget=2, min_budget=1).first()
+    assert r["next_budget"] == 1  # floor(2/2)=1, clamped at min
+    assert r["next_delay_ms"] == 10000  # 1000 * (1 + 9*1.0)
