@@ -2385,6 +2385,14 @@ def q_countmin_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_bpe_merge_pairs(spark, sf_dir):
+    """First-round BPE merge statistics: top-20 adjacent char pairs over
+    all token occurrences (operators/corpus.py:bpe_merge_candidates)."""
+    from crawler_spark.operators.corpus import bpe_merge_candidates
+
+    return bpe_merge_candidates(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_tfidf_top(spark, sf_dir):
     """Most salient token per doc by TF-IDF (ln(N/df), round-6 pinned,
     deterministic tie-breaks)."""
@@ -2842,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_profit": q_nation_profit,
         "small_quantity_revenue": q_small_quantity_revenue,
         "idle_customers": q_idle_customers,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
         "hll_distinct": q_hll_distinct,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
         "min_cost_supplier": q_min_cost_supplier,
@@ -3276,6 +3285,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             JOIN part_avg USING (l_partkey)
             WHERE p_brand = 'Brand#1' AND l_quantity < qty_floor
+        """,
+        "bpe_merge_pairs": """
+            WITH t AS (
+              SELECT tok FROM (
+                SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+              ) WHERE length(tok) >= 2
+            ),
+            pairs AS (
+              SELECT substr(tok, i.i, 2) AS pair
+              FROM t, unnest(generate_series(1, length(tok) - 1)) AS i(i)
+            )
+            SELECT pair, count(*) AS n FROM pairs
+            GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
         """,
         "hll_distinct": """
             WITH t AS (

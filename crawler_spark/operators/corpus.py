@@ -300,3 +300,27 @@ def incremental_corpus_select(
         & (F.col("n_tokens") >= min_tokens)
     )
     return selected, hashed.select("text_md5").distinct()
+
+
+def bpe_merge_candidates(
+    docs: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k BPE merge candidates: adjacent character-pair frequencies
+    across all token occurrences — the statistic the first BPE merge
+    rule is chosen from (Sennrich et al. 2016). Pure native expressions:
+    tokens explode once, each token emits its len-1 overlapping char
+    bigrams via transform(sequence(...)) + substring, then one
+    map-side-combined count. At corpus scale this is the same plan as
+    vocab_topk — no Python, no per-char rows wider than the pair count."""
+    toks = _tokens(docs, text_col, id_col).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )
