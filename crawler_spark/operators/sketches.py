@@ -113,27 +113,26 @@ def countmin_build(df: DataFrame, key_col: str, weight_col: str | None = None) -
     increments one cell per row. One explode (d copies) + one groupBy —
     output is CM_DEPTH*CM_WIDTH rows max, independent of input size."""
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
-    rows = [
-        df.select(
-            F.lit(r).alias("cm_row"), _cm_col(r, key_col).alias("cm_col"), w.alias("w")
-        )
-        for r in range(CM_DEPTH)
-    ]
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionByName(r)
-    return u.groupBy("cm_row", "cm_col").agg(F.sum("w").alias("cnt"))
+    # ONE scan: each row posexplodes its d cell coordinates (a union of d
+    # branches would rescan the input d times at corpus scale)
+    cells = df.select(
+        F.posexplode(F.array(*[_cm_col(r, key_col) for r in range(CM_DEPTH)])).alias(
+            "cm_row", "cm_col"
+        ),
+        w.alias("w"),
+    )
+    return cells.groupBy("cm_row", "cm_col").agg(F.sum("w").alias("cnt"))
 
 
 def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     """Point estimates: min over the d cells a key hashes to. The sketch
     is tiny (d*w rows) -> broadcast join, no shuffle of the key set."""
-    probes = None
-    for r in range(CM_DEPTH):
-        p = keys.select(
-            F.col(key_col), F.lit(r).alias("cm_row"), _cm_col(r, key_col).alias("cm_col")
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(F.array(*[_cm_col(r, key_col) for r in range(CM_DEPTH)])).alias(
+            "cm_row", "cm_col"
+        ),
+    )
     return (
         probes.join(F.broadcast(sketch), ["cm_row", "cm_col"])
         .groupBy(key_col)
