@@ -5050,24 +5050,27 @@ def oracle_sql() -> dict[str, str]:
                        || '</urlset>' AS xml
               FROM entries GROUP BY host
             ),
-            parsed AS (
+            ent AS (
               SELECT host,
-                     regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS locs,
-                     regexp_extract_all(xml, '<priority>([^<]*)</priority>', 1)
-                       AS prios
+                     unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1))
+                       AS entry
               FROM xml
             ),
             flat AS (
-              SELECT host, locs[t.i] AS loc,
-                     CASE WHEN len(locs) = len(prios)
-                          THEN CAST(prios[t.i] AS DOUBLE) ELSE 0.5 END
-                       AS priority
-              FROM parsed, unnest(generate_series(1, len(locs))) AS t(i)
+              SELECT host,
+                     regexp_extract(entry, '<loc>([^<]*)</loc>', 1) AS loc,
+                     CASE WHEN regexp_extract(entry,
+                            '<priority>([^<]*)</priority>', 1) = ''
+                          THEN 0.5
+                          ELSE CAST(regexp_extract(entry,
+                            '<priority>([^<]*)</priority>', 1) AS DOUBLE)
+                     END AS priority
+              FROM ent
             )
             SELECT host, loc, priority, rk FROM (
               SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY host ORDER BY priority DESC, loc ASC) AS rk
-              FROM flat
+              FROM flat WHERE loc <> ''
             ) WHERE rk <= 3
         """,
         "pq_adc_topk": """

@@ -25,28 +25,32 @@ def parse_sitemaps(
 ) -> DataFrame:
     """(host, xml) -> one row per <url> entry: (host, loc, priority).
 
-    priority defaults to 0.5 when the tag count does not line up (the
-    protocol default); loc rows are never dropped."""
-    locs = F.regexp_extract_all(F.col(xml_col), F.lit("<loc>([^<]*)</loc>"), 1)
-    prios = F.regexp_extract_all(
-        F.col(xml_col), F.lit("<priority>([^<]*)</priority>"), 1
-    )
-    z = sitemaps.select(
+    An entry with no <priority> tag gets the protocol default 0.5;
+    entries with no <loc> are dropped (nothing to crawl).
+
+    Plan note: the generator explodes whole ``<url>...</url>`` entry
+    strings and the two scalar regexes run per ENTRY — extracting
+    parallel loc/priority arrays instead would make the optimizer inline
+    the priority-array expression above the Generate and re-parse the
+    whole XML blob once per exploded row (the Generate-boundary variant
+    of the lambda-CSE trap, measured on the first cut of this parser)."""
+    entries = sitemaps.select(
         F.col(host_col).alias("host"),
-        F.size(locs).alias("n_loc"),
-        F.size(prios).alias("n_prio"),
-        F.posexplode(locs).alias("i", "loc"),
-        prios.alias("_prios"),
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit("<url>(.*?)</url>"), 1)
+        ).alias("entry"),
     )
-    return z.select(
-        "host",
-        "loc",
-        F.when(
-            F.col("n_loc") == F.col("n_prio"),
-            F.element_at("_prios", F.col("i") + 1).cast("double"),
+    loc = F.regexp_extract(F.col("entry"), "<loc>([^<]*)</loc>", 1)
+    prio = F.regexp_extract(F.col("entry"), "<priority>([^<]*)</priority>", 1)
+    return (
+        entries.select(
+            "host",
+            loc.alias("loc"),
+            F.when(prio == "", F.lit(0.5)).otherwise(prio.cast("double")).alias(
+                "priority"
+            ),
         )
-        .otherwise(F.lit(0.5))
-        .alias("priority"),
+        .filter(F.col("loc") != "")
     )
 
 
@@ -63,3 +67,17 @@ def top_candidates_per_host(parsed: DataFrame, per_host: int = 3) -> DataFrame:
         .filter(F.col("rk") <= per_host)
         .select("host", "loc", "priority", "rk")
     )
+
+
+def seeds_from_sitemaps(sitemaps: DataFrame, per_host: int = 3) -> list[str]:
+    """Seed list for ``plans.rounds.init_crawl`` from sitemap XML: the
+    admitted per-host candidates globally ordered by (priority desc,
+    loc asc). Collects — seed lists are small by contract (the frontier
+    GROWS distributed from them; only the bootstrap is driver-side,
+    same as a seeds_raw literal)."""
+    rows = (
+        top_candidates_per_host(parse_sitemaps(sitemaps), per_host)
+        .orderBy(F.desc("priority"), F.asc("loc"))
+        .collect()
+    )
+    return [r["loc"] for r in rows]

@@ -82,3 +82,37 @@ def test_ar_bucket_batches_single_exchange(spark):
     plan = _plan(spark, "ar_bucket_batches")
     body = plan.split("== Initial Plan ==")[0]
     assert body.count("Exchange hashpartitioning") == 1, body
+
+
+@pytest.mark.parametrize(
+    "name,min_broadcasts",
+    [
+        ("min_cost_supplier", 3),      # part, supplier, nation dims
+        ("supplier_part_variety", 2),  # part dim + supplier blacklist
+        ("surplus_suppliers", 2),      # red-parts dim on both aggregates
+        ("countmin_heavy_hitters", 1), # the 4x256 grid broadcasts
+        ("pq_adc_topk", 2),            # codebook + query distance table
+    ],
+)
+def test_new_shapes_stay_broadcast(spark, name, min_broadcasts):
+    plan = _plan(spark, name)
+    assert plan.count("BroadcastHashJoin") >= min_broadcasts, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sitemap_parse_is_pure_codegen(spark):
+    """Sitemap parsing must stay native (regex extraction in codegen):
+    no Python evaluation node anywhere in the plan."""
+    plan = _plan(spark, "sitemap_ingest")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas", "MapInPandas"):
+        assert node not in plan, plan
+    # the priority regex must run on the exploded ENTRY, never re-parse
+    # the whole xml blob per output row (Generate-boundary CSE trap)
+    assert "regexp_extract_all(xml" not in plan.split("Generate ", 1)[0], plan
+
+
+def test_pq_scan_side_never_sorts_globally(spark):
+    """ADC top-k must be TakeOrdered (per-partition heap + driver merge),
+    not a global Sort+Limit."""
+    plan = _plan(spark, "pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan, plan

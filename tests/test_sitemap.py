@@ -13,7 +13,8 @@ def test_parse_sitemap_entries_and_priority_fallback(spark):
             "<urlset><url><loc>http://a.test/1</loc><priority>0.9</priority></url>"
             "<url><loc>http://a.test/2</loc><priority>0.1</priority></url></urlset>",
         ),
-        # one <priority> missing: counts mismatch -> protocol default 0.5
+        # one entry missing its <priority>: protocol default 0.5 for IT,
+        # the sibling keeps its declared value
         (
             "b.test",
             "<urlset><url><loc>http://b.test/x</loc></url>"
@@ -25,7 +26,7 @@ def test_parse_sitemap_entries_and_priority_fallback(spark):
     assert got[("a.test", "http://a.test/1")] == 0.9
     assert got[("a.test", "http://a.test/2")] == 0.1
     assert got[("b.test", "http://b.test/x")] == 0.5
-    assert got[("b.test", "http://b.test/y")] == 0.5  # whole host falls back
+    assert got[("b.test", "http://b.test/y")] == 0.8
 
 
 def test_top_candidates_ranking(spark):
@@ -59,3 +60,55 @@ def test_adaptive_budgets_clamps(spark):
     r = adaptive_budgets(all_fail, base_budget=2, min_budget=1).first()
     assert r["next_budget"] == 1  # floor(2/2)=1, clamped at min
     assert r["next_delay_ms"] == 10000  # 1000 * (1 + 9*1.0)
+
+
+def test_sitemap_seeded_crawl_matches_plain_seeds(spark, tmp_path):
+    """Bootstrap parity: a crawl seeded from sitemap XML advertising the
+    synth web's seed URLs produces the exact same (round, url) schedule
+    and seen set as the same seeds passed as a literal list."""
+    from crawler_spark.plans.rounds import run_crawl
+    from crawler_spark.sources.sitemap import seeds_from_sitemaps
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    web = T1_SMOKE
+    plain = web.seeds_raw()
+    # one sitemap per host advertising its seeds, priority 0.9 for all
+    by_host = {}
+    for u in plain:
+        host = u.split("/")[2]
+        by_host.setdefault(host, []).append(u)
+    rows = [
+        (
+            h,
+            "<urlset>"
+            + "".join(
+                f"<url><loc>{u}</loc><priority>0.9</priority></url>"
+                for u in sorted(us)
+            )
+            + "</urlset>",
+        )
+        for h, us in by_host.items()
+    ]
+    sm = spark.createDataFrame(rows, ["host", "xml"])
+    seeds = seeds_from_sitemaps(sm, per_host=10)
+    assert sorted(seeds) == sorted(plain)
+
+    def schedule(catalog):
+        return [
+            (r["round_id"], r["url_canon"])
+            for r in catalog.read("schedule_log")
+            .orderBy("round_id", "priority", "depth", "discovery_seq", "url_hash")
+            .select("round_id", "url_canon")
+            .collect()
+        ]
+
+    # discovery_seq is assigned by seed-list position, so the plain-list
+    # crawl must receive the seeds in the same global order the sitemap
+    # admission emits (priority all-equal -> loc asc == sorted)
+    cat_a, _ = run_crawl(spark, str(tmp_path / "a"), web, round_seconds=8.0,
+                         seeds_raw=seeds)
+    cat_b, _ = run_crawl(spark, str(tmp_path / "b"), web, round_seconds=8.0,
+                         seeds_raw=sorted(plain))
+    assert schedule(cat_a) == schedule(cat_b)
+    seen = lambda c: {r["url_canon"] for r in c.read("seen").select("url_canon").collect()}
+    assert seen(cat_a) == seen(cat_b)
