@@ -2723,6 +2723,34 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return ivf_topk(e, qv, k=10, n_cells=8, n_probe=3, n_iter=2)
 
 
+def q_domain_budget_rollup(spark, sf_dir):
+    """Registrable-domain (eTLD+1) politeness rollup: hosts synthesized
+    with md5-digit subdomain depth and suffix choice, resolved through
+    the broadcast longest-suffix match (functions/domains.py), then one
+    count per registrable domain — the key a web-scale crawler budgets
+    by instead of raw host."""
+    from crawler_spark.functions.domains import suffix_dim, with_registrable_domain
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(
+        "doc_id",
+        F.expr(
+            "concat("
+            "  if(pmod(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 8, 1)) - 1, 3) = 0,"
+            "     concat('img', cast(doc_id % 4 as string), '.'), ''),"
+            "  'site-', cast(doc_id % 10 as string), '.',"
+            "  element_at(array('com', 'co.uk', 'test', 'org.uk'),"
+            "    pmod(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 9, 1)) - 1, 4) + 1)"
+            ")"
+        ).alias("host"),
+    )
+    out = with_registrable_domain(hosts, suffix_dim(spark))
+    return out.groupBy("registrable_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
 def q_adaptive_politeness(spark, sf_dir):
     """AIMD per-host politeness feedback: synthetic fetch outcomes
     (md5-digit success, ~75%) -> halve the budget for hosts failing >20%,
@@ -2945,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "sitemap_ingest": q_sitemap_ingest,
         "adaptive_politeness": q_adaptive_politeness,
+        "domain_budget_rollup": q_domain_budget_rollup,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -5011,6 +5040,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, arg_min(val, pos) AS hit_val,
                    CAST(min(pos) AS BIGINT) AS hit_pos
             FROM hits GROUP BY doc_id
+        """,
+        "domain_budget_rollup": """
+            WITH hosts AS (
+              SELECT doc_id,
+                concat(
+                  CASE WHEN (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1) % 3 = 0
+                       THEN concat('img', CAST(doc_id % 4 AS VARCHAR), '.')
+                       ELSE '' END,
+                  'site-', CAST(doc_id % 10 AS VARCHAR), '.',
+                  (['com', 'co.uk', 'test', 'org.uk'])[
+                    (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 9, 1)) - 1) % 4 + 1]
+                ) AS host
+              FROM documents
+            ),
+            sfx AS (
+              SELECT unnest(['com', 'org', 'net', 'test', 'uk', 'co.uk',
+                             'org.uk', 'jp', 'co.jp', 'io']) AS suffix
+            ),
+            lab AS (
+              SELECT doc_id, host, string_split(host, '.') AS labels FROM hosts
+            ),
+            cand AS (
+              SELECT doc_id, host, k.k,
+                array_to_string(labels[len(labels) - k.k + 1 : len(labels)], '.')
+                  AS cand_sfx
+              FROM lab, unnest(generate_series(1, least(len(labels), 3))) AS k(k)
+            ),
+            matched AS (
+              SELECT host, max(k) AS best_n
+              FROM cand JOIN sfx ON cand_sfx = suffix
+              GROUP BY host
+            ),
+            dom AS (
+              SELECT l.doc_id, l.host,
+                CASE WHEN m.best_n IS NOT NULL AND len(l.labels) > m.best_n
+                     THEN array_to_string(
+                       l.labels[len(l.labels) - m.best_n : len(l.labels)], '.')
+                     ELSE l.host END AS registrable_domain
+              FROM lab l LEFT JOIN matched m ON l.host = m.host
+            )
+            SELECT registrable_domain, count(*) AS n_docs,
+                   count(DISTINCT host) AS n_hosts
+            FROM dom GROUP BY registrable_domain
         """,
         "adaptive_politeness": """
             WITH outcomes AS (

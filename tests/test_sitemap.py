@@ -112,3 +112,30 @@ def test_sitemap_seeded_crawl_matches_plain_seeds(spark, tmp_path):
     assert schedule(cat_a) == schedule(cat_b)
     seen = lambda c: {r["url_canon"] for r in c.read("seen").select("url_canon").collect()}
     assert seen(cat_a) == seen(cat_b)
+
+
+def test_registrable_domain_psl_semantics(spark):
+    """eTLD+1 longest-suffix match (functions/domains.py): multi-label
+    public suffixes beat their single-label prefixes; a host that IS a
+    bare suffix (or has no matching suffix) falls back to itself."""
+    from crawler_spark.functions.domains import suffix_dim, with_registrable_domain
+
+    hosts = spark.createDataFrame(
+        [
+            ("a.b.example.com",),
+            ("img1.example.co.uk",),   # 'co.uk' wins over 'uk'
+            ("example.co.uk",),
+            ("co.uk",),                # bare suffix: fallback
+            ("weird.zz",),             # unknown TLD: fallback
+        ],
+        ["host"],
+    )
+    out = {
+        r["host"]: r["registrable_domain"]
+        for r in with_registrable_domain(hosts, suffix_dim(spark)).collect()
+    }
+    assert out["a.b.example.com"] == "example.com"
+    assert out["img1.example.co.uk"] == "example.co.uk"
+    assert out["example.co.uk"] == "example.co.uk"
+    assert out["co.uk"] == "co.uk"
+    assert out["weird.zz"] == "weird.zz"
