@@ -141,3 +141,32 @@ def adaptive_budgets(
             * (F.lit(1.0) + F.lit(9.0) * F.col("n_fail") / F.col("n"))
         ).alias("next_delay_ms"),
     )
+
+
+def apply_adaptive_delays(
+    robots: DataFrame,
+    budgets: DataFrame,
+    round_seconds: float = 16.0,
+) -> DataFrame:
+    """Fold AIMD feedback (``adaptive_budgets`` output) into the robots
+    dimension for the NEXT round: a host's effective crawl delay becomes
+    max(its robots.txt delay, round_seconds / next_budget), i.e. the
+    feedback can only slow a host down further than its declared delay,
+    never override the site's own politeness floor. Hosts without
+    feedback keep their current delay. One broadcast left join on the
+    (tiny) dimension — the fact side is untouched."""
+    fb = budgets.select(
+        "host",
+        (F.lit(float(round_seconds)) / F.col("next_budget")).alias("_fb_delay"),
+    )
+    return (
+        robots.join(F.broadcast(fb), "host", "left")
+        .withColumn(
+            "crawl_delay_s",
+            F.when(
+                F.col("_fb_delay").isNotNull(),
+                F.greatest(F.coalesce(F.col("crawl_delay_s"), F.lit(1.0)), F.col("_fb_delay")),
+            ).otherwise(F.col("crawl_delay_s")),
+        )
+        .drop("_fb_delay")
+    )

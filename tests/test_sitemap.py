@@ -139,3 +139,46 @@ def test_registrable_domain_psl_semantics(spark):
     assert out["example.co.uk"] == "example.co.uk"
     assert out["co.uk"] == "co.uk"
     assert out["weird.zz"] == "weird.zz"
+
+
+def test_adaptive_delay_feedback_shrinks_next_round_budget(spark):
+    """Closing the AIMD loop: fold adaptive budgets into the robots
+    dimension and the next round's politeness gate schedules fewer URLs
+    for the failing host — while the robots.txt delay stays a floor the
+    feedback can only tighten, never loosen."""
+    from crawler_spark.operators.politeness import (
+        apply_adaptive_delays,
+        politeness_select,
+        robots_gate,
+    )
+
+    robots = spark.createDataFrame(
+        [("h1", [], 1.0), ("h2", [], 1.0)],
+        "host string, deny_prefixes array<string>, crawl_delay_s double",
+    )
+    pending = spark.createDataFrame(
+        [
+            ("http://%s/p%d" % (h, i), h, 0, 1, i, i * 7 + hash(h) % 100)
+            for h in ("h1", "h2")
+            for i in range(10)
+        ],
+        "url_canon string, host string, priority int, depth int, "
+        "discovery_seq long, url_hash long",
+    )
+    # round 1 budget: floor(8 / 1.0) = 8 per host
+    allowed, _ = robots_gate(pending, robots, round_seconds=8.0)
+    r1 = politeness_select(allowed)
+    assert r1.groupBy("host").count().orderBy("host").rdd.map(tuple).collect() == [
+        ("h1", 8), ("h2", 8)
+    ]
+
+    # h1 failed 3/6 last round -> next_budget 4 -> delay max(1, 8/4) = 2
+    outcomes = spark.createDataFrame(
+        [("h1", i % 2 == 0) for i in range(6)] + [("h2", True)] * 6, ["host", "ok"]
+    )
+    robots2 = apply_adaptive_delays(robots, adaptive_budgets(outcomes, base_budget=8), 8.0)
+    allowed2, _ = robots_gate(pending, robots2, round_seconds=8.0)
+    r2 = politeness_select(allowed2)
+    assert r2.groupBy("host").count().orderBy("host").rdd.map(tuple).collect() == [
+        ("h1", 4), ("h2", 8)  # h2 healthy: +2 budget but robots floor holds (8/10 < 1.0)
+    ]
