@@ -65,6 +65,10 @@ HEADLINE = [
     "hll_distinct",
     "countmin_heavy_hitters",
     "min_cost_supplier",
+    "pq_adc_topk",
+    "sitemap_ingest",
+    "domain_budget_rollup",
+    "bpe_merge_pairs",
 ]
 
 BENCH_HOSTS = 50

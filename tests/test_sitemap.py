@@ -182,3 +182,53 @@ def test_adaptive_delay_feedback_shrinks_next_round_budget(spark):
     assert r2.groupBy("host").count().orderBy("host").rdd.map(tuple).collect() == [
         ("h1", 4), ("h2", 8)  # h2 healthy: +2 budget but robots floor holds (8/10 < 1.0)
     ]
+
+
+def test_parse_sitemaps_differential_fuzz(spark):
+    """Differential fuzz: 200 seeded random sitemaps (entries with
+    shuffled optional tags, whitespace padding, missing loc/priority,
+    decoy tags) parsed by the Spark plan must equal a Python `re`
+    reference implementing the same per-entry semantics — one batch, one
+    comparison."""
+    import random
+    import re
+
+    rng = random.Random(20260818)
+    rows, expected = [], set()
+    for s in range(200):
+        host = f"h{s}.test"
+        parts = []
+        for i in range(rng.randint(0, 6)):
+            loc = f"http://{host}/p{i}" if rng.random() < 0.85 else None
+            prio = round(rng.random(), 1) if rng.random() < 0.7 else None
+            inner = []
+            if loc is not None:
+                inner.append(f"<loc>{loc}</loc>")
+            if prio is not None:
+                inner.append(f"<priority>{prio}</priority>")
+            if rng.random() < 0.4:
+                inner.append(f"<lastmod>2026-0{rng.randint(1, 9)}-01</lastmod>")
+            rng.shuffle(inner)
+            pad = " " * rng.randint(0, 2)
+            parts.append(f"<url>{pad}{''.join(inner)}{pad}</url>")
+            if loc is not None:
+                expected.add((host, loc, prio if prio is not None else 0.5))
+        rows.append((host, "<urlset>" + "".join(parts) + "</urlset>"))
+
+    from crawler_spark.sources.sitemap import parse_sitemaps
+
+    got = {
+        (r["host"], r["loc"], r["priority"])
+        for r in parse_sitemaps(spark.createDataFrame(rows, ["host", "xml"])).collect()
+    }
+    # python reference uses the same regexes — this guards the Spark
+    # plan's explode/extract wiring, not the regex itself
+    ref = set()
+    for host, xml in rows:
+        for entry in re.findall(r"<url>(.*?)</url>", xml):
+            m = re.search(r"<loc>([^<]*)</loc>", entry)
+            if not m or not m.group(1):
+                continue
+            p = re.search(r"<priority>([^<]*)</priority>", entry)
+            ref.add((host, m.group(1), float(p.group(1)) if p else 0.5))
+    assert got == ref == expected
