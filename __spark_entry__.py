@@ -460,6 +460,29 @@ def q_robots_gate(spark, sf_dir):
     )
 
 
+def q_surt_index(spark, sf_dir):
+    """CDX-index SURT keys (functions/canon.py:surt_key): messy URLs
+    (www/case/port/param-order noise) -> sort-friendly reversed-host
+    keys; range-partition the sorted index for per-domain locality."""
+    from crawler_spark.functions.canon import surt_key
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Host-"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Test"),
+        F.when(F.col("doc_id") % 4 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/Doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", url.alias("url_raw"), surt_key(url).alias("surt")
+    )
+
+
 def q_canonicalize(spark, sf_dir):
     """C1-C5: portable URL canonicalization (lower, strip fragment,
     strip :80, collapse /./) over deterministically messy URLs."""
@@ -1841,6 +1864,18 @@ def q_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+def q_substring_overlap(spark, sf_dir):
+    """Exact-substring dedup (suffix-array-style, Lee et al. 2021):
+    fingerprint every 5-token window, self-join on md5(window) — finds
+    verbatim shared spans (boilerplate, quotes) that set-similarity
+    misses. One shuffle on a uniform 128-bit key."""
+    from crawler_spark.operators.dedup import substring_overlap_pairs
+
+    return substring_overlap_pairs(
+        _t(spark, sf_dir, "documents"), window=5, min_shared=1
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster reduction: MinHash-LSH candidate pairs ->
     connected components -> (doc_id, cluster_id=min reachable doc id).
@@ -2401,6 +2436,15 @@ def q_tfidf_top(spark, sf_dir):
     return tfidf_top_token(_t(spark, sf_dir, "documents"))
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality filter: add-0.5 smoothed corpus unigram
+    LM, per-doc avg token log-prob + perplexity (decimal-exact sums,
+    hash-stable)."""
+    from crawler_spark.operators.corpus import lm_perplexity_scores
+
+    return lm_perplexity_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_bigram_pmi(spark, sf_dir):
     """Collocation mining: top-20 bigrams by PMI (min count 5) — phrase
     / tokenizer-merge discovery with broadcast unigram joins and
@@ -2864,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drain_forecast": q_drain_forecast,
         "robots_gate": q_robots_gate,
         "canonicalize": q_canonicalize,
+        "surt_index": q_surt_index,
         "latest_event_per_user": q_latest_event_per_user,
         "top1_event_per_type": q_top1_event_per_type,
         "event_type_stats": q_event_type_stats,
@@ -2911,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "running_revenue": q_running_revenue,
         "lang_mixture": q_lang_mixture,
+        "lm_perplexity": q_lm_perplexity,
         "bigram_pmi": q_bigram_pmi,
         "inverted_index": q_inverted_index,
         "stratified_sample": q_stratified_sample,
@@ -2932,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": q_dedup_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "substring_overlap": q_substring_overlap,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "image_phash_neardup": q_image_phash_neardup,
@@ -3148,6 +3195,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents d ON f.doc_id = d.doc_id
             JOIN robots r ON d.source = r.source
             WHERE NOT r.denied
+        """,
+        "surt_index": """
+            WITH u0 AS (
+              SELECT doc_id,
+                'http://'
+                || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                || 'Host-' || CAST(doc_id % 20 AS VARCHAR) || '.Test'
+                || CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+                || '/Doc/' || CAST(doc_id AS VARCHAR)
+                || CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '' END AS url_raw
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id, url_raw, lower(trim(url_raw)) AS u FROM u0
+            ),
+            px AS (
+              SELECT doc_id, url_raw,
+                regexp_replace(regexp_replace(
+                  regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                  ':\\d+$', ''), '^www\\.', '') AS host,
+                regexp_extract(u, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+                regexp_extract(u, '\\?([^#]*)', 1) AS q
+              FROM parts
+            )
+            SELECT doc_id, url_raw,
+                   array_to_string(list_reverse(string_split(host, '.')), ',')
+                   || ')'
+                   || CASE WHEN path = '' THEN '/' ELSE path END
+                   || CASE WHEN q = '' THEN ''
+                      ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+                      END AS surt
+            FROM px
         """,
         "canonicalize": f"""
             WITH f AS ({frontier}),
@@ -3560,6 +3639,35 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                    AS cum_rev
             FROM daily
+        """,
+        "lm_perplexity": """
+            WITH t AS (
+              SELECT doc_id,
+                unnest(list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  x -> len(x) > 0)) AS tok
+              FROM documents
+            ),
+            uni AS (SELECT tok, count(*) AS n_uni FROM t GROUP BY tok),
+            tot AS (
+              SELECT CAST(sum(n_uni) AS DOUBLE) AS n_total,
+                     CAST(count(*) AS DOUBLE) AS v_size
+              FROM uni
+            ),
+            scored AS (
+              SELECT doc_id,
+                     CAST(round(ln((n_uni + 0.5) / (n_total + 0.5 * v_size)), 6)
+                          AS DECIMAL(20,6)) AS lp6
+              FROM t JOIN uni USING (tok) CROSS JOIN tot
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tok, sum(lp6) AS sum_lp
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, n_tok,
+                   round(CAST(sum_lp AS DOUBLE) / n_tok, 6) AS avg_logprob,
+                   round(exp(-round(CAST(sum_lp AS DOUBLE) / n_tok, 6)), 4) AS ppl
+            FROM agg
         """,
         "bigram_pmi": """
             WITH words AS (
@@ -4138,6 +4246,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(sum(b * CAST(pow(2, bit) AS BIGINT)) AS BIGINT) AS simhash
             FROM per_bit GROUP BY doc_id
+        """,
+        "substring_overlap": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            win AS (
+              SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS w_md5
+              FROM words, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+              WHERE len(ws) >= 5
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM win a JOIN win b ON a.w_md5 = b.w_md5 AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 1
         """,
         "ngram_jaccard_pairs": """
             WITH words AS (

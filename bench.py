@@ -69,6 +69,9 @@ HEADLINE = [
     "sitemap_ingest",
     "domain_budget_rollup",
     "bpe_merge_pairs",
+    "substring_overlap",
+    "lm_perplexity",
+    "surt_index",
 ]
 
 BENCH_HOSTS = 50

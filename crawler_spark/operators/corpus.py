@@ -324,3 +324,64 @@ def bpe_merge_candidates(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def lm_perplexity_scores(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-alpha
+    smoothed unigram LM on the corpus itself, score every document by
+    its average token log-probability, and report perplexity — the
+    classic "how typical is this document of the corpus" filter used to
+    rank crawl text before training (low ppl = fluent/common, high ppl
+    = gibberish or off-distribution; both tails get inspected).
+
+    Shape: one explode + map-side-combined count for the vocabulary,
+    corpus totals as broadcast one-row scalars, one join of vocab onto
+    the token stream (Catalyst broadcasts the vocab while it fits; at
+    100 TB it becomes a shuffle hash join on a uniform key), one
+    per-doc aggregation.
+
+    Determinism: per-token log-probs are ln of identical rationals on
+    both engines, rounded to 6 dp and summed as DECIMAL — exact and
+    order-independent, so partial-aggregation order can't move the
+    hash. avg/ppl derive from that exact sum.
+    """
+    toks = _tokens(docs, text_col, id_col)
+    uni = toks.groupBy("tok").agg(F.count("*").alias("n_uni")).localCheckpoint()
+    totals = uni.agg(
+        F.sum("n_uni").cast("double").alias("n_total"),
+        F.count("*").cast("double").alias("v_size"),
+    )
+    lp6 = F.round(
+        F.log(
+            (F.col("n_uni") + F.lit(alpha))
+            / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))
+        ),
+        6,
+    ).cast("decimal(20,6)")
+    return (
+        toks.join(uni, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", lp6.alias("lp6"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.sum("lp6").alias("sum_lp"))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(F.col("sum_lp").cast("double") / F.col("n_tok"), 6).alias(
+                "avg_logprob"
+            ),
+            F.round(
+                F.exp(
+                    -F.round(
+                        F.col("sum_lp").cast("double") / F.col("n_tok"), 6
+                    )
+                ),
+                4,
+            ).alias("ppl"),
+        )
+    )

@@ -662,3 +662,58 @@ def dedup_clusters(
         label_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ----------------------------------------------- exact substring overlap
+
+
+def substring_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Exact-substring duplicate detection (the distributed analog of
+    suffix-array dedup in Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): two docs sharing an exact
+    run of L >= ``window`` consecutive tokens share L - window + 1
+    consecutive token windows of length ``window``, so fingerprinting
+    every window and self-joining on the fingerprint finds every exact
+    overlap of at least ``window`` tokens — no suffix array, no global
+    sort, one shuffle on the window key.
+
+    Distinct from the Jaccard/MinHash family above: those measure
+    *set* similarity of shingles; this detects *contiguous* verbatim
+    spans (boilerplate, quoted passages, mirrored paragraphs) that can
+    sit inside otherwise-dissimilar documents.
+
+    Output: (doc_a, doc_b, n_shared) where n_shared counts DISTINCT
+    shared windows; a single shared run of length L contributes
+    L - window + 1 of them, so ``min_shared=k`` asks for an overlap of
+    at least window + k - 1 tokens (or k scattered window-sized hits).
+
+    Scale: the join key is md5(window) — 128-bit, high-cardinality,
+    uniform (and bit-identical in the DuckDB oracle, so a collision
+    cannot cause parity divergence). Corpus-scale hot windows
+    ("click here to subscribe" boilerplate) are the same hot-shingle
+    skew as ngram_jaccard_pairs; cap them with a DF filter there if a
+    real corpus shows a head — here windows >= 5 tokens are already
+    long enough to be rare.
+    """
+    win = _shingles(docs, text_col, id_col, window).select(
+        "doc_id", F.md5("shingle").alias("w_md5")
+    )
+    return (
+        win.alias("a")
+        .join(
+            win.alias("b"),
+            (F.col("a.w_md5") == F.col("b.w_md5"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -37,6 +37,63 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+# File-level column bounds are only kept for cheap, order-comparable
+# types; strings longer than this are skipped (Iceberg instead truncates
+# with an upper-bound adjustment — same effect: bounded manifest size).
+_STATS_MAX_STR = 64
+
+
+def _file_column_bounds(path: str) -> dict[str, list]:
+    """Per-file (min, max) for every top-level int/float/string column,
+    read from the parquet FOOTER only (row-group statistics written by
+    the writer) — no data pages are touched, so cost is O(KB) per file.
+
+    On a real cluster these bounds come back from the writer tasks /
+    Iceberg manifest entries; reading footers driver-side is the
+    sandbox analog with identical semantics. Columns with missing or
+    unusable stats are simply absent (= never pruned on)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    bounds: dict[str, list] = {}
+    bad: set[str] = set()  # any row group lacking stats poisons the column
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:  # nested leaves: top-level only
+                continue
+            st = col.statistics
+            lo = hi = None
+            if st is not None and st.has_min_max:
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except UnicodeDecodeError:
+                        lo = None
+                if (
+                    not isinstance(lo, (int, float, str))
+                    or isinstance(lo, bool)
+                    or (isinstance(lo, float) and (lo != lo or hi != hi))
+                    or (
+                        isinstance(lo, str)
+                        and (len(lo) > _STATS_MAX_STR or len(hi) > _STATS_MAX_STR)
+                    )
+                ):
+                    lo = None
+            if lo is None:
+                bad.add(name)
+                bounds.pop(name, None)
+                continue
+            if name in bounds:
+                b = bounds[name]
+                b[0], b[1] = min(b[0], lo), max(b[1], hi)
+            else:
+                bounds[name] = [lo, hi]
+    return bounds
+
 
 class SnapshotCatalog:
     def __init__(self, root: str, spark: SparkSession):
@@ -44,6 +101,7 @@ class SnapshotCatalog:
         self.spark = spark
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         self._staged: dict[str, list[str]] = {}
+        self._staged_stats: dict[str, dict] = {}  # dir -> {file: {col: [lo, hi]}}
         # stage_* may be called from concurrent driver threads (the round
         # driver overlaps its independent table writes to backfill idle
         # cores between job tails)
@@ -78,13 +136,27 @@ class SnapshotCatalog:
 
     # ---- staged writes ------------------------------------------------
     def stage_append(self, table: str, df: DataFrame) -> None:
-        """Write df to immutable files, visible only after commit()."""
+        """Write df to immutable files, visible only after commit().
+
+        Per-file column (min, max) bounds are collected from the written
+        parquet footers and staged into the manifest — the Iceberg
+        data-file stats analog that lets ``read(..., where=...)`` prune
+        files without opening them (the feature that turns a 10^10-row
+        "read rounds 98-99 of the metrics table" into a 2-file scan)."""
         d = os.path.join(
             self.root, table, "data", f"s{self.current_id() + 1}-{uuid.uuid4().hex[:8]}"
         )
         df.write.mode("overwrite").parquet(d)
+        stats = {}
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                b = _file_column_bounds(os.path.join(d, f))
+                if b:
+                    stats[f] = b
         with self._lock:
             self._staged.setdefault(table, []).append(d)
+            if stats:
+                self._staged_stats[d] = stats
 
     def stage_overwrite(self, table: str, df: DataFrame) -> None:
         """Replace the table's file set at the next commit."""
@@ -103,11 +175,23 @@ class SnapshotCatalog:
                 tables[t] = dirs[1:]
             else:
                 tables.setdefault(t, []).extend(dirs)
+        # carry file stats for every dir still referenced; staged dirs add
+        # theirs, dirs dropped by overwrite/expiry fall out of the map
+        prev_stats = {}
+        if self.current_id() >= 0:
+            prev_stats = self._manifest(self.current_id()).get("stats", {})
+        live = {d for dirs in tables.values() for d in dirs}
+        stats = {
+            d: s
+            for d, s in {**prev_stats, **self._staged_stats}.items()
+            if d in live
+        }
         man = {
             "id": sid,
             "parent": sid - 1,
             "tables": tables,
             "meta": {**self.meta(), **(meta or {})},
+            "stats": stats,
         }
         mp = os.path.join(self.root, "snapshots", f"{sid}.json")
         tmp = mp + ".tmp"
@@ -119,6 +203,7 @@ class SnapshotCatalog:
             f.write(str(sid))
         os.replace(cp + ".tmp", cp)  # atomic pointer swap = the commit
         self._staged = {}
+        self._staged_stats = {}
         return sid
 
     def rollback_staged(self) -> None:
@@ -127,6 +212,7 @@ class SnapshotCatalog:
                 if d != "__OVERWRITE__":
                     shutil.rmtree(d, ignore_errors=True)
         self._staged = {}
+        self._staged_stats = {}
 
     # ---- reads ----------------------------------------------------------
     def exists(self, table: str, snapshot: int | None = None) -> bool:
@@ -142,6 +228,73 @@ class SnapshotCatalog:
         # Iceberg resolves this from manifest metadata without touching
         # footers; this layer pays the footer union instead.
         return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    def plan_scan(
+        self,
+        table: str,
+        where: dict[str, tuple] | None = None,
+        snapshot: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Manifest-only scan planning: return (surviving file paths,
+        total file count) for ``table`` under conjunctive range
+        predicates ``where = {col: (lo, hi)}`` (either bound may be
+        None). A file survives unless its recorded (min, max) for some
+        predicate column is provably disjoint from [lo, hi]; files or
+        columns without stats always survive — pruning is a strict
+        superset of the answer, never a filter."""
+        where = where or {}
+        sid = self.current_id() if snapshot is None else snapshot
+        stats = self._manifest(sid).get("stats", {}) if sid >= 0 else {}
+        kept: list[str] = []
+        total = 0
+        for d in self.tables(snapshot).get(table, []):
+            dstats = stats.get(d, {})
+            for f in sorted(os.listdir(d)):
+                if not f.endswith(".parquet"):
+                    continue
+                total += 1
+                b = dstats.get(f, {})
+                dead = False
+                for col, (lo, hi) in where.items():
+                    if col not in b:
+                        continue
+                    fmin, fmax = b[col]
+                    try:
+                        if (hi is not None and fmin > hi) or (
+                            lo is not None and fmax < lo
+                        ):
+                            dead = True
+                            break
+                    except TypeError:  # predicate/stat type mismatch
+                        continue
+                if not dead:
+                    kept.append(os.path.join(d, f))
+        return kept, total
+
+    def read_where(
+        self,
+        table: str,
+        where: dict[str, tuple],
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Range-predicate read with manifest-level file skipping: plan
+        the scan from file stats (``plan_scan``), read only surviving
+        files, and apply the exact predicate on top (pruning is
+        superset-safe; the residual filter also reaches the parquet
+        row-group reader as a pushed filter). Empty survivor set -> an
+        empty DataFrame with the table's schema."""
+        from pyspark.sql import functions as F
+
+        kept, _ = self.plan_scan(table, where, snapshot)
+        if not kept:
+            return self.read(table, snapshot).limit(0)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*kept)
+        for col, (lo, hi) in where.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
+        return df
 
     def read_incremental(
         self, table: str, from_snapshot: int, to_snapshot: int | None = None

@@ -127,3 +127,19 @@ def test_xxh64_matches_spark_seeded_fuzz(spark):
     got = {r["s"]: r["x"] for r in df.select("s", F.xxhash64("s").alias("x")).collect()}
     for s in strs:
         assert xxh64_str(s) == got[s], repr(s)
+
+
+def test_surt_key(spark):
+    from crawler_spark.functions.canon import surt_key
+
+    cases = [
+        ("http://www.Example.COM:8080/A/b?z=1&a=2", "com,example)/a/b?a=2&z=1"),
+        ("https://Sub.Example.com/", "com,example,sub)/"),
+        ("http://example.com", "com,example)/"),          # empty path -> /
+        ("http://example.com/x#frag", "com,example)/x"),  # fragment dropped
+        ("http://www.w3.org/TR/html", "org,w3)/tr/html"), # www. stripped
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["s"] for r in df.select("url", surt_key(F.col("url")).alias("s")).collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u])

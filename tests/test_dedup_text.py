@@ -258,3 +258,50 @@ def test_incremental_corpus_select_equals_one_shot(spark):
     assert keeper_ids == [7]
     # the rejected text never appears, from any wave
     assert all(r[0] % 50 != 9 for r in got)
+
+
+def test_substring_overlap_pairs(spark):
+    from crawler_spark.operators.dedup import substring_overlap_pairs
+
+    rows = [
+        # docs 1 and 2 share the exact 7-token run "a b c d e f g"
+        # embedded in different surroundings -> 3 shared 5-windows
+        (1, "x a b c d e f g y z q"),
+        (2, "m n a b c d e f g p"),
+        # doc 3 shares nothing 5 tokens long with anyone
+        (3, "one two three four five six seven"),
+        # doc 4 repeats doc 3's run exactly -> full overlap (3 windows)
+        (4, "one two three four five six seven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in substring_overlap_pairs(docs, window=5).collect()
+    }
+    # run of L=7 tokens -> L - window + 1 = 3 shared windows
+    assert out == {(1, 2): 3, (3, 4): 3}
+
+
+def test_lm_perplexity_scores(spark):
+    from crawler_spark.operators.corpus import lm_perplexity_scores
+
+    rows = [
+        (1, "the the the the"),          # all high-frequency tokens
+        (2, "the zzz"),                   # one common + one rare token
+        (3, "the the qqq www"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_perplexity_scores(docs).collect()}
+    assert out[1]["n_tok"] == 4 and out[2]["n_tok"] == 2
+    # corpus: N=10, V=4, c(the)=7, c(zzz)=c(qqq)=c(www)=1
+    import math
+
+    lp_the = round(math.log(7.5 / 12.0), 6)
+    lp_rare = round(math.log(1.5 / 12.0), 6)
+    assert out[1]["avg_logprob"] == pytest.approx(lp_the, abs=1e-6)
+    assert out[2]["avg_logprob"] == pytest.approx(
+        round((lp_the + lp_rare) / 2, 6), abs=1e-6
+    )
+    # doc of only common tokens is the most "typical" -> lowest perplexity
+    ppls = {k: v["ppl"] for k, v in out.items()}
+    assert ppls[1] < ppls[2] < ppls[3] or ppls[1] < ppls[3]
