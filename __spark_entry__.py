@@ -2887,6 +2887,97 @@ def q_crawl_smoke(spark, sf_dir):
     return out
 
 
+def _redirect_edges(spark, sf_dir):
+    """Deterministic redirect graph over the document frontier: with
+    c = doc_id % 100, docs 1<=c<=12 redirect one step down (chains up
+    to 12 hops — 9..12 exceed the 8-hop budget), c in (56,57) redirect
+    up and c=58 back down (57<->58 is a 2-cycle, 56 its entry ramp);
+    every other doc is a terminal URL."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 100).alias("c")
+    )
+    return d.filter(
+        ((F.col("c") >= 1) & (F.col("c") <= 12))
+        | F.col("c").isin(56, 57, 58)
+    ).select(
+        F.col("doc_id").alias("src"),
+        F.when(F.col("c").isin(56, 57), F.col("doc_id") + 1)
+        .otherwise(F.col("doc_id") - 1)
+        .alias("dst"),
+    )
+
+
+def q_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution (301/302 canonicalization pass) by
+    pointer doubling: every redirect source mapped to its terminal URL
+    + exact hop count in ceil(log2(max_hops)) self-joins, cycles and
+    over-budget chains flagged unresolved. See operators/graph.py for
+    the scale analysis (reference follows redirects implicitly inside
+    the browser; a batch engine resolves them as data)."""
+    from crawler_spark.operators.graph import resolve_redirects
+
+    out = resolve_redirects(_redirect_edges(spark, sf_dir), max_hops=8)
+    return out.select(
+        F.col("src").alias("url_id"), "final", "n_hops", "resolved"
+    )
+
+
+def q_anchor_topk(spark, sf_dir):
+    """Anchor-text aggregation — the classic web-graph signal: group
+    inbound links by target page and keep each target's top-2 anchor
+    terms. Edges: every doc links to its 16-block hub; the anchor term
+    is the doc's first normalized word. One map-side-combinable count
+    agg, then a window over the (much smaller) per-target term counts;
+    ties broken by term for cluster-size-independent output."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") - F.col("doc_id") % 16).alias("target_id"),
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        )[0].alias("term"),
+    )
+    counts = edges.groupBy("target_id", "term").agg(
+        F.count("*").alias("n_links")
+    )
+    w = Window.partitionBy("target_id").orderBy(
+        F.col("n_links").desc(), F.col("term")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("target_id", "term", "n_links", "rnk")
+    )
+
+
+def q_crawl_trap_score(spark, sf_dir):
+    """Crawl-trap detection: a host serving many URLs with few distinct
+    content fingerprints (calendar pages, session-id explosions) wastes
+    fetch budget. Per host: URL count, distinct-content count, the
+    duplication factor, and a trap flag (>=3 URLs per distinct page).
+    One two-level agg over the frontier derivation — the scheduler
+    would multiply the flag into the politeness budget."""
+    f = _frontier(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+            "fp"
+        ),
+    )
+    return (
+        f.join(docs, "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct("fp").alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_factor",
+            F.round(F.col("n_urls") / F.col("n_distinct"), 6),
+        )
+        .withColumn("is_trap", F.col("n_urls") >= 3 * F.col("n_distinct"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -3021,6 +3112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": q_sitemap_ingest,
         "adaptive_politeness": q_adaptive_politeness,
         "domain_budget_rollup": q_domain_budget_rollup,
+        "redirect_resolution": q_redirect_resolution,
+        "anchor_topk": q_anchor_topk,
+        "crawl_trap_score": q_crawl_trap_score,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -5463,6 +5557,69 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
             FROM assigned a JOIN probe USING (cell_id), q
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "redirect_resolution": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS src,
+                     CASE WHEN doc_id % 100 IN (56, 57) THEN doc_id + 1
+                          ELSE doc_id - 1 END AS dst
+              FROM documents
+              WHERE (doc_id % 100 BETWEEN 1 AND 12)
+                 OR doc_id % 100 IN (56, 57, 58)
+            ),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1 FROM e
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN e ON w.cur = e.src
+              WHERE w.hops < 8
+            ),
+            parked AS (
+              SELECT src, max_by(cur, hops) AS cur, max(hops) AS hops
+              FROM walk GROUP BY src
+            )
+            SELECT p.src AS url_id,
+                   CASE WHEN s.src IS NULL THEN p.cur END AS final,
+                   CASE WHEN s.src IS NULL THEN p.hops END AS n_hops,
+                   s.src IS NULL AS resolved
+            FROM parked p
+            LEFT JOIN (SELECT DISTINCT src FROM e) s ON p.cur = s.src
+        """,
+        "anchor_topk": """
+            WITH edges AS (
+              SELECT doc_id - doc_id % 16 AS target_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ')[1]
+                       AS term
+              FROM documents
+            ),
+            counts AS (
+              SELECT target_id, term, count(*) AS n_links
+              FROM edges GROUP BY target_id, term
+            )
+            SELECT target_id, term, n_links, rnk FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY target_id ORDER BY n_links DESC, term
+              ) AS rnk FROM counts
+            ) WHERE rnk <= 2
+        """,
+        "crawl_trap_score": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp
+              FROM documents
+            ),
+            g AS (
+              SELECT f.host, count(*) AS n_urls,
+                     count(DISTINCT fp.fp) AS n_distinct
+              FROM f JOIN fp USING (doc_id) GROUP BY f.host
+            )
+            SELECT host, n_urls, n_distinct,
+                   round(n_urls * 1.0 / n_distinct, 6) AS dup_factor,
+                   n_urls >= 3 * n_distinct AS is_trap
+            FROM g
         """,
         # crawl_smoke, image_decode_stats: intentionally no SQL oracle
         # (engine-internal tables / binary codec); driver records

@@ -72,6 +72,8 @@ HEADLINE = [
     "substring_overlap",
     "lm_perplexity",
     "surt_index",
+    "redirect_resolution",
+    "anchor_topk",
 ]
 
 BENCH_HOSTS = 50
