@@ -2978,6 +2978,107 @@ def q_crawl_trap_score(spark, sf_dir):
     )
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """C4-style boilerplate line removal: a line (here a 4-word chunk of
+    the normalized word stream — the corpus has no newlines) that occurs
+    in >= 3 distinct documents of the same host is nav/footer chrome,
+    not content, and is dropped before training. Per doc: line count,
+    boilerplate count, and the keep ratio the curation pass multiplies
+    into its quality score. Dataflow: explode lines -> per-(host, line)
+    distinct-doc frequency (map-side combinable) -> join back -> per-doc
+    agg. The (host, line) key is high-cardinality so the join shuffle is
+    skew-free; at 10^10 docs the frequency table is the only state."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 20).alias("host_id"),
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("words"),
+    ).select(
+        "doc_id",
+        "host_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(cast(ceil(size(words) / 4.0)"
+                " as int) - 1, 0)), i -> array_join(slice(words, i*4 + 1, 4), ' '))"
+            )
+        ).alias("line"),
+    )
+    freq = lines.groupBy("host_id", "line").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    return (
+        lines.join(freq, ["host_id", "line"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("df") >= 3).cast("int")).cast("long").alias("n_boiler"),
+        )
+        .withColumn(
+            "keep_ratio",
+            F.round(1 - F.col("n_boiler") / F.col("n_lines"), 6),
+        )
+    )
+
+
+def q_change_rate(spark, sf_dir):
+    """Per-URL change-rate estimation for refresh scheduling (Cho &
+    Garcia-Molina's Poisson estimator, public VLDB'00/TOIT'03 result):
+    from n daily revisits of which x observed a changed page,
+    lambda_hat = -ln((n - x + 0.5) / (n + 0.5)) changes/day (the +0.5
+    bias correction keeps x = n finite). The revisit history is
+    synthesized deterministically per doc (n = 4 + doc_id % 5 visits,
+    x changes from an md5 digit, x <= n). Per host: frontier size, mean
+    and max estimated change rate, and how many URLs are hot
+    (lambda_hat > 0.7/day) — the numbers a freshness-aware scheduler
+    feeds into recrawl_schedule's interval bands. Pure native
+    expressions, one map-side-combinable agg."""
+    d8 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 8, 1)) - 1)"
+    f = _frontier(spark, sf_dir)
+    est = f.select(
+        "host",
+        F.expr("cast(4 + doc_id % 5 as int)").alias("n"),
+        F.expr(f"cast({d8} % (4 + doc_id % 5 + 1) as int)").alias("x"),
+    ).withColumn(
+        "lam", -F.log((F.col("n") - F.col("x") + 0.5) / (F.col("n") + 0.5))
+    )
+    return est.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.round(F.avg("lam"), 6).alias("avg_lambda"),
+        F.round(F.max("lam"), 6).alias("max_lambda"),
+        F.sum((F.col("lam") > 0.7).cast("int")).cast("long").alias("n_hot"),
+    )
+
+
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs/authorities over a deterministic two-layer link graph
+    (every doc links to its 16-block hub page and to a popular page
+    (doc_id*7) % 160). See operators/graph.py:hits_scores for the
+    edge-list dataflow; 2 normalized iterations, L2 norms broadcast."""
+    from crawler_spark.operators.graph import hits_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") - F.col("doc_id") % 16).alias("dst"),
+        )
+        .union(
+            docs.select(
+                F.col("doc_id"), (F.col("doc_id") * 7) % 160
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    out = hits_scores(edges, iters=2)
+    return out.select(
+        "node",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -3115,6 +3216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolution": q_redirect_resolution,
         "anchor_topk": q_anchor_topk,
         "crawl_trap_score": q_crawl_trap_score,
+        "boilerplate_removal": q_boilerplate_removal,
+        "change_rate": q_change_rate,
+        "hits_scores": q_hits_scores,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -5620,6 +5724,90 @@ def oracle_sql() -> dict[str, str]:
                    round(n_urls * 1.0 / n_distinct, 6) AS dup_factor,
                    n_urls >= 3 * n_distinct AS is_trap
             FROM g
+        """,
+        "boilerplate_removal": """
+            WITH w AS (
+              SELECT doc_id, doc_id % 20 AS host_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ')
+                       AS words
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, host_id,
+                     unnest([
+                       array_to_string(
+                         list_slice(words, i*4 + 1, i*4 + 4), ' ')
+                       for i in generate_series(
+                         0, greatest(cast(ceil(len(words) / 4.0)
+                                          AS int) - 1, 0))
+                     ]) AS line
+              FROM w
+            ),
+            freq AS (
+              SELECT host_id, line, count(DISTINCT doc_id) AS df
+              FROM l GROUP BY host_id, line
+            )
+            SELECT l.doc_id,
+                   count(*) AS n_lines,
+                   cast(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_boiler,
+                   round(1 - sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END)
+                             * 1.0 / count(*), 6) AS keep_ratio
+            FROM l JOIN freq USING (host_id, line)
+            GROUP BY l.doc_id
+        """,
+        "change_rate": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            est AS (
+              SELECT host,
+                     -ln((4 + doc_id % 5
+                          - ({_hexdig_sql("cast(doc_id AS varchar)", 8)}
+                             % (4 + doc_id % 5 + 1)) + 0.5)
+                         / (4 + doc_id % 5 + 0.5)) AS lam
+              FROM f
+            )
+            SELECT host, count(*) AS n_urls,
+                   round(avg(lam), 6) AS avg_lambda,
+                   round(max(lam), 6) AS max_lambda,
+                   cast(sum(CASE WHEN lam > 0.7 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_hot
+            FROM est GROUP BY host
+        """,
+        "hits_scores": """
+            WITH e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src, doc_id - doc_id % 16 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 7) % 160 FROM documents
+              ) WHERE src <> dst
+            ),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            a1r AS (SELECT e.dst AS node, cast(count(*) AS double) AS a
+                    FROM e GROUP BY e.dst),
+            a1f AS (SELECT n.node, coalesce(a1r.a, 0) AS a
+                    FROM nodes n LEFT JOIN a1r USING (node)),
+            a1 AS (SELECT node, a / sqrt(sum(a*a) OVER ()) AS a FROM a1f),
+            h1r AS (SELECT e.src AS node, sum(a1.a) AS h
+                    FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+            h1f AS (SELECT n.node, coalesce(h1r.h, 0) AS h
+                    FROM nodes n LEFT JOIN h1r USING (node)),
+            h1 AS (SELECT node, h / sqrt(sum(h*h) OVER ()) AS h FROM h1f),
+            a2r AS (SELECT e.dst AS node, sum(h1.h) AS a
+                    FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+            a2f AS (SELECT n.node, coalesce(a2r.a, 0) AS a
+                    FROM nodes n LEFT JOIN a2r USING (node)),
+            a2 AS (SELECT node, a / sqrt(sum(a*a) OVER ()) AS a FROM a2f),
+            h2r AS (SELECT e.src AS node, sum(a2.a) AS h
+                    FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+            h2f AS (SELECT n.node, coalesce(h2r.h, 0) AS h
+                    FROM nodes n LEFT JOIN h2r USING (node)),
+            h2 AS (SELECT node, h / sqrt(sum(h*h) OVER ()) AS h FROM h2f)
+            SELECT a2.node, round(a2.a, 6) AS authority,
+                   round(h2.h, 6) AS hub
+            FROM a2 JOIN h2 USING (node)
         """,
         # crawl_smoke, image_decode_stats: intentionally no SQL oracle
         # (engine-internal tables / binary codec); driver records

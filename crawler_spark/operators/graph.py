@@ -35,6 +35,77 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg) hubs-and-authorities over a link graph.
+
+    PageRank (see plans' link_rank) scores global popularity; HITS
+    separates *hubs* (pages that link to many good authorities — link
+    farms and directory pages light up here) from *authorities* (pages
+    linked by many good hubs). A crawl scheduler uses the two scores
+    differently: fetch authorities for content, fetch hubs for frontier
+    expansion.
+
+    Update rule per iteration: auth(v) = sum of hub(u) over u->v, then
+    L2-normalize; hub(u) = sum of auth(v) over u->v, then L2-normalize.
+    All hub/auth state lives on the EDGE LIST (joined by key) — no
+    driver-side vectors, so the graph can be 10^10 edges. Each
+    iteration is two shuffle joins on (src)/(dst) plus a 1-row L2-norm
+    agg broadcast back; iterations are localCheckpoint-bounded like
+    ``resolve_redirects`` so the plan stays linear in ``iters``.
+
+    Returns (node, authority, hub) for every node in the graph; nodes
+    with no in-links have authority 0, nodes with no out-links hub 0.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(max(1, iters)):
+        # auth(v) = sum hub(u) over in-edges, then L2-normalize
+        a = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        a = nodes.join(a, "node", "left").select(
+            "node", F.coalesce("a", F.lit(0.0)).alias("a")
+        )
+        norm = a.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("n"))
+        auth = a.crossJoin(F.broadcast(norm)).select(
+            "node", (F.col("a") / F.col("n")).alias("a")
+        ).localCheckpoint()
+        # hub(u) = sum auth(v) over out-edges, then L2-normalize
+        h = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        h = nodes.join(h, "node", "left").select(
+            "node", F.coalesce("h", F.lit(0.0)).alias("h")
+        )
+        norm = h.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("n"))
+        hub = h.crossJoin(F.broadcast(norm)).select(
+            "node", (F.col("h") / F.col("n")).alias("h")
+        ).localCheckpoint()
+    return auth.join(hub, "node").select(
+        "node",
+        F.col("a").alias("authority"),
+        F.col("h").alias("hub"),
+    )
+
+
 def resolve_redirects(
     edges: DataFrame,
     src_col: str = "src",

@@ -1,8 +1,10 @@
-"""Pointer-doubling redirect resolution vs a sequential Python walk."""
+"""Pointer-doubling redirect resolution vs a sequential Python walk;
+HITS hubs/authorities vs a dense numpy reference."""
 
+import numpy as np
 import pytest
 
-from crawler_spark.operators.graph import resolve_redirects
+from crawler_spark.operators.graph import hits_scores, resolve_redirects
 
 
 def _walk(step: dict, src, max_hops: int):
@@ -40,6 +42,36 @@ def test_resolve_redirects_matches_sequential_walk(spark, max_hops):
         assert want[12] == (None, None, False)
     assert want[max_hops] == (0, max_hops, True)
     assert want[max_hops + 1] == (None, None, False)
+
+
+def test_hits_matches_dense_numpy(spark):
+    # tiny web: 0 and 1 are hubs pointing at authorities 2,3,4;
+    # 2 also points at 3 (mixed role); 5 is an isolated-ish leaf target
+    edges = [(0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (2, 3), (4, 5)]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(3):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["authority"], r["hub"])
+        for r in hits_scores(df, iters=3).collect()
+    }
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n][0] == pytest.approx(a[idx[n]], abs=1e-12)
+        assert got[n][1] == pytest.approx(h[idx[n]], abs=1e-12)
+    # authorities ranked 3 > 2 > 4 > 5; hubs dominated by 0 then 1
+    ranked = sorted(nodes, key=lambda n: -got[n][0])
+    assert ranked[:3] == [3, 2, 4]
+    assert got[0][1] > got[1][1] > got[2][1]
 
 
 def test_resolve_redirects_log_join_count(spark):
