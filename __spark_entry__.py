@@ -3079,6 +3079,152 @@ def q_hits_scores(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC archive round-trip: serialize fetch results (uri/status/
+    body synthesized from documents) into concatenated WARC-style blobs,
+    re-parse them with the native-regex record parser (sources/warc.py),
+    and aggregate per status. The oracle computes the same aggregate
+    directly from documents — any record the writer mangles or the
+    parser drops/truncates changes a count or a char total, so equality
+    proves the round trip is lossless. Parsing is a single scan with
+    whole-stage codegen (no Python); blobs are the parallelism unit."""
+    from crawler_spark.sources.warc import format_records, parse_records
+
+    docs = _t(spark, sf_dir, "documents")
+    results = docs.select(
+        F.concat(
+            F.lit("http://host-"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".test/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+        F.expr(
+            "element_at(array(200, 200, 200, 301, 404),"
+            " cast(doc_id % 5 as int) + 1)"
+        ).alias("status"),
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("body"),
+    )
+    parsed = parse_records(format_records(results))
+    return parsed.groupBy("status").agg(
+        F.count("*").alias("n_records"),
+        F.sum(F.length("body")).cast("long").alias("total_chars"),
+        F.count_distinct(
+            F.regexp_extract("uri", "http://([^/]*)/", 1)
+        ).alias("n_hosts"),
+    )
+
+
+def q_dust_params(spark, sf_dir):
+    """DUST rule mining (Different URLs, Same Text — Bar-Yossef et al.,
+    public WWW'07 line of work): decide per host whether a URL query
+    parameter (?session=) can be stripped by the canonicalizer. URLs
+    aliasing the same page (4 session variants per base URL, stride-20
+    so a group stays on one host) are grouped by their stripped form;
+    if every group on a host has exactly one distinct content
+    fingerprint, the parameter never changes content there and the rule
+    is safe. Even hosts serve session-independent content, odd hosts
+    vary — the miner must recover exactly that split. Two cheap
+    map-side-combinable aggs; the stripped-URL key is high-cardinality
+    so no skew at 10^10 URLs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        (F.col("doc_id") % 20).alias("host_id"),
+        (F.col("doc_id") - F.col("doc_id") % 80 + F.col("doc_id") % 20).alias(
+            "grp"
+        ),
+        F.md5(
+            F.when(
+                (F.col("doc_id") % 20) % 2 == 0,
+                F.col("doc_id") - F.col("doc_id") % 80 + F.col("doc_id") % 20,
+            )
+            .otherwise(F.col("doc_id"))
+            .cast("string")
+        ).alias("fp"),
+    )
+    grouped = urls.groupBy("host_id", "grp").agg(
+        F.count_distinct("fp").alias("n_fp"),
+        F.count("*").alias("n_urls"),
+    )
+    return (
+        grouped.groupBy("host_id")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum((F.col("n_fp") == 1).cast("int")).cast("long").alias(
+                "n_uniform"
+            ),
+            F.sum("n_urls").cast("long").alias("n_urls"),
+        )
+        .withColumn(
+            "strip_safe", F.col("n_uniform") == F.col("n_groups")
+        )
+    )
+
+
+def _clf_weights():
+    """16 fixed classifier weights derived from md5 so the SQL oracle
+    can embed the identical literals: w_b = (md5('w'||b)[0] - 7.5)/8,
+    exact in binary floating point (multiples of 1/16)."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"w{b}".encode()).hexdigest()[0], 16) - 7.5) / 8.0
+        for b in range(16)
+    ]
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Linear (fastText-style) quality-classifier inference over hashed
+    bag-of-words features: each token hashes (md5 first hex digit) into
+    one of 16 buckets with a fixed literal weight; the doc score is the
+    sigmoid of the mean-pooled weight sum. The entire model runs inside
+    ONE higher-order `aggregate` over the token array — no explode, no
+    shuffle, no Python: a 10^10-doc corpus scores in a single
+    whole-stage-codegen scan, which is why hashed linear models (not
+    UDF-hosted nets) are the curation workhorse at this scale."""
+    w_lits = ", ".join(repr(w) for w in _clf_weights())
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+        ).alias("words"),
+    ).select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_tokens"),
+        F.expr(
+            f"aggregate(words, cast(0 as double), (acc, t) -> acc"
+            f" + element_at(array({w_lits}),"
+            f" instr('0123456789abcdef', substring(md5(t), 1, 1))))"
+        ).alias("raw"),
+    )
+    score = 1 / (1 + F.exp(-F.col("raw") / F.col("n_tokens")))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(score, 6).alias("quality"),
+        (score > 0.5).alias("passed"),
+    )
+
+
+def q_image_sharpness(spark, sf_dir):
+    """Multimodal: Laplacian-variance blur scoring over engine-encoded
+    png/qdct images via Arrow-batched mapInPandas (see
+    operators/multimodal.py:sharpness_scores). No SQL oracle (binary
+    codec); rows-only — the numeric contract is pytest-covered
+    (tests/test_sharpness.py: box-blurred copies score strictly lower,
+    constant images score 0/blurry)."""
+    from crawler_spark.operators.multimodal import sharpness_scores
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return sharpness_scores(images)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -3219,6 +3365,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "change_rate": q_change_rate,
         "hits_scores": q_hits_scores,
+        "warc_roundtrip": q_warc_roundtrip,
+        "dust_params": q_dust_params,
+        "quality_classifier": q_quality_classifier,
+        "image_sharpness": q_image_sharpness,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -5809,7 +5959,65 @@ def oracle_sql() -> dict[str, str]:
                    round(h2.h, 6) AS hub
             FROM a2 JOIN h2 USING (node)
         """,
-        # crawl_smoke, image_decode_stats: intentionally no SQL oracle
-        # (engine-internal tables / binary codec); driver records
-        # rows-only checks.
+        "warc_roundtrip": """
+            SELECT list_extract([200, 200, 200, 301, 404],
+                                cast(doc_id % 5 AS int) + 1) AS status,
+                   count(*) AS n_records,
+                   cast(sum(length(regexp_replace(lower(trim(text)),
+                                                  '\\s+', ' ', 'g')))
+                        AS bigint) AS total_chars,
+                   count(DISTINCT 'host-' || (doc_id % 20) || '.test')
+                     AS n_hosts
+            FROM documents GROUP BY 1
+        """,
+        "dust_params": """
+            WITH urls AS (
+              SELECT doc_id % 20 AS host_id,
+                     doc_id - doc_id % 80 + doc_id % 20 AS grp,
+                     md5(cast(CASE WHEN (doc_id % 20) % 2 = 0
+                              THEN doc_id - doc_id % 80 + doc_id % 20
+                              ELSE doc_id END AS varchar)) AS fp
+              FROM documents
+            ),
+            g AS (
+              SELECT host_id, grp, count(DISTINCT fp) AS n_fp,
+                     count(*) AS n_urls
+              FROM urls GROUP BY host_id, grp
+            )
+            SELECT host_id, count(*) AS n_groups,
+                   cast(sum(CASE WHEN n_fp = 1 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_uniform,
+                   cast(sum(n_urls) AS bigint) AS n_urls,
+                   sum(CASE WHEN n_fp = 1 THEN 1 ELSE 0 END) = count(*)
+                     AS strip_safe
+            FROM g GROUP BY host_id
+        """,
+        "quality_classifier": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ')
+                       AS words
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id, cast(len(words) AS bigint) AS n_tokens,
+                     unnest(words) AS tok
+              FROM w
+            ),
+            s AS (
+              SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                     sum(list_extract([{", ".join(repr(w) for w in _clf_weights())}],
+                         instr('0123456789abcdef', substring(md5(tok), 1, 1))))
+                       AS raw
+              FROM t GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   round(1 / (1 + exp(-raw / n_tokens)), 6) AS quality,
+                   1 / (1 + exp(-raw / n_tokens)) > 0.5 AS passed
+            FROM s
+        """,
+        # crawl_smoke, image_decode_stats, image_sharpness: intentionally
+        # no SQL oracle (engine-internal tables / binary codec); driver
+        # records rows-only checks.
     }

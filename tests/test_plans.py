@@ -116,3 +116,22 @@ def test_pq_scan_side_never_sorts_globally(spark):
     not a global Sort+Limit."""
     plan = _plan(spark, "pq_adc_topk")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quality_classifier_single_scan_no_shuffle(spark):
+    """The hashed linear model must run entirely inside the scan
+    projection: no Python eval nodes AND no Exchange — scoring 10^10
+    docs is then embarrassingly parallel by construction."""
+    plan = _plan(spark, "quality_classifier")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    body = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in body, body
+
+
+def test_warc_parse_is_pure_codegen(spark):
+    """WARC record parsing (write + re-parse + agg) must stay native —
+    regex extraction in codegen, no Python evaluation anywhere."""
+    plan = _plan(spark, "warc_roundtrip")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
