@@ -3225,6 +3225,76 @@ def q_image_sharpness(spark, sf_dir):
     return sharpness_scores(images)
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl snapshot differencing — the incremental-indexing primitive:
+    given two crawl waves of the same sites, classify every URL as
+    added / removed / modified / unchanged and roll the churn up per
+    host. Wave A holds doc_id % 10 != 9, wave B holds doc_id % 10 != 0,
+    and content changed where doc_id % 7 == 3 — so all four classes
+    occur. One full outer join on the (high-cardinality) URL key, then
+    a map-side-combinable pivot-style agg; at 10^10 URLs both sides
+    shuffle once on the same key and AQE handles any host skew."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    a = docs.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id",
+        (F.col("doc_id") % 20).alias("host_a"),
+        F.md5(F.col("doc_id").cast("string")).alias("fp_a"),
+    )
+    b = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        (F.col("doc_id") % 20).alias("host_b"),
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 3, F.col("doc_id") + 1000000)
+            .otherwise(F.col("doc_id"))
+            .cast("string")
+        ).alias("fp_b"),
+    )
+    diff = a.join(b, "doc_id", "full_outer").select(
+        F.coalesce("host_a", "host_b").alias("host_id"),
+        F.when(F.col("fp_a").isNull(), "added")
+        .when(F.col("fp_b").isNull(), "removed")
+        .when(F.col("fp_a") != F.col("fp_b"), "modified")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return diff.groupBy("host_id", "change").agg(
+        F.count("*").alias("n_urls")
+    )
+
+
+def q_budget_allocation(spark, sf_dir):
+    """Budget-constrained fetch allocation: each host gets a fixed
+    fetch-cost budget per round; URLs are admitted in value order
+    (priority desc, then discovery order) while the running cost total
+    fits. The running sum is a window INSIDE the host partition — the
+    same per-host partitioning the politeness scheduler already uses,
+    so at scale this adds zero extra shuffles to the round plan. Per
+    host: admitted count, spent cost, and the number deferred to the
+    next round."""
+    f = _frontier(spark, sf_dir)
+    cost = (F.col("doc_id") % 5 + 1).alias("cost")
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("discovery_seq")
+    )
+    planned = f.select("host", "priority", "discovery_seq", cost).withColumn(
+        "cum_cost", F.sum("cost").over(w)
+    )
+    budget = 40
+    return planned.groupBy("host").agg(
+        F.sum((F.col("cum_cost") <= budget).cast("int")).cast("long").alias(
+            "n_admitted"
+        ),
+        F.max(
+            F.when(F.col("cum_cost") <= budget, F.col("cum_cost")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("spent"),
+        F.sum((F.col("cum_cost") > budget).cast("int")).cast("long").alias(
+            "n_deferred"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -3369,6 +3439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_params": q_dust_params,
         "quality_classifier": q_quality_classifier,
         "image_sharpness": q_image_sharpness,
+        "snapshot_diff": q_snapshot_diff,
+        "budget_allocation": q_budget_allocation,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -6016,6 +6088,49 @@ def oracle_sql() -> dict[str, str]:
                    round(1 / (1 + exp(-raw / n_tokens)), 6) AS quality,
                    1 / (1 + exp(-raw / n_tokens)) > 0.5 AS passed
             FROM s
+        """,
+        "snapshot_diff": """
+            WITH d AS (SELECT doc_id FROM documents),
+            a AS (
+              SELECT doc_id, doc_id % 20 AS host_a,
+                     md5(cast(doc_id AS varchar)) AS fp_a
+              FROM d WHERE doc_id % 10 <> 9
+            ),
+            b AS (
+              SELECT doc_id, doc_id % 20 AS host_b,
+                     md5(cast(CASE WHEN doc_id % 7 = 3
+                              THEN doc_id + 1000000
+                              ELSE doc_id END AS varchar)) AS fp_b
+              FROM d WHERE doc_id % 10 <> 0
+            )
+            SELECT coalesce(host_a, host_b) AS host_id,
+                   CASE WHEN fp_a IS NULL THEN 'added'
+                        WHEN fp_b IS NULL THEN 'removed'
+                        WHEN fp_a <> fp_b THEN 'modified'
+                        ELSE 'unchanged' END AS change,
+                   count(*) AS n_urls
+            FROM a FULL OUTER JOIN b USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "budget_allocation": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            planned AS (
+              SELECT host,
+                     doc_id % 5 + 1 AS cost,
+                     sum(doc_id % 5 + 1) OVER (
+                       PARTITION BY host
+                       ORDER BY priority DESC, discovery_seq
+                     ) AS cum_cost
+              FROM f
+            )
+            SELECT host,
+                   cast(sum(CASE WHEN cum_cost <= 40 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_admitted,
+                   cast(max(CASE WHEN cum_cost <= 40 THEN cum_cost
+                            ELSE 0 END) AS bigint) AS spent,
+                   cast(sum(CASE WHEN cum_cost > 40 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_deferred
+            FROM planned GROUP BY host
         """,
         # crawl_smoke, image_decode_stats, image_sharpness: intentionally
         # no SQL oracle (engine-internal tables / binary codec); driver

@@ -74,6 +74,7 @@ HEADLINE = [
     "surt_index",
     "redirect_resolution",
     "anchor_topk",
+    "quality_classifier",
 ]
 
 BENCH_HOSTS = 50
