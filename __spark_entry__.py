@@ -3295,6 +3295,118 @@ def q_budget_allocation(spark, sf_dir):
     )
 
 
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined-chunking dedup (see operators/dedup.py
+    cdc_chunks): chunk boundaries ride the content (md5-class tokens),
+    so shared spans across near-duplicate pages hash to identical
+    chunks regardless of where an edit shifted them — the CDC property
+    block hashing lacks. Per doc: chunk count, chunks whose fingerprint
+    recurs anywhere in the corpus, and the shared ratio the dedup pass
+    uses to pick canonical copies."""
+    from crawler_spark.operators.dedup import cdc_chunks
+
+    chunks = cdc_chunks(_t(spark, sf_dir, "documents"))
+    occ = chunks.groupBy("chunk_md5").agg(F.count("*").alias("n_occ"))
+    return (
+        chunks.join(occ, "chunk_md5")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("n_occ") > 1).cast("int")).cast("long").alias(
+                "n_shared"
+            ),
+        )
+        .withColumn(
+            "shared_ratio",
+            F.round(F.col("n_shared") / F.col("n_chunks"), 6),
+        )
+    )
+
+
+_BPE_MERGES = [("table", "value"), ("the", "line"), ("a", "a")]
+
+
+def q_bpe_apply(spark, sf_dir):
+    """Tokenizer ENCODE side (bpe_merge_pairs is the training side):
+    apply a fixed ordered merge list to the word stream — each merge
+    rewrites adjacent pair 'x y' to 'x_y' left-to-right, non-overlapping
+    (the literal-replace scan both engines share), merges applied in
+    priority order exactly like BPE inference. Pure native string ops,
+    single scan, no shuffle until the final count agg... actually no
+    agg at all: one row per doc with before/after token counts and
+    per-merge hit counts (after = before - total hits, an internal
+    consistency the oracle re-proves)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+        F.lit(" "),
+    )
+    before = F.size(F.split(F.trim(s), " "))
+    for x, y in _BPE_MERGES:
+        s = F.replace(s, F.lit(f" {x} {y} "), F.lit(f" {x}_{y} "))
+    toks = F.split(F.trim(s), " ")
+    out = [F.col("doc_id"), before.cast("long").alias("n_before")]
+    for x, y in _BPE_MERGES:
+        out.append(
+            F.size(
+                F.filter(toks, lambda t: t == F.lit(f"{x}_{y}"))  # noqa: B023
+            ).cast("long").alias(f"n_{x}_{y}")
+        )
+    out.append(F.size(toks).cast("long").alias("n_after"))
+    return docs.select(*out)
+
+
+def q_kmv_jaccard(spark, sf_dir):
+    """KMV (k-minimum-values) sketch intersection: estimate the Jaccard
+    similarity of two user sets (click vs view audiences) from two
+    64-value sketches instead of the full sets — the constant-memory
+    way to compare 10^10-element sets across crawls. The sketch is the
+    k smallest md5 hashes per set (deterministic, so the oracle matches
+    bit-for-bit); estimate = |union-sketch ∩ A-sketch ∩ B-sketch| / k.
+    The exact Jaccard is computed alongside from a presence agg so the
+    row also witnesses the estimator's error."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    sets = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = sets.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 64
+    )
+    a = sk.filter(F.col("event_type") == "click").select(
+        "h", F.lit(1).alias("in_a")
+    )
+    b = sk.filter(F.col("event_type") == "view").select(
+        "h", F.lit(1).alias("in_b")
+    )
+    uni = sk.select("h").distinct().orderBy("h").limit(64)
+    est = (
+        uni.join(a, "h", "left")
+        .join(b, "h", "left")
+        .agg(
+            F.count("*").alias("k_eff"),
+            F.sum(
+                (F.coalesce("in_a", F.lit(0)) * F.coalesce("in_b", F.lit(0)))
+            ).cast("long").alias("n_both"),
+        )
+    )
+    pres = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("ia"),
+        F.max((F.col("event_type") == "view").cast("int")).alias("ib"),
+    )
+    exact = pres.agg(
+        (F.sum(F.col("ia") * F.col("ib")) / F.count("*")).alias("exact_j")
+    )
+    return est.crossJoin(exact).select(
+        F.col("k_eff").cast("int").alias("k_eff"),
+        F.round(F.col("n_both") / F.col("k_eff"), 6).alias("kmv_jaccard"),
+        F.round("exact_j", 6).alias("exact_jaccard"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -3441,6 +3553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_sharpness": q_image_sharpness,
         "snapshot_diff": q_snapshot_diff,
         "budget_allocation": q_budget_allocation,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "bpe_apply": q_bpe_apply,
+        "kmv_jaccard": q_kmv_jaccard,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -6131,6 +6246,123 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(CASE WHEN cum_cost > 40 THEN 1 ELSE 0 END)
                         AS bigint) AS n_deferred
             FROM planned GROUP BY host
+        """,
+        "cdc_chunk_dedup": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ')
+                       AS words
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id,
+                     unnest(words) AS tok,
+                     unnest(generate_series(1, len(words))) AS pos
+              FROM w
+            ),
+            flagged AS (
+              SELECT doc_id, tok, pos,
+                     CASE WHEN (instr('0123456789abcdef',
+                                      substring(md5(tok), 1, 1)) - 1)
+                               % 8 = 0 THEN 1 ELSE 0 END AS is_boundary
+              FROM t
+            ),
+            chunked AS (
+              SELECT doc_id, tok, pos,
+                     sum(is_boundary) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                     ) AS chunk_idx
+              FROM flagged
+            ),
+            chunks AS (
+              SELECT doc_id, chunk_idx,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5,
+                     count(*) AS n_tokens
+              FROM chunked GROUP BY doc_id, chunk_idx
+            ),
+            occ AS (
+              SELECT chunk_md5, count(*) AS n_occ FROM chunks GROUP BY 1
+            )
+            SELECT c.doc_id,
+                   count(*) AS n_chunks,
+                   cast(sum(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_shared,
+                   round(sum(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS shared_ratio
+            FROM chunks c JOIN occ o USING (chunk_md5)
+            GROUP BY c.doc_id
+        """,
+        "bpe_apply": """
+            WITH s0 AS (
+              SELECT doc_id,
+                     ' ' || regexp_replace(lower(trim(text)),
+                                           '\\s+', ' ', 'g') || ' ' AS s
+              FROM documents
+            ),
+            s1 AS (SELECT doc_id, s,
+                          replace(s, ' table value ', ' table_value ') AS t
+                   FROM s0),
+            s2 AS (SELECT doc_id, s, replace(t, ' the line ', ' the_line ')
+                            AS t FROM s1),
+            s3 AS (SELECT doc_id, s, replace(t, ' a a ', ' a_a ') AS t
+                   FROM s2)
+            SELECT doc_id,
+                   cast(len(string_split(trim(s), ' ')) AS bigint)
+                     AS n_before,
+                   cast(len(list_filter(string_split(trim(t), ' '),
+                                        x -> x = 'table_value'))
+                        AS bigint) AS n_table_value,
+                   cast(len(list_filter(string_split(trim(t), ' '),
+                                        x -> x = 'the_line'))
+                        AS bigint) AS n_the_line,
+                   cast(len(list_filter(string_split(trim(t), ' '),
+                                        x -> x = 'a_a'))
+                        AS bigint) AS n_a_a,
+                   cast(len(string_split(trim(t), ' ')) AS bigint)
+                     AS n_after
+            FROM s3
+        """,
+        "kmv_jaccard": """
+            WITH ev AS (
+              SELECT event_type, md5(cast(user_id AS varchar)) AS h,
+                     user_id
+              FROM events WHERE event_type IN ('click', 'view')
+            ),
+            sets AS (SELECT DISTINCT event_type, h FROM ev),
+            sk AS (
+              SELECT event_type, h FROM (
+                SELECT event_type, h, ROW_NUMBER() OVER (
+                  PARTITION BY event_type ORDER BY h) AS rnk
+                FROM sets
+              ) WHERE rnk <= 64
+            ),
+            uni AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64),
+            est AS (
+              SELECT count(*) AS k_eff,
+                     cast(sum(CASE WHEN a.h IS NOT NULL
+                                    AND b.h IS NOT NULL
+                              THEN 1 ELSE 0 END) AS bigint) AS n_both
+              FROM uni u
+              LEFT JOIN (SELECT h FROM sk WHERE event_type = 'click') a
+                ON u.h = a.h
+              LEFT JOIN (SELECT h FROM sk WHERE event_type = 'view') b
+                ON u.h = b.h
+            ),
+            pres AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS ia,
+                     max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS ib
+              FROM ev GROUP BY user_id
+            ),
+            ex AS (SELECT sum(ia * ib) * 1.0 / count(*) AS exact_j
+                   FROM pres)
+            SELECT cast(k_eff AS int) AS k_eff,
+                   round(n_both * 1.0 / k_eff, 6) AS kmv_jaccard,
+                   round(exact_j, 6) AS exact_jaccard
+            FROM est, ex
         """,
         # crawl_smoke, image_decode_stats, image_sharpness: intentionally
         # no SQL oracle (engine-internal tables / binary codec); driver

@@ -23,7 +23,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- exact
@@ -716,4 +716,70 @@ def substring_overlap_pairs(
         )
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ------------------------------------------------- content-defined chunks
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style, the backup-dedup technique
+    applied to text): a token starts a new chunk when its hash lands in
+    the boundary class (md5 first hex digit % boundary_mod == 0), so
+    chunk boundaries move WITH the content — an insertion early in a
+    page reshuffles fixed-size blocks but leaves content-defined chunks
+    downstream of it identical, which is what makes CDC find shared
+    spans across near-duplicate pages that block hashing misses.
+
+    Returns (id, chunk_idx, chunk_md5, n_tokens) — one row per chunk.
+    Dataflow: posexplode tokens -> boundary flag -> running boundary
+    count (window partitioned BY DOC, ordered by position: partitions
+    are doc-sized, never skewed) -> per-chunk agg re-using the same
+    partitioning. Chunk text is reassembled order-exactly via
+    sort_array(collect_list(struct(pos, token))).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " "
+            )
+        ).alias("pos", "tok"),
+    ).withColumn(
+        "is_boundary",
+        (
+            F.expr(
+                "instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1"
+            )
+            % boundary_mod
+            == 0
+        ).cast("int"),
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = toks.withColumn("chunk_idx", F.sum("is_boundary").over(w))
+    return (
+        chunked.groupBy("id", "chunk_idx")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+            F.count("*").alias("n_tokens"),
+        )
     )

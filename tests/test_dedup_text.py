@@ -305,3 +305,32 @@ def test_lm_perplexity_scores(spark):
     # doc of only common tokens is the most "typical" -> lowest perplexity
     ppls = {k: v["ppl"] for k, v in out.items()}
     assert ppls[1] < ppls[2] < ppls[3] or ppls[1] < ppls[3]
+
+
+def test_cdc_chunks_shift_invariance(spark):
+    """The CDC property: prepending tokens changes the chunks BEFORE the
+    next content-defined boundary, but every chunk after it is
+    byte-identical — fixed-size blocking would shift-corrupt them all."""
+    from crawler_spark.operators.dedup import cdc_chunks
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    shifted = "inserted prefix words " + base
+    df = spark.createDataFrame(
+        [(1, base.strip()), (2, shifted.strip())], "doc_id long, text string"
+    )
+    out = cdc_chunks(df).collect()
+    a = {r["chunk_md5"] for r in out if r["id"] == 1}
+    b = {r["chunk_md5"] for r in out if r["id"] == 2}
+    # the repeated body guarantees interior boundaries exist, so most of
+    # doc 1's chunks reappear verbatim in the shifted doc
+    assert len(a & b) >= len(a) - 2, (len(a), len(a & b))
+    # and chunk token counts reconcile with the token totals
+    tot = {
+        r["id"]: r["s"]
+        for r in cdc_chunks(df)
+        .groupBy("id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    assert tot[1] == len(base.split())
+    assert tot[2] == len(shifted.split())
