@@ -3295,6 +3295,39 @@ def q_budget_allocation(spark, sf_dir):
     )
 
 
+def q_audio_stats(spark, sf_dir):
+    """Multimodal: loudness/silence/clipping gate signals over raw PCM
+    audio via Arrow-batched mapInPandas (operators/audio.py). Waveforms
+    are synthesized deterministically (seeded per id: tone + silence
+    tail, amplitude from the seed). No SQL oracle (binary samples);
+    rows-only — the numeric contract is pytest-covered
+    (tests/test_audio.py: exact RMS/duration/silence on known
+    waveforms)."""
+    import numpy as np
+
+    from crawler_spark.operators.audio import pcm_stats
+
+    sr = 8000
+    rows = []
+    for i in range(64):
+        rng = np.random.default_rng(i)
+        amp = 2000 + 400 * (i % 16)
+        t = np.arange(sr) / sr
+        wave = np.rint(
+            amp * np.sin(2 * np.pi * (110 + 10 * i) * t)
+            + rng.normal(0, 50, sr)
+        )
+        sil = np.zeros(sr // 4 * (i % 3), dtype=np.float64)
+        pcm = np.clip(np.concatenate([wave, sil]), -32768, 32767).astype(
+            "<i2"
+        )
+        rows.append((f"aud-{i}", bytearray(pcm.tobytes()), sr))
+    audio = spark.createDataFrame(
+        rows, "audio_id string, bytes binary, sample_rate int"
+    )
+    return pcm_stats(audio)
+
+
 def q_cdc_chunk_dedup(spark, sf_dir):
     """Content-defined-chunking dedup (see operators/dedup.py
     cdc_chunks): chunk boundaries ride the content (md5-class tokens),
@@ -3556,6 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "bpe_apply": q_bpe_apply,
         "kmv_jaccard": q_kmv_jaccard,
+        "audio_stats": q_audio_stats,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -6364,7 +6398,7 @@ def oracle_sql() -> dict[str, str]:
                    round(exact_j, 6) AS exact_jaccard
             FROM est, ex
         """,
-        # crawl_smoke, image_decode_stats, image_sharpness: intentionally
-        # no SQL oracle (engine-internal tables / binary codec); driver
-        # records rows-only checks.
+        # crawl_smoke, image_decode_stats, image_sharpness, audio_stats:
+        # intentionally no SQL oracle (engine-internal tables / binary
+        # codec); driver records rows-only checks.
     }

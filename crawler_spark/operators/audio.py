@@ -1,0 +1,130 @@
+"""Audio column operators: raw PCM as opaque binary + typed metadata.
+
+Completes the multimodal trio (images: multimodal.py, video frames:
+multimodal.py frame_sample). Compressed codecs (mp3/opus) need ffmpeg —
+absent in this container and stubbed exactly like decode_external — but
+raw PCM (int16 little-endian, the WAV payload format) is pure numpy, so
+the whole Spark-side pipeline here is REAL: schema, Arrow batch shape,
+vectorized per-waveform math, and the resample write-path.
+
+A training-data pipeline gates audio on exactly these signals: duration
+bounds, loudness (RMS/peak), clipping, and silence share — the audio
+analogs of the Gopher text rules and the Laplacian image blur gate.
+
+Scale shape: every operator is mapInPandas over bounded Arrow batches
+(session.py maxRecordsPerBatch) — executor memory stays flat no matter
+the corpus size, and per-waveform numpy is vectorized (no sample loops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+PCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("clip_ratio", T.DoubleType()),
+        T.StructField("silence_ratio", T.DoubleType()),
+    ]
+)
+
+
+def _decode_pcm(data: bytes) -> np.ndarray:
+    return np.frombuffer(data, dtype="<i2")
+
+
+def pcm_stats(
+    audio: DataFrame,
+    frame_ms: int = 10,
+    silence_rms: float = 300.0,
+) -> DataFrame:
+    """(audio_id, bytes, sample_rate) -> loudness/silence gate signals.
+
+    silence_ratio is the fraction of ``frame_ms`` frames whose RMS is
+    under ``silence_rms`` (int16 full scale 32767); clip_ratio is the
+    share of samples at full scale — the two standard reject signals
+    for scraped audio (dead air and hot-mic distortion)."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = _decode_pcm(bytes(r.bytes)).astype(np.float64)
+                sr = int(r.sample_rate)
+                n = len(x)
+                flen = max(1, sr * frame_ms // 1000)
+                nf = n // flen
+                if nf:
+                    frames = x[: nf * flen].reshape(nf, flen)
+                    frms = np.sqrt((frames * frames).mean(axis=1))
+                    sil = float((frms < silence_rms).mean())
+                else:
+                    sil = 0.0
+                rows.append(
+                    {
+                        "audio_id": r.audio_id,
+                        "duration_s": n / sr,
+                        "rms": float(np.sqrt((x * x).mean())) if n else 0.0,
+                        "peak": int(np.abs(x).max()) if n else 0,
+                        "clip_ratio": float((np.abs(x) >= 32767).mean())
+                        if n
+                        else 0.0,
+                        "silence_ratio": sil,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PCM_STATS_SCHEMA.fields]
+            )
+
+    return audio.select("audio_id", "bytes", "sample_rate").mapInPandas(
+        go, schema=PCM_STATS_SCHEMA
+    )
+
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def downsample_pcm(audio: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-factor decimation with a box pre-filter (mean of each
+    ``factor`` consecutive samples — the anti-alias step, then keep one
+    per group). Returns re-encoded int16 bytes + the new rate; the
+    write side of a resample-to-16kHz training pipeline."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = _decode_pcm(bytes(r.bytes)).astype(np.float64)
+                n = (len(x) // factor) * factor
+                y = x[:n].reshape(-1, factor).mean(axis=1)
+                out = np.clip(np.rint(y), -32768, 32767).astype("<i2")
+                rows.append(
+                    {
+                        "audio_id": r.audio_id,
+                        "bytes": out.tobytes(),
+                        "sample_rate": int(r.sample_rate) // factor,
+                        "n_samples": len(out),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESAMPLE_SCHEMA.fields]
+            )
+
+    return audio.select("audio_id", "bytes", "sample_rate").mapInPandas(
+        go, schema=RESAMPLE_SCHEMA
+    )
