@@ -3440,6 +3440,170 @@ def q_kmv_jaccard(spark, sf_dir):
     )
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank (Gyongyi et al., public VLDB'04): PageRank with the
+    teleport mass restricted to a hand-vetted seed set, so trust decays
+    with distance from known-good pages and link farms starve. Same
+    deterministic two-layer graph as hits_scores; seeds are the 'round'
+    hub pages (node % 100 == 0), damping 0.85, 2 iterations. Edge-list
+    dataflow (out-degree joined once, per-iteration shuffle join +
+    agg); rounds to 6 so both engines' float sums compare."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") - F.col("doc_id") % 16).alias("dst"),
+        )
+        .union(docs.select(F.col("doc_id"), (F.col("doc_id") * 7) % 160))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 100 == 0)
+    n_seeds = seeds.count()  # tiny driver scalar, mirrors the oracle
+    d = 1.0 / n_seeds
+    alpha = 0.85
+    t = seeds.select("node", F.lit(d).alias("t"))
+    for _ in range(2):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(t.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("t") / F.col("deg")).alias("c"))
+        )
+        t = (
+            nodes.join(contrib, "node", "left")
+            .join(seeds.select("node", F.lit(d).alias("d0")), "node", "left")
+            .select(
+                "node",
+                # literal 0.15, not (1 - 0.85): Python's binary 1-0.85 is
+                # 0.15000000000000002, the SQL text's 0.15 is not
+                (
+                    alpha * F.coalesce("c", F.lit(0.0))
+                    + 0.15 * F.coalesce("d0", F.lit(0.0))
+                ).alias("t"),
+            )
+            .localCheckpoint()
+        )
+    return t.filter(F.col("t") > 0).select(
+        "node", F.round("t", 6).alias("trust")
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis, public IPL'06): each row draws key = ln(u)/w with u
+    uniform and w its weight; the k largest keys are an exact weighted
+    sample. u comes from two md5 hex digits so both engines draw the
+    SAME uniforms — the estimator is deterministic end-to-end. The
+    top-k is TakeOrdered (per-partition heap + driver merge), never a
+    global sort: the canonical way to pull a curation sample from a
+    10^10-row frontier in one pass."""
+    f = _frontier(spark, sf_dir)
+    d1 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1)"
+    d2 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)"
+    keyed = f.select(
+        "doc_id",
+        "host",
+        (F.col("priority") + 1).alias("w"),
+        (
+            F.log((F.expr(f"{d1} * 16 + {d2}") + 0.5) / 256.0)
+            / (F.col("priority") + 1)
+        ).alias("es_key"),
+    )
+    return (
+        keyed.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(32)
+        .select("doc_id", "host", "w", F.round("es_key", 6).alias("es_key"))
+    )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer vocab coverage / OOV rate: fix the vocabulary to the
+    corpus's top-64 tokens (count desc, token asc — deterministic),
+    then report per doc how many token occurrences fall outside it.
+    The vocab is tiny by construction, so the join back is a broadcast
+    — per-doc scoring never shuffles the corpus; only the one
+    map-side-combined count agg does."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+            )
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(64)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).cast("long").alias(
+                "n_in_vocab"
+            ),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(1 - F.col("n_in_vocab") / F.col("n_tokens"), 6),
+        )
+    )
+
+
+def q_mime_sniff(spark, sf_dir):
+    """Content-type sniffing vs the declared format — the crawl-side
+    defense against mislabeled payloads (servers lie in Content-Type
+    constantly). Sniffs the PNG signature from the first 8 BYTES of the
+    binary column with native expressions (no Python, no decode); every
+    5th image's declared fmt is deliberately spoofed to exercise the
+    mismatch path. No SQL oracle (binary payloads); the sniff rule is
+    pytest-covered in test_mime_sniff."""
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [
+            (
+                r["image_id"],
+                r["bytes"],
+                # spoof every 5th label to the OTHER format
+                ("png" if r["fmt"] == "qdct" else "qdct")
+                if i % 5 == 0
+                else r["fmt"],
+            )
+            for i, r in enumerate(rows)
+        ],
+        "image_id string, bytes binary, fmt string",
+    )
+    sniffed = images.select(
+        "image_id",
+        F.col("fmt").alias("declared"),
+        F.when(
+            F.expr("substring(bytes, 1, 8)")
+            == F.lit(bytes(b"\x89PNG\r\n\x1a\n")),
+            "png",
+        )
+        .otherwise("qdct")
+        .alias("sniffed"),
+    )
+    return sniffed.groupBy("declared", "sniffed").agg(
+        F.count("*").alias("n")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -3590,6 +3754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "kmv_jaccard": q_kmv_jaccard,
         "audio_stats": q_audio_stats,
+        "trustrank": q_trustrank,
+        "weighted_sample": q_weighted_sample,
+        "vocab_coverage": q_vocab_coverage,
+        "mime_sniff": q_mime_sniff,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -6398,7 +6566,88 @@ def oracle_sql() -> dict[str, str]:
                    round(exact_j, 6) AS exact_jaccard
             FROM est, ex
         """,
-        # crawl_smoke, image_decode_stats, image_sharpness, audio_stats:
-        # intentionally no SQL oracle (engine-internal tables / binary
-        # codec); driver records rows-only checks.
+        "trustrank": """
+            WITH e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src, doc_id - doc_id % 16 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 7) % 160 FROM documents
+              ) WHERE src <> dst
+            ),
+            outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            seeds AS (
+              SELECT node,
+                     1.0 / (SELECT count(*) FROM nodes
+                            WHERE node % 100 = 0) AS d0
+              FROM nodes WHERE node % 100 = 0
+            ),
+            c1 AS (
+              SELECT e.dst AS node, sum(s.d0 / o.deg) AS c
+              FROM e JOIN outdeg o USING (src)
+                     JOIN seeds s ON e.src = s.node
+              GROUP BY e.dst
+            ),
+            t1 AS (
+              SELECT n.node,
+                     0.85 * coalesce(c1.c, 0) + 0.15 * coalesce(s.d0, 0)
+                       AS t
+              FROM nodes n LEFT JOIN c1 USING (node)
+                           LEFT JOIN seeds s USING (node)
+            ),
+            c2 AS (
+              SELECT e.dst AS node, sum(t1.t / o.deg) AS c
+              FROM e JOIN outdeg o USING (src)
+                     JOIN t1 ON e.src = t1.node
+              GROUP BY e.dst
+            ),
+            t2 AS (
+              SELECT n.node,
+                     0.85 * coalesce(c2.c, 0) + 0.15 * coalesce(s.d0, 0)
+                       AS t
+              FROM nodes n LEFT JOIN c2 USING (node)
+                           LEFT JOIN seeds s USING (node)
+            )
+            SELECT node, round(t, 6) AS trust FROM t2 WHERE t > 0
+        """,
+        "weighted_sample": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            keyed AS (
+              SELECT doc_id, host, priority + 1 AS w,
+                     ln((({_hexdig_sql("cast(doc_id AS varchar)", 1)} * 16
+                          + {_hexdig_sql("cast(doc_id AS varchar)", 2)})
+                         + 0.5) / 256.0) / (priority + 1) AS es_key
+              FROM f
+            )
+            SELECT doc_id, host, w, round(es_key, 6) AS es_key
+            FROM keyed ORDER BY es_key DESC, doc_id LIMIT 32
+        """,
+        "vocab_coverage": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(regexp_replace(lower(trim(text)),
+                                                        '\\s+', ' ', 'g'),
+                                         ' ')) AS tok
+              FROM documents
+            ),
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS n FROM toks GROUP BY tok
+                ORDER BY n DESC, tok LIMIT 64
+              )
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   cast(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                        AS bigint) AS n_in_vocab,
+                   round(1 - sum(CASE WHEN v.tok IS NOT NULL
+                                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                     AS oov_rate
+            FROM toks t LEFT JOIN vocab v USING (tok)
+            GROUP BY doc_id
+        """,
+        # crawl_smoke, image_decode_stats, image_sharpness, audio_stats,
+        # mime_sniff: intentionally no SQL oracle (engine-internal tables
+        # / binary codec); driver records rows-only checks.
     }
