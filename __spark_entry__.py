@@ -3604,6 +3604,79 @@ def q_mime_sniff(spark, sf_dir):
     )
 
 
+def q_latency_percentiles(spark, sf_dir):
+    """Per-host fetch-latency tail report (p50/p95/p99/max) — the
+    operational dashboard every crawl scheduler watches: p99 per host
+    drives the AIMD politeness backoff, fleet-wide p50 sizes the fetch
+    executor pool. Uses Spark's EXACT `percentile` aggregate, whose
+    linear interpolation matches DuckDB's quantile_cont bit-for-bit
+    (verified), so the oracle is exact. At 10^10 rows the exact
+    aggregate holds one sorted host's latencies per task — fine under
+    host partitioning; fleet-wide tails would swap to approx_percentile
+    (t-digest) at a documented accuracy bound."""
+    d1 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1)"
+    d2 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)"
+    f = _frontier(spark, sf_dir)
+    lat = f.select(
+        "host",
+        (
+            50.0
+            + F.expr(f"({d1} * 16 + {d2})") * 7.0
+            + F.col("priority") * 100.0
+        ).alias("lat_ms"),
+    )
+    return lat.groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(lat_ms, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(lat_ms, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(lat_ms, 0.99)"), 6).alias("p99"),
+        F.max("lat_ms").alias("max_ms"),
+    )
+
+
+def q_html_extract(spark, sf_dir):
+    """The parse stage of the fetch loop (reference: DOM queries inside
+    the browser, crawler.py element waits): extract title, outlink
+    count, and visible-text length from HTML markup with pure native
+    regexes — codegen all the way, no parser library, the same design
+    as the sitemap/WARC sources. Markup is synthesized from documents
+    (title = first 3 words, body = text, 1-2 nav links), then parsed
+    BACK, so the oracle independently re-derives every output from the
+    raw text — a lossless-extraction proof, not a tautology."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    title = F.array_join(F.slice(F.split(norm, " "), 1, 3), " ")
+    markup = F.concat(
+        F.lit("<html><head><title>"),
+        title,
+        F.lit("</title></head><body><p>"),
+        norm,
+        F.lit('</p><a href="/doc/'),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit('">next</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<a href="/doc/'),
+                (F.col("doc_id") + 2).cast("string"),
+                F.lit('">skip</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    page = docs.select("doc_id", markup.alias("html"))
+    return page.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        F.size(
+            F.expr("regexp_extract_all(html, '<a href=\"([^\"]*)\"', 1)")
+        ).cast("long").alias("n_links"),
+        F.length(
+            F.regexp_replace("html", "<[^>]*>", "")
+        ).cast("long").alias("visible_chars"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -3758,6 +3831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "vocab_coverage": q_vocab_coverage,
         "mime_sniff": q_mime_sniff,
+        "latency_percentiles": q_latency_percentiles,
+        "html_extract": q_html_extract,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -6646,6 +6721,49 @@ def oracle_sql() -> dict[str, str]:
                      AS oov_rate
             FROM toks t LEFT JOIN vocab v USING (tok)
             GROUP BY doc_id
+        """,
+        "latency_percentiles": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            lat AS (
+              -- cast: DuckDB reads 50.0 as DECIMAL and quantile_cont
+              -- would return a scale-1 DECIMAL, truncating p99
+              SELECT host,
+                     cast(50.0 + ({_hexdig_sql("cast(doc_id AS varchar)", 1)}
+                                  * 16
+                                  + {_hexdig_sql("cast(doc_id AS varchar)", 2)})
+                                 * 7.0
+                               + priority * 100.0 AS double) AS lat_ms
+              FROM f
+            )
+            SELECT host, count(*) AS n,
+                   round(quantile_cont(lat_ms, 0.5), 6) AS p50,
+                   round(quantile_cont(lat_ms, 0.95), 6) AS p95,
+                   round(quantile_cont(lat_ms, 0.99), 6) AS p99,
+                   max(lat_ms) AS max_ms
+            FROM lat GROUP BY host
+        """,
+        "html_extract": """
+            -- independent re-derivation from the raw text: stripped
+            -- visible text is title + body + 'next' (+ 'skip' on every
+            -- third doc), links are 1 + the conditional nav link
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       AS norm
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     list_slice(string_split(norm, ' '), 1, 3), ' ')
+                     AS title,
+                   cast(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS bigint) AS n_links,
+                   cast(length(array_to_string(
+                          list_slice(string_split(norm, ' '), 1, 3), ' '))
+                        + length(norm) + 4
+                        + CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END
+                        AS bigint) AS visible_chars
+            FROM n
         """,
         # crawl_smoke, image_decode_stats, image_sharpness, audio_stats,
         # mime_sniff: intentionally no SQL oracle (engine-internal tables
