@@ -50,3 +50,27 @@ def test_warc_blob_determinism(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_warc_roundtrip_differential_fuzz(spark):
+    """Differential fuzz: 300 seeded random records (bodies with
+    multi-word text, empty bodies, header-looking body content, varied
+    status codes) written into blobs then re-parsed must reproduce the
+    input set exactly — one batch write, one parse, one comparison."""
+    import random
+
+    rng = random.Random(20260818)
+    words = ["alpha", "beta", "WARC-Target-URI:", "HTTP-Status:", "x", ""]
+    rows = []
+    for i in range(300):
+        uri = f"http://h{rng.randint(0, 9)}.test/p/{i}"
+        status = rng.choice([200, 204, 301, 302, 404, 500])
+        # bodies may contain header-LOOKING tokens (but never a version
+        # line — the one reserved marker, same as real WARC payloads
+        # that are themselves not re-framed)
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(0, 8)))
+        rows.append((uri, status, body))
+    df = spark.createDataFrame(rows, "uri string, status int, body string")
+    back = parse_records(format_records(df, blobs=7))
+    got = sorted((r["uri"], r["status"], r["body"]) for r in back.collect())
+    assert got == sorted(rows)
