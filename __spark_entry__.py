@@ -3677,6 +3677,70 @@ def q_html_extract(spark, sf_dir):
     )
 
 
+def q_conditional_get(spark, sf_dir):
+    """Conditional-GET (If-None-Match/ETag) revisit audit: on a
+    recrawl, URLs whose content is unchanged answer 304 with no body —
+    the crawler pays one round trip but zero bandwidth. Change bits are
+    the same md5-digit draw change_rate uses (x>0 means the page
+    changed since last visit), body cost is the text length. Per host:
+    revisits, 304 share, and bytes saved vs an unconditional refetch —
+    the number that justifies ETag caching in the fetch loop. One
+    map-side-combinable agg over the frontier derivation."""
+    d8 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 8, 1)) - 1)"
+    f = _frontier(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.length("text").alias("body_len"))
+    rev = f.join(docs, "doc_id").select(
+        "host",
+        "body_len",
+        (F.expr(f"{d8} % (4 + doc_id % 5 + 1)") > 0).cast("int").alias(
+            "changed"
+        ),
+    )
+    return rev.groupBy("host").agg(
+        F.count("*").alias("n_revisits"),
+        F.sum(1 - F.col("changed")).cast("long").alias("n_304"),
+        F.round(
+            F.avg(1 - F.col("changed")), 6
+        ).alias("not_modified_share"),
+        F.sum(
+            F.when(F.col("changed") == 0, F.col("body_len")).otherwise(0)
+        ).cast("long").alias("bytes_saved"),
+    )
+
+
+def q_source_mixture(spark, sf_dir):
+    """Training-mixture reweighting across sources (the DoReMi /
+    data-mixing step every corpus build ends with): per source, token
+    mass and a sqrt-damped mixture weight w_s ∝ sqrt(tokens_s)
+    (upweights small sources, tempers the head), normalized over
+    sources, plus the per-source sampling rate that hits a fixed
+    1M-token epoch budget. Two tiny aggs — the per-source table is
+    dimension-sized however big the corpus is, so the normalization is
+    a 1-row broadcast, never a shuffle of the facts."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                    " ",
+                )
+            )
+        ).cast("long").alias("n_tokens"),
+    ).withColumn("raw_w", F.sqrt(F.col("n_tokens")))
+    tot = per_src.agg(F.sum("raw_w").alias("tot_w"))
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("raw_w") / F.col("tot_w"), 6).alias("mix_weight"),
+        F.round(
+            F.col("raw_w") / F.col("tot_w") * 1000000 / F.col("n_tokens"), 6
+        ).alias("epoch_sample_rate"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -3833,6 +3897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "latency_percentiles": q_latency_percentiles,
         "html_extract": q_html_extract,
+        "conditional_get": q_conditional_get,
+        "source_mixture": q_source_mixture,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -6764,6 +6830,38 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END
                         AS bigint) AS visible_chars
             FROM n
+        """,
+        "conditional_get": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            rev AS (
+              SELECT f.host, length(d.text) AS body_len,
+                     CASE WHEN ({_hexdig_sql("cast(f.doc_id AS varchar)", 8)}
+                                % (4 + f.doc_id % 5 + 1)) > 0
+                          THEN 1 ELSE 0 END AS changed
+              FROM f JOIN documents d USING (doc_id)
+            )
+            SELECT host, count(*) AS n_revisits,
+                   cast(sum(1 - changed) AS bigint) AS n_304,
+                   round(avg(1 - changed), 6) AS not_modified_share,
+                   cast(sum(CASE WHEN changed = 0 THEN body_len ELSE 0 END)
+                        AS bigint) AS bytes_saved
+            FROM rev GROUP BY host
+        """,
+        "source_mixture": """
+            WITH per_src AS (
+              SELECT source, count(*) AS n_docs,
+                     cast(sum(len(string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' '))) AS bigint) AS n_tokens
+              FROM documents GROUP BY source
+            ),
+            w AS (SELECT *, sqrt(n_tokens) AS raw_w FROM per_src),
+            tot AS (SELECT sum(raw_w) AS tot_w FROM w)
+            SELECT source, n_docs, n_tokens,
+                   round(raw_w / tot_w, 6) AS mix_weight,
+                   round(raw_w / tot_w * 1000000 / n_tokens, 6)
+                     AS epoch_sample_rate
+            FROM w, tot
         """,
         # crawl_smoke, image_decode_stats, image_sharpness, audio_stats,
         # mime_sniff: intentionally no SQL oracle (engine-internal tables
