@@ -3741,6 +3741,82 @@ def q_source_mixture(spark, sf_dir):
     )
 
 
+def q_bucket_rebalance(spark, sf_dir):
+    """Frontier bucket maintenance plan: the URL-seen/frontier tables
+    are bucketed by pmod(xxhash64(url), B) (SCALE.md §URL-seen); as the
+    crawl skews, buckets drift from the mean and the maintenance job
+    must decide which to split and which to compact. Per bucket: row
+    count, ratio to the mean, and the action — 'split' above 1.25x,
+    'compact' below 0.5x, 'ok' otherwise. The per-bucket table is
+    B rows however big the frontier is, so the mean is a 1-row
+    broadcast; the count agg is the only scan."""
+    f = _frontier(spark, sf_dir)
+    # bucket from md5 digits of the URL (the engine proper buckets by
+    # pmod(xxhash64(url), B) — seen.py; md5 here only so the DuckDB
+    # oracle can mirror the hash)
+    d1 = "(instr('0123456789abcdef', substring(md5(url), 1, 1)) - 1)"
+    d2 = "(instr('0123456789abcdef', substring(md5(url), 2, 1)) - 1)"
+    per_bucket = f.groupBy(
+        F.expr(f"({d1} * 16 + {d2}) % 32").alias("bucket")
+    ).agg(F.count("*").alias("n_rows"))
+    mean = per_bucket.agg(F.avg("n_rows").alias("mean_rows"))
+    return per_bucket.crossJoin(F.broadcast(mean)).select(
+        "bucket",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("mean_rows"), 6).alias("load"),
+        F.when(F.col("n_rows") > 1.25 * F.col("mean_rows"), "split")
+        .when(F.col("n_rows") < 0.5 * F.col("mean_rows"), "compact")
+        .otherwise("ok")
+        .alias("action"),
+    )
+
+
+def q_source_kl(spark, sf_dir):
+    """Per-source distribution drift: KL(source unigram dist || corpus
+    unigram dist) with add-one smoothing, summed over the source's
+    observed support (the standard truncated-KL shortcut) — the
+    data-quality alarm that catches a source gone weird (spam
+    injection, template takeover) before it pollutes the training mix.
+    Token-count aggs are map-side combinable; the corpus distribution
+    is vocabulary-sized and broadcast back, so the per-source pass
+    never reshuffles the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+            )
+        ).alias("tok"),
+    )
+    vocab_n = toks.select("tok").distinct().count()  # tiny fixed vocab
+    corpus = toks.groupBy("tok").agg(F.count("*").alias("n_corpus"))
+    corpus_tot = toks.count()
+    per_src = toks.groupBy("source", "tok").agg(F.count("*").alias("n_src"))
+    src_tot = toks.groupBy("source").agg(F.count("*").alias("tot_src"))
+    joined = (
+        per_src.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(src_tot), "source")
+        .select(
+            "source",
+            (
+                (F.col("n_src") + 1)
+                / (F.col("tot_src") + F.lit(vocab_n))
+            ).alias("p"),
+            (
+                (F.col("n_corpus") + 1)
+                / F.lit(float(corpus_tot + vocab_n))
+            ).alias("q"),
+        )
+    )
+    return joined.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("kl_nats"),
+        F.count("*").alias("n_types"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -3899,6 +3975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "conditional_get": q_conditional_get,
         "source_mixture": q_source_mixture,
+        "bucket_rebalance": q_bucket_rebalance,
+        "source_kl": q_source_kl,
         "crawl_smoke": q_crawl_smoke,
     }
 
@@ -6862,6 +6940,50 @@ def oracle_sql() -> dict[str, str]:
                    round(raw_w / tot_w * 1000000 / n_tokens, 6)
                      AS epoch_sample_rate
             FROM w, tot
+        """,
+        "bucket_rebalance": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            per_bucket AS (
+              SELECT ({_hexdig_sql("url", 1)} * 16
+                      + {_hexdig_sql("url", 2)}) % 32 AS bucket,
+                     count(*) AS n_rows
+              FROM f GROUP BY 1
+            ),
+            m AS (SELECT avg(n_rows) AS mean_rows FROM per_bucket)
+            SELECT bucket, n_rows,
+                   round(n_rows / mean_rows, 6) AS load,
+                   CASE WHEN n_rows > 1.25 * mean_rows THEN 'split'
+                        WHEN n_rows < 0.5 * mean_rows THEN 'compact'
+                        ELSE 'ok' END AS action
+            FROM per_bucket, m
+        """,
+        "source_kl": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split(regexp_replace(lower(trim(text)),
+                                                        '\\s+', ' ', 'g'),
+                                         ' ')) AS tok
+              FROM documents
+            ),
+            v AS (SELECT count(DISTINCT tok) AS vocab_n FROM toks),
+            ct AS (SELECT count(*) AS corpus_tot FROM toks),
+            corpus AS (SELECT tok, count(*) AS n_corpus FROM toks
+                       GROUP BY tok),
+            per_src AS (SELECT source, tok, count(*) AS n_src FROM toks
+                        GROUP BY source, tok),
+            src_tot AS (SELECT source, count(*) AS tot_src FROM toks
+                        GROUP BY source),
+            j AS (
+              SELECT s.source,
+                     (s.n_src + 1) * 1.0 / (st.tot_src + v.vocab_n) AS p,
+                     (c.n_corpus + 1) * 1.0
+                       / (ct.corpus_tot + v.vocab_n) AS q
+              FROM per_src s JOIN corpus c USING (tok)
+                             JOIN src_tot st USING (source), v, ct
+            )
+            SELECT source, round(sum(p * ln(p / q)), 6) AS kl_nats,
+                   count(*) AS n_types
+            FROM j GROUP BY source
         """,
         # crawl_smoke, image_decode_stats, image_sharpness, audio_stats,
         # mime_sniff: intentionally no SQL oracle (engine-internal tables
