@@ -138,6 +138,60 @@ def _link_rank_sql(n_iter: int = 3) -> str:
     return sql
 
 
+def _opic_sql(n_iter: int = 3) -> str:
+    """DuckDB mirror of q_opic_priority: same edge derivation, n_iter
+    unrolled OPIC waves (virtual-page pot -> weighted inflow -> state
+    update), round-9 per wave like the Spark operator."""
+    d6 = _hexdig_sql("cast(doc_id AS varchar)", 6)
+    d7 = _hexdig_sql("cast(doc_id AS varchar)", 7)
+    sql = f"""
+        WITH edges AS (
+          SELECT src, dst, count(*) AS weight FROM (
+            SELECT doc_id % 20 AS src, (16 * {d6} + {d7}) % 20 AS dst
+            FROM documents
+          ) WHERE src != dst GROUP BY src, dst
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+        outw AS (
+          SELECT src, CAST(sum(weight) AS DOUBLE) AS outw
+          FROM edges GROUP BY src
+        ),
+        shares AS (
+          SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) / o.outw AS share
+          FROM edges e JOIN outw o ON e.src = o.src
+        ),
+        s0 AS (
+          SELECT n.node, round(1.0 / nn.n_nodes, 9) AS cash,
+                 CAST(0 AS DOUBLE) AS history,
+                 (o.src IS NULL) AS dangling
+          FROM nodes n LEFT JOIN outw o ON n.node = o.src CROSS JOIN nn
+        )"""
+    for k in range(1, n_iter + 1):
+        sql += f""",
+        p{k} AS (
+          SELECT coalesce(sum(cash), 0) AS pot FROM s{k - 1} WHERE dangling
+        ),
+        c{k} AS (
+          SELECT s.dst, sum(st.cash * s.share) AS inflow
+          FROM shares s JOIN s{k - 1} st ON s.src = st.node GROUP BY s.dst
+        ),
+        s{k} AS (
+          SELECT st.node,
+                 round(coalesce(c.inflow, 0) + p.pot / nn.n_nodes, 9) AS cash,
+                 round(st.history + st.cash, 9) AS history,
+                 st.dangling
+          FROM s{k - 1} st LEFT JOIN c{k} c ON st.node = c.dst
+          CROSS JOIN p{k} p CROSS JOIN nn
+        )"""
+    sql += f"""
+        SELECT node AS host_id,
+               round(round((history + cash) / CAST({n_iter + 1} AS DOUBLE), 9), 6)
+                 AS importance
+        FROM s{n_iter}"""
+    return sql
+
+
 def q_frontier_schedule(spark, sf_dir):
     """W3/T1: politeness budget as a per-host window rank (budget=4)."""
     f = _frontier(spark, sf_dir)
@@ -173,6 +227,34 @@ def q_host_link_rank(spark, sf_dir):
     )
     return link_rank(edges, n_iter=3, damping=0.85).select(
         F.col("node").alias("host_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def q_opic_priority(spark, sf_dir):
+    """Frontier priority the north rule names directly: adaptive OPIC
+    (on-line page importance, Abiteboul et al. WWW'03) over the host
+    link graph (operators/rank.py opic_importance) — cash diffusion
+    with a virtual page for dangling mass, importance = accumulated
+    history share after 3 synchronous waves. Same portable edge
+    derivation as host_link_rank; the unrolled-CTE oracle mirrors each
+    wave (pot -> inflow -> state) exactly."""
+    from crawler_spark.operators.rank import opic_importance
+
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.select(
+            (F.col("doc_id") % 20).alias("src"),
+            F.expr(f"(16 * {d6} + {d7}) % 20").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    return opic_importance(edges, n_iter=3).select(
+        F.col("node").alias("host_id"),
+        F.round("importance", 6).alias("importance"),
     )
 
 
@@ -3826,6 +3908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_schedule": q_frontier_schedule,
         "host_link_rank": q_host_link_rank,
+        "opic_priority": q_opic_priority,
         "url_template_stats": q_url_template_stats,
         "depth_histogram": q_depth_histogram,
         "recrawl_schedule": q_recrawl_schedule,
@@ -3993,6 +4076,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE sched_rank <= 4
         """,
         "host_link_rank": _link_rank_sql(n_iter=3),
+        "opic_priority": _opic_sql(n_iter=3),
         "dataset_split": f"""
             WITH b AS (
               SELECT n_chars,

@@ -57,3 +57,74 @@ def test_link_rank_uniform_cycle_stays_uniform(spark):
     got = {r.node: r.rank for r in link_rank(df, n_iter=5).collect()}
     for v, r in got.items():
         assert r == pytest.approx(0.25, abs=1e-8), (v, r)
+
+
+def _pure_python_opic(edges, n_iter=3):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = float(len(nodes))
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + float(w)
+    cash = {v: round(1.0 / n, 9) for v in nodes}
+    hist = {v: 0.0 for v in nodes}
+    for _ in range(n_iter):
+        pot = sum(cash[v] for v in nodes if v not in outw)
+        inflow = {}
+        for s, d, w in edges:
+            inflow[d] = inflow.get(d, 0.0) + cash[s] * (float(w) / outw[s])
+        new_cash = {
+            v: round(inflow.get(v, 0.0) + pot / n, 9) for v in nodes
+        }
+        hist = {v: round(hist[v] + cash[v], 9) for v in nodes}
+        cash = new_cash
+    return {
+        v: round((hist[v] + cash[v]) / (n_iter + 1.0), 9) for v in nodes
+    }
+
+
+def test_opic_matches_pure_python(spark):
+    from crawler_spark.operators.rank import opic_importance
+
+    edges = [
+        (1, 2, 3),
+        (1, 3, 1),
+        (2, 3, 2),
+        (3, 1, 1),
+        (4, 3, 5),  # 4 is dangling-free source; no dangling here
+        (5, 1, 1),
+        (2, 5, 1),  # 5 has an out-edge; make 6 dangling via 3->6
+        (3, 6, 1),  # 6 never links out: dangling, pays the virtual page
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = {r.node: r.importance for r in opic_importance(df, n_iter=3).collect()}
+    want = _pure_python_opic(edges, n_iter=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=5e-9), v
+    # OPIC conserves mass: importance is a probability distribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_opic_uniform_cycle_stays_uniform(spark):
+    from crawler_spark.operators.rank import opic_importance
+
+    edges = [(i, (i + 1) % 4, 1) for i in range(4)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = {r.node: r.importance for r in opic_importance(df, n_iter=4).collect()}
+    for v, r in got.items():
+        assert r == pytest.approx(0.25, abs=1e-8), (v, r)
+
+
+def test_opic_all_dangling_redistributes_uniformly(spark):
+    from crawler_spark.operators.rank import opic_importance
+
+    # star: 1 -> 2,3,4; 2/3/4 dangling. Their cash returns via the
+    # virtual page every wave; everything stays strictly positive.
+    edges = [(1, 2, 1), (1, 3, 1), (1, 4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = {r.node: r.importance for r in opic_importance(df, n_iter=3).collect()}
+    want = _pure_python_opic(edges, n_iter=3)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=5e-9), v
+    assert min(got.values()) > 0.0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
