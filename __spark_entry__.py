@@ -258,6 +258,50 @@ def q_opic_priority(spark, sf_dir):
     )
 
 
+def q_hrw_fetcher_assign(spark, sf_dir):
+    """Rendezvous (highest-random-weight) host->fetcher assignment
+    (operators/assign.py): each of 500 synthetic hosts is owned by the
+    fetcher with the max md5('hrw:host:fetcher') score among 32 fetchers
+    — deterministic, coordination-free, and minimally disruptive on
+    resize (UbiCrawler's host-assignment scheme). Pure codegen
+    expressions: transform(sequence) + array_max, no shuffle."""
+    from crawler_spark.operators.assign import hrw_assign
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 500).alias("host_id"))
+        .distinct()
+    )
+    return hrw_assign(hosts, "host_id", n_workers=32, out_col="fetcher_id")
+
+
+def q_hrw_rebalance(spark, sf_dir):
+    """The minimal-disruption property as a checked query: reassigning
+    the same 500 hosts from 32 to 31 fetchers (drop fetcher 31) moves
+    EXACTLY the hosts fetcher 31 owned — every surviving fetcher's
+    argmax is unchanged. Returns per-before-fetcher host and moved
+    counts; n_moved must be 0 everywhere except fetcher 31."""
+    from crawler_spark.operators.assign import hrw_assign
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 500).alias("host_id"))
+        .distinct()
+    )
+    both = hrw_assign(
+        hrw_assign(hosts, "host_id", 32, out_col="before_f"),
+        "host_id",
+        31,
+        out_col="after_f",
+    )
+    return both.groupBy("before_f").agg(
+        F.count("*").alias("n_hosts"),
+        F.sum((F.col("before_f") != F.col("after_f")).cast("long")).alias(
+            "n_moved"
+        ),
+    ).select(F.col("before_f").alias("fetcher_id"), "n_hosts", "n_moved")
+
+
 def q_dataset_split(spark, sf_dir):
     """Canonical train/val/test split by content-stable hash bucket
     (md5 of doc_id -> 100 buckets -> 80/10/10): disjoint and exhaustive
@@ -2527,6 +2571,20 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_perplexity_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 for a fixed 4-term query (Lucene idf form,
+    k1=1.2 b=0.75): the retrieval scorer behind targeted corpus
+    curation. Query-term filter cuts the tf relation before any
+    shuffle; df/avgdl ride as broadcast scalars; top-k is TakeOrdered."""
+    from crawler_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        query_terms=["join", "hash", "vector", "stream"],
+        k=20,
+    )
+
+
 def q_bigram_pmi(spark, sf_dir):
     """Collocation mining: top-20 bigrams by PMI (min count 5) — phrase
     / tokenizer-merge discovery with broadcast unigram joins and
@@ -3909,6 +3967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "host_link_rank": q_host_link_rank,
         "opic_priority": q_opic_priority,
+        "hrw_fetcher_assign": q_hrw_fetcher_assign,
+        "hrw_rebalance": q_hrw_rebalance,
         "url_template_stats": q_url_template_stats,
         "depth_histogram": q_depth_histogram,
         "recrawl_schedule": q_recrawl_schedule,
@@ -3970,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue": q_running_revenue,
         "lang_mixture": q_lang_mixture,
         "lm_perplexity": q_lm_perplexity,
+        "bm25_topk": q_bm25_topk,
         "bigram_pmi": q_bigram_pmi,
         "inverted_index": q_inverted_index,
         "stratified_sample": q_stratified_sample,
@@ -4077,6 +4138,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_link_rank": _link_rank_sql(n_iter=3),
         "opic_priority": _opic_sql(n_iter=3),
+        "hrw_fetcher_assign": """
+            WITH hosts AS (
+              SELECT DISTINCT doc_id % 500 AS host_id FROM documents
+            )
+            SELECT host_id,
+                   CAST(arg_max(f, md5('hrw:' || CAST(host_id AS varchar)
+                                       || ':' || CAST(f AS varchar))) AS INT)
+                     AS fetcher_id
+            FROM hosts CROSS JOIN range(0, 32) t(f)
+            GROUP BY host_id
+        """,
+        "hrw_rebalance": """
+            WITH hosts AS (
+              SELECT DISTINCT doc_id % 500 AS host_id FROM documents
+            ),
+            s32 AS (
+              SELECT host_id,
+                     CAST(arg_max(f, md5('hrw:' || CAST(host_id AS varchar)
+                                         || ':' || CAST(f AS varchar))) AS INT)
+                       AS before_f
+              FROM hosts CROSS JOIN range(0, 32) t(f) GROUP BY host_id
+            ),
+            s31 AS (
+              SELECT host_id,
+                     CAST(arg_max(f, md5('hrw:' || CAST(host_id AS varchar)
+                                         || ':' || CAST(f AS varchar))) AS INT)
+                       AS after_f
+              FROM hosts CROSS JOIN range(0, 31) t(f) GROUP BY host_id
+            )
+            SELECT before_f AS fetcher_id,
+                   count(*) AS n_hosts,
+                   CAST(sum(CASE WHEN before_f != after_f THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_moved
+            FROM s32 JOIN s31 USING (host_id)
+            GROUP BY before_f
+        """,
         "dataset_split": f"""
             WITH b AS (
               SELECT n_chars,
@@ -4708,6 +4805,41 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum_lp AS DOUBLE) / n_tok, 6) AS avg_logprob,
                    round(exp(-round(CAST(sum_lp AS DOUBLE) / n_tok, 6)), 4) AS ppl
             FROM agg
+        """,
+        "bm25_topk": """
+            WITH t AS (
+              SELECT doc_id,
+                unnest(list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  x -> len(x) > 0)) AS tok
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+            stats AS (
+              SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs
+              FROM dl
+            ),
+            qtf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM t
+              WHERE tok IN ('join', 'hash', 'vector', 'stream')
+              GROUP BY doc_id, tok
+            ),
+            qdf AS (
+              SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM qtf GROUP BY tok
+            ),
+            scored AS (
+              SELECT doc_id,
+                round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                      * tf * 2.2
+                      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                      9) AS s9
+              FROM qtf JOIN qdf USING (tok) JOIN dl USING (doc_id)
+                   CROSS JOIN stats
+            )
+            SELECT doc_id, round(sum(s9), 6) AS score,
+                   count(*) AS n_terms
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 20
         """,
         "bigram_pmi": """
             WITH words AS (

@@ -1,0 +1,84 @@
+"""Rendezvous (highest-random-weight) host->fetcher assignment.
+
+A distributed crawler statically partitions hosts across fetcher
+workers so per-host politeness state (last-fetch time, robots cache,
+connection pool) lives on exactly one worker — the reference is a
+single process so the property is trivial there (one browser owns every
+host, crawler.py's single driver); at N fetchers it must be engineered.
+Rendezvous hashing (Thaler & Ravishankar 1996, the scheme UbiCrawler
+popularized for crawler host assignment) gives:
+
+  * determinism — assignment is a pure function of (key, worker set),
+    so every executor computes it locally with zero coordination;
+  * balance — each worker receives ~1/N of keys (hash uniformity);
+  * minimal disruption — removing a worker reassigns ONLY that
+    worker's keys (each surviving worker keeps its argmax), unlike
+    ``hash(key) % N`` where resizing reshuffles almost everything.
+
+Implementation is pure native expressions: per row, build the
+array<struct<score,worker>> with ``transform(sequence(...))`` and take
+``array_max`` (struct ordering compares score first) — no explode, no
+shuffle, no UDF; whole-stage codegen keeps it JVM-side. Scores are
+md5 hex strings, which order identically in any engine that can md5 —
+the ANSI oracle mirrors the argmax with ``arg_max`` over the same
+strings.
+
+Scale shape: O(n_workers) work per row with n_workers in the hundreds —
+a scan-local projection, embarrassingly parallel at 10^10 rows. For
+n_workers in the tens of thousands, switch the inner loop to a two-level
+rendezvous (rack then worker), same function composed twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hrw_score(key: Column, worker: Column, salt: str = "hrw") -> Column:
+    """The rendezvous score of (key, worker): md5 over a canonical
+    ``salt:key:worker`` encoding. Hex strings compare lexicographically
+    the same everywhere, so the argmax is portable."""
+    return F.md5(
+        F.concat_ws(":", F.lit(salt), key.cast("string"), worker.cast("string"))
+    )
+
+
+def hrw_assign(
+    df: DataFrame,
+    key_col: str,
+    n_workers: int,
+    out_col: str = "worker_id",
+    salt: str = "hrw",
+) -> DataFrame:
+    """Append ``out_col``: the rendezvous-hash worker (0..n_workers-1)
+    owning ``key_col``. Deterministic, shuffle-free, codegen-friendly."""
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(n_workers - 1)),
+        lambda w: F.struct(
+            hrw_score(F.col(key_col), w, salt).alias("score"),
+            w.alias("w"),
+        ),
+    )
+    return df.withColumn(out_col, F.array_max(scores)["w"].cast("int"))
+
+
+def hrw_assign_workers(
+    df: DataFrame,
+    key_col: str,
+    workers: list[str],
+    out_col: str = "worker",
+    salt: str = "hrw",
+) -> DataFrame:
+    """Same, over an explicit worker-name list (survives non-contiguous
+    worker sets — the form used when a fetcher is drained: pass the
+    surviving names and only the drained worker's hosts move)."""
+    arr = F.array(*[F.lit(w) for w in workers])
+    scores = F.transform(
+        arr,
+        lambda w: F.struct(
+            hrw_score(F.col(key_col), w, salt).alias("score"),
+            w.alias("w"),
+        ),
+    )
+    return df.withColumn(out_col, F.array_max(scores)["w"])

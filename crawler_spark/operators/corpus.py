@@ -385,3 +385,64 @@ def lm_perplexity_scores(
             ).alias("ppl"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a fixed query-term set
+    (Robertson/Sparck Jones probabilistic ranking — the scoring function
+    behind classic retrieval-based corpus curation and eval harnesses).
+
+    score(d) = sum over query terms t present in d of
+      idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))  (the Lucene form —
+    strictly positive, unlike the raw Robertson idf which can go
+    negative for terms in >half the corpus).
+
+    Scale shape: doc lengths are one map-side-combinable aggregation
+    over the token explode; the query filter cuts the tf table to
+    |Q| terms BEFORE its shuffle, so the scored relation is
+    O(docs containing a query term), not O(corpus); df and avgdl ride
+    in as broadcast scalars; top-k is TakeOrdered, never a global sort.
+    Per-term scores round to 9 decimals before the sum and the sum to 6
+    (addition-order-proof -> exact ANSI-oracle hash match).
+    """
+    toks = _tokens(docs, text_col, id_col)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("_avgdl"),
+        F.count("*").cast("double").alias("_n_docs"),
+    )
+    qtf = (
+        toks.filter(F.col("tok").isin(query_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    qdf = qtf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("_avgdl")
+    )
+    term_score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 9)
+    scored = (
+        qtf.join(F.broadcast(qdf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("s9"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s9"), 6).alias("score"), F.count("*").alias("n_terms"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
