@@ -3957,6 +3957,51 @@ def q_source_kl(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al., NeurIPS'23) toward the
+    lang='en' slice: hashed-unigram (256-bucket) target/corpus LMs with
+    add-one smoothing; per-doc logw = sum of per-token log ratios. Both
+    LMs are broadcast tables — feature space is O(buckets), never
+    O(vocab)."""
+    from crawler_spark.operators.corpus import dsir_logweights
+
+    return dsir_logweights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en", n_buckets=256
+    )
+
+
+def q_host_cap_sample(spark, sf_dir):
+    """Per-source document cap (RefinedWeb/Dolma anti-over-representation
+    pass): at most 10 docs per source, chosen by content-stable md5
+    order — skew-safe salted two-phase rank, reproducible across cluster
+    sizes."""
+    from crawler_spark.operators.corpus import cap_per_key
+
+    return cap_per_key(_t(spark, sf_dir, "documents"), "source", k=10)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): within-cluster cosine near-dup
+    pruning over the embeddings table, keep-the-far-from-centroid rule;
+    clusters from the IVF hash-seeded centroids so the oracle replays
+    the exact assignment."""
+    from crawler_spark.operators.dedup import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), n_cells=8, tau=0.35)
+
+
+def q_hard_negative_captions(spark, sf_dir):
+    """CLIP-style hard-negative mining: per image, the most-aligned
+    WRONG caption among SRP co-bucketed candidates (8 planes, 2 bands
+    over the shared 32-dim space), plus the own-caption score and the
+    contrastive margin."""
+    from crawler_spark.operators.pairs import hard_negative_captions
+
+    return hard_negative_captions(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -4031,6 +4076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mixture": q_lang_mixture,
         "lm_perplexity": q_lm_perplexity,
         "bm25_topk": q_bm25_topk,
+        "dsir_weights": q_dsir_weights,
+        "host_cap_sample": q_host_cap_sample,
+        "semdedup": q_semdedup,
+        "hard_negative_captions": q_hard_negative_captions,
         "bigram_pmi": q_bigram_pmi,
         "inverted_index": q_inverted_index,
         "stratified_sample": q_stratified_sample,
@@ -4840,6 +4889,177 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "dsir_weights": """
+            WITH t AS (
+              SELECT doc_id, lang = 'en' AS is_t,
+                unnest(list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  x -> len(x) > 0)) AS tok
+              FROM documents
+            ),
+            db AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substring(md5(tok), 1, 4)) AS INTEGER) % 256 AS b,
+                     count(*) AS n, any_value(is_t) AS is_t
+              FROM t GROUP BY doc_id, 2
+            ),
+            pb AS (
+              SELECT b, sum(n) AS nc,
+                     sum(CASE WHEN is_t THEN n ELSE 0 END) AS nt
+              FROM db GROUP BY b
+            ),
+            tot AS (
+              SELECT CAST(sum(nc) AS DOUBLE) AS c,
+                     CAST(sum(nt) AS DOUBLE) AS tt
+              FROM pb
+            ),
+            lm AS (
+              SELECT b, round(ln((nt + 1.0) / (tt + 256.0))
+                              - ln((nc + 1.0) / (c + 256.0)), 9) AS lr
+              FROM pb CROSS JOIN tot
+            )
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+                   round(sum(n * lr), 6) AS logw
+            FROM db JOIN lm USING (b) GROUP BY doc_id
+        """,
+        "host_cap_sample": """
+            SELECT doc_id, source, rk FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 10
+        """,
+        "semdedup": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            cells AS (
+              SELECT vec_id, v,
+                (strpos('0123456789abcdef',
+                        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) % 8
+                  AS cell_id
+              FROM e
+            ),
+            means AS (
+              SELECT cell_id, t.pos, round(avg(v[t.pos]), 9) AS m
+              FROM cells, unnest(generate_series(1, len(v))) AS t(pos)
+              GROUP BY cell_id, t.pos
+            ),
+            cents AS (
+              SELECT cell_id, list(m ORDER BY pos) AS centroid
+              FROM means GROUP BY cell_id
+            ),
+            assigned AS (
+              SELECT vec_id, v, cell_id FROM (
+                SELECT c.vec_id, c.v, ct.cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                    round(list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))), 9)
+                      DESC, ct.cell_id ASC) AS rn
+                FROM cells c CROSS JOIN cents ct
+              ) WHERE rn = 1
+            ),
+            scored AS (
+              SELECT a.vec_id, a.cell_id, a.v,
+                round(list_dot_product(a.v, ct.centroid)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(ct.centroid, ct.centroid))), 9)
+                  AS csim
+              FROM assigned a JOIN cents ct USING (cell_id)
+            ),
+            rm AS (
+              SELECT DISTINCT x.vec_id
+              FROM scored x JOIN scored y
+                ON x.cell_id = y.cell_id AND x.vec_id != y.vec_id
+              WHERE round(list_dot_product(x.v, y.v)
+                      / (sqrt(list_dot_product(x.v, x.v))
+                         * sqrt(list_dot_product(y.v, y.v))), 9) >= 0.35
+                AND (y.csim < x.csim
+                     OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+            )
+            SELECT s.vec_id, s.cell_id, s.csim,
+                   (rm.vec_id IS NOT NULL) AS removed
+            FROM scored s LEFT JOIN rm ON s.vec_id = rm.vec_id
+        """,
+        "hard_negative_captions": """
+            WITH capc AS (
+              SELECT doc_id AS id, t.i AS pos,
+                (instr('0123456789abcdef', substring(md5(text), t.i, 1)) - 1)
+                  / 7.5 - 1.0 AS x
+              FROM documents, unnest(generate_series(1, 32)) AS t(i)
+            ),
+            imgc AS (
+              SELECT vec_id AS id, t.i AS pos,
+                     CAST(embedding[t.i] AS DOUBLE) AS x
+              FROM embeddings, unnest(generate_series(1, 32)) AS t(i)
+            ),
+            capdot AS (
+              SELECT id, p.p AS p,
+                sum(x * (CASE WHEN substr(md5(p.p || '_' || (pos - 1)), 1, 1)
+                              >= '8' THEN 1.0 ELSE -1.0 END)) AS dot
+              FROM capc, unnest(generate_series(0, 7)) AS p(p)
+              GROUP BY id, p.p
+            ),
+            imgdot AS (
+              SELECT id, p.p AS p,
+                sum(x * (CASE WHEN substr(md5(p.p || '_' || (pos - 1)), 1, 1)
+                              >= '8' THEN 1.0 ELSE -1.0 END)) AS dot
+              FROM imgc, unnest(generate_series(0, 7)) AS p(p)
+              GROUP BY id, p.p
+            ),
+            capsig AS (
+              SELECT id, CAST(p // 4 AS INT) AS band_id,
+                     CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
+                          * CAST(pow(2, p % 4) AS BIGINT)) AS BIGINT) AS band_val
+              FROM capdot GROUP BY id, p // 4
+            ),
+            imgsig AS (
+              SELECT id, CAST(p // 4 AS INT) AS band_id,
+                     CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
+                          * CAST(pow(2, p % 4) AS BIGINT)) AS BIGINT) AS band_val
+              FROM imgdot GROUP BY id, p // 4
+            ),
+            cand AS (
+              SELECT DISTINCT i.id AS image_id, c.id AS cap_id
+              FROM imgsig i JOIN capsig c
+                ON i.band_id = c.band_id AND i.band_val = c.band_val
+               AND i.id != c.id
+            ),
+            scores AS (
+              SELECT cand.image_id, cand.cap_id,
+                round(round(sum(cc.x * ic.x), 9)
+                  / (sqrt(round(sum(cc.x * cc.x), 9))
+                     * sqrt(round(sum(ic.x * ic.x), 9))), 6) AS s
+              FROM cand
+              JOIN imgc ic ON ic.id = cand.image_id
+              JOIN capc cc ON cc.id = cand.cap_id AND cc.pos = ic.pos
+              GROUP BY cand.image_id, cand.cap_id
+            ),
+            neg AS (
+              SELECT image_id, cap_id AS neg_id, s AS neg_score FROM (
+                SELECT image_id, cap_id, s,
+                       row_number() OVER (PARTITION BY image_id
+                                          ORDER BY s DESC, cap_id ASC) AS rn
+                FROM scores
+              ) WHERE rn = 1
+            ),
+            own AS (
+              SELECT ic.id AS image_id,
+                round(round(sum(cc.x * ic.x), 9)
+                  / (sqrt(round(sum(cc.x * cc.x), 9))
+                     * sqrt(round(sum(ic.x * ic.x), 9))), 6) AS own_score
+              FROM imgc ic JOIN capc cc ON cc.id = ic.id AND cc.pos = ic.pos
+              GROUP BY ic.id
+            )
+            SELECT n.image_id, n.neg_id, n.neg_score, o.own_score,
+                   round(o.own_score - n.neg_score, 6) AS margin
+            FROM neg n JOIN own o USING (image_id)
         """,
         "bigram_pmi": """
             WITH words AS (

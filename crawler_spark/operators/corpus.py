@@ -446,3 +446,119 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_col,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.,
+    NeurIPS'23): score every document by how much more likely its hashed
+    n-gram features are under a target distribution than under the raw
+    corpus, so sampling ∝ exp(logw) reshapes the corpus toward the
+    target domain.
+
+    ``target_col`` is a boolean Column marking the in-target rows (e.g.
+    ``F.col("lang") == "en"`` or a quality gate). Features are unigrams
+    hashed into ``n_buckets`` buckets (first 4 md5 hex digits mod B —
+    the hashing is the whole point of DSIR: both LMs collapse to
+    broadcast-sized count vectors no matter the vocabulary). Both bag-of-
+    buckets LMs use add-one smoothing; logw(d) = Σ_tok ln p_target(b(tok))
+    − ln p_corpus(b(tok)).
+
+    Scale shape: one token explode -> one (doc, bucket) map-side-combined
+    aggregation (≤ B rows per doc); both LMs and their totals are
+    broadcast scalars/tables (B rows, independent of corpus size); no
+    window, no UDF. Log-ratios round to 9 decimals before the per-doc
+    sum and the sum to 6 — the ANSI-oracle hash-match discipline.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            target_col.alias("_t"),
+            F.explode(toks).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .select(
+            "doc_id",
+            "_t",
+            F.expr(
+                "pmod(cast(conv(substring(md5(tok), 1, 4), 16, 10) as int), "
+                f"{n_buckets})"
+            ).alias("b"),
+        )
+    )
+    db = base.groupBy("doc_id", "b").agg(
+        F.count("*").alias("n"), F.any_value("_t").alias("_t")
+    )
+    per_bucket = db.groupBy("b").agg(
+        F.sum("n").alias("nc"),
+        F.sum(F.when(F.col("_t"), F.col("n")).otherwise(F.lit(0))).alias("nt"),
+    )
+    totals = per_bucket.agg(
+        F.sum("nc").cast("double").alias("_c"),
+        F.sum("nt").cast("double").alias("_tt"),
+    )
+    lm = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log((F.col("nt") + 1.0) / (F.col("_tt") + float(n_buckets)))
+            - F.log((F.col("nc") + 1.0) / (F.col("_c") + float(n_buckets))),
+            9,
+        ).alias("lr"),
+    )
+    return (
+        db.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_toks"),
+            F.round(F.sum(F.col("n") * F.col("lr")), 6).alias("logw"),
+        )
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Per-key document cap (the RefinedWeb/Dolma "at most K documents
+    per domain" anti-over-representation pass): keep the K rows of each
+    key that rank first by a content-stable hash order (md5 of the id,
+    id tie-break) — a deterministic uniform sample per key, reproducible
+    across reruns and cluster sizes.
+
+    Skew-safe two-phase rank (the politeness_select construction): a
+    giant key never serializes into one window task. Phase 1 ranks
+    within (key, salt) — any row in the key's true global top-K is in
+    its salt group's top-K, so keeping rank<=K per salt group is a
+    strict superset. Phase 2 ranks the <= n_salt*K survivors per key
+    exactly. Output: (id, key, rk) with rk in [1, K].
+    """
+    from pyspark.sql import Window
+
+    okey = F.md5(F.col(id_col).cast("string"))
+    salted = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_key"),
+        okey.alias("_o"),
+        F.pmod(F.col(id_col), F.lit(n_salt)).alias("_salt"),
+    )
+    w1 = Window.partitionBy("_key", "_salt").orderBy(F.asc("_o"), F.asc("_id"))
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("_key").orderBy(F.asc("_o"), F.asc("_id"))
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(F.col("_id").alias(id_col), F.col("_key").alias(key_col), "rk")
+    )

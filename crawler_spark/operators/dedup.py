@@ -783,3 +783,104 @@ def cdc_chunks(
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by
+    within-cluster cosine similarity. Cluster the embeddings, compare
+    pairs ONLY inside a cluster, and where a pair exceeds ``tau`` keep
+    the member farther from its centroid (the paper's best-performing
+    keep-low-centroid-similarity rule), so prototypical near-copies are
+    pruned and the kept set stays diverse.
+
+    Removal rule (deterministic, per-point — no connected components):
+    x is removed iff some same-cell y has round9-cos(x, y) >= tau and
+    (csim_y, y_id) < (csim_x, x_id) lexicographically, i.e. y precedes x
+    in the cluster's keep order (centroid-similarity asc, id tie-break).
+
+    Clustering reuses the IVF machinery (hash-seeded mean centroids +
+    broadcast nearest-centroid assignment, similarity.py) — at corpus
+    scale n_cells grows ∝ n so the within-cell pair work stays
+    O(n · cell_size) with a bounded cell size; the pair join keys on
+    cell_id, a balanced key by construction of the hash seeding.
+
+    Output: (vec_id, cell_id, csim, removed) for every vector.
+    """
+    from crawler_spark.operators.similarity import (
+        _dot,
+        _norm,
+        assign_cells,
+        make_centroids,
+    )
+
+    cents = make_centroids(emb, n_cells, vec_col, id_col)
+    cells = assign_cells(emb, cents, vec_col, id_col)
+    # referenced by both sides of the pair join AND the final left join:
+    # persist, or the centroid crossJoin lineage runs three times
+    scored = cells.join(F.broadcast(cents), "cell_id").select(
+        "vec_id",
+        "cell_id",
+        F.col("v"),
+        F.round(
+            _dot(F.col("v"), F.col("centroid"))
+            / (_norm(F.col("v")) * _norm(F.col("centroid"))),
+            9,
+        ).alias("csim"),
+    ).persist()
+    a = scored.select(
+        F.col("vec_id").alias("id_a"), F.col("cell_id").alias("cell_a"),
+        F.col("v").alias("va"), F.col("csim").alias("csim_a"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("id_b"), F.col("cell_id").alias("cell_b"),
+        F.col("v").alias("vb"), F.col("csim").alias("csim_b"),
+    )
+    # cast to double BEFORE multiplying: float32 products lose enough
+    # precision to flip a round(.., 9) vs the all-double oracle
+    def _d(c):
+        return F.aggregate(
+            c, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double")
+        )
+
+    pair_cos = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("va"), F.col("vb"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        / (F.sqrt(_d(F.col("va"))) * F.sqrt(_d(F.col("vb")))),
+        9,
+    )
+    removed_ids = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
+        .filter(pair_cos >= F.lit(tau))
+        .filter(
+            (F.col("csim_b") < F.col("csim_a"))
+            | ((F.col("csim_b") == F.col("csim_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        scored.join(removed_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            "csim",
+            F.coalesce(F.col("_rm"), F.lit(False)).alias("removed"),
+        )
+    )

@@ -250,3 +250,106 @@ def pair_corpus_stats(meta: DataFrame) -> DataFrame:
         F.round(F.avg("h"), 6).alias("avg_h"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
     )
+
+
+def hard_negative_captions(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    dim: int = 32,
+    n_planes: int = 8,
+    n_bands: int = 2,
+) -> DataFrame:
+    """Contrastive hard-negative mining for image-caption training: for
+    each image, the most-aligned WRONG caption among LSH co-bucketed
+    candidates — the in-batch-negatives upgrade every CLIP-style
+    training recipe wants (random negatives are too easy; the hard ones
+    live nearby in embedding space).
+
+    Candidate generation is SRP banding (dedup.srp_band_signatures'
+    fixed Rademacher family) applied to BOTH sides of the shared
+    ``dim``-dim space — image = stored embedding's first components,
+    caption = the deterministic md5-digit projection caption_alignment
+    uses — so a caption is a candidate for an image iff they agree on
+    >= 1 band. Exact round-6 cosine ranks candidates; the winner per
+    image is max_by(score, tie-break lowest caption id). ``margin`` =
+    own-caption alignment minus the hard negative's score: the pairs a
+    contrastive loss will find hardest.
+
+    Scale shape: the bucket join's key is (band_id, band_val) —
+    candidate volume tracks angular proximity, never n^2; scoring and
+    the per-image argmax are map-side-combinable; no UDF, no window.
+    """
+    from crawler_spark.operators.dedup import srp_band_signatures
+
+    m = docs.select(F.col("doc_id").alias("image_id"), F.md5("text").alias("__m"))
+    cap = m.select(
+        "image_id",
+        F.array(
+            *[
+                F.expr(
+                    f"(instr('0123456789abcdef', substring(__m, {i}, 1)) - 1)"
+                    f" / 7.5D - 1.0D"
+                )
+                for i in range(1, dim + 1)
+            ]
+        ).alias("cv"),
+    )
+    img = embeddings.select(
+        F.col("vec_id").alias("image_id"),
+        F.slice(F.col("embedding"), 1, dim).cast("array<double>").alias("iv"),
+    )
+    cap_sig = srp_band_signatures(cap, "cv", "image_id", n_planes, n_bands)
+    img_sig = srp_band_signatures(img, "iv", "image_id", n_planes, n_bands)
+    cand = (
+        img_sig.select(
+            F.col("vec_id").alias("image_id"), "band_id", "band_val"
+        )
+        .join(
+            cap_sig.select(
+                F.col("vec_id").alias("cap_id"), "band_id", "band_val"
+            ),
+            ["band_id", "band_val"],
+        )
+        .filter(F.col("image_id") != F.col("cap_id"))
+        .select("image_id", "cap_id")
+        .distinct()
+    )
+
+    def _cos(a, b):
+        dot = F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+        na = F.sqrt(F.round(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x), 9))
+        nb = F.sqrt(F.round(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x), 9))
+        return F.round(dot / (na * nb), 6)
+
+    neg = (
+        cand.join(img, "image_id")
+        .join(cap.select(F.col("image_id").alias("cap_id"), "cv"), "cap_id")
+        .select(
+            "image_id", "cap_id", _cos(F.col("iv"), F.col("cv")).alias("s")
+        )
+        .groupBy("image_id")
+        .agg(
+            F.max_by(
+                F.col("cap_id"), F.struct(F.col("s"), -F.col("cap_id"))
+            ).alias("neg_id"),
+            F.max("s").alias("neg_score"),
+        )
+    )
+    own = (
+        img.join(cap, "image_id")
+        .select("image_id", _cos(F.col("iv"), F.col("cv")).alias("own_score"))
+    )
+    return neg.join(own, "image_id").select(
+        "image_id",
+        "neg_id",
+        "neg_score",
+        "own_score",
+        F.round(F.col("own_score") - F.col("neg_score"), 6).alias("margin"),
+    )

@@ -1,0 +1,235 @@
+"""Corpus-curation operators: DSIR importance weights, per-key caps,
+SemDeDup, and CLIP hard-negative mining — property checks against
+pure-python mirrors on small synthetic inputs."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.corpus import cap_per_key, dsir_logweights
+from crawler_spark.operators.dedup import semdedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_dsir_prefers_target_vocabulary(spark):
+    """Docs written in the target slice's vocabulary score higher than
+    docs written in the off-target vocabulary, and a doc duplicated
+    across slices gets the same per-token ratio either way."""
+    rows = (
+        [(i, "alpha beta gamma", "en", "s") for i in range(10)]
+        + [(100 + i, "delta epsilon zeta", "de", "s") for i in range(10)]
+        + [(500, "alpha beta gamma", "de", "s")]  # en-vocab doc labeled de
+    )
+    out = {
+        r.doc_id: r.logw
+        for r in dsir_logweights(
+            _docs(spark, rows), F.col("lang") == "en", n_buckets=64
+        ).collect()
+    }
+    assert out[0] > out[100], "target-vocab doc must outscore off-target"
+    # weight is a pure function of the text, not the label
+    assert out[500] == out[0]
+    # and the off-target-vocab docs have negative log ratio (tokens are
+    # much more likely under the corpus LM than the target LM)
+    assert out[100] < 0
+
+
+def test_dsir_matches_pure_python(spark):
+    rows = [
+        (1, "a b a", "en", "s"),
+        (2, "b c", "de", "s"),
+        (3, "a c c", "en", "s"),
+    ]
+    B = 16
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % B
+
+    # mirror: per-(doc,bucket) counts, add-one smoothed LMs
+    db: dict[tuple[int, int], int] = {}
+    target = {1, 3}
+    for doc_id, text, *_ in rows:
+        for tok in text.split():
+            db[(doc_id, bucket(tok))] = db.get((doc_id, bucket(tok)), 0) + 1
+    nc: dict[int, int] = {}
+    nt: dict[int, int] = {}
+    for (d, b), n in db.items():
+        nc[b] = nc.get(b, 0) + n
+        if d in target:
+            nt[b] = nt.get(b, 0) + n
+    C, T = sum(nc.values()), sum(nt.values())
+    expect = {}
+    for d in (1, 2, 3):
+        s = 0.0
+        for (dd, b), n in db.items():
+            if dd != d:
+                continue
+            lr = round(
+                math.log((nt.get(b, 0) + 1.0) / (T + B))
+                - math.log((nc[b] + 1.0) / (C + B)),
+                9,
+            )
+            s += n * lr
+        expect[d] = round(s, 6)
+    got = {
+        r.doc_id: r.logw
+        for r in dsir_logweights(
+            _docs(spark, rows), F.col("lang") == "en", n_buckets=B
+        ).collect()
+    }
+    assert got == pytest.approx(expect)
+
+
+def test_cap_per_key_exact_and_stable(spark):
+    """The capped set per key is exactly the K smallest by
+    (md5(id), id) — verified against a pure-python mirror — and a
+    different n_salt produces the identical result (salting is a
+    prefilter, never a semantics knob)."""
+    rows = [(i, "t", "en", f"src{i % 3}") for i in range(60)]
+    df = _docs(spark, rows)
+
+    def mirror(k):
+        by_key: dict[str, list[int]] = {}
+        for i in range(60):
+            by_key.setdefault(f"src{i % 3}", []).append(i)
+        keep = {}
+        for key, ids in by_key.items():
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            for rk, i in enumerate(ids[:k], 1):
+                keep[i] = (key, rk)
+        return keep
+
+    for n_salt in (1, 4, 16):
+        got = {
+            r.doc_id: (r.source, r.rk)
+            for r in cap_per_key(df, "source", 7, n_salt=n_salt).collect()
+        }
+        assert got == mirror(7), f"n_salt={n_salt}"
+
+
+def test_semdedup_keeps_one_per_dup_pair_and_prefers_edge_points(spark):
+    """Plant exact-duplicate vectors: exactly one of each duplicate set
+    survives, singletons all survive, and the survivor of a near-dup
+    pair is the member with LOWER centroid similarity (the paper's
+    keep-edge-points rule)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # ids 100/101: exact copies of vec 3 (cosine 1.0 with it)
+    rows += [(100, [float(x) for x in base[3]]), (101, [float(x) for x in base[3]])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(emb, n_cells=2, tau=0.999999).collect()
+    by_id = {r.vec_id: r for r in out}
+    dup_set = [r for r in out if r.vec_id in (3, 100, 101)]
+    # exact copies share a cell (same vector -> same nearest centroid)
+    assert len({r.cell_id for r in dup_set}) == 1
+    kept = [r.vec_id for r in dup_set if not r.removed]
+    # exactly one survivor; identical csim -> lowest id wins
+    assert kept == [3]
+    # at tau ~ 1 nothing else is removed
+    others = [r for r in out if r.vec_id not in (3, 100, 101)]
+    assert not any(r.removed for r in others)
+
+
+def test_semdedup_keep_rule_low_centroid_sim(spark):
+    """With distinct-but-near duplicates, the removed one is the member
+    closer to the centroid."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(16, 8).astype("float64")
+    # a near-dup pair: v and v + tiny noise
+    base[5] = base[4] + 0.001 * rng.randn(8)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(16)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semdedup(emb, n_cells=2, tau=0.999).collect()}
+    a, b = out[4], out[5]
+    if a.cell_id == b.cell_id:  # co-clustered (expected for near-dups)
+        removed = [r for r in (a, b) if r.removed]
+        survivors = [r for r in (a, b) if not r.removed]
+        assert len(removed) == 1 and len(survivors) == 1
+        assert survivors[0].csim <= removed[0].csim
+
+
+def test_hard_negative_is_bucket_max(spark):
+    """The mined negative per image is the true max-cosine wrong caption
+    among co-bucketed candidates — cross-checked by brute force over the
+    candidate set (LSH decides candidacy; scoring must be exact)."""
+    from crawler_spark.operators.pairs import hard_negative_captions
+
+    docs = _docs(
+        spark, [(i, f"caption text number {i} alpha beta", "en", "s") for i in range(40)]
+    )
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(32)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = hard_negative_captions(docs, emb, dim=32, n_planes=8, n_bands=2)
+    rows = out.collect()
+    assert rows, "every bucket family this dense must yield candidates"
+    # brute-force mirror of the scoring for one image: the chosen neg
+    # must dominate every other co-bucketed caption's score
+    from crawler_spark.operators.dedup import srp_band_signatures
+
+    m = docs.select(F.col("doc_id").alias("image_id"), F.md5("text").alias("__m"))
+    cap = m.select(
+        "image_id",
+        F.array(
+            *[
+                F.expr(
+                    f"(instr('0123456789abcdef', substring(__m, {i}, 1)) - 1)"
+                    f" / 7.5D - 1.0D"
+                )
+                for i in range(1, 33)
+            ]
+        ).alias("cv"),
+    )
+    img = emb.select(
+        F.col("vec_id").alias("image_id"),
+        F.slice(F.col("embedding"), 1, 32).cast("array<double>").alias("iv"),
+    )
+    cap_pd = {r.image_id: r.cv for r in cap.collect()}
+    img_pd = {r.image_id: r.iv for r in img.collect()}
+    csig = {}
+    for r in srp_band_signatures(cap, "cv", "image_id", 8, 2).collect():
+        csig.setdefault(r.vec_id, set()).add((r.band_id, r.band_val))
+    isig = {}
+    for r in srp_band_signatures(img, "iv", "image_id", 8, 2).collect():
+        isig.setdefault(r.vec_id, set()).add((r.band_id, r.band_val))
+
+    def cos(a, b):
+        dot = round(sum(x * y for x, y in zip(a, b)), 9)
+        na = math.sqrt(round(sum(x * x for x in a), 9))
+        nb = math.sqrt(round(sum(y * y for y in b), 9))
+        return round(dot / (na * nb), 6)
+
+    got = {r.image_id: r for r in rows}
+    for iid in list(got)[:10]:
+        cands = [
+            c for c in cap_pd
+            if c != iid and isig[iid] & csig[c]
+        ]
+        best = max(cands, key=lambda c: (cos(img_pd[iid], cap_pd[c]), -c))
+        assert got[iid].neg_id == best
+        assert got[iid].neg_score == pytest.approx(
+            cos(img_pd[iid], cap_pd[best]), abs=1e-6
+        )
+        assert got[iid].margin == pytest.approx(
+            got[iid].own_score - got[iid].neg_score, abs=2e-6
+        )
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-x", "-q"]))
