@@ -75,6 +75,13 @@ HEADLINE = [
     "redirect_resolution",
     "anchor_topk",
     "quality_classifier",
+    # curation-batch additions
+    "dsir_weights",
+    "host_cap_sample",
+    "semdedup",
+    "hard_negative_captions",
+    "bm25_topk",
+    "hrw_fetcher_assign",
 ]
 
 BENCH_HOSTS = 50
