@@ -4002,6 +4002,46 @@ def q_hard_negative_captions(spark, sf_dir):
     )
 
 
+def q_rfc9309_gate(spark, sf_dir):
+    """Full RFC 9309 wildcard path gating: Allow+Disallow rules with *
+    and trailing $, longest-match (most octets) precedence, Allow wins
+    ties, no-match defaults to allowed. Rules are a broadcast dimension;
+    the match is native LIKE ... ESCAPE (column pattern) so the gate is
+    JVM-side and oracle-portable. Parse path (robots.txt -> rules) is
+    pytest-covered; the rule set here is literal so DuckDB replays it."""
+    from crawler_spark.functions.robots import like_pattern
+    from crawler_spark.operators.politeness import rfc9309_gate
+
+    RULES = [
+        ("h0", "/sec1*", False),
+        ("h0", "/sec1/item7*", True),
+        ("h0", "*.html$", False),
+        ("h1", "/*", False),
+        ("h1", "/sec2*", True),
+        ("h2", "*.html$", True),
+        ("h2", "*item3*", False),
+    ]
+    rules = spark.createDataFrame(
+        [(h, p, like_pattern(p), a) for h, p, a in RULES],
+        "host string, pattern string, like_pattern string, allow boolean",
+    )
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.col("doc_id").alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string")).alias("host"),
+        F.concat(
+            F.lit("/sec"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("/item"),
+            (F.col("doc_id") % 11).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".html")).otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    return rfc9309_gate(urls, rules).select(
+        "url_hash", "host", "path", "allowed", "matched_pattern"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -4080,6 +4120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap_sample": q_host_cap_sample,
         "semdedup": q_semdedup,
         "hard_negative_captions": q_hard_negative_captions,
+        "rfc9309_gate": q_rfc9309_gate,
         "bigram_pmi": q_bigram_pmi,
         "inverted_index": q_inverted_index,
         "stratified_sample": q_stratified_sample,
@@ -4889,6 +4930,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "rfc9309_gate": """
+            WITH rules(host, pattern, like_pattern, allow) AS (
+              VALUES ('h0', '/sec1*', '/sec1%%', FALSE),
+                     ('h0', '/sec1/item7*', '/sec1/item7%%', TRUE),
+                     ('h0', '*.html$', '%.html', FALSE),
+                     ('h1', '/*', '/%%', FALSE),
+                     ('h1', '/sec2*', '/sec2%%', TRUE),
+                     ('h2', '*.html$', '%.html', TRUE),
+                     ('h2', '*item3*', '%item3%%', FALSE)
+            ),
+            urls AS (
+              SELECT doc_id AS url_hash,
+                     'h' || CAST(doc_id % 3 AS VARCHAR) AS host,
+                     '/sec' || CAST(doc_id % 5 AS VARCHAR)
+                       || '/item' || CAST(doc_id % 11 AS VARCHAR)
+                       || CASE WHEN doc_id % 4 = 0 THEN '.html' ELSE '' END
+                       AS path
+              FROM documents
+            ),
+            m AS (
+              SELECT url_hash, pattern, allow,
+                row_number() OVER (PARTITION BY url_hash
+                  ORDER BY len(pattern) DESC, CAST(allow AS INT) DESC,
+                           pattern DESC) AS rn
+              FROM urls u JOIN rules r ON u.host = r.host
+              WHERE u.path LIKE r.like_pattern ESCAPE '!'
+            )
+            SELECT u.url_hash, u.host, u.path,
+                   coalesce(m.allow, TRUE) AS allowed,
+                   m.pattern AS matched_pattern
+            FROM urls u
+            LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (url_hash)
         """,
         "dsir_weights": """
             WITH t AS (

@@ -129,3 +129,61 @@ def robots_dim(robots_texts: DataFrame, host_col: str = "host",
         F.col("r.deny_prefixes").alias("deny_prefixes"),
         F.col("r.crawl_delay_s").alias("crawl_delay_s"),
     )
+
+
+# --------------------------- RFC 9309 wildcard path matching (§2.2.2-2.2.3)
+
+
+def like_pattern(pattern: str) -> str:
+    """Compile one robots.txt path pattern to a SQL LIKE pattern
+    (ESCAPE '!'): ``*`` matches any octet sequence, a TRAILING ``$``
+    anchors the end of the URI, every other character is literal. A
+    pattern without the anchor is a prefix match, so the compiled form
+    gains a trailing ``%``. LIKE keeps the whole gate inside native SQL
+    in both the engine and the oracle — no regex dialect drift."""
+    esc = pattern.replace("!", "!!").replace("%", "!%").replace("_", "!_")
+    anchored = esc.endswith("$")
+    if anchored:
+        esc = esc[:-1]
+    esc = esc.replace("*", "%")
+    return esc if anchored else esc + "%"
+
+
+MATCH_RULES_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("pattern", T.StringType()),
+            T.StructField("like_pattern", T.StringType()),
+            T.StructField("allow", T.BooleanType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(MATCH_RULES_SCHEMA)
+def robots_match_rules_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched robots.txt → the chosen group's full rule list
+    (Allow AND Disallow, wildcards intact) with precompiled LIKE forms."""
+    out = []
+    for t in texts:
+        deny, allow, _ = parse_robots_txt(t)
+        out.append(
+            [(p, like_pattern(p), False) for p in deny]
+            + [(p, like_pattern(p), True) for p in allow]
+        )
+    return pd.Series(out)
+
+
+def robots_matcher_dim(
+    robots_texts: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → exploded per-rule matcher dimension
+    (host, pattern, like_pattern, allow) for :func:`politeness.rfc9309_gate`.
+    Broadcast-sized: a few rules per crawled host."""
+    return (
+        robots_texts.select(
+            F.col(host_col).alias("host"),
+            F.explode(robots_match_rules_udf(F.col(text_col))).alias("r"),
+        )
+        .select("host", "r.pattern", "r.like_pattern", "r.allow")
+    )

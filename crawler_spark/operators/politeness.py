@@ -170,3 +170,58 @@ def apply_adaptive_delays(
         )
         .drop("_fb_delay")
     )
+
+
+def rfc9309_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "url_hash",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Full RFC 9309 §2.2.2-2.2.3 path gating: Allow AND Disallow rules
+    with ``*`` wildcards and the trailing ``$`` anchor, longest-match
+    (most-octets) precedence, Allow winning exact ties, and
+    no-matching-rule defaulting to allowed.
+
+    ``rules`` is :func:`functions.robots.robots_matcher_dim`'s output
+    (host, pattern, like_pattern, allow) — broadcast-sized (a handful of
+    rules per host). The match itself is native ``LIKE ... ESCAPE`` on a
+    column pattern, so the whole gate stays JVM-side and is expressible
+    verbatim in any ANSI oracle. Per-URL verdict = max_by over matching
+    rules of (pattern length, allow, pattern) — a total order, so the
+    argmax is deterministic in every engine.
+
+    Output: urls + (allowed boolean, matched_pattern string|null).
+    Shape at scale: one broadcast join + one map-side-combinable argmax
+    per URL; the fact side never shuffles on a low-cardinality key.
+    """
+    r = rules.select(
+        F.col("host").alias("_rhost"),
+        "pattern",
+        "like_pattern",
+        "allow",
+        F.length("pattern").alias("_plen"),
+    )
+    matched = (
+        urls.select(id_col, host_col, path_col)
+        .join(F.broadcast(r), F.col(host_col) == F.col("_rhost"))
+        .filter(F.expr(f"{path_col} LIKE like_pattern ESCAPE '!'"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("allow"), F.col("pattern")),
+                F.struct(
+                    F.col("_plen"),
+                    F.col("allow").cast("int"),
+                    F.col("pattern"),
+                ),
+            ).alias("_best")
+        )
+    )
+    return (
+        urls.join(matched, id_col, "left")
+        .withColumn("allowed", F.coalesce(F.col("_best.allow"), F.lit(True)))
+        .withColumn("matched_pattern", F.col("_best.pattern"))
+        .drop("_best")
+    )

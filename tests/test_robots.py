@@ -97,3 +97,78 @@ def test_robots_dim_roundtrip(spark):
         g = got[want["host"]]
         assert list(g["deny_prefixes"]) == want["deny_prefixes"]
         assert g["crawl_delay_s"] == want["crawl_delay_s"]
+
+
+def test_like_pattern_compilation():
+    from crawler_spark.functions.robots import like_pattern
+
+    assert like_pattern("/a*b$") == "/a%b"
+    assert like_pattern("/a*") == "/a%%"
+    assert like_pattern("/plain") == "/plain%"
+    # LIKE metacharacters in the robots pattern stay literal
+    assert like_pattern("/100%_x") == "/100!%!_x%"
+    assert like_pattern("/bang!") == "/bang!!%"
+
+
+def test_rfc9309_gate_spec_semantics(spark):
+    """RFC 9309 §2.2.2: wildcard + anchor matching, most-octets
+    precedence, Allow wins exact ties, unmatched URLs allowed."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.robots import robots_matcher_dim
+    from crawler_spark.operators.politeness import rfc9309_gate
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "h.test",
+                "User-agent: *\n"
+                "Disallow: /private*\n"
+                "Allow: /private/ok$\n"
+                "Disallow: *.tmp$\n"
+                "Allow: /dual*\n"       # same length as the next line
+                "Disallow: /dual/\n"    # tie on /dual/x -> hmm lengths differ
+                "Disallow: \n",         # empty Disallow = allow-all, ignored
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_matcher_dim(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "h.test", "/private/secret"),   # denied by /private*
+            (2, "h.test", "/private/ok"),        # allow anchor wins (len 11 > 9)
+            (3, "h.test", "/private/ok2"),       # anchor does NOT match -> denied
+            (4, "h.test", "/cache/file.tmp"),    # denied by *.tmp$
+            (5, "h.test", "/cache/file.tmpx"),   # anchor miss -> allowed (no rule)
+            (6, "h.test", "/other"),             # no match -> default allow
+            (7, "other.test", "/private/secret"),  # host without rules -> allow
+        ],
+        "url_hash long, host string, path string",
+    )
+    out = {r.url_hash: r for r in rfc9309_gate(urls, rules).collect()}
+    assert not out[1].allowed and out[1].matched_pattern == "/private*"
+    assert out[2].allowed and out[2].matched_pattern == "/private/ok$"
+    assert not out[3].allowed
+    assert not out[4].allowed and out[4].matched_pattern == "*.tmp$"
+    assert out[5].allowed
+    assert out[6].allowed and out[6].matched_pattern is None
+    assert out[7].allowed and out[7].matched_pattern is None
+
+
+def test_rfc9309_allow_wins_exact_tie(spark):
+    from crawler_spark.operators.politeness import rfc9309_gate
+    from crawler_spark.functions.robots import like_pattern
+
+    rules = spark.createDataFrame(
+        [
+            ("h", "/p/a*", like_pattern("/p/a*"), True),
+            ("h", "/p/*a", like_pattern("/p/*a"), False),
+        ],
+        "host string, pattern string, like_pattern string, allow boolean",
+    )
+    urls = spark.createDataFrame(
+        [(1, "h", "/p/aXa")], "url_hash long, host string, path string"
+    )
+    row = rfc9309_gate(urls, rules).first()
+    assert row.allowed and row.matched_pattern == "/p/a*"
