@@ -3992,13 +3992,17 @@ def q_semdedup(spark, sf_dir):
 
 def q_hard_negative_captions(spark, sf_dir):
     """CLIP-style hard-negative mining: per image, the most-aligned
-    WRONG caption among SRP co-bucketed candidates (8 planes, 2 bands
-    over the shared 32-dim space), plus the own-caption score and the
-    contrastive margin."""
+    WRONG caption among SRP co-bucketed candidates (16 planes, 2 bands
+    of 8 bits over the shared 32-dim space — 4-bit bands collide on
+    ~13% of ALL pairs, i.e. near-quadratic candidates), plus the
+    own-caption score and the contrastive margin."""
     from crawler_spark.operators.pairs import hard_negative_captions
 
     return hard_negative_captions(
-        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        n_planes=16,
+        n_bands=2,
     )
 
 
@@ -5077,27 +5081,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT id, p.p AS p,
                 sum(x * (CASE WHEN substr(md5(p.p || '_' || (pos - 1)), 1, 1)
                               >= '8' THEN 1.0 ELSE -1.0 END)) AS dot
-              FROM capc, unnest(generate_series(0, 7)) AS p(p)
+              FROM capc, unnest(generate_series(0, 15)) AS p(p)
               GROUP BY id, p.p
             ),
             imgdot AS (
               SELECT id, p.p AS p,
                 sum(x * (CASE WHEN substr(md5(p.p || '_' || (pos - 1)), 1, 1)
                               >= '8' THEN 1.0 ELSE -1.0 END)) AS dot
-              FROM imgc, unnest(generate_series(0, 7)) AS p(p)
+              FROM imgc, unnest(generate_series(0, 15)) AS p(p)
               GROUP BY id, p.p
             ),
             capsig AS (
-              SELECT id, CAST(p // 4 AS INT) AS band_id,
+              SELECT id, CAST(p // 8 AS INT) AS band_id,
                      CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
-                          * CAST(pow(2, p % 4) AS BIGINT)) AS BIGINT) AS band_val
-              FROM capdot GROUP BY id, p // 4
+                          * CAST(pow(2, p % 8) AS BIGINT)) AS BIGINT) AS band_val
+              FROM capdot GROUP BY id, p // 8
             ),
             imgsig AS (
-              SELECT id, CAST(p // 4 AS INT) AS band_id,
+              SELECT id, CAST(p // 8 AS INT) AS band_id,
                      CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
-                          * CAST(pow(2, p % 4) AS BIGINT)) AS BIGINT) AS band_val
-              FROM imgdot GROUP BY id, p // 4
+                          * CAST(pow(2, p % 8) AS BIGINT)) AS BIGINT) AS band_val
+              FROM imgdot GROUP BY id, p // 8
             ),
             cand AS (
               SELECT DISTINCT i.id AS image_id, c.id AS cap_id
