@@ -4046,6 +4046,112 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_retrieval_recall(spark, sf_dir):
+    """Cross-modal retrieval eval (CLIP-eval shape): for a deterministic
+    1-in-8 sample of images, rank every caption by exact cosine in the
+    shared 32-dim space and report recall@1/@5 + MRR@10 of the
+    own-caption ground truth — the per-wave drift check for the
+    embedding-based curation stages. Brute-force by design (an eval
+    wants the exact ranking); sample_mod is the scale dial."""
+    from crawler_spark.operators.evals import crossmodal_retrieval_eval
+
+    return crossmodal_retrieval_eval(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
+def q_lsh_dedup_eval(spark, sf_dir):
+    """Precision/recall/F1 of the production MinHash (4, 2) banding
+    against exact 3-gram Jaccard >= 0.5 truth ON THIS CORPUS — the
+    query that decides whether a banding config ships. Both sides are
+    the production operators; the eval join is candidate-volume sized."""
+    from crawler_spark.operators.evals import lsh_dedup_eval
+
+    return lsh_dedup_eval(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_host_fairness(spark, sf_dir):
+    """Scheduling-fairness dashboard over per-host fetch counts (events
+    as the fetch log, host = user_id % 23): Jain index, Gini, hottest
+    host's share. The politeness scheduler's health check — Jain near
+    1/n means one host is starving the fleet. All integer sums, so the
+    rounded ratios are engine-exact."""
+    from crawler_spark.operators.evals import fairness_report
+
+    served = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias(
+                "host"
+            )
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+    )
+    return fairness_report(served, "host", "n")
+
+
+def q_focused_priority(spark, sf_dir):
+    """Shark-search focused-crawl priority: children inherit decayed
+    parent topic-relevance plus an anchor-text bonus. Pages = documents;
+    edges = every doc links to its 16-block hub with the doc's first
+    token as anchor (the anchor_topk edge family); topic literal =
+    (spark, query, stream, window). Per target: n_parents,
+    best_priority (best-first key), avg_priority."""
+    from crawler_spark.operators.rank import focused_priority
+
+    docs = _t(spark, sf_dir, "documents")
+    first_tok = F.split(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+    )[0]
+    edges = docs.select(
+        F.col("doc_id").alias("src_id"),
+        (F.col("doc_id") - F.col("doc_id") % 16).alias("dst_id"),
+        first_tok.alias("anchor_term"),
+    )
+    return focused_priority(
+        docs.select("doc_id", "text"),
+        edges,
+        ["spark", "query", "stream", "window"],
+        decay=0.5,
+    )
+
+
+def q_url_static_priority(spark, sf_dir):
+    """Static URL-feature priority (IRLbot/BUbiNG-style pre-fetch
+    heuristic): score frontier candidates by URL shape alone — path
+    depth, query-param count, digit density — before any content
+    exists. One whole-stage-codegen map over the frontier derivation
+    (URL suffix variety: sessionful, deep-path, index, bare)."""
+    from crawler_spark.operators.rank import url_static_features
+
+    f = _frontier(spark, sf_dir)
+    url = F.concat(
+        F.col("url"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("?session="),
+                F.col("doc_id").cast("string"),
+                F.lit("&ref="),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("/page/"),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit("/item/"),
+                (F.col("doc_id") % 29).cast("string"),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.lit("/index.html"))
+        .otherwise(F.lit("")),
+    )
+    return url_static_features(f.select(url.alias("url")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -4125,6 +4231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "hard_negative_captions": q_hard_negative_captions,
         "rfc9309_gate": q_rfc9309_gate,
+        "retrieval_recall": q_retrieval_recall,
+        "lsh_dedup_eval": q_lsh_dedup_eval,
+        "host_fairness": q_host_fairness,
+        "focused_priority": q_focused_priority,
+        "url_static_priority": q_url_static_priority,
         "bigram_pmi": q_bigram_pmi,
         "inverted_index": q_inverted_index,
         "stratified_sample": q_stratified_sample,
@@ -4934,6 +5045,196 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "retrieval_recall": """
+            WITH capc AS (
+              SELECT doc_id AS id, t.i AS pos,
+                (instr('0123456789abcdef', substring(md5(text), t.i, 1)) - 1)
+                  / 7.5 - 1.0 AS x
+              FROM documents, unnest(generate_series(1, 32)) AS t(i)
+            ),
+            imgq AS (
+              SELECT vec_id AS id, t.i AS pos,
+                     CAST(embedding[t.i] AS DOUBLE) AS x
+              FROM embeddings, unnest(generate_series(1, 32)) AS t(i)
+              WHERE vec_id % 8 = 0
+            ),
+            scores AS (
+              SELECT iq.id AS image_id, cc.id AS cap_id,
+                round(round(sum(iq.x * cc.x), 9)
+                  / (sqrt(round(sum(iq.x * iq.x), 9))
+                     * sqrt(round(sum(cc.x * cc.x), 9))), 6) AS s
+              FROM imgq iq JOIN capc cc ON cc.pos = iq.pos
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT image_id, cap_id,
+                     row_number() OVER (PARTITION BY image_id
+                                        ORDER BY s DESC, cap_id ASC) AS rnk
+              FROM scores
+            ),
+            own AS (SELECT image_id, rnk FROM ranked WHERE cap_id = image_id)
+            SELECT count(*) AS n_queries,
+              round(avg(CASE WHEN rnk <= 1 THEN 1.0 ELSE 0.0 END), 6) AS recall_at_1,
+              round(avg(CASE WHEN rnk <= 5 THEN 1.0 ELSE 0.0 END), 6) AS recall_at_5,
+              round(avg(CASE WHEN rnk <= 10 THEN 1.0 / rnk ELSE 0.0 END), 6) AS mrr_at_10
+            FROM own
+        """,
+        "lsh_dedup_eval": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            truth AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+            ),
+            rows_ AS (
+              SELECT doc_id, h.hash_id, shingle
+              FROM sh, unnest(generate_series(0, 7)) AS h(hash_id)
+            ),
+            sigs AS (
+              SELECT doc_id, hash_id,
+                     min(md5(hash_id || '|' || shingle)) AS sig
+              FROM rows_ GROUP BY doc_id, hash_id
+            ),
+            bands AS (
+              SELECT doc_id, hash_id // 2 AS band_id,
+                     md5(array_to_string(list(sig ORDER BY hash_id), '|'))
+                       AS band_sig
+              FROM sigs GROUP BY doc_id, hash_id // 2
+            ),
+            pred AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+            ),
+            j AS (
+              SELECT p.doc_a IS NOT NULL AS in_p, t.doc_a IS NOT NULL AS in_t
+              FROM pred p FULL OUTER JOIN truth t
+                ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+            )
+            SELECT
+              sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS n_pred,
+              sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS n_truth,
+              sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS n_hit,
+              round(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) * 1.0
+                / nullif(sum(CASE WHEN in_p THEN 1 ELSE 0 END), 0), 6) AS precision,
+              round(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) * 1.0
+                / nullif(sum(CASE WHEN in_t THEN 1 ELSE 0 END), 0), 6) AS recall,
+              round(2.0 * sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
+                / nullif(sum(CASE WHEN in_p THEN 1 ELSE 0 END)
+                         + sum(CASE WHEN in_t THEN 1 ELSE 0 END), 0), 6) AS f1
+            FROM j
+        """,
+        "host_fairness": """
+            WITH served AS (
+              SELECT 'h' || (user_id % 23) AS host, count(*) AS n
+              FROM events GROUP BY 1
+            ),
+            ranked AS (
+              SELECT host AS k, CAST(n AS BIGINT) AS x,
+                     row_number() OVER (ORDER BY n ASC, host ASC) AS i
+              FROM served
+            )
+            SELECT count(*) AS n_keys, sum(x) AS total,
+              round((sum(x) * sum(x)) * 1.0 / (count(*) * sum(x * x)), 6)
+                AS jain_index,
+              round((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1.0
+                / (count(*) * sum(x)), 6) AS gini,
+              round(max(x) * 1.0 / sum(x), 6) AS top_share
+            FROM ranked
+        """,
+        "focused_priority": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            toks AS (
+              SELECT DISTINCT doc_id, ws[i] AS term
+              FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+            ),
+            rel AS (
+              SELECT doc_id, count(*) / 4.0 AS relevance
+              FROM toks
+              WHERE term IN ('spark', 'query', 'stream', 'window')
+              GROUP BY doc_id
+            ),
+            parent AS (
+              SELECT d.doc_id AS src_id, coalesce(r.relevance, 0.0) AS relevance
+              FROM documents d LEFT JOIN rel r ON d.doc_id = r.doc_id
+            ),
+            edges AS (
+              SELECT doc_id AS src_id, doc_id - doc_id % 16 AS dst_id,
+                     ws[1] AS anchor_term
+              FROM words
+            ),
+            scored AS (
+              SELECT e.dst_id,
+                round(0.5 * p.relevance
+                  + 0.5 * (CASE WHEN e.anchor_term IN
+                            ('spark', 'query', 'stream', 'window')
+                           THEN 1.0 ELSE 0.0 END), 6) AS score
+              FROM edges e JOIN parent p ON e.src_id = p.src_id
+            )
+            SELECT dst_id, count(*) AS n_parents, max(score) AS best_priority,
+                   round(avg(score), 6) AS avg_priority
+            FROM scored GROUP BY dst_id
+        """,
+        "url_static_priority": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            urls AS (
+              SELECT url || CASE
+                  WHEN doc_id % 5 = 0 THEN '?session=' || doc_id || '&ref=' || (doc_id % 7)
+                  WHEN doc_id % 5 = 1 THEN '/page/' || (doc_id % 13) || '/item/' || (doc_id % 29)
+                  WHEN doc_id % 5 = 2 THEN '/index.html'
+                  ELSE '' END AS url
+              FROM f
+            ),
+            parts AS (
+              SELECT url, regexp_replace(url, '^[a-z]+://[^/]*', '') AS path
+              FROM urls
+            ),
+            split_q AS (
+              SELECT url,
+                regexp_replace(path, '\\?.*$', '') AS pre_q,
+                CASE WHEN instr(path, '?') > 0
+                     THEN regexp_replace(path, '^[^?]*\\?', '')
+                     ELSE '' END AS query
+              FROM parts
+            ),
+            feats AS (
+              SELECT url,
+                CAST(length(pre_q) - length(regexp_replace(pre_q, '/', '', 'g')) AS INT)
+                  AS path_depth,
+                CAST(CASE WHEN length(query) = 0 THEN 0
+                     ELSE length(query) - length(regexp_replace(query, '=', '', 'g'))
+                     END AS INT) AS n_params,
+                round(length(regexp_replace(url, '[^0-9]', '', 'g')) * 1.0
+                  / length(url), 6) AS digit_ratio
+              FROM split_q
+            )
+            SELECT url, path_depth, n_params, digit_ratio,
+              round((4.0 / (4.0 + path_depth)) * (2.0 / (2.0 + n_params))
+                * (1.0 - digit_ratio / 2.0), 6) AS static_score
+            FROM feats
         """,
         "rfc9309_gate": """
             WITH rules(host, pattern, like_pattern, allow) AS (

@@ -1,0 +1,183 @@
+"""Pipeline self-evaluation operators: the "measure, don't guess" layer.
+
+A curation cascade that ships blind is a liability at 100 TB — every
+approximate stage (LSH banding, retrieval embeddings, the politeness
+scheduler) needs a cheap, *distributed* evaluation query that reports
+how well the approximation tracks its exact ground truth ON THE CORPUS
+IT RUNS OVER, not on a benchmark from a paper. These operators compute:
+
+* cross-modal retrieval quality (recall@k / MRR of caption retrieval
+  against the own-caption ground truth — the CLIP-eval shape),
+* LSH dedup precision/recall against exact n-gram Jaccard truth,
+* scheduling fairness (Jain index / Gini) over per-key served counts.
+
+All three are single-digit-shuffle DataFrame plans with exact ANSI-SQL
+oracles; none collects data to the driver. Reference parity note: the
+reference crawler has no evaluation layer at all (its QA is manual
+inspection of MySQL rows) — this is engine-native infrastructure the
+survey's scale brief requires, not a ported behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cos6(a, b):
+    """round-6 cosine of two double-array columns, each fold round-9
+    stabilized first (same recipe as pairs.caption_alignment — fold
+    order differs between engines, so raw sums differ in the last ulp)."""
+    dot = F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    na = F.sqrt(F.round(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x), 9))
+    nb = F.sqrt(F.round(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x), 9))
+    return F.round(dot / (na * nb), 6)
+
+
+def crossmodal_retrieval_eval(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    dim: int = 32,
+    sample_mod: int = 8,
+    mrr_k: int = 10,
+) -> DataFrame:
+    """Caption-retrieval evaluation over the shared image/caption space:
+    for a deterministic sample of images (``vec_id % sample_mod == 0``),
+    rank EVERY caption by exact cosine and find where the image's own
+    caption lands. Returns ONE row: n_queries, recall@1, recall@5,
+    MRR@``mrr_k`` — the numbers a CLIP-style curation run reports per
+    wave to catch embedding drift.
+
+    Scale shape: the ranking is brute-force over (sample x corpus) BY
+    DESIGN — an eval wants the exact ranking, and the sample keeps the
+    pair volume at (n/sample_mod) * n, a dial. At 10^10 pairs the same
+    query runs with sample_mod ~ 10^6 (a few thousand queries is a tight
+    confidence interval for recall@k); the per-query ranking is a
+    map-side-combinable window over each image's candidate rows, and the
+    final reduce is a 1-row agg. Ties rank by caption id so the output
+    is cluster-size independent.
+    """
+    from crawler_spark.operators.pairs import caption_projection
+
+    cap = caption_projection(docs, dim)
+    img = embeddings.filter(F.col("vec_id") % sample_mod == 0).select(
+        F.col("vec_id").alias("image_id"),
+        F.slice(F.col("embedding"), 1, dim).cast("array<double>").alias("iv"),
+    )
+    scored = img.crossJoin(cap.select(F.col("image_id").alias("cap_id"), "cv")).select(
+        "image_id", "cap_id", _cos6(F.col("iv"), F.col("cv")).alias("s")
+    )
+    w = Window.partitionBy("image_id").orderBy(F.col("s").desc(), F.col("cap_id"))
+    own = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("cap_id") == F.col("image_id"))
+        .select("image_id", "rnk")
+    )
+    return own.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg((F.col("rnk") <= 1).cast("double")), 6).alias("recall_at_1"),
+        F.round(F.avg((F.col("rnk") <= 5).cast("double")), 6).alias("recall_at_5"),
+        F.round(
+            F.avg(
+                F.when(F.col("rnk") <= mrr_k, F.lit(1.0) / F.col("rnk")).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            6,
+        ).alias("mrr_at_10"),
+    )
+
+
+def lsh_dedup_eval(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Precision/recall of MinHash (b, r) banding against exact n-gram
+    Jaccard >= ``threshold`` truth, on this corpus. Returns ONE row:
+    n_pred, n_truth, n_hit, precision, recall, f1.
+
+    This is the query that decides whether a banding config is safe to
+    ship: the S-curve 1-(1-s^r)^b predicts recall at the threshold, but
+    only the corpus's actual similarity distribution decides precision.
+    Both sides reuse the production operators (minhash_banded_pairs /
+    ngram_jaccard_pairs), so the eval measures exactly what runs; the
+    join of the two pair sets is keyed on (doc_a, doc_b) — candidate-
+    volume sized, never corpus-squared."""
+    from crawler_spark.operators.dedup import (
+        minhash_banded_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    pred = minhash_banded_pairs(
+        docs, n_bands=n_bands, rows_per_band=rows_per_band, shingle_n=shingle_n
+    ).select("doc_a", "doc_b", F.lit(1).alias("p"))
+    truth = ngram_jaccard_pairs(
+        docs, shingle_n=shingle_n, threshold=threshold
+    ).select("doc_a", "doc_b", F.lit(1).alias("t"))
+    j = pred.join(truth, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("p"), F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("n_truth"),
+        F.sum(
+            (F.col("p").isNotNull() & F.col("t").isNotNull()).cast("long")
+        ).alias("n_hit"),
+    ).select(
+        "n_pred",
+        "n_truth",
+        "n_hit",
+        F.round(F.col("n_hit") / F.nullif(F.col("n_pred"), F.lit(0)), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), 6).alias(
+            "recall"
+        ),
+        F.round(
+            2.0
+            * F.col("n_hit")
+            / F.nullif(F.col("n_pred") + F.col("n_truth"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    )
+
+
+def fairness_report(counts: DataFrame, key_col: str, n_col: str) -> DataFrame:
+    """Scheduling-fairness dashboard over per-key served counts
+    (key = host for the politeness scheduler, fetcher for HRW
+    assignment): ONE row with n_keys, total, Jain's fairness index
+    (sum x)^2 / (n * sum x^2) — 1.0 = perfectly even, 1/n = one key
+    starves all others — plus the Gini coefficient and the hottest key's
+    share. The input is already aggregated (one row per key), so every
+    stage here is dimension-sized; the Gini's sort is a window over
+    n_keys rows, never the fact table. All terms are integer sums, so
+    the rounded ratios are engine-exact."""
+    x = counts.select(
+        F.col(key_col).alias("k"), F.col(n_col).cast("long").alias("x")
+    )
+    w = Window.orderBy(F.col("x"), F.col("k"))
+    ranked = x.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("x").alias("total"),
+        F.round(
+            (F.sum("x") * F.sum("x")) / (F.count("*") * F.sum(F.col("x") * F.col("x"))),
+            6,
+        ).alias("jain_index"),
+        # Gini over ascending-sorted counts: (2*sum(i*x_i) - (n+1)*sum x) / (n*sum x)
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("x")) - (F.count("*") + 1) * F.sum("x"))
+            / (F.count("*") * F.sum("x")),
+            6,
+        ).alias("gini"),
+        F.round(F.max("x") / F.sum("x"), 6).alias("top_share"),
+    )

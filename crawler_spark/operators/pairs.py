@@ -131,6 +131,33 @@ def phash_with_twins(
     return out
 
 
+def caption_projection(
+    docs: DataFrame, dim: int = 32, id_alias: str = "image_id"
+) -> DataFrame:
+    """Deterministic ``dim``-dim caption embedding: one md5 over the
+    caption text gives 32 hex digits; element i = digit_i/7.5 - 1 in
+    [-1, 1]. The stand-in for a real text encoder in this environment
+    (caption_alignment / hard_negative_captions use the same family) —
+    portable to any ANSI oracle, one md5 per row, no UDF. Returns
+    (``id_alias``, cv: array<double>)."""
+    m = docs.select(F.col("doc_id").alias(id_alias), F.md5("text").alias("__m"))
+    return m.select(
+        id_alias,
+        F.array(
+            *[
+                # 7.5D / 1.0D: bare literals are DECIMAL in Spark and
+                # decimal division truncates at ~1e-6; the oracle
+                # computes in doubles, so we must too
+                F.expr(
+                    f"(instr('0123456789abcdef', substring(__m, {i}, 1)) - 1)"
+                    f" / 7.5D - 1.0D"
+                )
+                for i in range(1, dim + 1)
+            ]
+        ).alias("cv"),
+    )
+
+
 def caption_alignment(
     docs: DataFrame,
     embeddings: DataFrame,
@@ -281,19 +308,7 @@ def hard_negative_captions(
     """
     from crawler_spark.operators.dedup import srp_band_signatures
 
-    m = docs.select(F.col("doc_id").alias("image_id"), F.md5("text").alias("__m"))
-    cap = m.select(
-        "image_id",
-        F.array(
-            *[
-                F.expr(
-                    f"(instr('0123456789abcdef', substring(__m, {i}, 1)) - 1)"
-                    f" / 7.5D - 1.0D"
-                )
-                for i in range(1, dim + 1)
-            ]
-        ).alias("cv"),
-    )
+    cap = caption_projection(docs, dim)
     img = embeddings.select(
         F.col("vec_id").alias("image_id"),
         F.slice(F.col("embedding"), 1, dim).cast("array<double>").alias("iv"),

@@ -1,0 +1,104 @@
+"""Evaluation-layer operators: fairness math on planted distributions,
+LSH dedup eval on planted duplicates, retrieval eval against a pure-
+Python rank mirror."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.evals import (
+    crossmodal_retrieval_eval,
+    fairness_report,
+    lsh_dedup_eval,
+)
+
+
+def test_fairness_even_and_skewed(spark):
+    even = spark.createDataFrame(
+        [(f"h{i}", 10) for i in range(4)], "host string, n long"
+    )
+    r = fairness_report(even, "host", "n").first()
+    assert r["n_keys"] == 4 and r["total"] == 40
+    assert r["jain_index"] == 1.0 and r["gini"] == 0.0
+    assert r["top_share"] == 0.25
+
+    skew = spark.createDataFrame(
+        [("a", 97), ("b", 1), ("c", 1), ("d", 1)], "host string, n long"
+    )
+    r = fairness_report(skew, "host", "n").first()
+    # jain = 100^2 / (4 * (97^2 + 3)) ; gini over ascending [1,1,1,97]
+    assert r["jain_index"] == round(10000 / (4 * (97 * 97 + 3)), 6)
+    assert r["gini"] == round((2 * (1 + 2 + 3 + 4 * 97) - 5 * 100) / 400, 6)
+    assert r["top_share"] == 0.97
+
+
+def test_lsh_dedup_eval_planted_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, "totally different words here now ok"),
+         (3, "another unrelated document text body four"),
+         (4, base + " extra tail tokens appended onto it")],
+        "doc_id long, text string",
+    )
+    r = lsh_dedup_eval(docs, threshold=0.9).first()
+    # (0,1) is an exact duplicate: identical shingle sets -> identical
+    # minhash signatures (predicted) AND jaccard 1.0 (truth)
+    assert r["n_hit"] >= 1 and r["n_truth"] >= 1
+    assert r["recall"] == 1.0  # exact dup can never be missed by minhash
+    assert 0.0 < r["precision"] <= 1.0
+    assert r["f1"] == round(
+        2.0 * r["n_hit"] / (r["n_pred"] + r["n_truth"]), 6
+    )
+
+
+def _cap_vec(text: str) -> list[float]:
+    h = hashlib.md5(text.encode()).hexdigest()
+    return [int(c, 16) / 7.5 - 1.0 for c in h]
+
+
+def test_retrieval_eval_matches_python_rank_mirror(spark):
+    """Exact recall@k/MRR parity with a brute-force python mirror over
+    the same caption-projection family (sample_mod=1: every image is a
+    query)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 24
+    texts = [(i, f"caption number {i} about topic {i % 5}") for i in range(n)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    embs = [(i, [float(x) for x in rng.randn(32)]) for i in range(n)]
+    emb = spark.createDataFrame(embs, "vec_id long, embedding array<float>")
+
+    out = crossmodal_retrieval_eval(docs, emb, sample_mod=1).first()
+
+    caps = {i: _cap_vec(t) for i, t in texts}
+    ranks = []
+    for i, v in embs:
+        iv = [float(x) for x in np.asarray(v, dtype=np.float32)][:32]
+
+        def cos(a, b):
+            dot = round(sum(x * y for x, y in zip(a, b)), 9)
+            na = math.sqrt(round(sum(x * x for x in a), 9))
+            nb = math.sqrt(round(sum(y * y for y in b), 9))
+            return round(dot / (na * nb), 6)
+
+        scored = sorted(
+            ((cos(iv, cv), -c) for c, cv in caps.items()), reverse=True
+        )
+        ranks.append(1 + [(-c) for _, c in scored].index(i))
+    assert out["n_queries"] == n
+    assert out["recall_at_1"] == round(
+        sum(r <= 1 for r in ranks) / n, 6
+    )
+    assert out["recall_at_5"] == round(sum(r <= 5 for r in ranks) / n, 6)
+    assert out["mrr_at_10"] == round(
+        sum(1.0 / r if r <= 10 else 0.0 for r in ranks) / n, 6
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-x", "-q"]))
