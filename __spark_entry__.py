@@ -3365,6 +3365,25 @@ def q_image_sharpness(spark, sf_dir):
     return sharpness_scores(images)
 
 
+def q_image_exposure_gates(spark, sf_dir):
+    """Multimodal: exposure + entropy curation gates over engine-encoded
+    png/qdct images (operators/multimodal.py:exposure_entropy_gates) —
+    mean luma, clip fractions, histogram entropy, dynamic range, gate
+    flags. No SQL oracle (binary codec); rows-only — the numeric
+    contract is pytest-covered (tests/test_exposure.py: black / white /
+    noise / gradient planted images hit closed-form values)."""
+    from crawler_spark.operators.multimodal import exposure_entropy_gates
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return exposure_entropy_gates(images)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Crawl snapshot differencing — the incremental-indexing primitive:
     given two crawl waves of the same sites, classify every URL as
@@ -4310,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_params": q_dust_params,
         "quality_classifier": q_quality_classifier,
         "image_sharpness": q_image_sharpness,
+        "image_exposure_gates": q_image_exposure_gates,
         "snapshot_diff": q_snapshot_diff,
         "budget_allocation": q_budget_allocation,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,

@@ -284,3 +284,81 @@ def sharpness_scores(images: DataFrame, blur_below: float = 30.0) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         go, schema=SHARPNESS_SCHEMA
     )
+
+
+EXPOSURE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("clip_low_frac", T.DoubleType()),
+        T.StructField("clip_high_frac", T.DoubleType()),
+        T.StructField("entropy_bits", T.DoubleType()),
+        T.StructField("dynamic_range", T.IntegerType()),
+        T.StructField("well_exposed", T.BooleanType()),
+        T.StructField("has_detail", T.BooleanType()),
+    ]
+)
+
+
+def exposure_entropy_gates(
+    images: DataFrame,
+    luma_lo: float = 32.0,
+    luma_hi: float = 224.0,
+    clip_max_frac: float = 0.25,
+    min_entropy_bits: float = 3.0,
+) -> DataFrame:
+    """Exposure + information-content curation gates — the cheap
+    pixel-statistics pass a LAION-style image pipeline runs on every
+    decoded image before any model-based scoring: near-black / blown-out
+    frames, single-color placeholders, and test patterns carry no
+    training signal and are droppable from the histogram alone.
+
+    Per image: mean luma, clipped-shadow/highlight fractions (<=2 /
+    >=253), Shannon entropy of the 256-bin luma histogram (bits),
+    dynamic range (p95 - p5 of luma), and two gate flags —
+    ``well_exposed`` (mean inside [luma_lo, luma_hi] and neither clip
+    fraction above ``clip_max_frac``) and ``has_detail``
+    (entropy >= ``min_entropy_bits``).
+
+    Same scale shape as decode_stats: Arrow-batched mapInPandas,
+    bounded batches (session.py maxRecordsPerBatch), one np.bincount +
+    vectorized reductions per image, no pixel loops, and only the
+    (image_id, bytes, fmt) columns ever enter the Python worker."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                flat = px.reshape(-1)
+                n = flat.size
+                hist = np.bincount(flat, minlength=256).astype(np.float64)
+                p = hist[hist > 0] / n
+                entropy = float(-(p * np.log2(p)).sum())
+                lo = float((flat <= 2).sum() / n)
+                hi = float((flat >= 253).sum() / n)
+                mean = float(flat.mean())
+                p5, p95 = np.percentile(flat, [5.0, 95.0])
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "mean_luma": mean,
+                        "clip_low_frac": lo,
+                        "clip_high_frac": hi,
+                        "entropy_bits": entropy,
+                        "dynamic_range": int(p95 - p5),
+                        "well_exposed": (
+                            luma_lo <= mean <= luma_hi
+                            and lo <= clip_max_frac
+                            and hi <= clip_max_frac
+                        ),
+                        "has_detail": entropy >= min_entropy_bits,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXPOSURE_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=EXPOSURE_SCHEMA
+    )
