@@ -4065,6 +4065,16 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_ann_recall_eval(spark, sf_dir):
+    """Recall@10 of the production IVF plan (8 cells, probe 2) vs exact
+    brute-force truth, per sampled query (vec_id % 97 == 0) — the ANN
+    quality gate that decides n_probe/n_cells on this corpus. The
+    approximate side is the distributed multi-query ivf_topk_batch."""
+    from crawler_spark.operators.evals import ann_recall_eval
+
+    return ann_recall_eval(_t(spark, sf_dir, "embeddings"))
+
+
 def q_retrieval_recall(spark, sf_dir):
     """Cross-modal retrieval eval (CLIP-eval shape): for a deterministic
     1-in-8 sample of images, rank every caption by exact cosine in the
@@ -4251,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_captions": q_hard_negative_captions,
         "rfc9309_gate": q_rfc9309_gate,
         "retrieval_recall": q_retrieval_recall,
+        "ann_recall_eval": q_ann_recall_eval,
         "lsh_dedup_eval": q_lsh_dedup_eval,
         "host_fairness": q_host_fairness,
         "focused_priority": q_focused_priority,
@@ -5065,6 +5076,82 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "ann_recall_eval": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            cells AS (
+              SELECT vec_id, v,
+                (strpos('0123456789abcdef',
+                        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) % 8
+                  AS cell_id
+              FROM e
+            ),
+            means AS (
+              SELECT cell_id, t.pos, round(avg(v[t.pos]), 9) AS m
+              FROM cells, unnest(generate_series(1, len(v))) AS t(pos)
+              GROUP BY cell_id, t.pos
+            ),
+            cents AS (
+              SELECT cell_id, list(m ORDER BY pos) AS centroid
+              FROM means GROUP BY cell_id
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+            assigned AS (
+              SELECT vec_id, v, cell_id FROM (
+                SELECT c.vec_id, c.v, ct.cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                    round(list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))), 9)
+                      DESC, ct.cell_id ASC) AS rn
+                FROM cells c CROSS JOIN cents ct
+              ) WHERE rn = 1
+            ),
+            probe AS (
+              SELECT query_id, cell_id FROM (
+                SELECT q.query_id, ct.cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                    round(list_dot_product(ct.centroid, q.qv)
+                      / (sqrt(list_dot_product(ct.centroid, ct.centroid))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 9)
+                      DESC, ct.cell_id ASC) AS rn
+                FROM cents ct CROSS JOIN q
+              ) WHERE rn <= 2
+            ),
+            approx AS (
+              SELECT query_id, vec_id FROM (
+                SELECT p.query_id, a.vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                    round(list_dot_product(a.v, q.qv)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                      DESC, a.vec_id ASC) AS rn
+                FROM probe p
+                JOIN assigned a USING (cell_id)
+                JOIN q ON q.query_id = p.query_id
+              ) WHERE rn <= 10
+            ),
+            truth AS (
+              SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                    round(list_dot_product(e.v, q.qv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                      DESC, e.vec_id ASC) AS rn
+                FROM e CROSS JOIN q
+              ) WHERE rn <= 10
+            )
+            SELECT t.query_id,
+              sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+              round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1.0 / 10, 6) AS recall
+            FROM truth t LEFT JOIN approx a
+              ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+            GROUP BY t.query_id
         """,
         "retrieval_recall": """
             WITH capc AS (

@@ -181,3 +181,56 @@ def fairness_report(counts: DataFrame, key_col: str, n_col: str) -> DataFrame:
         ).alias("gini"),
         F.round(F.max("x") / F.sum("x"), 6).alias("top_share"),
     )
+
+
+def ann_recall_eval(
+    emb: DataFrame,
+    sample_mod: int = 97,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Recall@k of the IVF index against exact brute-force truth, per
+    query — the ANN quality gate that decides the n_probe/n_cells
+    trade-off ON THIS CORPUS (the companion to lsh_dedup_eval for the
+    similarity side). Queries are a deterministic ``vec_id %
+    sample_mod == 0`` sample; truth ranks ALL vectors per query, the
+    approximate side is the production ivf_topk_batch plan. Output per
+    query: n_hit (approx ∩ truth), recall.
+
+    The truth side is brute-force over (sample x corpus) by design —
+    same dial as crossmodal_retrieval_eval; the eval's cost is the
+    sample size, never the index's."""
+    from crawler_spark.operators.similarity import _dot, _norm, ivf_topk_batch
+
+    queries = emb.filter(F.col("vec_id") % sample_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    approx = ivf_topk_batch(
+        emb, queries, k=k, n_cells=n_cells, n_probe=n_probe
+    ).select("query_id", "vec_id")
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("qv"))
+            / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+            6,
+        ).alias("cosine"),
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    hits = truth.join(
+        approx.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(k), 6
+        ).alias("recall"),
+    )

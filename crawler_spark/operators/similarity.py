@@ -319,3 +319,67 @@ def pq_adc_topk(
         .agg(F.sum("qd_e9").alias("adc_e9"))
     )
     return adc.orderBy(F.asc("adc_e9"), F.asc("vec_id")).limit(k)
+
+
+def ivf_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-query IVF top-k, fully distributed — the serving shape for
+    a batch of queries (``ivf_topk`` takes ONE driver-side vector; a
+    training-data pipeline scores millions of queries per wave).
+
+    ``queries``: (query_id, qv array<double>). Plan: one centroid build
+    over the data (broadcastable), one broadcast crossJoin ranking the
+    ``n_probe`` nearest cells PER QUERY (window over n_cells rows per
+    query, never the data), then a hash join of the probe list against
+    the cell-assigned data — candidate volume is
+    ~(n_probe / n_cells) x |data| x |queries| / |data per cell| — and a
+    per-query top-k window over candidates only. The data side shuffles
+    once on cell_id regardless of query count; queries are the small
+    side everywhere. Same round-9/round-6 pinning as ivf_topk so the
+    ANSI oracle lands on identical cells and ranks."""
+    from pyspark.sql.window import Window
+
+    cents = make_centroids(emb, n_cells, vec_col)
+    assigned = assign_cells(emb, cents, vec_col, id_col)
+    qc = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "cell_id",
+        F.round(
+            _dot(F.col("qv"), F.col("centroid"))
+            / (_norm(F.col("qv")) * _norm(F.col("centroid"))),
+            9,
+        ).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("cell_id")
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell_id")
+    )
+    cand = probes.join(assigned, "cell_id").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("v"), F.col("qv"))
+            / (_norm(F.col("v")) * _norm(F.col("qv"))),
+            6,
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rn").alias("rank"))
+    )

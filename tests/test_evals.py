@@ -100,5 +100,28 @@ def test_retrieval_eval_matches_python_rank_mirror(spark):
     )
 
 
+
+
+def test_ann_recall_probe_all_cells_is_exact(spark):
+    """Probing every cell degrades IVF to brute force: recall must be
+    exactly 1.0 for every query; probing fewer cells can only lose."""
+    import numpy as np
+
+    from crawler_spark.operators.evals import ann_recall_eval
+
+    rng = np.random.RandomState(13)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(16)]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    full = ann_recall_eval(emb, sample_mod=40, k=5, n_cells=4, n_probe=4)
+    rows = full.collect()
+    assert len(rows) == 3  # vec_id 0, 40, 80
+    assert all(r["recall"] == 1.0 and r["n_hit"] == 5 for r in rows)
+
+    part = ann_recall_eval(emb, sample_mod=40, k=5, n_cells=4, n_probe=1)
+    assert all(r["recall"] <= 1.0 and r["n_hit"] >= 1 for r in part.collect())
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
