@@ -4065,6 +4065,137 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_refresh_value(spark, sf_dir):
+    """Value-weighted refresh priority: the Cho & Garcia-Molina change
+    rate (change_rate's per-URL estimator) multiplied by a page-value
+    prior (1 / (1 + frontier priority)) — freshness-aware recrawl should
+    spend its budget where change is LIKELY and the page MATTERS, not on
+    hot-but-worthless or valuable-but-static URLs. Pure native math,
+    no shuffle at all (a codegen map over the frontier)."""
+    d8 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 8, 1)) - 1)"
+    f = _frontier(spark, sf_dir)
+    est = f.select(
+        "doc_id",
+        "host",
+        "priority",
+        F.expr("cast(4 + doc_id % 5 as int)").alias("n"),
+        F.expr(f"cast({d8} % (4 + doc_id % 5 + 1) as int)").alias("x"),
+    ).withColumn(
+        "lam", -F.log((F.col("n") - F.col("x") + 0.5) / (F.col("n") + 0.5))
+    )
+    return est.select(
+        "doc_id",
+        "host",
+        F.round("lam", 6).alias("lambda_hat"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.col("priority")), 6).alias(
+            "value_prior"
+        ),
+        F.round(F.col("lam") / (F.lit(1.0) + F.col("priority")), 6).alias(
+            "refresh_value"
+        ),
+    )
+
+
+def q_host_cocitation(spark, sf_dir):
+    """Co-citation counts over the two-layer link graph (the HITS edge
+    family): two targets are co-cited when the same source links both —
+    the classic relatedness signal for site clustering and anchor-free
+    topic grouping. One self-join on src (each source has exactly 2
+    outlinks here, so pair volume == source count; at web scale the
+    per-source fan-out bound caps the quadratic term the same way the
+    triangle counter's ordered-edges trick does)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - F.col("doc_id") % 16).alias("dst"),
+    ).union(
+        # popular layer: 8 shared targets, so two docs in the same hub
+        # block co-cite (hub, popular) whenever doc_id % 8 collides
+        docs.select(F.col("doc_id"), (F.col("doc_id") % 8) + 1000)
+    )
+    a, b = edges.alias("a"), edges.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(
+            F.col("a.dst").alias("dst_a"), F.col("b.dst").alias("dst_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+
+
+def q_host_ucb_priority(spark, sf_dir):
+    """UCB1 crawl-budget allocation: per host, observed success rate
+    (purchases per event as the fetch-success analog) plus the
+    sqrt(2 ln N / n) exploration bonus — the bandit policy that keeps
+    probing under-sampled hosts instead of greedily exploiting the
+    current best. One map-side-combinable agg + a one-row broadcast
+    total (idle_customers' scalar-gate pattern); the score feeds
+    adaptive_budgets as the per-host multiplier."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias(
+            "host"
+        ),
+        (F.col("event_type") == "purchase").cast("long").alias("succ"),
+    )
+    per = ev.groupBy("host").agg(
+        F.count("*").alias("n_trials"), F.sum("succ").alias("n_succ")
+    )
+    total = per.agg(F.sum("n_trials").alias("n_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "host",
+        "n_trials",
+        F.round(F.col("n_succ") / F.col("n_trials"), 6).alias("success_rate"),
+        F.round(
+            F.col("n_succ") / F.col("n_trials")
+            + F.sqrt(2.0 * F.log(F.col("n_total")) / F.col("n_trials")),
+            6,
+        ).alias("ucb_score"),
+    )
+
+
+def q_curriculum_stages(spark, sf_dir):
+    """Curriculum staging for training: cut the corpus into 4 quality
+    quartiles (stage 1 = cleanest, fed first) and report per stage: doc
+    count, mean quality, mean token count — the manifest a curriculum
+    loader consumes. Stage boundaries come from EXACT percentiles
+    broadcast back onto the fact (two passes, both distributed) — NOT an
+    ntile window, whose global sort would serialize a 10^10-row corpus
+    into one task. Quality ties straddling a cut land in the same stage
+    (percentile semantics), which is the honest behavior; cuts are
+    round-9 pinned so both engines compare against identical doubles."""
+    from crawler_spark.functions.text import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    cuts = d.agg(
+        F.round(F.expr("percentile(quality, 0.25)"), 9).alias("c1"),
+        F.round(F.expr("percentile(quality, 0.5)"), 9).alias("c2"),
+        F.round(F.expr("percentile(quality, 0.75)"), 9).alias("c3"),
+    )
+    staged = d.crossJoin(F.broadcast(cuts)).withColumn(
+        "stage",
+        F.when(F.col("quality") >= F.col("c3"), F.lit(1))
+        .when(F.col("quality") >= F.col("c2"), F.lit(2))
+        .when(F.col("quality") >= F.col("c1"), F.lit(3))
+        .otherwise(F.lit(4)),
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
 def q_ann_recall_eval(spark, sf_dir):
     """Recall@10 of the production IVF plan (8 cells, probe 2) vs exact
     brute-force truth, per sampled query (vec_id % 97 == 0) — the ANN
@@ -4262,6 +4393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfc9309_gate": q_rfc9309_gate,
         "retrieval_recall": q_retrieval_recall,
         "ann_recall_eval": q_ann_recall_eval,
+        "refresh_value": q_refresh_value,
+        "host_cocitation": q_host_cocitation,
+        "host_ucb_priority": q_host_ucb_priority,
+        "curriculum_stages": q_curriculum_stages,
         "lsh_dedup_eval": q_lsh_dedup_eval,
         "host_fairness": q_host_fairness,
         "focused_priority": q_focused_priority,
@@ -5076,6 +5211,94 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "refresh_value": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            est AS (
+              SELECT doc_id, host, priority,
+                -ln((4 + doc_id % 5
+                     - ((instr('0123456789abcdef', substring(md5(cast(doc_id AS varchar)), 8, 1)) - 1)
+                        % (4 + doc_id % 5 + 1)) + 0.5)
+                    / (4 + doc_id % 5 + 0.5)) AS lam
+              FROM f
+            )
+            SELECT doc_id, host,
+              round(lam, 6) AS lambda_hat,
+              round(1.0 / (1.0 + priority), 6) AS value_prior,
+              round(lam / (1.0 + priority), 6) AS refresh_value
+            FROM est
+        """,
+        "host_cocitation": """
+            WITH edges AS (
+              SELECT doc_id AS src, doc_id - doc_id % 16 AS dst FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id % 8) + 1000 FROM documents
+            )
+            SELECT a.dst AS dst_a, b.dst AS dst_b, count(*) AS n_common
+            FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        """,
+        "host_ucb_priority": """
+            WITH per AS (
+              SELECT 'h' || (user_id % 23) AS host, count(*) AS n_trials,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS n_succ
+              FROM events GROUP BY 1
+            ),
+            tot AS (SELECT sum(n_trials) AS n_total FROM per)
+            SELECT host, n_trials,
+              round(n_succ * 1.0 / n_trials, 6) AS success_rate,
+              round(n_succ * 1.0 / n_trials
+                + sqrt(2.0 * ln(n_total) / n_trials), 6) AS ucb_score
+            FROM per, tot
+        """,
+        "curriculum_stages": """
+            WITH base AS (
+              SELECT doc_id, text, length(text) AS n,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                CAST(len(list_filter(toks, t -> length(t) > 0)) AS BIGINT)
+                  AS n_tokens,
+                len(list_intersect(toks, ['the','and','of','to','in'])) * 1.0
+                  / greatest(len(toks), 1) AS stop_ratio,
+                length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0
+                  / greatest(n, 1) AS alpha_ratio,
+                length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                  / greatest(n, 1) AS punct_ratio,
+                CASE WHEN n >= 100 AND n <= 10000 THEN 1.0 ELSE 0.5 END AS len_band
+              FROM base
+            ),
+            scored AS (
+              SELECT doc_id, n_tokens,
+                round(greatest(least(
+                  len_band * 0.4 + least(stop_ratio * 5, 1.0) * 0.3
+                  + alpha_ratio * 0.3 - punct_ratio * 0.2, 1.0), 0.0), 6) AS quality
+              FROM r
+            ),
+            cuts AS (
+              SELECT round(quantile_cont(quality, 0.25), 9) AS c1,
+                     round(quantile_cont(quality, 0.5), 9) AS c2,
+                     round(quantile_cont(quality, 0.75), 9) AS c3
+              FROM scored
+            ),
+            staged AS (
+              SELECT s.doc_id, s.n_tokens, s.quality,
+                CASE WHEN s.quality >= c.c3 THEN 1
+                     WHEN s.quality >= c.c2 THEN 2
+                     WHEN s.quality >= c.c1 THEN 3
+                     ELSE 4 END AS stage
+              FROM scored s, cuts c
+            )
+            SELECT stage, count(*) AS n_docs,
+              round(avg(quality), 6) AS avg_quality,
+              round(avg(n_tokens), 6) AS avg_tokens,
+              min(quality) AS min_quality,
+              max(quality) AS max_quality
+            FROM staged GROUP BY stage
         """,
         "ann_recall_eval": """
             WITH e AS (
