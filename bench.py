@@ -82,6 +82,12 @@ HEADLINE = [
     "hard_negative_captions",
     "bm25_topk",
     "hrw_fetcher_assign",
+    # eval-layer + scheduler-composition additions
+    "lsh_dedup_eval",
+    "ann_recall_eval",
+    "retrieval_recall",
+    "curriculum_stages",
+    "refresh_value",
 ]
 
 BENCH_HOSTS = 50

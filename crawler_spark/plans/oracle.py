@@ -46,10 +46,15 @@ class OracleCrawler:
         seeds_raw: list[str] | None = None,
         round_seconds: float = 16.0,
         max_attempts: int = 2,
+        host_priorities: dict[str, int] | None = None,
     ):
         self.web = web
         self.round_seconds = round_seconds
         self.max_attempts = max_attempts
+        # OPIC-style priority queue hook: lower value schedules first;
+        # hosts absent from the map crawl at priority 0 (the default
+        # FIFO-by-discovery behavior the reference exhibits)
+        self.prio = host_priorities or {}
         self.robots = {r["host"]: r for r in web.robots_rows()}
         self.pending: list[_Entry] = []
         self.seen: set[str] = set()
@@ -62,7 +67,7 @@ class OracleCrawler:
             c = normalize_url(raw)
             if c not in self.seen:
                 self.seen.add(c)
-                self.pending.append(_entry(c, 0, 0, i))
+                self.pending.append(_entry(c, self._prio_of(c), 0, i))
         # global dense discovery counter: every URL's discovery_seq is its
         # encounter order, exactly what a sequential crawler's pending
         # list encodes — bounded by the URL count, so int64-safe at any
@@ -70,6 +75,10 @@ class OracleCrawler:
         self.next_seq = (
             max(e.discovery_seq for e in self.pending) + 1 if self.pending else 0
         )
+
+    def _prio_of(self, url_canon: str) -> int:
+        host = url_canon.split("://", 1)[1].split("/", 1)[0].split(":")[0]
+        return self.prio.get(host, 0)
 
     def _budget(self, host: str) -> int:
         delay = self.robots.get(host, {}).get("crawl_delay_s", 1.0)
@@ -131,7 +140,9 @@ class OracleCrawler:
                 c = normalize_url(raw)
                 if c not in self.seen:
                     self.seen.add(c)
-                    self.pending.append(_entry(c, 0, e.depth + 1, self.next_seq))
+                    self.pending.append(
+                        _entry(c, self._prio_of(c), e.depth + 1, self.next_seq)
+                    )
                     self.next_seq += 1
         self.pending.extend(held)
         return len(taken)

@@ -102,9 +102,26 @@ def read_frontier(catalog: SnapshotCatalog) -> DataFrame:
     return base.join(latest.select(*keys), keys, "left_anti").unionByName(latest)
 
 
+def _priority_col(host_priorities: dict[str, int] | None):
+    """Frontier priority from a host -> int map (lower schedules first).
+
+    The map is a literal ``create_map`` here — fine for the dimension
+    sizes a rank pass emits per wave; at 10^7-host web scale the same
+    lookup is a broadcast-joined dimension table (host_link_rank /
+    opic_importance output), identical semantics. Hosts absent from the
+    map crawl at priority 0, the reference's FIFO-by-discovery default."""
+    if not host_priorities:
+        return F.lit(0)
+    m = F.create_map(
+        *[F.lit(x) for kv in sorted(host_priorities.items()) for x in kv]
+    )
+    return F.coalesce(m[F.col("host")], F.lit(0)).cast("int")
+
+
 def init_crawl(
     catalog: SnapshotCatalog, web: SynthWeb, seeds_raw: list[str] | None = None,
     seen_filter: str = "bloom",
+    host_priorities: dict[str, int] | None = None,
 ) -> int:
     """Snapshot 0: canonicalized+deduped seeds as the pending frontier,
     seeds in the seen set, robots dimension loaded.
@@ -129,7 +146,7 @@ def init_crawl(
             F.any_value("url_hash").alias("url_hash"),
             F.any_value("host").alias("host"),
         )
-        .withColumn("priority", F.lit(0))
+        .withColumn("priority", _priority_col(host_priorities))
         .withColumn("depth", F.lit(0))
         .withColumn("discovery_ts", F.timestamp_micros(F.col("discovery_seq")))
         .withColumn("status", F.lit("pending"))
@@ -189,6 +206,7 @@ def run_round(
     stop_on_caption_contains: str | None = None,
     compact_frac: float = 0.3,
     compact_min: int = 1024,
+    host_priorities: dict[str, int] | None = None,
 ) -> dict:
     """Execute one crawl round; returns counters (crawling_stats analog,
     reference: src/crawler/base_crawler.py:38-47).
@@ -374,7 +392,7 @@ def run_round(
         empty_schema = new_urls.drop("dk").schema.add("discovery_seq", T.LongType())
         unseen = spark.createDataFrame([], empty_schema)
     new_frontier = (
-        unseen.withColumn("priority", F.lit(0))
+        unseen.withColumn("priority", _priority_col(host_priorities))
         .withColumn("discovery_ts", F.timestamp_micros(F.col("discovery_seq")))
         .withColumn("status", F.lit("pending"))
         .withColumn("round_id", F.lit(round_id))
@@ -538,13 +556,15 @@ def run_crawl(
     compact_frac: float = 0.3,
     compact_min: int = 1024,
     seen_filter: str = "bloom",
+    host_priorities: dict[str, int] | None = None,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Full crawl loop: init + rounds until the frontier drains, or —
     with ``stop_on_caption_contains`` — until a round lands a matching
     result (the reference's stop-on-found early exit,
     crawler.py:1149-1157,1308-1334)."""
     catalog = SnapshotCatalog(root, spark)
-    init_crawl(catalog, web, seeds_raw, seen_filter=seen_filter)
+    init_crawl(catalog, web, seeds_raw, seen_filter=seen_filter,
+               host_priorities=host_priorities)
     history: list[dict] = []
     for _ in range(max_rounds):
         stats = run_round(
@@ -553,6 +573,7 @@ def run_crawl(
             target_host_contains=target_host_contains,
             stop_on_caption_contains=stop_on_caption_contains,
             compact_frac=compact_frac, compact_min=compact_min,
+            host_priorities=host_priorities,
         )
         history.append(stats)
         if stats.get("target_hits", 0) > 0:

@@ -340,3 +340,28 @@ def test_incremental_read_yields_exactly_each_rounds_results(spark, tmp_path):
         assert got == want, f"round {r} delta mismatch"
         total += len(got)
     assert total > 0  # later rounds reach leaf pages; the crawl did fetch
+
+
+def test_host_priority_queue_drives_ordering(spark, tmp_path):
+    """OPIC-style priority queue, actually driven: a host -> priority
+    map (lower first) reorders the crawl; engine schedule == the
+    priority-aware sequential oracle exactly; the order genuinely
+    differs from the unprioritized crawl while coverage (seen set,
+    results) is unchanged on a fully drained web."""
+    pr = {"host-0.test": 2, "host-1.test": 1, "host-2.test": 0}
+    catalog, _ = run_crawl(
+        spark, str(tmp_path / "prio"), T1_SMOKE, round_seconds=ROUND_S,
+        host_priorities=pr,
+    )
+    oracle = OracleCrawler(T1_SMOKE, round_seconds=ROUND_S, host_priorities=pr)
+    oracle.run()
+    assert _engine_schedule(catalog) == oracle.schedule
+    engine_seen = {
+        r["url_canon"] for r in catalog.read("seen").select("url_canon").collect()
+    }
+    assert engine_seen == oracle.seen
+
+    base = OracleCrawler(T1_SMOKE, round_seconds=ROUND_S)
+    base.run()
+    assert oracle.schedule != base.schedule  # priorities took effect
+    assert oracle.seen == base.seen          # ...without changing coverage
