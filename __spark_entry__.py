@@ -4065,6 +4065,27 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_rank_priority_bands(spark, sf_dir):
+    """Rank -> frontier-priority quantization (the glue between a rank
+    pass and the scheduler's host_priorities): per-host activity scores
+    banded into 4 integer priorities via exact percentiles broadcast
+    back (no global window over the host dimension). Band 0 = schedule
+    first."""
+    from crawler_spark.operators.rank import rank_to_priorities
+
+    ranks = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("double").alias("rank"))
+    )
+    return rank_to_priorities(ranks, "node", "rank", n_bands=4)
+
+
 def q_refresh_value(spark, sf_dir):
     """Value-weighted refresh priority: the Cho & Garcia-Molina change
     rate (change_rate's per-URL estimator) multiplied by a page-value
@@ -4394,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_recall": q_retrieval_recall,
         "ann_recall_eval": q_ann_recall_eval,
         "refresh_value": q_refresh_value,
+        "rank_priority_bands": q_rank_priority_bands,
         "host_cocitation": q_host_cocitation,
         "host_ucb_priority": q_host_ucb_priority,
         "curriculum_stages": q_curriculum_stages,
@@ -5211,6 +5233,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "rank_priority_bands": """
+            WITH ranks AS (
+              SELECT 'h' || (user_id % 23) AS node,
+                     CAST(count(*) AS DOUBLE) AS rank
+              FROM events GROUP BY 1
+            ),
+            cuts AS (
+              SELECT round(quantile_cont(rank, 0.75), 9) AS c0,
+                     round(quantile_cont(rank, 0.5), 9) AS c1,
+                     round(quantile_cont(rank, 0.25), 9) AS c2
+              FROM ranks
+            )
+            SELECT node,
+              CAST(CASE WHEN rank >= c0 THEN 0
+                        WHEN rank >= c1 THEN 1
+                        WHEN rank >= c2 THEN 2
+                        ELSE 3 END AS INT) AS priority
+            FROM ranks, cuts
         """,
         "refresh_value": f"""
             WITH f AS ({_FRONTIER_SQL}),

@@ -289,3 +289,39 @@ def url_static_features(urls: DataFrame, url_col: str = "url") -> DataFrame:
         digit_ratio.alias("digit_ratio"),
         score.alias("static_score"),
     )
+
+
+def rank_to_priorities(
+    ranks: DataFrame,
+    key_col: str = "node",
+    score_col: str = "rank",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Quantize a rank pass's scores into integer frontier priorities
+    (band 0 = highest-scored hosts, scheduled first) — the glue between
+    link_rank / opic_importance output and the crawl scheduler's
+    ``host_priorities``. Band cuts are EXACT percentiles broadcast back
+    (two distributed passes — no global window over the host dimension,
+    same construction as curriculum staging); ties straddling a cut
+    share the better band, so the mapping is total and deterministic.
+
+    Returns (``key_col``, priority int). The output is host-dimension
+    sized: collect it into the literal map for a sandbox crawl, or feed
+    it to the broadcast-join form of the priority lookup at 10^7 hosts.
+    """
+    probs = [i / n_bands for i in range(1, n_bands)]
+    cuts = ranks.agg(
+        *[
+            F.round(
+                F.expr(f"percentile({score_col}, {1.0 - p})"), 9
+            ).alias(f"c{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    out = ranks.crossJoin(F.broadcast(cuts))
+    prio = F.lit(n_bands - 1)
+    for i in range(len(probs) - 1, -1, -1):
+        prio = F.when(
+            F.col(score_col) >= F.col(f"c{i}"), F.lit(i)
+        ).otherwise(prio)
+    return out.select(F.col(key_col), prio.cast("int").alias("priority"))

@@ -365,3 +365,36 @@ def test_host_priority_queue_drives_ordering(spark, tmp_path):
     base.run()
     assert oracle.schedule != base.schedule  # priorities took effect
     assert oracle.seen == base.seen          # ...without changing coverage
+
+
+def test_rank_fed_two_wave_crawl(spark, tmp_path):
+    """The full adaptive loop: crawl a wave, rank hosts from its own
+    results, quantize ranks into priority bands, and crawl again with
+    the learned priorities — the re-crawl matches the priority-aware
+    oracle exactly. This is the composition the north rule's OPIC
+    priority queue exists for."""
+    from crawler_spark.operators.rank import rank_to_priorities
+
+    cat1, _ = run_crawl(
+        spark, str(tmp_path / "wave1"), T1_SMOKE, round_seconds=ROUND_S
+    )
+    per_host = (
+        cat1.read("results")
+        .groupBy("host")
+        .agg(F.count("*").cast("double").alias("rank"))
+    )
+    pr_rows = rank_to_priorities(per_host, "host", "rank", n_bands=2).collect()
+    pr = {r["host"]: r["priority"] for r in pr_rows}
+    assert len(set(pr.values())) > 1  # bands actually split the hosts
+
+    cat2, _ = run_crawl(
+        spark, str(tmp_path / "wave2"), T1_SMOKE, round_seconds=ROUND_S,
+        host_priorities=pr,
+    )
+    oracle = OracleCrawler(T1_SMOKE, round_seconds=ROUND_S, host_priorities=pr)
+    oracle.run()
+    assert _engine_schedule(cat2) == oracle.schedule
+    seen2 = {
+        r["url_canon"] for r in cat2.read("seen").select("url_canon").collect()
+    }
+    assert seen2 == oracle.seen
