@@ -67,13 +67,42 @@ def crossmodal_retrieval_eval(
     """
     from crawler_spark.operators.pairs import caption_projection
 
-    cap = caption_projection(docs, dim)
+    def _norm9(col):
+        return F.sqrt(
+            F.round(F.aggregate(col, F.lit(0.0), lambda s, x: s + x * x), 9)
+        )
+
+    # Per-side norms are computed ONCE per vector below the join, and the
+    # caption side passes through an exchange so the md5-digit projection
+    # materializes per caption — without the boundary Catalyst inlines
+    # the 32-expression array into the join output and re-derives it (and
+    # the norm fold) for every PAIR: O(sample x corpus) md5 calls.
+    cap = caption_projection(docs, dim).select(
+        F.col("image_id").alias("cap_id"), "cv"
+    )
+    cap = cap.withColumn("nb", _norm9(F.col("cv"))).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     img = embeddings.filter(F.col("vec_id") % sample_mod == 0).select(
         F.col("vec_id").alias("image_id"),
         F.slice(F.col("embedding"), 1, dim).cast("array<double>").alias("iv"),
     )
-    scored = img.crossJoin(cap.select(F.col("image_id").alias("cap_id"), "cv")).select(
-        "image_id", "cap_id", _cos6(F.col("iv"), F.col("cv")).alias("s")
+    img = img.withColumn("na", _norm9(F.col("iv")))
+    dot = F.round(
+        F.aggregate(
+            F.zip_with("iv", "cv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    # the SAMPLE side is broadcast and the caption corpus streams — the
+    # corpus is the big side at scale; a default crossJoin would build
+    # (broadcast) whichever side the planner guesses
+    scored = cap.crossJoin(F.broadcast(img)).select(
+        "image_id",
+        "cap_id",
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("s"),
     )
     w = Window.partitionBy("image_id").orderBy(F.col("s").desc(), F.col("cap_id"))
     own = (
