@@ -3384,6 +3384,25 @@ def q_image_exposure_gates(spark, sf_dir):
     return exposure_entropy_gates(images)
 
 
+def q_image_augment(spark, sf_dir):
+    """Multimodal: deterministic offline augmentation (identity, hflip,
+    center crop, each re-encoded in the source codec) over
+    engine-encoded images — one row in, three out, Arrow-batched
+    flatMap. No SQL oracle (binary codec); rows-only — pixel-exact png
+    and PSNR-bounded qdct contracts are pytest-covered
+    (tests/test_augment.py)."""
+    from crawler_spark.operators.multimodal import augment_images
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return augment_images(images)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Crawl snapshot differencing — the incremental-indexing primitive:
     given two crawl waves of the same sites, classify every URL as
@@ -4065,6 +4084,45 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_pair_shards(spark, sf_dir):
+    """WebDataset-style shard manifest for image+caption training pairs:
+    pack pairs into ~8 MiB shards (next-fit-decreasing over the
+    estimated payload bytes w*h + 4*n_tokens) inside 32 parallel hash
+    buckets — the tar-shard layout image trainers stream sequentially.
+    Same distributed-packing construction as sequence_packing: each
+    bucket packs independently under a running-sum window, so no global
+    sort ever sees the corpus. Per shard: pair count, bytes, fill."""
+    from crawler_spark.operators.pairs import synth_pair_meta
+
+    budget = 8 * 1024 * 1024
+    m = synth_pair_meta(_t(spark, sf_dir, "documents"))
+    t = m.select(
+        "image_id",
+        (F.col("w").cast("long") * F.col("h") + 4 * F.col("n_tokens")).alias(
+            "nbytes"
+        ),
+        (F.col("image_id") % 32).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("nbytes"), "image_id")
+    return (
+        t.withColumn("cum", F.sum("nbytes").over(w))
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("cum") - F.col("nbytes")) / F.lit(float(budget))
+            ).cast("long"),
+        )
+        .groupBy("bucket", "shard_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("nbytes").alias("shard_bytes"),
+            F.round(F.sum("nbytes") / F.lit(float(budget)), 6).alias(
+                "fill_ratio"
+            ),
+        )
+    )
+
+
 def q_rank_priority_bands(spark, sf_dir):
     """Rank -> frontier-priority quantization (the glue between a rank
     pass and the scheduler's host_priorities): per-host activity scores
@@ -4416,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": q_ann_recall_eval,
         "refresh_value": q_refresh_value,
         "rank_priority_bands": q_rank_priority_bands,
+        "pair_shards": q_pair_shards,
         "host_cocitation": q_host_cocitation,
         "host_ucb_priority": q_host_ucb_priority,
         "curriculum_stages": q_curriculum_stages,
@@ -4498,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "image_sharpness": q_image_sharpness,
         "image_exposure_gates": q_image_exposure_gates,
+        "image_augment": q_image_augment,
         "snapshot_diff": q_snapshot_diff,
         "budget_allocation": q_budget_allocation,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
@@ -5233,6 +5293,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "pair_shards": f"""
+            WITH meta AS ({_PAIR_META_SQL}),
+            t AS (
+              SELECT image_id,
+                     CAST(w AS BIGINT) * h + 4 * n_tokens AS nbytes,
+                     image_id % 32 AS bucket
+              FROM meta
+            ),
+            r AS (
+              SELECT *, sum(nbytes) OVER (
+                PARTITION BY bucket ORDER BY nbytes DESC, image_id
+              ) AS cum FROM t
+            )
+            SELECT bucket,
+                   CAST(floor((cum - nbytes) / 8388608.0) AS BIGINT) AS shard_id,
+                   count(*) AS n_pairs,
+                   CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
+                   round(sum(nbytes) / 8388608.0, 6) AS fill_ratio
+            FROM r GROUP BY bucket, shard_id
         """,
         "rank_priority_bands": """
             WITH ranks AS (

@@ -362,3 +362,61 @@ def exposure_entropy_gates(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         go, schema=EXPOSURE_SCHEMA
     )
+
+
+AUGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("variant", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def augment_images(images: DataFrame) -> DataFrame:
+    """Deterministic training-time augmentation plumbing: per input
+    image emit the identity, a horizontal flip, and a center crop
+    (middle 3/4 in each dimension), each RE-ENCODED in the source
+    format — the offline-augmentation pass an image-training pipeline
+    materializes next to the original so the loader streams variants
+    without decode-time transforms.
+
+    One input row -> 3 output rows (a flatMap in mapInPandas: Arrow
+    batches in, concatenated variant batches out); transforms are pure
+    numpy views (fliplr, slicing), no interpolation, so the png path is
+    pixel-exact round-trippable and the qdct path stays within its
+    codec's PSNR envelope — both pinned by tests."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                ch, cw = (px.shape[0] // 8) * 1, (px.shape[1] // 8) * 1
+                crop = px[ch : px.shape[0] - ch, cw : px.shape[1] - cw]
+                for variant, arr in (
+                    ("orig", px),
+                    ("hflip", np.fliplr(px)),
+                    ("crop75", crop),
+                ):
+                    arr = np.ascontiguousarray(arr)
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "variant": variant,
+                            "w": arr.shape[1],
+                            "h": arr.shape[0],
+                            "bytes": encode(arr, r.fmt),
+                            "fmt": r.fmt,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUGMENT_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=AUGMENT_SCHEMA
+    )
