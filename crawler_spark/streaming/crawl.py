@@ -41,14 +41,23 @@ from crawler_spark.operators.seen import (
     merge_bloom_rows,
 )
 from crawler_spark.operators.sequence import assign_dense_seq
-from crawler_spark.plans.rounds import _frontier_select, init_crawl, run_round
+from crawler_spark.plans.rounds import (
+    _frontier_select,
+    _priority_col,
+    init_crawl,
+    run_round,
+)
 from crawler_spark.sources.catalog import SnapshotCatalog
 from crawler_spark.sources.synth import SynthWeb
 
 SEEDS_SCHEMA = "url string, seq long"
 
 
-def add_seeds(catalog: SnapshotCatalog, seeds: DataFrame) -> int:
+def add_seeds(
+    catalog: SnapshotCatalog,
+    seeds: DataFrame,
+    host_priorities: dict[str, int] | None = None,
+) -> int:
     """Distributed, idempotent seed ingestion: canonicalize, first-wins
     dedup within the batch (min ``seq`` wins — the producer's submission
     order), anti-join the URL-seen set (sidecar-prefiltered), assign
@@ -88,7 +97,7 @@ def add_seeds(catalog: SnapshotCatalog, seeds: DataFrame) -> int:
     round_id = catalog.current_id() + 1
     rows = (
         seqd.drop("ord")
-        .withColumn("priority", F.lit(0))
+        .withColumn("priority", _priority_col(host_priorities))
         .withColumn("depth", F.lit(0))
         .withColumn("discovery_ts", F.timestamp_micros(F.col("discovery_seq")))
         .withColumn("status", F.lit("pending"))
@@ -143,10 +152,15 @@ def continuous_crawl(
     Returns the started StreamingQuery (caller awaits/stops)."""
     catalog = SnapshotCatalog(root, spark)
     if catalog.current_id() < 0:
-        init_crawl(catalog, web, seeds_raw=[])
+        init_crawl(
+            catalog, web, seeds_raw=[],
+            host_priorities=round_kw.get("host_priorities"),
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        add_seeds(catalog, batch_df)
+        # seeds take the same host-priority map the rounds crawl under,
+        # so a streamed seed schedules exactly where a batch seed would
+        add_seeds(catalog, batch_df, round_kw.get("host_priorities"))
         for _ in range(max_rounds_per_batch):
             stats = run_round(catalog, web, round_seconds=round_seconds, **round_kw)
             if stats["scheduled"] == 0:

@@ -127,5 +127,30 @@ def test_streaming_incremental_seeds_then_replay_noop(spark, tmp_path):
     assert log.filter(f"round_id > {snap_before}").count() == 0
 
 
+
+
+def test_streamed_seeds_respect_host_priorities(spark, tmp_path):
+    """A priority-mapped streaming crawl schedules streamed seeds
+    exactly where the equivalent batch crawl would — single-batch parity
+    under a host-priority map."""
+    pr = {"host-0.test": 2, "host-1.test": 1, "host-2.test": 0}
+    in_dir = str(tmp_path / "in")
+    _write_seeds(spark, f"{in_dir}/f0.parquet", T1_SMOKE.seeds_raw())
+    stream = spark.readStream.schema(SEEDS_SCHEMA).parquet(in_dir)
+    q = continuous_crawl(
+        spark, str(tmp_path / "scat"), T1_SMOKE, stream,
+        str(tmp_path / "ck"), round_seconds=ROUND_S, host_priorities=pr,
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    scat = SnapshotCatalog(str(tmp_path / "scat"), spark)
+    bcat, _ = run_crawl(
+        spark, str(tmp_path / "bcat"), T1_SMOKE, round_seconds=ROUND_S,
+        host_priorities=pr,
+    )
+    assert _normalized_schedule(scat) == _normalized_schedule(bcat)
+    assert _seen(scat) == _seen(bcat)
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
