@@ -4084,6 +4084,17 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training: 3 greedy merge iterations over the word
+    stream — count adjacent pairs, argmax (deterministic ties), rewrite
+    the corpus with the winning merge as a one-row broadcast, repeat.
+    Output: the learned merge table. The oracle unrolls the identical
+    iterations in SQL."""
+    from crawler_spark.operators.corpus import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
 def q_pair_shards(spark, sf_dir):
     """WebDataset-style shard manifest for image+caption training pairs:
     pack pairs into ~8 MiB shards (next-fit-decreasing over the
@@ -4475,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_value": q_refresh_value,
         "rank_priority_bands": q_rank_priority_bands,
         "pair_shards": q_pair_shards,
+        "bpe_train": q_bpe_train,
         "host_cocitation": q_host_cocitation,
         "host_ucb_priority": q_host_ucb_priority,
         "curriculum_stages": q_curriculum_stages,
@@ -5293,6 +5305,54 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "bpe_train": """
+            WITH d0 AS (
+              SELECT ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS s
+              FROM documents
+            ),
+            p0 AS (
+              SELECT t.ws[i] AS a, t.ws[i+1] AS b FROM (
+                SELECT string_split(trim(s), ' ') AS ws FROM d0
+              ) t, unnest(generate_series(1, len(t.ws) - 1)) AS g(i)
+            ),
+            m0 AS (
+              SELECT a, b, count(*) AS n_pairs FROM p0 GROUP BY a, b
+              ORDER BY n_pairs DESC, a, b LIMIT 1
+            ),
+            d1 AS (
+              SELECT replace(d0.s, ' ' || m0.a || ' ' || m0.b || ' ',
+                                   ' ' || m0.a || '_' || m0.b || ' ') AS s
+              FROM d0, m0
+            ),
+            p1 AS (
+              SELECT t.ws[i] AS a, t.ws[i+1] AS b FROM (
+                SELECT string_split(trim(s), ' ') AS ws FROM d1
+              ) t, unnest(generate_series(1, len(t.ws) - 1)) AS g(i)
+            ),
+            m1 AS (
+              SELECT a, b, count(*) AS n_pairs FROM p1 GROUP BY a, b
+              ORDER BY n_pairs DESC, a, b LIMIT 1
+            ),
+            d2 AS (
+              SELECT replace(d1.s, ' ' || m1.a || ' ' || m1.b || ' ',
+                                   ' ' || m1.a || '_' || m1.b || ' ') AS s
+              FROM d1, m1
+            ),
+            p2 AS (
+              SELECT t.ws[i] AS a, t.ws[i+1] AS b FROM (
+                SELECT string_split(trim(s), ' ') AS ws FROM d2
+              ) t, unnest(generate_series(1, len(t.ws) - 1)) AS g(i)
+            ),
+            m2 AS (
+              SELECT a, b, count(*) AS n_pairs FROM p2 GROUP BY a, b
+              ORDER BY n_pairs DESC, a, b LIMIT 1
+            )
+            SELECT 0 AS merge_rank, a, b, CAST(n_pairs AS BIGINT) AS n_pairs FROM m0
+            UNION ALL
+            SELECT 1, a, b, CAST(n_pairs AS BIGINT) FROM m1
+            UNION ALL
+            SELECT 2, a, b, CAST(n_pairs AS BIGINT) FROM m2
         """,
         "pair_shards": f"""
             WITH meta AS ({_PAIR_META_SQL}),

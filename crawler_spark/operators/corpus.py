@@ -562,3 +562,64 @@ def cap_per_key(
         .filter(F.col("rk") <= k)
         .select(F.col("_id").alias(id_col), F.col("_key").alias(key_col), "rk")
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer TRAINING (the learn side of bpe_apply's encode
+    side): ``n_merges`` greedy iterations, each counting adjacent unit
+    pairs across the corpus, picking the most frequent pair (ties by
+    pair text — deterministic), and rewriting every document's unit
+    stream with the ``x y -> x_y`` literal-replace scan both engines
+    share. Returns the learned merge table: (merge_rank, a, b, n_pairs).
+
+    Fully distributed per iteration: one explode + map-side-combinable
+    count, a TakeOrdered-1 argmax, and the winning merge rejoins as a
+    ONE-ROW broadcast (crossJoin) whose columns parameterize the
+    replace — no literal ever touches the driver, no UDF, and the doc
+    stream is scanned once per merge (the canonical BPE cost model:
+    n_merges corpus passes, each embarrassingly parallel). Fixed
+    iteration count keeps the plan deterministic, same contract as
+    kmeans_refine / link_rank."""
+    s = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "),
+        F.lit(" "),
+    )
+    cur = docs.select(s.alias("s"))
+    merges = []
+    for k in range(n_merges):
+        toks = F.split(F.trim("s"), " ")
+        pairs = cur.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("a"),
+                        F.element_at(toks, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        top1 = (
+            pairs.groupBy("a", "b")
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy(F.desc("n_pairs"), "a", "b")
+            .limit(1)
+            .withColumn("merge_rank", F.lit(k))
+        )
+        merges.append(top1.select("merge_rank", "a", "b", "n_pairs"))
+        cur = cur.crossJoin(F.broadcast(top1)).select(
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" ")),
+                F.concat(F.lit(" "), "a", F.lit("_"), "b", F.lit(" ")),
+            ).alias("s")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -123,5 +123,32 @@ def test_ann_recall_probe_all_cells_is_exact(spark):
     assert all(r["recall"] <= 1.0 and r["n_hit"] >= 1 for r in part.collect())
 
 
+
+
+def test_bpe_train_greedy_merges_hand_computed(spark):
+    """3 BPE training iterations on a corpus small enough to hand-run:
+    greedy argmax each round, lexicographic ties, and the shared
+    literal-replace apply semantics (consecutive occurrences separated
+    by a single space alternate-skip, same as bpe_apply)."""
+    from crawler_spark.operators.corpus import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b c c")], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["a"], r["b"], r["n_pairs"])
+        for r in bpe_train(docs, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    # iter0: (a,b) x3 wins; apply merges doc0's FIRST occurrence only
+    # (the replace scan consumes the shared space) and doc1's one.
+    # iter1: all pairs tie at 1 -> lexicographic ('a','b') again.
+    # iter2: (a_b,c) x2 wins.
+    assert got == [
+        (0, "a", "b", 3),
+        (1, "a", "b", 1),
+        (2, "a_b", "c", 2),
+    ]
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
