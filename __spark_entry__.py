@@ -4084,6 +4084,94 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_phash_threshold_eval(spark, sf_dir):
+    """Perceptual-hash threshold calibration: for every candidate
+    Hamming cutoff k in 0..8, recall over TRUE near-dup pairs (each
+    base image vs its twin-1 re-encode analog, planted <=3 bits apart)
+    vs the false-positive rate over a deterministic non-dup control
+    (base i paired with base i+127 — an equi-join, no cross product).
+    The table that justifies image_dup_clusters' Hamming<=3 setting on
+    this corpus instead of citing a paper's."""
+    from crawler_spark.operators.pairs import phash_with_twins, synth_pair_meta
+
+    meta = synth_pair_meta(_t(spark, sf_dir, "documents"))
+    tw = phash_with_twins(meta, n_twins=1)
+    base = tw.filter(F.col("image_id") < 1_000_000_000).select(
+        F.col("image_id").alias("bid"), F.col("sig").alias("bsig")
+    )
+    twin = tw.filter(F.col("image_id") >= 1_000_000_000).select(
+        (F.col("image_id") % 1_000_000_000).alias("bid"),
+        F.col("sig").alias("tsig"),
+    )
+    true_d = base.join(twin, "bid").select(
+        F.bit_count(F.col("bsig").bitwiseXOR(F.col("tsig"))).alias("d")
+    )
+    ctrl = base.join(
+        base.select((F.col("bid") - 127).alias("bid"), F.col("bsig").alias("csig")),
+        "bid",
+    ).select(F.bit_count(F.col("bsig").bitwiseXOR(F.col("csig"))).alias("d"))
+    ks = spark.range(0, 9).select(F.col("id").cast("int").alias("k"))
+    t_stats = ks.crossJoin(F.broadcast(true_d.agg(F.count("*").alias("n_true")))).join(
+        true_d.crossJoin(ks.select(F.col("k").alias("k2")))
+        .filter(F.col("d") <= F.col("k2"))
+        .groupBy(F.col("k2").alias("k"))
+        .agg(F.count("*").alias("n_true_hit")),
+        "k",
+        "left",
+    )
+    c_stats = (
+        ctrl.crossJoin(ks.select(F.col("k").alias("k2")))
+        .filter(F.col("d") <= F.col("k2"))
+        .groupBy(F.col("k2").alias("k"))
+        .agg(F.count("*").alias("n_ctrl_hit"))
+    )
+    n_ctrl = ctrl.agg(F.count("*").alias("n_ctrl"))
+    return (
+        t_stats.join(c_stats, "k", "left")
+        .crossJoin(F.broadcast(n_ctrl))
+        .select(
+            "k",
+            "n_true",
+            F.round(
+                F.coalesce("n_true_hit", F.lit(0)) / F.col("n_true"), 6
+            ).alias("recall"),
+            "n_ctrl",
+            F.round(
+                F.coalesce("n_ctrl_hit", F.lit(0)) / F.col("n_ctrl"), 6
+            ).alias("fpr"),
+        )
+    )
+
+
+def q_politeness_audit(spark, sf_dir):
+    """Politeness-compliance audit over a synthesized fetch log: per
+    (host, round), served count vs the host's crawl-delay budget;
+    reports per host the rounds over budget and the worst overshoot.
+    The engine's own scheduler is proven compliant by construction
+    (test_politeness_budget_respected); this is the audit a crawl
+    operator runs over ANY fetch log (e.g. a third-party crawler's)
+    to find misbehaving workers. One two-level combinable agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias(
+            "host"
+        ),
+        (F.col("event_id") % 16).alias("round_id"),
+    )
+    budget = F.lit(8) + (F.length("host") % 3) * 4  # per-host budget dim
+    per_round = ev.groupBy("host", "round_id").agg(
+        F.count("*").alias("served")
+    )
+    flagged = per_round.withColumn("budget", budget).withColumn(
+        "over", F.greatest(F.col("served") - F.col("budget"), F.lit(0))
+    )
+    return flagged.groupBy("host").agg(
+        F.any_value("budget").alias("budget"),
+        F.count("*").alias("n_rounds"),
+        F.sum((F.col("over") > 0).cast("long")).alias("rounds_over"),
+        F.max("over").alias("worst_overshoot"),
+    )
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: 3 greedy merge iterations over the word
     stream — count adjacent pairs, argmax (deterministic ties), rewrite
@@ -4487,6 +4575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_priority_bands": q_rank_priority_bands,
         "pair_shards": q_pair_shards,
         "bpe_train": q_bpe_train,
+        "phash_threshold_eval": q_phash_threshold_eval,
+        "politeness_audit": q_politeness_audit,
         "host_cocitation": q_host_cocitation,
         "host_ucb_priority": q_host_ucb_priority,
         "curriculum_stages": q_curriculum_stages,
@@ -5305,6 +5395,62 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "phash_threshold_eval": f"""
+            WITH meta AS ({_PAIR_META_SQL}),
+            base AS (SELECT image_id AS bid, phash AS bsig FROM meta),
+            twin AS (
+              SELECT image_id AS bid, {_twin_sig_sql(1)} AS tsig FROM meta
+            ),
+            true_d AS (
+              SELECT bit_count(xor(b.bsig, t.tsig)) AS d
+              FROM base b JOIN twin t ON b.bid = t.bid
+            ),
+            ctrl AS (
+              SELECT bit_count(xor(a.bsig, c.bsig)) AS d
+              FROM base a JOIN base c ON a.bid = c.bid - 127
+            ),
+            ks AS (SELECT CAST(k AS INT) AS k FROM unnest(generate_series(0, 8)) AS t(k)),
+            tn AS (SELECT count(*) AS n_true FROM true_d),
+            cn AS (SELECT count(*) AS n_ctrl FROM ctrl),
+            th AS (
+              SELECT k, count(*) AS n_true_hit
+              FROM ks, true_d WHERE d <= k GROUP BY k
+            ),
+            ch AS (
+              SELECT k, count(*) AS n_ctrl_hit
+              FROM ks, ctrl WHERE d <= k GROUP BY k
+            )
+            SELECT ks.k, tn.n_true,
+              round(coalesce(th.n_true_hit, 0) * 1.0 / tn.n_true, 6) AS recall,
+              cn.n_ctrl,
+              round(coalesce(ch.n_ctrl_hit, 0) * 1.0 / cn.n_ctrl, 6) AS fpr
+            FROM ks
+            LEFT JOIN th ON ks.k = th.k
+            LEFT JOIN ch ON ks.k = ch.k
+            CROSS JOIN tn CROSS JOIN cn
+        """,
+        "politeness_audit": """
+            WITH ev AS (
+              SELECT 'h' || (user_id % 23) AS host,
+                     event_id % 16 AS round_id
+              FROM events
+            ),
+            per_round AS (
+              SELECT host, round_id, count(*) AS served
+              FROM ev GROUP BY host, round_id
+            ),
+            flagged AS (
+              SELECT host, served,
+                     8 + (length(host) % 3) * 4 AS budget,
+                     greatest(served - (8 + (length(host) % 3) * 4), 0) AS over
+              FROM per_round
+            )
+            SELECT host, any_value(budget) AS budget,
+                   count(*) AS n_rounds,
+                   sum(CASE WHEN over > 0 THEN 1 ELSE 0 END) AS rounds_over,
+                   CAST(max(over) AS BIGINT) AS worst_overshoot
+            FROM flagged GROUP BY host
         """,
         "bpe_train": """
             WITH d0 AS (
