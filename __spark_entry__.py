@@ -4084,6 +4084,50 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_caption_junk_filter(spark, sf_dir):
+    """LAION-style caption junk gate: alt-text scraped from the web is
+    full of URLs, filenames, and generic placeholders that train
+    nothing. Junk is planted deterministically (doc_id % 7 picks a
+    junk family), then flagged by native predicates: URL-ish, filename
+    extension, digit-heavy, too short, generic placeholder; kept =
+    clean on all five. Pure codegen map — the cheapest gate in the
+    pair-curation cascade, run before any decode or embedding."""
+    d = _t(spark, sf_dir, "documents")
+    cap = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("http://ex.com/p/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.lit("IMG_"), F.col("doc_id").cast("string"), F.lit(".jpg")),
+        )
+        .when(F.col("doc_id") % 7 == 2, F.lit("image"))
+        .otherwise(F.col("text"))
+    )
+    c = d.select("doc_id", cap.alias("caption"))
+    toks = F.split(F.regexp_replace(F.lower(F.trim("caption")), r"\s+", " "), " ")
+    urlish = F.lower("caption").rlike("https?://|www\\.")
+    filename = F.lower("caption").rlike("\\.(jpg|jpeg|png|gif|webp)$")
+    digit_heavy = (
+        F.length(F.regexp_replace("caption", "[^0-9]", ""))
+        / F.length("caption")
+    ) > 0.3
+    too_short = F.size(F.filter(toks, lambda t: F.length(t) > 0)) < 3
+    generic = F.element_at(toks, 1).isin("image", "photo", "picture", "img")
+    return c.select(
+        "doc_id",
+        urlish.alias("is_urlish"),
+        filename.alias("is_filename"),
+        digit_heavy.alias("is_digit_heavy"),
+        too_short.alias("too_short"),
+        generic.alias("is_generic"),
+        (~urlish & ~filename & ~digit_heavy & ~too_short & ~generic).alias(
+            "kept"
+        ),
+    )
+
+
 def q_phash_threshold_eval(spark, sf_dir):
     """Perceptual-hash threshold calibration: for every candidate
     Hamming cutoff k in 0..8, recall over TRUE near-dup pairs (each
@@ -4576,6 +4620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_shards": q_pair_shards,
         "bpe_train": q_bpe_train,
         "phash_threshold_eval": q_phash_threshold_eval,
+        "caption_junk_filter": q_caption_junk_filter,
         "politeness_audit": q_politeness_audit,
         "host_cocitation": q_host_cocitation,
         "host_ucb_priority": q_host_ucb_priority,
@@ -5395,6 +5440,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "caption_junk_filter": """
+            WITH c AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN 'http://ex.com/p/' || doc_id
+                     WHEN doc_id % 7 = 1 THEN 'IMG_' || doc_id || '.jpg'
+                     WHEN doc_id % 7 = 2 THEN 'image'
+                     ELSE text END AS caption
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                regexp_matches(lower(caption), 'https?://|www\\.') AS is_urlish,
+                regexp_matches(lower(caption), '\\.(jpg|jpeg|png|gif|webp)$')
+                  AS is_filename,
+                (length(regexp_replace(caption, '[^0-9]', '', 'g')) * 1.0
+                   / length(caption)) > 0.3 AS is_digit_heavy,
+                len(list_filter(
+                  string_split(regexp_replace(lower(trim(caption)), '\\s+', ' ', 'g'), ' '),
+                  t -> length(t) > 0)) < 3 AS too_short,
+                string_split(regexp_replace(lower(trim(caption)), '\\s+', ' ', 'g'), ' ')[1]
+                  IN ('image', 'photo', 'picture', 'img') AS is_generic
+              FROM c
+            )
+            SELECT doc_id, is_urlish, is_filename, is_digit_heavy, too_short,
+                   is_generic,
+                   (NOT is_urlish AND NOT is_filename AND NOT is_digit_heavy
+                    AND NOT too_short AND NOT is_generic) AS kept
+            FROM f
         """,
         "phash_threshold_eval": f"""
             WITH meta AS ({_PAIR_META_SQL}),
