@@ -4084,6 +4084,30 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_host_components(spark, sf_dir):
+    """Site clustering: connected components over a deterministic host
+    link graph (h -> h+10 chords from every 4th doc, h -> h+5 chords
+    from every 16th: 5 components of 4 hosts each) — the mirror-site /
+    link-farm grouping pass, reusing dedup_clusters' min-label
+    propagation on a different edge family. Oracle = recursive CTE."""
+    from crawler_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % 20
+    e1 = docs.filter(F.col("doc_id") % 4 == 0).select(
+        h.alias("host_a"), ((h + 10) % 20).alias("host_b")
+    )
+    e2 = docs.filter(F.col("doc_id") % 16 == 1).select(
+        h.alias("host_a"), ((h + 5) % 20).alias("host_b")
+    )
+    edges = (
+        e1.union(e2).filter(F.col("host_a") != F.col("host_b")).distinct()
+    )
+    return dedup_clusters(edges, "host_a", "host_b").select(
+        F.col("doc_id").alias("host_id"), "cluster_id"
+    )
+
+
 def q_caption_junk_filter(spark, sf_dir):
     """LAION-style caption junk gate: alt-text scraped from the web is
     full of URLs, filenames, and generic placeholders that train
@@ -4621,6 +4645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "phash_threshold_eval": q_phash_threshold_eval,
         "caption_junk_filter": q_caption_junk_filter,
+        "host_components": q_host_components,
         "politeness_audit": q_politeness_audit,
         "host_cocitation": q_host_cocitation,
         "host_ucb_priority": q_host_ucb_priority,
@@ -5440,6 +5465,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "host_components": """
+            WITH RECURSIVE e0 AS (
+              SELECT doc_id % 20 AS a, (doc_id % 20 + 10) % 20 AS b
+              FROM documents WHERE doc_id % 4 = 0
+              UNION
+              SELECT doc_id % 20, (doc_id % 20 + 5) % 20
+              FROM documents WHERE doc_id % 16 = 1
+            ),
+            ed AS (SELECT DISTINCT a, b FROM e0 WHERE a != b),
+            e AS (
+              SELECT a AS s, b AS t FROM ed
+              UNION
+              SELECT b AS s, a AS t FROM ed
+            ),
+            reach(s, t) AS (
+              SELECT s, t FROM e
+              UNION
+              SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+            )
+            SELECT s AS host_id, least(s, min(t)) AS cluster_id
+            FROM reach GROUP BY s
         """,
         "caption_junk_filter": """
             WITH c AS (

@@ -88,6 +88,11 @@ HEADLINE = [
     "retrieval_recall",
     "curriculum_stages",
     "refresh_value",
+    "bpe_train",
+    "pair_shards",
+    "phash_threshold_eval",
+    "caption_junk_filter",
+    "host_components",
 ]
 
 BENCH_HOSTS = 50
