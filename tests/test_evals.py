@@ -150,5 +150,53 @@ def test_bpe_train_greedy_merges_hand_computed(spark):
     ]
 
 
+
+
+def test_bpe_train_matches_python_mirror_fuzz(spark):
+    """Differential check: bpe_train's distributed greedy loop equals a
+    pure-python mirror (collections.Counter + str.replace — the same
+    left-to-right non-overlapping scan) on several small corpora."""
+    from collections import Counter
+
+    from crawler_spark.operators.corpus import bpe_train
+
+    def mirror(texts, n_merges):
+        import re
+
+        strs = [" " + re.sub(r"\s+", " ", t.lower().strip()) + " " for t in texts]
+        out = []
+        for k in range(n_merges):
+            c = Counter()
+            for s in strs:
+                toks = s.strip().split(" ")
+                for i in range(len(toks) - 1):
+                    c[(toks[i], toks[i + 1])] += 1
+            (a, b), n = min(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((k, a, b, n))
+            strs = [
+                s.replace(f" {a} {b} ", f" {a}_{b} ") for s in strs
+            ]
+        return out
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    corpora = [
+        ["aa bb aa bb", "bb cc", "aa bb cc dd"],
+        ["cc cc cc cc cc", "dd cc dd cc"],
+        ["aa aa aa bb", "bb aa aa", "aa bb aa"],
+        [" ".join(vocab[(i * 7 + j) % 4] for j in range(9)) for i in range(6)],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [
+            (r["merge_rank"], r["a"], r["b"], r["n_pairs"])
+            for r in bpe_train(docs, n_merges=3).orderBy("merge_rank").collect()
+        ]
+        assert got == mirror(texts, 3), f"corpus {texts}"
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
