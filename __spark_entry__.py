@@ -4084,6 +4084,61 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_pair_pipeline(spark, sf_dir):
+    """END-TO-END image+caption curation in ONE Catalyst plan (the
+    image-side twin of training_shards): caption junk gate (URL-ish /
+    filename / digit-heavy / short / generic — native predicates) ->
+    resolution + aspect + token floors -> exact-phash first-wins dedup
+    -> byte-budget shard packing in 32 hash buckets. No intermediate
+    materialization; gates are filters the scan can push, dedup is one
+    agg + left-semi, packing is the bucketed running-sum window.
+    Output: the final shard manifest a trainer would mount."""
+    from crawler_spark.operators.pairs import select_training_pairs, synth_pair_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    clean = docs.filter(
+        ~F.lower("text").rlike("https?://|www\\.")
+        & ~F.lower("text").rlike("\\.(jpg|jpeg|png|gif|webp)$")
+        & (
+            (
+                F.length(F.regexp_replace("text", "[^0-9]", ""))
+                / F.length("text")
+            )
+            <= 0.3
+        )
+        & (F.size(F.filter(toks, lambda t: F.length(t) > 0)) >= 3)
+        & ~F.element_at(toks, 1).isin("image", "photo", "picture", "img")
+    )
+    sel = select_training_pairs(synth_pair_meta(clean))
+    budget = 8 * 1024 * 1024
+    t = sel.select(
+        "image_id",
+        (F.col("w").cast("long") * F.col("h") + 4 * F.col("n_tokens")).alias(
+            "nbytes"
+        ),
+        (F.col("image_id") % 32).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("nbytes"), "image_id")
+    return (
+        t.withColumn("cum", F.sum("nbytes").over(w))
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("cum") - F.col("nbytes")) / F.lit(float(budget))
+            ).cast("long"),
+        )
+        .groupBy("bucket", "shard_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("nbytes").alias("shard_bytes"),
+            F.round(F.sum("nbytes") / F.lit(float(budget)), 6).alias(
+                "fill_ratio"
+            ),
+        )
+    )
+
+
 def q_host_components(spark, sf_dir):
     """Site clustering: connected components over a deterministic host
     link graph (h -> h+10 chords from every 4th doc, h -> h+5 chords
@@ -4646,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_threshold_eval": q_phash_threshold_eval,
         "caption_junk_filter": q_caption_junk_filter,
         "host_components": q_host_components,
+        "pair_pipeline": q_pair_pipeline,
         "politeness_audit": q_politeness_audit,
         "host_cocitation": q_host_cocitation,
         "host_ucb_priority": q_host_ucb_priority,
@@ -5465,6 +5521,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "pair_pipeline": f"""
+            WITH clean AS (
+              SELECT doc_id, text FROM documents
+              WHERE NOT regexp_matches(lower(text), 'https?://|www\\.')
+                AND NOT regexp_matches(lower(text), '\\.(jpg|jpeg|png|gif|webp)$')
+                AND (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                       / length(text)) <= 0.3
+                AND len(list_filter(
+                      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                      t -> length(t) > 0)) >= 3
+                AND string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[1]
+                      NOT IN ('image', 'photo', 'picture', 'img')
+            ),
+            meta AS ({_PAIR_META_SQL.replace("FROM documents", "FROM clean")}),
+            ok AS (
+              SELECT * FROM meta
+              WHERE w >= 64 AND h >= 64
+                AND greatest(w, h) <= 3 * least(w, h)
+                AND n_tokens >= 5
+            ),
+            keep AS (SELECT phash, min(image_id) AS image_id FROM ok GROUP BY phash),
+            sel AS (
+              SELECT ok.* FROM ok JOIN keep
+                ON ok.phash = keep.phash AND ok.image_id = keep.image_id
+            ),
+            t AS (
+              SELECT image_id,
+                     CAST(w AS BIGINT) * h + 4 * n_tokens AS nbytes,
+                     image_id % 32 AS bucket
+              FROM sel
+            ),
+            r AS (
+              SELECT *, sum(nbytes) OVER (
+                PARTITION BY bucket ORDER BY nbytes DESC, image_id
+              ) AS cum FROM t
+            )
+            SELECT bucket,
+                   CAST(floor((cum - nbytes) / 8388608.0) AS BIGINT) AS shard_id,
+                   count(*) AS n_pairs,
+                   CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
+                   round(sum(nbytes) / 8388608.0, 6) AS fill_ratio
+            FROM r GROUP BY bucket, shard_id
         """,
         "host_components": """
             WITH RECURSIVE e0 AS (
