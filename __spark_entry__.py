@@ -4084,6 +4084,79 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_dedup_cross_wave(spark, sf_dir):
+    """Incremental (cross-wave) near-dup detection: new-wave docs
+    (doc_id % 5 == 4) band-join ONLY against the prior waves' minhash
+    index (doc_id % 5 != 4) — candidates are new x old, never new x new
+    or old x old, so each wave pays O(wave) signature work plus an
+    index probe, exactly how a persisted LSH index absorbs a daily
+    crawl. Same (4, 2) banding as minhash_banded_pairs; output the
+    matched (new_doc, old_doc, n_bands) candidates."""
+    from crawler_spark.operators.dedup import minhash_banded_pairs  # noqa: F401 (family)
+
+    docs = _t(spark, sf_dir, "documents")
+    # reuse the banding internals by calling the operator on ALL docs
+    # would pair old x old too — instead build band signatures once and
+    # split the join sides by wave
+    from crawler_spark.operators.dedup import _shingles
+
+    sh = _shingles(docs, "text", "doc_id", 3)
+    n_hashes = 8
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+                f"_s{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    band_sigs = [
+        F.md5(F.concat_ws("|", F.col(f"_s{b * 2}"), F.col(f"_s{b * 2 + 1}")))
+        for b in range(4)
+    ]
+    bands = per_doc.select(
+        "doc_id", F.posexplode(F.array(*band_sigs)).alias("band_id", "band_sig")
+    )
+    new_side = bands.filter(F.col("doc_id") % 5 == 4).select(
+        F.col("doc_id").alias("new_doc"), "band_id", "band_sig"
+    )
+    old_side = bands.filter(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("old_doc"), "band_id", "band_sig"
+    )
+    return (
+        new_side.join(old_side, ["band_id", "band_sig"])
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def q_shingle_df_stats(spark, sf_dir):
+    """Hot-shingle diagnostics for dedup tuning: the document-frequency
+    distribution of 3-gram shingles (log2-bucketed), plus how many
+    candidate join pairs each DF bucket would contribute (sum df*(df-1)/2)
+    — the table that picks ngram_jaccard_capped's max_df by showing
+    where the quadratic candidate mass actually lives."""
+    from crawler_spark.operators.dedup import _shingles
+
+    sh = _shingles(_t(spark, sf_dir, "documents"), "text", "doc_id", 3)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    bucket = (F.length(F.bin(F.col("df"))) - 1).cast("int")
+    return (
+        df.select(
+            bucket.alias("log2_df"),
+            F.col("df"),
+        )
+        .groupBy("log2_df")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("df").alias("postings"),
+            F.sum(F.col("df") * (F.col("df") - 1) / 2)
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+    )
+
+
 def q_pair_pipeline(spark, sf_dir):
     """END-TO-END image+caption curation in ONE Catalyst plan (the
     image-side twin of training_shards): caption junk gate (URL-ish /
@@ -4702,6 +4775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_junk_filter": q_caption_junk_filter,
         "host_components": q_host_components,
         "pair_pipeline": q_pair_pipeline,
+        "dedup_cross_wave": q_dedup_cross_wave,
+        "shingle_df_stats": q_shingle_df_stats,
         "politeness_audit": q_politeness_audit,
         "host_cocitation": q_host_cocitation,
         "host_ucb_priority": q_host_ucb_priority,
@@ -5521,6 +5596,57 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "dedup_cross_wave": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            rows_ AS (
+              SELECT doc_id, h.hash_id, shingle
+              FROM sh, unnest(generate_series(0, 7)) AS h(hash_id)
+            ),
+            sigs AS (
+              SELECT doc_id, hash_id,
+                     min(md5(hash_id || '|' || shingle)) AS sig
+              FROM rows_ GROUP BY doc_id, hash_id
+            ),
+            bands AS (
+              SELECT doc_id, hash_id // 2 AS band_id,
+                     md5(array_to_string(list(sig ORDER BY hash_id), '|'))
+                       AS band_sig
+              FROM sigs GROUP BY doc_id, hash_id // 2
+            )
+            SELECT n.doc_id AS new_doc, o.doc_id AS old_doc,
+                   count(*) AS n_bands
+            FROM bands n JOIN bands o
+              ON n.band_id = o.band_id AND n.band_sig = o.band_sig
+            WHERE n.doc_id % 5 = 4 AND o.doc_id % 5 != 4
+            GROUP BY 1, 2
+        """,
+        "shingle_df_stats": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+            SELECT CAST(length(bin(df)) - 1 AS INT) AS log2_df,
+                   count(*) AS n_shingles,
+                   CAST(sum(df) AS BIGINT) AS postings,
+                   CAST(sum(df * (df - 1) / 2.0) AS BIGINT) AS candidate_pairs
+            FROM dfr GROUP BY 1
         """,
         "pair_pipeline": f"""
             WITH clean AS (
