@@ -4092,12 +4092,9 @@ def q_dedup_cross_wave(spark, sf_dir):
     index probe, exactly how a persisted LSH index absorbs a daily
     crawl. Same (4, 2) banding as minhash_banded_pairs; output the
     matched (new_doc, old_doc, n_bands) candidates."""
-    from crawler_spark.operators.dedup import minhash_banded_pairs  # noqa: F401 (family)
-
     docs = _t(spark, sf_dir, "documents")
-    # reuse the banding internals by calling the operator on ALL docs
-    # would pair old x old too — instead build band signatures once and
-    # split the join sides by wave
+    # calling minhash_banded_pairs on ALL docs would pair old x old too;
+    # build the band signatures once and split the join sides by wave
     from crawler_spark.operators.dedup import _shingles
 
     sh = _shingles(docs, "text", "doc_id", 3)

@@ -619,6 +619,11 @@ def bpe_train(
                 F.concat(F.lit(" "), "a", F.lit("_"), "b", F.lit(" ")),
             ).alias("s")
         )
+        # plan depth is linear in the merge count (inherent to BPE);
+        # flatten the lineage periodically so a 10^4-merge vocabulary
+        # build doesn't drown the analyzer (same guard as link_rank)
+        if (k + 1) % 8 == 0 and k + 1 < n_merges:
+            cur = cur.localCheckpoint()
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
