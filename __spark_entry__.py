@@ -4084,6 +4084,84 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_cloaking_signal(spark, sf_dir):
+    """Cloaking / anchor-bait detection: a page whose inbound anchor
+    terms never appear in its own content is advertising something it
+    does not serve — the classic link-spam tell. Per target page:
+    distinct inbound anchor terms, how many occur in the target's token
+    set, and the match ratio (low = suspect). Edges are the anchor_topk
+    family (doc -> 16-block hub, first token as anchor); the
+    containment check is one left join of the distinct (target, term)
+    pairs against the target's exploded tokens — both sides are
+    term-level, the fact table never self-joins."""
+    docs = _t(spark, sf_dir, "documents")
+    first_tok = F.split(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+    )[0]
+    anchors = docs.select(
+        (F.col("doc_id") - F.col("doc_id") % 16).alias("target_id"),
+        first_tok.alias("term"),
+    ).distinct()
+    toks = docs.select(
+        F.col("doc_id").alias("target_id"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+            )
+        ).alias("term"),
+    ).withColumn("present", F.lit(1))
+    j = anchors.join(toks, ["target_id", "term"], "left")
+    return j.groupBy("target_id").agg(
+        F.count("*").alias("n_anchor_terms"),
+        F.sum(F.coalesce("present", F.lit(0))).alias("n_matched"),
+        F.round(
+            F.sum(F.coalesce("present", F.lit(0))) / F.count("*"), 6
+        ).alias("match_ratio"),
+    )
+
+
+def q_dup_quality_profile(spark, sf_dir):
+    """Do duplicates concentrate in low-quality documents? Exact-dup
+    membership (normalized-text fingerprint with >= 2 docs) joined onto
+    quality quartiles (exact-percentile cuts, broadcast back): per
+    quartile, doc count, dup count, dup rate. The report that decides
+    whether dedup should run before or after the quality gate on this
+    corpus."""
+    from crawler_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("fp"),
+    )
+    sizes = d.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    cuts = d.agg(
+        F.round(F.expr("percentile(quality, 0.25)"), 9).alias("c1"),
+        F.round(F.expr("percentile(quality, 0.5)"), 9).alias("c2"),
+        F.round(F.expr("percentile(quality, 0.75)"), 9).alias("c3"),
+    )
+    staged = (
+        d.join(sizes, "fp")
+        .crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "quartile",
+            F.when(F.col("quality") >= F.col("c3"), F.lit(1))
+            .when(F.col("quality") >= F.col("c2"), F.lit(2))
+            .when(F.col("quality") >= F.col("c1"), F.lit(3))
+            .otherwise(F.lit(4)),
+        )
+    )
+    return staged.groupBy("quartile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_copies") >= 2).cast("long")).alias("n_dup_docs"),
+        F.round(
+            F.sum((F.col("n_copies") >= 2).cast("long")) / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+
+
 def q_dedup_cross_wave(spark, sf_dir):
     """Incremental (cross-wave) near-dup detection: new-wave docs
     (doc_id % 5 == 4) band-join ONLY against the prior waves' minhash
@@ -4773,6 +4851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components": q_host_components,
         "pair_pipeline": q_pair_pipeline,
         "dedup_cross_wave": q_dedup_cross_wave,
+        "cloaking_signal": q_cloaking_signal,
+        "dup_quality_profile": q_dup_quality_profile,
         "shingle_df_stats": q_shingle_df_stats,
         "politeness_audit": q_politeness_audit,
         "host_cocitation": q_host_cocitation,
@@ -5593,6 +5673,77 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "cloaking_signal": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            anchors AS (
+              SELECT DISTINCT doc_id - doc_id % 16 AS target_id, ws[1] AS term
+              FROM words
+            ),
+            toks AS (
+              SELECT DISTINCT doc_id AS target_id, t.term
+              FROM words, unnest(ws) AS t(term)
+            )
+            SELECT a.target_id,
+                   count(*) AS n_anchor_terms,
+                   sum(CASE WHEN t.term IS NOT NULL THEN 1 ELSE 0 END)
+                     AS n_matched,
+                   round(sum(CASE WHEN t.term IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS match_ratio
+            FROM anchors a
+            LEFT JOIN toks t
+              ON a.target_id = t.target_id AND a.term = t.term
+            GROUP BY a.target_id
+        """,
+        "dup_quality_profile": """
+            WITH base AS (
+              SELECT doc_id, text, length(text) AS n,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                len(list_intersect(toks, ['the','and','of','to','in'])) * 1.0
+                  / greatest(len(toks), 1) AS stop_ratio,
+                length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0
+                  / greatest(n, 1) AS alpha_ratio,
+                length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                  / greatest(n, 1) AS punct_ratio,
+                CASE WHEN n >= 100 AND n <= 10000 THEN 1.0 ELSE 0.5 END AS len_band
+              FROM base
+            ),
+            scored AS (
+              SELECT doc_id, fp,
+                round(greatest(least(
+                  len_band * 0.4 + least(stop_ratio * 5, 1.0) * 0.3
+                  + alpha_ratio * 0.3 - punct_ratio * 0.2, 1.0), 0.0), 6) AS quality
+              FROM r
+            ),
+            sizes AS (SELECT fp, count(*) AS n_copies FROM scored GROUP BY fp),
+            cuts AS (
+              SELECT round(quantile_cont(quality, 0.25), 9) AS c1,
+                     round(quantile_cont(quality, 0.5), 9) AS c2,
+                     round(quantile_cont(quality, 0.75), 9) AS c3
+              FROM scored
+            ),
+            staged AS (
+              SELECT s.doc_id, z.n_copies,
+                CASE WHEN s.quality >= c.c3 THEN 1
+                     WHEN s.quality >= c.c2 THEN 2
+                     WHEN s.quality >= c.c1 THEN 3
+                     ELSE 4 END AS quartile
+              FROM scored s JOIN sizes z ON s.fp = z.fp, cuts c
+            )
+            SELECT quartile, count(*) AS n_docs,
+                   sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS n_dup_docs,
+                   round(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS dup_rate
+            FROM staged GROUP BY quartile
         """,
         "dedup_cross_wave": """
             WITH words AS (
