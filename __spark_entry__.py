@@ -4084,6 +4084,50 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding drift detector: split the corpus into two waves
+    (vec_id parity — the deterministic stand-in for crawl A vs crawl B),
+    compute each label's mean vector per wave (posexplode + two-key agg,
+    round-9 pinned like embedding_centroids), and report the cosine
+    between the wave means per label — the per-class alarm that catches
+    an encoder change or a source-mix shift before it poisons dedup and
+    retrieval thresholds. All stages are (label, pos)-keyed aggs; the
+    cosine runs on label-dimension-sized rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    waved = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("wave"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    means = waved.groupBy("label", "wave", "pos").agg(
+        F.round(F.avg("x"), 9).alias("m")
+    )
+    a = means.filter(F.col("wave") == 0).select(
+        "label", "pos", F.col("m").alias("ma")
+    )
+    b = means.filter(F.col("wave") == 1).select(
+        "label", "pos", F.col("m").alias("mb")
+    )
+    j = a.join(b, ["label", "pos"])
+    agg = j.groupBy("label").agg(
+        F.round(F.sum(F.col("ma") * F.col("mb")), 9).alias("dot"),
+        F.sqrt(F.round(F.sum(F.col("ma") * F.col("ma")), 9)).alias("na"),
+        F.sqrt(F.round(F.sum(F.col("mb") * F.col("mb")), 9)).alias("nb"),
+    )
+    counts = e.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_wave_a"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long")).alias("n_wave_b"),
+    )
+    return agg.join(counts, "label").select(
+        "label",
+        "n_wave_a",
+        "n_wave_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+            "centroid_cosine"
+        ),
+    )
+
+
 def q_cloaking_signal(spark, sf_dir):
     """Cloaking / anchor-bait detection: a page whose inbound anchor
     terms never appear in its own content is advertising something it
@@ -4852,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_pipeline": q_pair_pipeline,
         "dedup_cross_wave": q_dedup_cross_wave,
         "cloaking_signal": q_cloaking_signal,
+        "embedding_drift": q_embedding_drift,
         "dup_quality_profile": q_dup_quality_profile,
         "shingle_df_stats": q_shingle_df_stats,
         "politeness_audit": q_politeness_audit,
@@ -5673,6 +5718,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "embedding_drift": """
+            WITH waved AS (
+              SELECT label, vec_id % 2 AS wave, t.pos,
+                     CAST(embedding[t.pos] AS DOUBLE) AS x
+              FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+            ),
+            means AS (
+              SELECT label, wave, pos, round(avg(x), 9) AS m
+              FROM waved GROUP BY label, wave, pos
+            ),
+            j AS (
+              SELECT a.label, a.pos, a.m AS ma, b.m AS mb
+              FROM means a JOIN means b
+                ON a.label = b.label AND a.pos = b.pos
+               AND a.wave = 0 AND b.wave = 1
+            ),
+            agg AS (
+              SELECT label,
+                     round(sum(ma * mb), 9) AS dot,
+                     sqrt(round(sum(ma * ma), 9)) AS na,
+                     sqrt(round(sum(mb * mb), 9)) AS nb
+              FROM j GROUP BY label
+            ),
+            counts AS (
+              SELECT label,
+                     sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_wave_a,
+                     sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_wave_b
+              FROM embeddings GROUP BY label
+            )
+            SELECT a.label, c.n_wave_a, c.n_wave_b,
+                   round(a.dot / (a.na * a.nb), 6) AS centroid_cosine
+            FROM agg a JOIN counts c ON a.label = c.label
         """,
         "cloaking_signal": """
             WITH words AS (
