@@ -4084,6 +4084,28 @@ def q_rfc9309_gate(spark, sf_dir):
     )
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: predicted vs stored language,
+    per-pair counts and the share of each stored language the pair
+    represents — the eval rollup over lang_id that shows WHERE the
+    stopword heuristic fails (e.g. short docs falling to 'und'), not
+    just how often. Dimension-sized output; one combinable agg plus a
+    tiny per-language total broadcast back."""
+    from crawler_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", lang_id(F.col("text")).alias("lang_pred")
+    )
+    pairs = d.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    totals = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    return pairs.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.col("n_lang"), 6).alias("share"),
+    )
+
+
 def q_embedding_drift(spark, sf_dir):
     """Embedding drift detector: split the corpus into two waves
     (vec_id parity — the deterministic stand-in for crawl A vs crawl B),
@@ -4897,6 +4919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_wave": q_dedup_cross_wave,
         "cloaking_signal": q_cloaking_signal,
         "embedding_drift": q_embedding_drift,
+        "lang_confusion": q_lang_confusion,
         "dup_quality_profile": q_dup_quality_profile,
         "shingle_df_stats": q_shingle_df_stats,
         "politeness_audit": q_politeness_audit,
@@ -5718,6 +5741,42 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "lang_confusion": """
+            WITH scored AS (
+              SELECT doc_id, lang,
+                len(list_intersect(list_distinct(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+                  ['the','and','of','to','in'])) AS s_en,
+                len(list_intersect(list_distinct(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+                  ['el','la','de','que','los'])) AS s_es,
+                len(list_intersect(list_distinct(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+                  ['le','la','les','des','est'])) AS s_fr,
+                len(list_intersect(list_distinct(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+                  ['der','die','das','und','ist'])) AS s_de
+              FROM documents
+            ),
+            pred AS (
+              SELECT lang,
+                CASE
+                  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+              FROM scored
+            ),
+            pairs AS (
+              SELECT lang, lang_pred, count(*) AS n
+              FROM pred GROUP BY lang, lang_pred
+            ),
+            totals AS (SELECT lang, count(*) AS n_lang FROM pred GROUP BY lang)
+            SELECT p.lang, p.lang_pred, p.n,
+                   round(p.n * 1.0 / t.n_lang, 6) AS share
+            FROM pairs p JOIN totals t ON p.lang = t.lang
         """,
         "embedding_drift": """
             WITH waved AS (
