@@ -135,3 +135,38 @@ def test_warc_parse_is_pure_codegen(spark):
     plan = _plan(spark, "warc_roundtrip")
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
+
+
+def test_curriculum_stages_has_no_window(spark):
+    """Stage boundaries must come from percentile aggregation + a
+    broadcast join — a regression to a global ntile window would
+    serialize the corpus into one sort task."""
+    plan = _plan(spark, "curriculum_stages")
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan  # 1-row cuts
+
+
+def test_retrieval_eval_broadcasts_the_sample_side(spark):
+    """The caption corpus streams; only the query SAMPLE is broadcast.
+    The materialization boundary (repartition Exchange below the join)
+    must survive too — without it the md5 projection re-derives per
+    pair."""
+    plan = _plan(spark, "retrieval_recall")
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
+    assert "Exchange" in plan, plan
+
+
+def test_pack_windows_are_bucket_partitioned(spark):
+    """Shard packing's running-sum window must be partitioned by the
+    hash bucket — a partition-less window is the global-sort trap."""
+    for name in ("pair_shards", "pair_pipeline", "sequence_packing"):
+        plan = _plan(spark, name).lower()
+        assert "windowspecdefinition(bucket" in plan, (name, plan[:2000])
+
+
+def test_ivf_batch_no_cartesian(spark):
+    """Multi-query IVF: probe ranking and candidate scoring must stay
+    keyed joins (cell_id) plus deliberate small-side crosses — never a
+    CartesianProduct."""
+    plan = _plan(spark, "ann_recall_eval")
+    assert "CartesianProduct" not in plan, plan
