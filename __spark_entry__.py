@@ -78,6 +78,18 @@ _PAIR_META_SQL = f"""
 """
 
 
+def _pin(col, k: int):
+    """floor(x*10^k + 0.5)/10^k — rounding via identical IEEE double ops
+    in Spark and DuckDB. Plain round(x, k) diverges between engines when
+    the value sits exactly on a .5 boundary (Spark rounds via the
+    double's exact BigDecimal expansion, DuckDB via double arithmetic) —
+    which HAPPENS for decimal-ish inputs like decimal sums divided by
+    counts (observed at sf0.1: nation_profit, lm_perplexity,
+    dsir_weights, trustrank flipped the last digit)."""
+    sc = float(10 ** k)
+    return F.floor(col * F.lit(sc) + F.lit(0.5)) / F.lit(sc)
+
+
 def _twin_sig_sql(t: int) -> str:
     """DuckDB mirror of operators/pairs.phash_with_twins' twin-t
     signature: phash with 3 md5-chosen bits (< 60) flipped."""
@@ -894,7 +906,13 @@ def q_nation_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(
+            # DECIMAL term sum: order-independent (double partial sums
+            # diverge in the last ulp at sf>=0.1); _pin for the final 2dp
+            _pin(
+                F.sum(profit.cast("decimal(38,10)")).cast("double"), 2
+            ).alias("profit")
+        )
     )
 
 
@@ -3661,15 +3679,16 @@ def q_trustrank(spark, sf_dir):
                 "node",
                 # literal 0.15, not (1 - 0.85): Python's binary 1-0.85 is
                 # 0.15000000000000002, the SQL text's 0.15 is not
-                (
+                _pin(
                     alpha * F.coalesce("c", F.lit(0.0))
-                    + 0.15 * F.coalesce("d0", F.lit(0.0))
+                    + 0.15 * F.coalesce("d0", F.lit(0.0)),
+                    9,
                 ).alias("t"),
             )
             .localCheckpoint()
         )
     return t.filter(F.col("t") > 0).select(
-        "node", F.round("t", 6).alias("trust")
+        "node", _pin(F.col("t"), 6).alias("trust")
     )
 
 
@@ -5411,8 +5430,10 @@ def oracle_sql() -> dict[str, str]:
         "nation_profit": """
             SELECT n_name AS nation,
                    CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                   round(sum(l_extendedprice * (1 - l_discount)
-                             - p_retailprice * l_quantity), 2) AS profit
+                   floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity
+                             AS DECIMAL(38,10))) AS DOUBLE)
+                         * 100.0 + 0.5) / 100.0 AS profit
             FROM lineitem
             JOIN part     ON l_partkey = p_partkey
             JOIN orders   ON l_orderkey = o_orderkey
@@ -5703,8 +5724,11 @@ def oracle_sql() -> dict[str, str]:
               FROM scored GROUP BY doc_id
             )
             SELECT doc_id, n_tok,
-                   round(CAST(sum_lp AS DOUBLE) / n_tok, 6) AS avg_logprob,
-                   round(exp(-round(CAST(sum_lp AS DOUBLE) / n_tok, 6)), 4) AS ppl
+                   floor(CAST(sum_lp AS DOUBLE) / n_tok * 1000000.0 + 0.5)
+                     / 1000000.0 AS avg_logprob,
+                   floor(exp(-(floor(CAST(sum_lp AS DOUBLE) / n_tok
+                                     * 1000000.0 + 0.5) / 1000000.0))
+                         * 10000.0 + 0.5) / 10000.0 AS ppl
             FROM agg
         """,
         "bm25_topk": """
@@ -6587,7 +6611,8 @@ def oracle_sql() -> dict[str, str]:
               FROM pb CROSS JOIN tot
             )
             SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
-                   round(sum(n * lr), 6) AS logw
+                   floor(CAST(sum(CAST(n * lr AS DECIMAL(38,9))) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS logw
             FROM db JOIN lm USING (b) GROUP BY doc_id
         """,
         "host_cap_sample": """
@@ -8914,8 +8939,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             t1 AS (
               SELECT n.node,
-                     0.85 * coalesce(c1.c, 0) + 0.15 * coalesce(s.d0, 0)
-                       AS t
+                     floor((0.85 * coalesce(c1.c, 0)
+                            + 0.15 * coalesce(s.d0, 0))
+                           * 1000000000.0 + 0.5) / 1000000000.0 AS t
               FROM nodes n LEFT JOIN c1 USING (node)
                            LEFT JOIN seeds s USING (node)
             ),
@@ -8927,12 +8953,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             t2 AS (
               SELECT n.node,
-                     0.85 * coalesce(c2.c, 0) + 0.15 * coalesce(s.d0, 0)
-                       AS t
+                     floor((0.85 * coalesce(c2.c, 0)
+                            + 0.15 * coalesce(s.d0, 0))
+                           * 1000000000.0 + 0.5) / 1000000000.0 AS t
               FROM nodes n LEFT JOIN c2 USING (node)
                            LEFT JOIN seeds s USING (node)
             )
-            SELECT node, round(t, 6) AS trust FROM t2 WHERE t > 0
+            SELECT node, floor(t * 1000000.0 + 0.5) / 1000000.0 AS trust
+            FROM t2 WHERE t > 0
         """,
         "weighted_sample": f"""
             WITH f AS ({_FRONTIER_SQL}),

@@ -372,12 +372,15 @@ def lm_perplexity_scores(
         .select(
             "doc_id",
             "n_tok",
-            F.round(F.col("sum_lp").cast("double") / F.col("n_tok"), 6).alias(
+            # _pin, not round: sum_lp/n_tok is a 6dp-decimal over an
+            # integer — it hits exact .5 boundaries where the engines'
+            # round() modes disagree (observed at sf0.1)
+            _pin(F.col("sum_lp").cast("double") / F.col("n_tok"), 6).alias(
                 "avg_logprob"
             ),
-            F.round(
+            _pin(
                 F.exp(
-                    -F.round(
+                    -_pin(
                         F.col("sum_lp").cast("double") / F.col("n_tok"), 6
                     )
                 ),
@@ -448,6 +451,14 @@ def bm25_topk(
     )
 
 
+def _pin(col, k: int):
+    """floor(x*10^k + 0.5)/10^k — deterministic cross-engine rounding
+    (identical IEEE ops in Spark and DuckDB; plain round() diverges at
+    exact .5 boundaries, which decimal-sum/count quotients DO hit)."""
+    sc = float(10 ** k)
+    return F.floor(col * F.lit(sc) + F.lit(0.5)) / F.lit(sc)
+
+
 def dsir_logweights(
     docs: DataFrame,
     target_col,
@@ -516,7 +527,14 @@ def dsir_logweights(
         .groupBy("doc_id")
         .agg(
             F.sum("n").alias("n_toks"),
-            F.round(F.sum(F.col("n") * F.col("lr")), 6).alias("logw"),
+            # DECIMAL term sum (order-independent) + _pin: round(,6) of
+            # a 9dp-termed sum lands on exact .5 boundaries ~1/1000 docs
+            _pin(
+                F.sum(
+                    (F.col("n") * F.col("lr")).cast("decimal(38,9)")
+                ).cast("double"),
+                6,
+            ).alias("logw"),
         )
     )
 
