@@ -47,6 +47,7 @@ class OracleCrawler:
         round_seconds: float = 16.0,
         max_attempts: int = 2,
         host_priorities: dict[str, int] | None = None,
+        adaptive: bool = False,
     ):
         self.web = web
         self.round_seconds = round_seconds
@@ -55,6 +56,10 @@ class OracleCrawler:
         # hosts absent from the map crawl at priority 0 (the default
         # FIFO-by-discovery behavior the reference exhibits)
         self.prio = host_priorities or {}
+        # closed-loop politeness mirror: hosts that failed a fetch in the
+        # previous round crawl at half budget this round (floor, min 1)
+        self.adaptive = adaptive
+        self.failed_hosts_prev: set[str] = set()
         self.robots = {r["host"]: r for r in web.robots_rows()}
         self.pending: list[_Entry] = []
         self.seen: set[str] = set()
@@ -110,17 +115,26 @@ class OracleCrawler:
         taken: list[_Entry] = []
         deferred: list[_Entry] = []
         used: dict[str, int] = {}
+
+        def _round_budget(host: str) -> int:
+            b = self._budget(host)
+            if self.adaptive and host in self.failed_hosts_prev:
+                b = max(1, b // 2)
+            return b
+
         for e in alive:
-            if used.get(e.host, 0) < self._budget(e.host):
+            if used.get(e.host, 0) < _round_budget(e.host):
                 used[e.host] = used.get(e.host, 0) + 1
                 taken.append(e)
             else:
                 deferred.append(e)
         self.pending = deferred
+        failed_hosts_now: set[str] = set()
         for e in taken:
             self.schedule.append((round_id, e.url_canon))
             err = self.web.fetch_error(e.url_canon, attempt=e.attempts + 1)
             if err is not None:
+                failed_hosts_now.add(e.host)
                 # T3 retry budget: re-queue (next round, same ordering
                 # key) below the budget; terminal failure at the budget
                 if e.attempts + 1 < self.max_attempts:
@@ -145,6 +159,7 @@ class OracleCrawler:
                     )
                     self.next_seq += 1
         self.pending.extend(held)
+        self.failed_hosts_prev = failed_hosts_now
         return len(taken)
 
     def run(

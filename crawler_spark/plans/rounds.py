@@ -207,6 +207,7 @@ def run_round(
     compact_frac: float = 0.3,
     compact_min: int = 1024,
     host_priorities: dict[str, int] | None = None,
+    adaptive: bool = False,
 ) -> dict:
     """Execute one crawl round; returns counters (crawling_stats analog,
     reference: src/crawler/base_crawler.py:38-47).
@@ -250,6 +251,33 @@ def run_round(
         pending = pending.filter(F.col("host").contains(target_host_contains))
 
     allowed, denied = robots_gate(pending, robots, round_seconds)
+    if adaptive and catalog.exists("host_outcomes"):
+        # closed-loop politeness (reference parity: the crawler slows on
+        # a host as soon as it misbehaves): hosts with ANY fetch failure
+        # in the PREVIOUS round crawl at half budget this round (floor,
+        # min 1). The outcome table is host-dimension sized and
+        # broadcast; the sequential oracle mirrors the same rule.
+        prev_failed = (
+            catalog.read("host_outcomes")
+            .filter(
+                (F.col("round_id") == round_id - 1) & (F.col("n_failed") > 0)
+            )
+            .select("host")
+            .withColumn("_halve", F.lit(True))
+        )
+        allowed = (
+            allowed.join(F.broadcast(prev_failed), "host", "left")
+            .withColumn(
+                "budget",
+                F.when(
+                    F.col("_halve"),
+                    F.greatest(
+                        F.lit(1), F.floor(F.col("budget") / 2)
+                    ).cast("int"),
+                ).otherwise(F.col("budget")),
+            )
+            .drop("_halve")
+        )
     # denied is referenced by the frontier rewrite, the status anti-join
     # and the denied counter; persist so the robots-gate branch runs once
     denied = denied.persist()
@@ -462,6 +490,19 @@ def run_round(
     writes = [
         *frontier_writes,
         ("results", results_new, False),
+    ]
+    if adaptive:
+        host_outcomes = (
+            fetched.groupBy("host")
+            .agg(
+                F.sum((F.col("kind") == "fail").cast("long")).alias(
+                    "n_failed"
+                )
+            )
+            .withColumn("round_id", F.lit(round_id))
+        )
+        writes.append(("host_outcomes", host_outcomes, False))
+    writes += [
         ("fetch_failures", failures_new, False),
         # one row per fetch partition -> single small file per round
         ("round_metrics", metrics.coalesce(1), False),
@@ -557,6 +598,7 @@ def run_crawl(
     compact_min: int = 1024,
     seen_filter: str = "bloom",
     host_priorities: dict[str, int] | None = None,
+    adaptive: bool = False,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Full crawl loop: init + rounds until the frontier drains, or —
     with ``stop_on_caption_contains`` — until a round lands a matching
@@ -573,7 +615,7 @@ def run_crawl(
             target_host_contains=target_host_contains,
             stop_on_caption_contains=stop_on_caption_contains,
             compact_frac=compact_frac, compact_min=compact_min,
-            host_priorities=host_priorities,
+            host_priorities=host_priorities, adaptive=adaptive,
         )
         history.append(stats)
         if stats.get("target_hits", 0) > 0:

@@ -398,3 +398,32 @@ def test_rank_fed_two_wave_crawl(spark, tmp_path):
         r["url_canon"] for r in cat2.read("seen").select("url_canon").collect()
     }
     assert seen2 == oracle.seen
+
+
+def test_adaptive_politeness_oracle_match(spark, tmp_path):
+    """Closed-loop politeness: a host with any fetch failure crawls at
+    half budget the NEXT round (floor, min 1) — engine matches the
+    adaptive oracle exactly on the flaky web, and the adaptive schedule
+    genuinely differs from the fixed-budget crawl while final coverage
+    is unchanged on a fully drained web."""
+    catalog, _ = run_crawl(
+        spark, str(tmp_path / "ad"), T4_FLAKY, round_seconds=ROUND_S,
+        adaptive=True,
+    )
+    oracle = OracleCrawler(T4_FLAKY, round_seconds=ROUND_S, adaptive=True)
+    oracle.run()
+    assert _engine_schedule(catalog) == oracle.schedule
+    engine_seen = {
+        r["url_canon"] for r in catalog.read("seen").select("url_canon").collect()
+    }
+    assert engine_seen == oracle.seen
+    engine_fail = {
+        r["url_canon"]
+        for r in catalog.read("fetch_failures").select("url_canon").collect()
+    }
+    assert engine_fail == {u for u, _ in oracle.failures}
+
+    fixed = OracleCrawler(T4_FLAKY, round_seconds=ROUND_S)
+    fixed.run()
+    assert oracle.schedule != fixed.schedule  # halving took effect
+    assert oracle.seen == fixed.seen          # coverage unchanged
