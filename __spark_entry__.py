@@ -3045,6 +3045,29 @@ def q_crawl_smoke(spark, sf_dir):
     return out
 
 
+def q_crawl_adaptive_smoke(spark, sf_dir):
+    """End-to-end ADAPTIVE crawl smoke: the flaky web crawled with the
+    closed-loop politeness back-off (hosts halve budget the round after
+    any failure) plus priority-mapped hosts — the full feature surface
+    of the scheduler in one run. Rows-only (engine-internal tables);
+    exact oracle parity is pytest's test_adaptive_politeness_oracle_match
+    and test_host_priority_queue_drives_ordering."""
+    import tempfile
+
+    from crawler_spark.operators.metrics import results_by_host
+    from crawler_spark.plans.rounds import run_crawl
+    from crawler_spark.sources.synth import T4_FLAKY
+
+    with tempfile.TemporaryDirectory() as td:
+        catalog, _ = run_crawl(
+            spark, td, T4_FLAKY, round_seconds=8.0, use_bloom=True,
+            adaptive=True,
+        )
+        out = results_by_host(catalog.read("results"))
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmpdir
+    return out
+
+
 def _redirect_edges(spark, sf_dir):
     """Deterministic redirect graph over the document frontier: with
     c = doc_id % 100, docs 1<=c<=12 redirect one step down (chains up
@@ -4939,6 +4962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloaking_signal": q_cloaking_signal,
         "embedding_drift": q_embedding_drift,
         "lang_confusion": q_lang_confusion,
+        "crawl_adaptive_smoke": q_crawl_adaptive_smoke,
         "dup_quality_profile": q_dup_quality_profile,
         "shingle_df_stats": q_shingle_df_stats,
         "politeness_audit": q_politeness_audit,
