@@ -1,7 +1,11 @@
 """Packaging check: zip the package and run a crawl through
-``spark-submit --py-files`` — the north-rule deployment path.
+``spark-submit --py-files`` — the north-rule deployment path, at TWO
+cluster sizes (the rule's "N and 4N executors" shape; local[2] and
+local[8] here — the rigorous pinned scaling-efficiency measurement
+lives in bench.py --scaling, this check proves the submit path itself
+works at both sizes).
 
-Usage: python tools/submit_check.py [master]   (default local[8])
+Usage: python tools/submit_check.py [master ...]  (default local[2] local[8])
 
 Builds crawler_spark.zip from the source tree, then launches
 ``spark-submit --master <master> --py-files crawler_spark.zip
@@ -34,8 +38,7 @@ def build_zip(dest: str) -> str:
     return zpath
 
 
-def main() -> int:
-    master = sys.argv[1] if len(sys.argv) > 1 else "local[8]"
+def run_one(master: str) -> int:
     spark_home = os.environ.get("SPARK_HOME")
     submit = (
         os.path.join(spark_home, "bin", "spark-submit")
@@ -78,7 +81,7 @@ def main() -> int:
         )
         if proc.returncode != 0 or line is None:
             sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
-            print("SUBMIT CHECK FAIL")
+            print(f"SUBMIT CHECK FAIL ({master})")
             return 1
         stats = json.loads(line)
         assert stats["results"] > 0 and stats["rounds"] >= 4, stats
@@ -86,6 +89,15 @@ def main() -> int:
         return 0
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+def main() -> int:
+    masters = sys.argv[1:] or ["local[2]", "local[8]"]
+    for m in masters:
+        rc = run_one(m)
+        if rc:
+            return rc
+    return 0
 
 
 if __name__ == "__main__":
