@@ -2218,6 +2218,70 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_repetition_suite(spark, sf_dir):
+    """The FULL Gopher repetition battery (Rae et al. 2021 §A1.1), not
+    just the top-bigram signal: per document, the fraction of 3-grams /
+    4-grams taken by the single most frequent one, plus the fraction of
+    characters contained in duplicated 5-grams (5-grams occurring >= 2
+    times in the doc). One scan: the three gram families are tagged
+    structs flattened into ONE explode (no union re-scan), then two
+    grouped aggregations — (doc, n, gram) counts partial-aggregate
+    map-side, so the shuffle carries counted grams, not raw gram
+    occurrences. Token array projected once before the lambdas (no CSE
+    inside higher-order functions)."""
+    ws = F.col("__ws")
+
+    def gram_structs(n: int):
+        # guard: sequence(1, size-(n-1)) DESCENDS when size < n
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(ws, i, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    d = _t(spark, sf_dir, "documents")
+    per_n = (
+        d.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__ws"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.flatten(F.array(gram_structs(3), gram_structs(4), gram_structs(5)))
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "n")
+        .agg(
+            (F.max("cnt") / F.sum("cnt")).alias("top_ratio"),
+            (
+                F.sum(
+                    F.when(F.col("cnt") >= 2, F.length("gram") * F.col("cnt")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum(F.length("gram") * F.col("cnt"))
+            ).alias("dup_char_frac"),
+        )
+    )
+    top = lambda n: F.max(F.when(F.col("n") == n, F.col("top_ratio")))  # noqa: E731
+    return per_n.groupBy("doc_id").agg(
+        _pin(top(3), 6).alias("top3_ratio"),
+        _pin(top(4), 6).alias("top4_ratio"),
+        _pin(F.max(F.when(F.col("n") == 5, F.col("dup_char_frac"))), 6).alias(
+            "dup5_char_frac"
+        ),
+    )
+
+
 def q_sequence_packing(spark, sf_dir):
     """LLM training sequence packing: assign documents to fixed
     token-budget bins (budget 512) with greedy next-fit over a running
@@ -2587,6 +2651,37 @@ def q_lm_perplexity(spark, sf_dir):
     from crawler_spark.operators.corpus import lm_perplexity_scores
 
     return lm_perplexity_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
+    2020): score every document with the corpus LM perplexity, then
+    split EACH LANGUAGE into exact perplexity tertiles — head (most
+    fluent third) is what pre-training keeps first, tail is inspected
+    or dropped. Cuts are exact interpolated percentiles per language
+    (Spark `percentile` == DuckDB quantile_cont bit-for-bit, verified
+    by latency_percentiles); the cut table is language-sized and
+    broadcast back, so the corpus is never re-shuffled for bucketing.
+    At 100 TB the exact percentile swaps to approx_percentile per
+    language at a documented error bound."""
+    from crawler_spark.operators.corpus import lm_perplexity_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = lm_perplexity_scores(d).join(d.select("doc_id", "lang"), "doc_id")
+    third = "cast(1 as double)/3"
+    cuts = scored.groupBy("lang").agg(
+        F.expr(f"percentile(ppl, {third})").alias("t1"),
+        F.expr(f"percentile(ppl, 2*({third}))").alias("t2"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
 
 
 def q_bm25_topk(spark, sf_dir):
@@ -4942,6 +5037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue": q_running_revenue,
         "lang_mixture": q_lang_mixture,
         "lm_perplexity": q_lm_perplexity,
+        "ccnet_buckets": q_ccnet_buckets,
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
         "host_cap_sample": q_host_cap_sample,
@@ -5006,6 +5102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
+        "repetition_suite": q_repetition_suite,
         "sequence_packing": q_sequence_packing,
         "training_shards": q_training_shards,
         "event_funnel": q_event_funnel,
@@ -5754,6 +5851,53 @@ def oracle_sql() -> dict[str, str]:
                                      * 1000000.0 + 0.5) / 1000000.0))
                          * 10000.0 + 0.5) / 10000.0 AS ppl
             FROM agg
+        """,
+        "ccnet_buckets": """
+            WITH t AS (
+              SELECT doc_id,
+                unnest(list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  x -> len(x) > 0)) AS tok
+              FROM documents
+            ),
+            uni AS (SELECT tok, count(*) AS n_uni FROM t GROUP BY tok),
+            tot AS (
+              SELECT CAST(sum(n_uni) AS DOUBLE) AS n_total,
+                     CAST(count(*) AS DOUBLE) AS v_size
+              FROM uni
+            ),
+            scored AS (
+              SELECT doc_id,
+                     CAST(round(ln((n_uni + 0.5) / (n_total + 0.5 * v_size)), 6)
+                          AS DECIMAL(20,6)) AS lp6
+              FROM t JOIN uni USING (tok) CROSS JOIN tot
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tok, sum(lp6) AS sum_lp
+              FROM scored GROUP BY doc_id
+            ),
+            ppl AS (
+              SELECT doc_id,
+                     floor(exp(-(floor(CAST(sum_lp AS DOUBLE) / n_tok
+                                       * 1000000.0 + 0.5) / 1000000.0))
+                           * 10000.0 + 0.5) / 10000.0 AS ppl
+              FROM agg
+            ),
+            j AS (
+              SELECT p.doc_id, d.lang, p.ppl
+              FROM ppl p JOIN documents d USING (doc_id)
+            ),
+            cuts AS (
+              SELECT lang,
+                     quantile_cont(ppl, CAST(1 AS DOUBLE)/3) AS t1,
+                     quantile_cont(ppl, 2*(CAST(1 AS DOUBLE)/3)) AS t2
+              FROM j GROUP BY lang
+            )
+            SELECT j.doc_id, j.lang, j.ppl,
+                   CASE WHEN j.ppl <= c.t1 THEN 'head'
+                        WHEN j.ppl <= c.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM j JOIN cuts c USING (lang)
         """,
         "bm25_topk": """
             WITH t AS (
@@ -7560,6 +7704,51 @@ def oracle_sql() -> dict[str, str]:
                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
                 ELSE 'fr' END) THEN 1 ELSE 0 END AS BIGINT) AS agree
             FROM scored
+        """,
+        "repetition_suite": """
+            WITH words AS (
+              SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            gr AS (
+              SELECT doc_id, 3 AS n,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+              UNION ALL
+              SELECT doc_id, 4 AS n,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+              FROM words, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+              WHERE len(ws) >= 4
+              UNION ALL
+              SELECT doc_id, 5 AS n,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                           || ' ' || ws[i+4]
+              FROM words, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+              WHERE len(ws) >= 5
+            ),
+            c AS (
+              SELECT doc_id, n, gram, count(*) AS cnt
+              FROM gr GROUP BY doc_id, n, gram
+            ),
+            p AS (
+              SELECT doc_id, n,
+                     -- CAST, not *1.0: decimal arithmetic would diverge
+                     -- from Spark's double division under _pin
+                     CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_ratio,
+                     CAST(sum(CASE WHEN cnt >= 2 THEN len(gram) * cnt ELSE 0 END)
+                          AS DOUBLE) / sum(len(gram) * cnt) AS dup_char_frac
+              FROM c GROUP BY doc_id, n
+            )
+            SELECT doc_id,
+              floor(max(CASE WHEN n = 3 THEN top_ratio END) * 1000000.0 + 0.5)
+                / 1000000.0 AS top3_ratio,
+              floor(max(CASE WHEN n = 4 THEN top_ratio END) * 1000000.0 + 0.5)
+                / 1000000.0 AS top4_ratio,
+              floor(max(CASE WHEN n = 5 THEN dup_char_frac END) * 1000000.0 + 0.5)
+                / 1000000.0 AS dup5_char_frac
+            FROM p GROUP BY doc_id
         """,
         "repetition_stats": """
             WITH words AS (
