@@ -3482,6 +3482,73 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_image_watermark(spark, sf_dir):
+    """Multimodal: watermark/overlay-region heuristic over engine-encoded
+    png/qdct images (corner/bottom-strip Laplacian density vs global —
+    the deterministic stand-in for LAION's watermark model). No SQL
+    oracle (binary codec); rows-only — the numeric contract is
+    pytest-covered (tests/test_watermark.py: flags exactly the
+    checker-stamped corner, leaves clean/flat/noise unflagged)."""
+    from crawler_spark.operators.multimodal import watermark_scores
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return watermark_scores(images)
+
+
+def _clf64_weights() -> list[float]:
+    """64 deterministic literal weights in [-1, 1] for the embedding
+    safety head: two md5 hex digits of 'clf64:<j>' per dim. Computed
+    once in Python; identical literals are inlined into the Spark plan
+    AND the DuckDB oracle, so there is nothing to drift."""
+    import hashlib
+
+    ws = []
+    for j in range(64):
+        h = hashlib.md5(f"clf64:{j}".encode()).hexdigest()
+        ws.append(round((int(h[:2], 16)) / 127.5 - 1.0, 9))
+    return ws
+
+
+def q_embedding_classifier(spark, sf_dir):
+    """Embedding-head safety/quality classifier inference — the shape of
+    every NSFW / aesthetic / CLIP-head gate an image-curation pipeline
+    runs over stored embeddings: a linear probe on the embedding vector
+    (64 literal weights, broadcast by constant-folding), sigmoid, and a
+    threshold flag. zip_with + native aggregate fold: whole-stage
+    codegen, no explode, no shuffle, no Python — a 10^10-vector corpus
+    scores in one scan. Fold sums are round-9 stabilized before the
+    sigmoid so both engines agree bit-for-bit (caption_alignment
+    recipe); the flag compares the ROUNDED score."""
+    ws = _clf64_weights()
+    w_arr = F.array(*[F.lit(w) for w in ws])
+    e = _t(spark, sf_dir, "embeddings")
+    raw = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                w_arr,
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+    return e.select(
+        "vec_id",
+        "label",
+        score.alias("score"),
+        (score > 0.5).alias("flagged"),
+    )
+
+
 def q_image_sharpness(spark, sf_dir):
     """Multimodal: Laplacian-variance blur scoring over engine-encoded
     png/qdct images via Arrow-batched mapInPandas (see
@@ -5144,6 +5211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_params": q_dust_params,
         "quality_classifier": q_quality_classifier,
         "image_sharpness": q_image_sharpness,
+        "image_watermark": q_image_watermark,
+        "embedding_classifier": q_embedding_classifier,
         "image_exposure_gates": q_image_exposure_gates,
         "image_augment": q_image_augment,
         "snapshot_diff": q_snapshot_diff,
@@ -8283,6 +8352,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings,
                  unnest(generate_series(1, len(embedding))) AS t(i)
             GROUP BY label, dim
+        """,
+        "embedding_classifier": f"""
+            WITH comp AS (
+              SELECT vec_id, label,
+                     CAST(embedding[i] AS DOUBLE)
+                       * ([{", ".join(repr(w) for w in _clf64_weights())}][i]) AS p
+              FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+            ),
+            s AS (
+              SELECT vec_id, label, round(sum(p), 9) AS raw
+              FROM comp GROUP BY vec_id, label
+            )
+            SELECT vec_id, label,
+                   round(1.0 / (1.0 + exp(-raw)), 6) AS score,
+                   round(1.0 / (1.0 + exp(-raw)), 6) > 0.5 AS flagged
+            FROM s
         """,
         "embedding_quantization": """
             WITH m AS (

@@ -364,6 +364,101 @@ def exposure_entropy_gates(
     )
 
 
+WATERMARK_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("region_edge", T.DoubleType()),
+        T.StructField("global_edge", T.DoubleType()),
+        T.StructField("overlay_score", T.DoubleType()),
+        T.StructField("has_overlay", T.BooleanType()),
+    ]
+)
+
+
+def watermark_scores(
+    images: DataFrame,
+    region_frac: float = 0.25,
+    score_thresh: float = 3.0,
+    min_region_edge: float = 16.0,
+) -> DataFrame:
+    """Watermark / overlay-text heuristic — the deterministic stand-in
+    for LAION's watermark model (no model ships in this container; the
+    Spark shape is the real one). Overlay logos and stamped text are
+    high-contrast content concentrated in a canonical region (a corner
+    or the bottom strip), so per image we compare the mean |Laplacian|
+    edge density of the five canonical overlay regions against the
+    whole-image density: ``overlay_score = max_region / global``. A
+    clean photo is spatially stationary (score ≈ 1); a stamped corner
+    dominates its region (score >> 1). ``min_region_edge`` stops
+    near-flat images from tripping the ratio on noise.
+
+    Arrow-batched mapInPandas, three vectorized numpy ops per image —
+    same scale contract as decode_stats (bounded batches, only
+    (image_id, bytes, fmt) enter Python)."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt).astype(np.float64)
+                lap = np.abs(
+                    -4.0 * px[1:-1, 1:-1]
+                    + px[:-2, 1:-1]
+                    + px[2:, 1:-1]
+                    + px[1:-1, :-2]
+                    + px[1:-1, 2:]
+                )
+                if lap.size == 0:
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "region": "none",
+                            "region_edge": 0.0,
+                            "global_edge": 0.0,
+                            "overlay_score": 0.0,
+                            "has_overlay": False,
+                        }
+                    )
+                    continue
+                h, w = lap.shape
+                rh = max(int(h * region_frac), 1)
+                rw = max(int(w * region_frac), 1)
+                bs = max(int(h * 0.15), 1)
+                regions = (
+                    ("top_left", lap[:rh, :rw]),
+                    ("top_right", lap[:rh, -rw:]),
+                    ("bottom_left", lap[-rh:, :rw]),
+                    ("bottom_right", lap[-rh:, -rw:]),
+                    ("bottom_strip", lap[-bs:, :]),
+                )
+                g = float(lap.mean())
+                name, rd = max(
+                    ((k, float(v.mean())) for k, v in regions),
+                    key=lambda kv: kv[1],
+                )
+                score = rd / (g + 1e-9)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "region": name,
+                        "region_edge": round(rd, 6),
+                        "global_edge": round(g, 6),
+                        "overlay_score": round(score, 6),
+                        "has_overlay": bool(
+                            score >= score_thresh and rd >= min_region_edge
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WATERMARK_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=WATERMARK_SCHEMA
+    )
+
+
 AUGMENT_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),
