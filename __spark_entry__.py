@@ -3944,6 +3944,137 @@ def q_vocab_coverage(spark, sf_dir):
     )
 
 
+def q_ip_politeness(spark, sf_dir):
+    """IP-level shared politeness — virtual hosting means dozens of
+    hostnames resolve to one server, and a polite crawler budgets per
+    IP, not per hostname (the classic Mercator refinement). Hosts map
+    deterministically onto 8 'IPs' (md5 digit — the stand-in for a DNS
+    dimension); each IP admits 6 URLs per round, each HOST alone would
+    admit 4. The output exposes the collision: rows admitted under the
+    host budget but deferred by the shared-IP budget. Two windows over
+    the same crawl order; at 10^10 rows both keys get the salted
+    two-phase treatment politeness_select uses — here the plans stay
+    single-window since the per-key admit depth is tiny."""
+    f = _frontier(spark, sf_dir).withColumn(
+        "ip_id",
+        F.expr("(instr('0123456789abcdef', substring(md5(host), 1, 1)) - 1) % 8"),
+    )
+    order = [F.col("priority"), F.col("depth"), F.col("discovery_seq")]
+    r_ip = F.row_number().over(Window.partitionBy("ip_id").orderBy(*order))
+    r_host = F.row_number().over(Window.partitionBy("host").orderBy(*order))
+    return f.select(
+        "doc_id",
+        "host",
+        "ip_id",
+        r_ip.alias("rank_ip"),
+        r_host.alias("rank_host"),
+    ).select(
+        "doc_id",
+        "host",
+        "ip_id",
+        "rank_ip",
+        (F.col("rank_ip") <= 6).alias("admitted_ip"),
+        (F.col("rank_host") <= 4).alias("admitted_host"),
+    )
+
+
+def q_span_dedup_stats(spark, sf_dir):
+    """C4's global span dedup as per-document removal statistics: every
+    5-word window is fingerprinted; a window whose text occurs in >= 2
+    DISTINCT documents is duplicate mass slated for removal. Per doc:
+    window count, cross-doc duplicate windows, removal fraction. Shape:
+    one explode, (window -> distinct-doc count) aggregation, join the
+    (window, n_docs>=2) set back, per-doc agg — the frequency table is
+    corpus-vocabulary sized, never quadratic (contrast
+    substring_overlap, which materializes the PAIRS). At 100 TB the
+    distinct-doc count becomes a 2-level (window, doc)->window agg —
+    exactly what this plan already does."""
+    ws = F.col("__ws")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 4),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
+    )
+    d = _t(spark, sf_dir, "documents")
+    win_rows = (
+        d.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__ws"),
+        )
+        .filter(F.size(ws) >= 5)
+        .select("doc_id", F.explode(wins).alias("win"))
+    )
+    freq = (
+        win_rows.select("doc_id", "win")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        win_rows.join(freq, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("dup_windows"),
+        )
+        .withColumn(
+            "removal_frac",
+            _pin(F.col("dup_windows") / F.col("n_windows"), 6),
+        )
+    )
+
+
+def q_host_mirror_jaccard(spark, sf_dir):
+    """Mirror-host detection: Jaccard similarity between hosts' content
+    5-gram shingle SETS — the crawl-planner pass that spots mirrored
+    sites (and DUST hosts) so one replica gets the budget. Intersections
+    come from a self-join on the shingle (candidates only where content
+    is actually shared — never hosts x hosts; at web scale, frequent
+    shingles get DF-capped first, exactly like ngram_jaccard_capped,
+    to bound the per-shingle host fan-out), set sizes broadcast back.
+    Output: host pairs sharing any shingle, with exact Jaccard."""
+    ws = F.col("__ws")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 4),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("host-"), (F.col("doc_id") % 20).cast("string")).alias(
+                "host"
+            ),
+            F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__ws"),
+        )
+        .filter(F.size(ws) >= 5)
+        .select("host", F.explode(wins).alias("fp"))
+        .distinct()
+    )
+    sizes = d.groupBy("host").agg(F.count("*").alias("n"))
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), "fp")
+        .filter(F.col("a.host") < F.col("b.host"))
+        .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "inter",
+            _pin(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def q_mime_sniff(spark, sf_dir):
     """Content-type sniffing vs the declared format — the crawl-side
     defense against mislabeled payloads (servers lie in Content-Type
@@ -5129,6 +5260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_quality_profile": q_dup_quality_profile,
         "shingle_df_stats": q_shingle_df_stats,
         "politeness_audit": q_politeness_audit,
+        "ip_politeness": q_ip_politeness,
+        "span_dedup_stats": q_span_dedup_stats,
+        "host_mirror_jaccard": q_host_mirror_jaccard,
         "host_cocitation": q_host_cocitation,
         "host_ucb_priority": q_host_ucb_priority,
         "curriculum_stages": q_curriculum_stages,
@@ -6321,6 +6455,82 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN th ON ks.k = th.k
             LEFT JOIN ch ON ks.k = ch.k
             CROSS JOIN tn CROSS JOIN cn
+        """,
+        "ip_politeness": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            g AS (
+              SELECT doc_id, host,
+                     (instr('0123456789abcdef', substring(md5(host), 1, 1)) - 1)
+                       % 8 AS ip_id,
+                     priority, depth, discovery_seq
+              FROM f
+            )
+            SELECT doc_id, host, ip_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY ip_id
+                     ORDER BY priority, depth, discovery_seq) AS rank_ip,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY ip_id
+                     ORDER BY priority, depth, discovery_seq) <= 6 AS admitted_ip,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY host
+                     ORDER BY priority, depth, discovery_seq) <= 4 AS admitted_host
+            FROM g
+        """,
+        "span_dedup_stats": """
+            WITH words AS (
+              SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            wr AS (
+              SELECT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                           || ' ' || ws[i+4] AS win
+              FROM words, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+              WHERE len(ws) >= 5
+            ),
+            freq AS (
+              SELECT win, count(*) AS n_docs
+              FROM (SELECT DISTINCT doc_id, win FROM wr) GROUP BY win
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_windows,
+                     CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS dup_windows
+              FROM wr JOIN freq USING (win) GROUP BY doc_id
+            )
+            SELECT doc_id, n_windows, dup_windows,
+                   floor(CAST(dup_windows AS DOUBLE) / n_windows
+                         * 1000000.0 + 0.5) / 1000000.0 AS removal_frac
+            FROM agg
+        """,
+        "host_mirror_jaccard": """
+            WITH words AS (
+              SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            d AS (
+              SELECT DISTINCT 'host-' || (doc_id % 20) AS host,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                           || ' ' || ws[i+4] AS fp
+              FROM words, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+              WHERE len(ws) >= 5
+            ),
+            sizes AS (SELECT host, count(*) AS n FROM d GROUP BY host),
+            pairs AS (
+              SELECT a.host AS host_a, b.host AS host_b, count(*) AS inter
+              FROM d a JOIN d b USING (fp)
+              WHERE a.host < b.host
+              GROUP BY a.host, b.host
+            )
+            SELECT host_a, host_b, inter,
+                   floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+                         * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.host = host_a
+            JOIN sizes sb ON sb.host = host_b
         """,
         "politeness_audit": """
             WITH ev AS (
