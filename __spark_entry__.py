@@ -3587,6 +3587,25 @@ def q_image_exposure_gates(spark, sf_dir):
     return exposure_entropy_gates(images)
 
 
+def q_image_patches(spark, sf_dir):
+    """Multimodal: ViT-style 16x16 patch extraction over engine-encoded
+    images — one row in, (h//16)*(w//16) patch rows out with grid
+    position + pixel offsets, each tile re-encoded in the source codec
+    (Arrow-batched flatMap, the UDTF shape). No SQL oracle (binary
+    codec); rows-only — pixel-exact grid contracts are pytest-covered
+    (tests/test_patches.py)."""
+    from crawler_spark.operators.multimodal import image_patches
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return image_patches(images)
+
+
 def q_image_augment(spark, sf_dir):
     """Multimodal: deterministic offline augmentation (identity, hflip,
     center crop, each re-encoded in the source codec) over
@@ -5349,6 +5368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_classifier": q_embedding_classifier,
         "image_exposure_gates": q_image_exposure_gates,
         "image_augment": q_image_augment,
+        "image_patches": q_image_patches,
         "snapshot_diff": q_snapshot_diff,
         "budget_allocation": q_budget_allocation,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,

@@ -30,6 +30,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crawler_spark.sources.synth import SynthWeb
@@ -41,6 +42,10 @@ FETCHED_SCHEMA = T.StructType(
         T.StructField("url_hash", T.LongType()),
         T.StructField("host", T.StringType()),
         T.StructField("priority", T.IntegerType()),
+        # the key the row actually scheduled under this round (aged when
+        # run_round(aging_every=...) is on, == priority otherwise); link
+        # expansion orders children by it so the oracle stays exact
+        T.StructField("eff_priority", T.IntegerType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("discovery_seq", T.LongType()),
         T.StructField("attempts", T.IntegerType()),  # prior attempt count
@@ -76,6 +81,7 @@ def make_fetch_parse(web: SynthWeb):
                     url_hash=int(row.url_hash),
                     host=row.host,
                     priority=int(row.priority),
+                    eff_priority=int(row.eff_priority),
                     depth=int(row.depth),
                     discovery_seq=int(row.discovery_seq),
                     attempts=int(row.attempts),
@@ -106,7 +112,7 @@ def make_fetch_parse(web: SynthWeb):
             # past 2^53 — nullable Int64 arrays keep them exact
             int_cols = {
                 "phash", "link_seq", "w", "h", "url_hash", "discovery_seq",
-                "priority", "attempts",
+                "priority", "eff_priority", "attempts",
             }
             names = [f.name for f in FETCHED_SCHEMA.fields]
             pdf_out = pd.DataFrame(
@@ -125,7 +131,10 @@ def make_fetch_parse(web: SynthWeb):
 
 
 def run_fetch(scheduled: DataFrame, web: SynthWeb) -> DataFrame:
-    return scheduled.select(
-        "url_canon", "url_hash", "host", "priority", "depth",
-        "discovery_seq", "attempts",
-    ).mapInPandas(make_fetch_parse(web), schema=FETCHED_SCHEMA)
+    cols = ["url_canon", "url_hash", "host", "priority", "depth",
+            "discovery_seq", "attempts"]
+    if "eff_priority" not in scheduled.columns:
+        scheduled = scheduled.withColumn("eff_priority", F.col("priority"))
+    return scheduled.select(*cols, "eff_priority").mapInPandas(
+        make_fetch_parse(web), schema=FETCHED_SCHEMA
+    )

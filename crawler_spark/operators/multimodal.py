@@ -364,6 +364,65 @@ def exposure_entropy_gates(
     )
 
 
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("patch_row", T.IntegerType()),
+        T.StructField("patch_col", T.IntegerType()),
+        T.StructField("py", T.IntegerType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+def image_patches(images: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch extraction: each image explodes into its grid of
+    ``patch`` x ``patch`` tiles (one row per patch with grid position +
+    pixel offset), each re-encoded in the source codec — the offline
+    patchification pass a vision-training pipeline materializes so the
+    loader never decodes full images. Images are cropped to the largest
+    patch multiple (standard ViT behavior); a mean-luma column rides
+    along so downstream can drop empty tiles without re-decoding.
+
+    One row in -> (h//p)*(w//p) rows out (flatMap in mapInPandas, the
+    UDTF shape); slicing is a numpy view per patch, the only copies are
+    the encodes. Output volume is ~input volume — at 100 TB the output
+    partitioning should follow image_id (already the input layout), so
+    the explode never shuffles."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                nr, nc = px.shape[0] // patch, px.shape[1] // patch
+                for i in range(nr):
+                    for j in range(nc):
+                        tile = np.ascontiguousarray(
+                            px[i * patch : (i + 1) * patch, j * patch : (j + 1) * patch]
+                        )
+                        rows.append(
+                            {
+                                "image_id": r.image_id,
+                                "patch_row": i,
+                                "patch_col": j,
+                                "py": i * patch,
+                                "px": j * patch,
+                                "bytes": encode(tile, r.fmt),
+                                "fmt": r.fmt,
+                                "mean_px": round(float(tile.mean()), 6),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in PATCH_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=PATCH_SCHEMA
+    )
+
+
 WATERMARK_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

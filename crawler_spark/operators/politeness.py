@@ -30,26 +30,31 @@ from pyspark.sql import functions as F
 ORDER_COLS = ["priority", "depth", "discovery_seq", "url_hash"]
 
 
-def _order():
-    return [F.col(c).asc() for c in ORDER_COLS]
+def _order(order_cols: list[str] | None = None):
+    return [F.col(c).asc() for c in (order_cols or ORDER_COLS)]
 
 
 def politeness_select(
-    allowed: DataFrame, budget_col: str = "budget", n_salt: int = 16
+    allowed: DataFrame,
+    budget_col: str = "budget",
+    n_salt: int = 16,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Keep the first ``budget`` pending rows per host in frontier order.
 
-    ``allowed`` must carry host, the ORDER_COLS and an int ``budget_col``
-    (constant per host). Returns the scheduled rows (budget columns kept).
+    ``allowed`` must carry host, the order columns and an int
+    ``budget_col`` (constant per host). ``order_cols`` overrides the
+    default ORDER_COLS total order (run_round passes the aged effective
+    key). Returns the scheduled rows (budget columns kept).
     """
     salted = allowed.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(n_salt)))
-    w1 = Window.partitionBy("host", "_salt").orderBy(*_order())
+    w1 = Window.partitionBy("host", "_salt").orderBy(*_order(order_cols))
     survivors = (
         salted.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= F.col(budget_col))
         .drop("_r1", "_salt")
     )
-    w2 = Window.partitionBy("host").orderBy(*_order())
+    w2 = Window.partitionBy("host").orderBy(*_order(order_cols))
     return (
         survivors.withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= F.col(budget_col))

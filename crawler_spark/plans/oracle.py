@@ -32,11 +32,17 @@ class _Entry:
     url_canon: str = field(compare=False)
     host: str = field(compare=False)
     attempts: int = field(default=0, compare=False)
+    born_round: int = field(default=0, compare=False)
 
 
-def _entry(url_canon: str, priority: int, depth: int, seq: int) -> _Entry:
+def _entry(
+    url_canon: str, priority: int, depth: int, seq: int, born_round: int = 0
+) -> _Entry:
     host = url_canon.split("://", 1)[1].split("/", 1)[0].split(":")[0]
-    return _Entry(priority, depth, seq, xxh64_str(url_canon), url_canon, host)
+    return _Entry(
+        priority, depth, seq, xxh64_str(url_canon), url_canon, host,
+        born_round=born_round,
+    )
 
 
 class OracleCrawler:
@@ -48,6 +54,7 @@ class OracleCrawler:
         max_attempts: int = 2,
         host_priorities: dict[str, int] | None = None,
         adaptive: bool = False,
+        aging_every: int | None = None,
     ):
         self.web = web
         self.round_seconds = round_seconds
@@ -59,6 +66,10 @@ class OracleCrawler:
         # closed-loop politeness mirror: hosts that failed a fetch in the
         # previous round crawl at half budget this round (floor, min 1)
         self.adaptive = adaptive
+        # starvation-free priority aging mirror (run_round aging_every):
+        # effective priority this round = max(0, priority -
+        # (round - born_round) // aging_every)
+        self.aging_every = aging_every
         self.failed_hosts_prev: set[str] = set()
         self.robots = {r["host"]: r for r in web.robots_rows()}
         self.pending: list[_Entry] = []
@@ -95,7 +106,16 @@ class OracleCrawler:
         return any(path.startswith(p) for p in deny)
 
     def run_round(self, round_id: int, target_host_contains: str | None = None) -> int:
-        self.pending.sort()
+        def eff(e: _Entry) -> int:
+            if not self.aging_every:
+                return e.priority
+            return max(
+                0, e.priority - (round_id - e.born_round) // self.aging_every
+            )
+
+        self.pending.sort(
+            key=lambda e: (eff(e), e.depth, e.discovery_seq, e.url_hash)
+        )
         # F9 targeting: only pending rows whose host matches proceed this
         # round; the rest stay pending untouched (engine: frontier
         # pre-filter in run_round)
@@ -141,7 +161,7 @@ class OracleCrawler:
                     self.pending.append(
                         _Entry(
                             e.priority, e.depth, e.discovery_seq, e.url_hash,
-                            e.url_canon, e.host, e.attempts + 1,
+                            e.url_canon, e.host, e.attempts + 1, e.born_round,
                         )
                     )
                 else:
@@ -155,7 +175,10 @@ class OracleCrawler:
                 if c not in self.seen:
                     self.seen.add(c)
                     self.pending.append(
-                        _entry(c, self._prio_of(c), e.depth + 1, self.next_seq)
+                        _entry(
+                            c, self._prio_of(c), e.depth + 1, self.next_seq,
+                            born_round=round_id,
+                        )
                     )
                     self.next_seq += 1
         self.pending.extend(held)

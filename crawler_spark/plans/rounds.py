@@ -63,6 +63,10 @@ FRONTIER_COLS = [
     "status",
     "round_id",
     "attempts",
+    # the round the row was inserted (never updated, retries keep it):
+    # the anchor for starvation-free priority aging (run_round
+    # aging_every) — age = current round - born_round
+    "born_round",
 ]
 
 ROBOTS_SCHEMA = T.StructType(
@@ -152,6 +156,7 @@ def init_crawl(
         .withColumn("status", F.lit("pending"))
         .withColumn("round_id", F.lit(0))
         .withColumn("attempts", F.lit(0))
+        .withColumn("born_round", F.lit(0))
     )
     robots = spark.createDataFrame(web.robots_rows(), schema=ROBOTS_SCHEMA)
     catalog.stage_overwrite("frontier", _frontier_select(frontier))
@@ -208,9 +213,21 @@ def run_round(
     compact_min: int = 1024,
     host_priorities: dict[str, int] | None = None,
     adaptive: bool = False,
+    aging_every: int | None = None,
 ) -> dict:
     """Execute one crawl round; returns counters (crawling_stats analog,
     reference: src/crawler/base_crawler.py:38-47).
+
+    ``aging_every`` enables starvation-free priority aging (the
+    Heritrix/BUbiNG frontier refinement): a pending row's EFFECTIVE
+    priority this round is ``max(0, priority - (round_id - born_round)
+    // aging_every)`` — every ``aging_every`` rounds a waiting row gains
+    one priority level, so low-priority hosts eventually schedule even
+    under a permanently hot frontier. The aging is stateless (derived
+    from the immutable born_round column — no per-round frontier
+    rewrite), the stored priority is never mutated, and link expansion
+    orders children by the parent's effective key so the sequential
+    oracle (plans/oracle.py, same rule) stays exact.
 
     ``target_host_contains`` is the single-region targeting filter (F9,
     reference: crawler.py:1205-1226) — a frontier pre-filter, i.e.
@@ -281,7 +298,26 @@ def run_round(
     # denied is referenced by the frontier rewrite, the status anti-join
     # and the denied counter; persist so the robots-gate branch runs once
     denied = denied.persist()
-    scheduled = politeness_select(allowed, n_salt=n_salt).persist()
+    # effective scheduling priority: aged when aging_every is set,
+    # otherwise identical to the stored priority. Carried through the
+    # fetch stage so link expansion orders children by the key their
+    # parent actually scheduled under (oracle parity).
+    if aging_every:
+        eff = F.greatest(
+            F.lit(0),
+            F.col("priority")
+            - F.floor(
+                (F.lit(round_id) - F.col("born_round")) / F.lit(aging_every)
+            ).cast("int"),
+        ).cast("int")
+    else:
+        eff = F.col("priority")
+    allowed = allowed.withColumn("eff_priority", eff)
+    scheduled = politeness_select(
+        allowed,
+        n_salt=n_salt,
+        order_cols=["eff_priority", "depth", "discovery_seq", "url_hash"],
+    ).persist()
     # The fetch stage is compute-heavy but byte-light: AQE would coalesce
     # the window shuffle's ~MBs of URL rows into 1-2 partitions and
     # serialize the Python fetch workers. Explicitly hash-repartition to
@@ -360,7 +396,7 @@ def run_round(
     links = fetched.filter(F.col("kind") == "link").select(
         F.col("link_raw").alias("url"),
         F.struct(
-            F.col("priority").alias("p_priority"),
+            F.col("eff_priority").alias("p_priority"),
             F.col("depth").alias("p_depth"),
             F.col("discovery_seq").alias("p_seq"),
             F.col("url_hash").alias("p_hash"),
@@ -425,6 +461,7 @@ def run_round(
         .withColumn("status", F.lit("pending"))
         .withColumn("round_id", F.lit(round_id))
         .withColumn("attempts", F.lit(0))
+        .withColumn("born_round", F.lit(round_id))
     )
 
     # ---- frontier status update ----------------------------------------
@@ -470,6 +507,9 @@ def run_round(
         "url_hash",
         "host",
         "priority",
+        # the key the row actually scheduled under (aged) — the
+        # within-round order is (eff_priority, depth, seq, hash)
+        "eff_priority",
         "depth",
         "discovery_seq",
     )
@@ -599,6 +639,7 @@ def run_crawl(
     seen_filter: str = "bloom",
     host_priorities: dict[str, int] | None = None,
     adaptive: bool = False,
+    aging_every: int | None = None,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Full crawl loop: init + rounds until the frontier drains, or —
     with ``stop_on_caption_contains`` — until a round lands a matching
@@ -616,6 +657,7 @@ def run_crawl(
             stop_on_caption_contains=stop_on_caption_contains,
             compact_frac=compact_frac, compact_min=compact_min,
             host_priorities=host_priorities, adaptive=adaptive,
+            aging_every=aging_every,
         )
         history.append(stats)
         if stats.get("target_hits", 0) > 0:
@@ -633,16 +675,19 @@ def resume_crawl(
     round_seconds: float = 16.0,
     use_bloom: bool = True,
     max_attempts: int = 2,
+    aging_every: int | None = None,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Resume from the latest committed snapshot (T2: save_crawling_state
     analog). Staged-but-uncommitted files from a crashed round are
-    invisible, so the interrupted round simply re-runs."""
+    invisible, so the interrupted round simply re-runs. Pass the same
+    ``aging_every`` the crawl was started with — aging is stateless
+    (derived from born_round), so resume needs no stored aging state."""
     catalog = SnapshotCatalog(root, spark)
     history: list[dict] = []
     for _ in range(max_rounds):
         stats = run_round(
             catalog, web, round_seconds=round_seconds, use_bloom=use_bloom,
-            max_attempts=max_attempts,
+            max_attempts=max_attempts, aging_every=aging_every,
         )
         history.append(stats)
         if stats["scheduled"] == 0:

@@ -103,6 +103,7 @@ def add_seeds(
         .withColumn("status", F.lit("pending"))
         .withColumn("round_id", F.lit(round_id))
         .withColumn("attempts", F.lit(0))
+        .withColumn("born_round", F.lit(round_id))
     ).persist()
     catalog.stage_append("frontier_updates", _frontier_select(rows))
     catalog.stage_append("seen", rows.select("url_hash", "url_canon"))
