@@ -2033,6 +2033,74 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_dedup_impact(spark, sf_dir):
+    """What would dedup actually save? The report every curation run
+    reads before committing to a dedup pass: MinHash-LSH candidate
+    pairs -> connected components -> keep-first-per-cluster, then a
+    per-cluster-size rollup of clusters, documents removed, and token
+    mass removed (singleton docs included, so the report covers the
+    whole corpus). Cluster labels ride the existing dedup_clusters
+    machinery (min-label propagation); token mass is one join of the
+    dimension-sized cluster map back onto per-doc token counts."""
+    from crawler_spark.functions.text import token_count
+    from crawler_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, n_hashes=4, min_band_matches=2)
+    clusters = dedup_clusters(pairs)
+    toks = d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tok"))
+    cl = toks.join(clusters, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    per_cluster = cl.groupBy("cluster_id").agg(
+        F.count("*").alias("size"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("cluster_id"), F.col("n_tok")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tokens_removed"),
+    )
+    return (
+        per_cluster.groupBy("size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            ((F.col("size") - 1) * F.count("*")).alias("docs_removed"),
+            F.sum("tokens_removed").alias("tokens_removed"),
+        )
+        .select("size", "n_clusters", "docs_removed", "tokens_removed")
+    )
+
+
+def q_aging_schedule(spark, sf_dir):
+    """Driver-visible form of the scheduler's starvation-free priority
+    aging (run_round aging_every, tests/test_aging.py): effective
+    priority = max(0, priority - (round - born_round) // k) at round 6
+    with k=2, then the per-host politeness admit window re-ranked under
+    the AGED key — the exact expression the engine schedules with.
+    One window over the frontier; aging itself is a shuffle-free
+    codegen map (stateless: derived from the immutable born_round)."""
+    f = _frontier(spark, sf_dir).withColumn(
+        "born_round", (F.col("doc_id") % 5).cast("int")
+    )
+    eff = F.greatest(
+        F.lit(0),
+        F.col("priority")
+        - F.floor((F.lit(6) - F.col("born_round")) / F.lit(2)).cast("int"),
+    ).cast("int")
+    out = f.withColumn("eff_priority", eff)
+    w = Window.partitionBy("host").orderBy(
+        "eff_priority", "depth", "discovery_seq"
+    )
+    return (
+        out.withColumn("sched_rank", F.row_number().over(w))
+        .filter(F.col("sched_rank") <= 4)
+        .select(
+            "doc_id", "host", "priority", "born_round", "eff_priority",
+            "sched_rank",
+        )
+    )
+
+
 def q_image_phash_neardup(spark, sf_dir):
     """Image-axis near-dup (the graft cell's payload): decode ->
     64-bit perceptual hash (mapInPandas, Arrow-batched) -> banded
@@ -3604,6 +3672,24 @@ def q_image_patches(spark, sf_dir):
         "image_id string, bytes binary, fmt string",
     )
     return image_patches(images)
+
+
+def q_image_transcode(spark, sf_dir):
+    """Multimodal: storage-normalization transcode (every image
+    re-encoded to qdct) with a per-row PSNR audit of the north rule's
+    decoded-pixel invariant. No SQL oracle (binary codec); rows-only —
+    the PSNR floor / lossless contracts are pytest-covered
+    (tests/test_transcode.py)."""
+    from crawler_spark.operators.multimodal import transcode_images
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return transcode_images(images, "qdct")
 
 
 def q_image_augment(spark, sf_dir):
@@ -5280,6 +5366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_df_stats": q_shingle_df_stats,
         "politeness_audit": q_politeness_audit,
         "ip_politeness": q_ip_politeness,
+        "aging_schedule": q_aging_schedule,
         "span_dedup_stats": q_span_dedup_stats,
         "host_mirror_jaccard": q_host_mirror_jaccard,
         "host_cocitation": q_host_cocitation,
@@ -5313,6 +5400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_overlap": q_substring_overlap,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_impact": q_dedup_impact,
         "image_phash_neardup": q_image_phash_neardup,
         "minhash_banded_pairs": q_minhash_banded_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -5369,6 +5457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exposure_gates": q_image_exposure_gates,
         "image_augment": q_image_augment,
         "image_patches": q_image_patches,
+        "image_transcode": q_image_transcode,
         "snapshot_diff": q_snapshot_diff,
         "budget_allocation": q_budget_allocation,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
@@ -6496,6 +6585,31 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY host
                      ORDER BY priority, depth, discovery_seq) <= 4 AS admitted_host
             FROM g
+        """,
+        "aging_schedule": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            g AS (
+              SELECT doc_id, host, priority,
+                     CAST(doc_id % 5 AS INTEGER) AS born_round,
+                     depth, discovery_seq
+              FROM f
+            ),
+            aged AS (
+              SELECT doc_id, host, priority, born_round,
+                     CAST(greatest(0, priority
+                          - CAST(floor((6 - born_round) / 2.0) AS INTEGER))
+                       AS INTEGER) AS eff_priority,
+                     depth, discovery_seq
+              FROM g
+            )
+            SELECT doc_id, host, priority, born_round, eff_priority,
+                   sched_rank
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY host
+                ORDER BY eff_priority, depth, discovery_seq) AS sched_rank
+              FROM aged
+            ) WHERE sched_rank <= 4
         """,
         "span_dedup_stats": """
             WITH words AS (
@@ -7901,6 +8015,69 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS doc_id, least(s, min(t)) AS cluster_id
             FROM reach GROUP BY s
+        """,
+        "dedup_impact": """
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            bands AS (
+              SELECT doc_id, b.band_id, shingle
+              FROM sh, unnest(generate_series(0, 3)) AS b(band_id)
+            ),
+            sig AS (
+              SELECT doc_id, band_id, min(md5(band_id || '|' || shingle)) AS sig
+              FROM bands GROUP BY doc_id, band_id
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sig a
+              JOIN sig b ON a.band_id = b.band_id AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            e AS (
+              SELECT doc_a AS s, doc_b AS t FROM pairs
+              UNION
+              SELECT doc_b AS s, doc_a AS t FROM pairs
+            ),
+            reach(s, t) AS (
+              SELECT s, t FROM e
+              UNION
+              SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+            ),
+            clusters AS (
+              SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+              FROM reach GROUP BY s
+            ),
+            toks AS (
+              SELECT doc_id,
+                CAST(len(list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  x -> len(x) > 0)) AS BIGINT) AS n_tok
+              FROM documents
+            ),
+            cl AS (
+              SELECT t.doc_id, t.n_tok,
+                     coalesce(c.cluster_id, t.doc_id) AS cluster_id
+              FROM toks t LEFT JOIN clusters c USING (doc_id)
+            ),
+            per_cluster AS (
+              SELECT cluster_id, count(*) AS size,
+                     CAST(sum(CASE WHEN doc_id != cluster_id THEN n_tok
+                                   ELSE 0 END) AS BIGINT) AS tokens_removed
+              FROM cl GROUP BY cluster_id
+            )
+            SELECT size, count(*) AS n_clusters,
+                   CAST((size - 1) * count(*) AS BIGINT) AS docs_removed,
+                   CAST(sum(tokens_removed) AS BIGINT) AS tokens_removed
+            FROM per_cluster GROUP BY size
         """,
         "minhash_banded_pairs": """
             WITH words AS (

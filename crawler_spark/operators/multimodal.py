@@ -364,6 +364,59 @@ def exposure_entropy_gates(
     )
 
 
+TRANSCODE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("src_fmt", T.StringType()),
+        T.StructField("dst_fmt", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("src_bytes", T.IntegerType()),
+        T.StructField("dst_bytes", T.IntegerType()),
+        T.StructField("psnr_db", T.DoubleType()),
+    ]
+)
+
+
+def transcode_images(images: DataFrame, dst_fmt: str) -> DataFrame:
+    """Format transcoding with a built-in quality audit: decode each
+    image from its source codec, re-encode in ``dst_fmt``, and report
+    the PSNR between the source pixels and the transcoded-then-decoded
+    pixels — the storage-normalization pass a crawl archive runs (one
+    on-disk format), with the north rule's decoded-pixel invariant
+    (PSNR >= 40 dB for lossy) measured per row instead of assumed.
+    Identical pixels cap at 99 dB (finite schema). Arrow-batched
+    mapInPandas; same scale contract as decode_stats."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawler_spark.functions.codecs import psnr
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                out = encode(px, dst_fmt)
+                back = decode(out, dst_fmt)
+                db = min(float(psnr(px, back)), 99.0)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "src_fmt": r.fmt,
+                        "dst_fmt": dst_fmt,
+                        "bytes": out,
+                        "src_bytes": len(bytes(r.bytes)),
+                        "dst_bytes": len(out),
+                        "psnr_db": round(db, 3),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TRANSCODE_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=TRANSCODE_SCHEMA
+    )
+
+
 PATCH_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),
