@@ -93,6 +93,11 @@ HEADLINE = [
     "phash_threshold_eval",
     "caption_junk_filter",
     "host_components",
+    "repetition_suite",
+    "span_dedup_stats",
+    "embedding_classifier",
+    "dedup_impact",
+    "host_mirror_jaccard",
 ]
 
 BENCH_HOSTS = 50
