@@ -3266,6 +3266,90 @@ def q_redirect_resolution(spark, sf_dir):
     )
 
 
+def q_redirect_aware_seen(spark, sf_dir):
+    """Redirect-aware URL-seen gating: a discovered URL whose redirect
+    chain TERMINATES at an already-seen page is a duplicate fetch even
+    though the URL itself is unseen — the dedup rule that kills the
+    www/apex + http/https alias storm canonicalization alone can't
+    (server-side redirects are invisible to URL normalization). Composes
+    the pointer-doubling resolver with the seen set: every URL is
+    classified direct / via_redirect / unresolved / unseen. Both joins
+    are on the URL key; the resolver's log2(max_hops) rounds are the
+    only iteration."""
+    from crawler_spark.operators.graph import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    res = resolve_redirects(_redirect_edges(spark, sf_dir), max_hops=8).select(
+        F.col("src").alias("doc_id"), "final", "resolved"
+    )
+    seen = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("k"), F.lit(True).alias("s")
+    )
+    j = (
+        d.join(res, "doc_id", "left")
+        .join(seen.select(F.col("k").alias("doc_id"), F.col("s").alias("self_seen")),
+              "doc_id", "left")
+        .join(seen.select(F.col("k").alias("final"), F.col("s").alias("final_seen")),
+              "final", "left")
+    )
+    status = (
+        F.when(F.col("self_seen"), F.lit("direct"))
+        .when(F.col("resolved") & F.col("final_seen"), F.lit("via_redirect"))
+        .when(F.col("resolved") == F.lit(False), F.lit("unresolved"))
+        .otherwise(F.lit("unseen"))
+    )
+    return j.select(
+        "doc_id",
+        F.col("final").alias("final_id"),
+        status.alias("status"),
+        (status.isin("direct", "via_redirect")).alias("effectively_seen"),
+    )
+
+
+def q_matryoshka_eval(spark, sf_dir):
+    """Matryoshka (MRL) truncation audit: how much of each embedding's
+    norm survives truncation to the first k of 64 dims — the table that
+    decides whether the ANN index can run at k=16 instead of 64 (4x
+    less I/O and compute at 10^10 vectors). Per k in (8, 16, 32): mean
+    and min norm retention plus the fraction of vectors >= 0.9. One
+    scan, per-k stats via a tagged explode of three native folds;
+    retention sums are round-9 stabilized and the means are
+    decimal-exact (order-independent)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+
+    def ss(col):  # round-9 stabilized sum of squares (alignment recipe)
+        return F.round(
+            F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x), 9
+        )
+
+    ks = [8, 16, 32]
+    tagged = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.round(
+                            F.sqrt(ss(F.slice(v, 1, k))) / F.sqrt(ss(v)), 6
+                        ).alias("ret"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("g")
+    ).select(F.col("g.k").alias("k"), F.col("g.ret").alias("ret"))
+    dec = F.col("ret").cast("decimal(20,6)")
+    return tagged.groupBy("k").agg(
+        F.count("*").alias("n_vecs"),
+        _pin(F.sum(dec).cast("double") / F.count("*"), 6).alias("mean_retention"),
+        F.min("ret").alias("min_retention"),
+        _pin(
+            F.sum((F.col("ret") >= F.lit(0.9)).cast("long")) / F.count("*"), 6
+        ).alias("frac_ge_090"),
+    )
+
+
 def q_anchor_topk(spark, sf_dir):
     """Anchor-text aggregation — the classic web-graph signal: group
     inbound links by target page and keep each target's top-2 anchor
@@ -5443,6 +5527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_politeness": q_adaptive_politeness,
         "domain_budget_rollup": q_domain_budget_rollup,
         "redirect_resolution": q_redirect_resolution,
+        "redirect_aware_seen": q_redirect_aware_seen,
+        "matryoshka_eval": q_matryoshka_eval,
         "anchor_topk": q_anchor_topk,
         "crawl_trap_score": q_crawl_trap_score,
         "boilerplate_removal": q_boilerplate_removal,
@@ -9279,6 +9365,76 @@ def oracle_sql() -> dict[str, str]:
                    s.src IS NULL AS resolved
             FROM parked p
             LEFT JOIN (SELECT DISTINCT src FROM e) s ON p.cur = s.src
+        """,
+        "redirect_aware_seen": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS src,
+                     CASE WHEN doc_id % 100 IN (56, 57) THEN doc_id + 1
+                          ELSE doc_id - 1 END AS dst
+              FROM documents
+              WHERE (doc_id % 100 BETWEEN 1 AND 12)
+                 OR doc_id % 100 IN (56, 57, 58)
+            ),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1 FROM e
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN e ON w.cur = e.src
+              WHERE w.hops < 8
+            ),
+            parked AS (
+              SELECT src, max_by(cur, hops) AS cur FROM walk GROUP BY src
+            ),
+            res AS (
+              SELECT p.src AS doc_id,
+                     CASE WHEN s.src IS NULL THEN p.cur END AS final,
+                     s.src IS NULL AS resolved
+              FROM parked p
+              LEFT JOIN (SELECT DISTINCT src FROM e) s ON p.cur = s.src
+            ),
+            j AS (
+              SELECT d.doc_id, r.final, r.resolved,
+                     (d.doc_id % 7 = 0) AS self_seen,
+                     (r.final % 7 = 0) AS final_seen
+              FROM (SELECT doc_id FROM documents) d
+              LEFT JOIN res r USING (doc_id)
+            ),
+            cls AS (
+              SELECT doc_id, final AS final_id,
+                     CASE WHEN self_seen THEN 'direct'
+                          WHEN resolved AND final_seen THEN 'via_redirect'
+                          WHEN resolved = FALSE THEN 'unresolved'
+                          ELSE 'unseen' END AS status
+              FROM j
+            )
+            SELECT doc_id, final_id, status,
+                   status IN ('direct', 'via_redirect') AS effectively_seen
+            FROM cls
+        """,
+        "matryoshka_eval": """
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            tagged AS (
+              SELECT k.k,
+                round(sqrt(round(list_sum(
+                        list_transform(v[1:k.k], x -> x * x)), 9))
+                      / sqrt(round(list_sum(
+                        list_transform(v, x -> x * x)), 9)), 6) AS ret
+              FROM base, (VALUES (8), (16), (32)) AS k(k)
+            )
+            SELECT k, count(*) AS n_vecs,
+                   floor(CAST(sum(CAST(ret AS DECIMAL(20,6))) AS DOUBLE)
+                         / count(*) * 1000000.0 + 0.5) / 1000000.0
+                     AS mean_retention,
+                   min(ret) AS min_retention,
+                   floor(CAST(sum(CASE WHEN ret >= CAST(0.9 AS DOUBLE)
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*) * 1000000.0 + 0.5) / 1000000.0
+                     AS frac_ge_090
+            FROM tagged GROUP BY k
         """,
         "anchor_topk": """
             WITH edges AS (
