@@ -3266,6 +3266,31 @@ def q_redirect_resolution(spark, sf_dir):
     )
 
 
+def q_rolling_latency_anomaly(spark, sf_dir):
+    """Per-host rolling-median latency spike detection over the fetch
+    log (operators/metrics.py rolling_median_flags) — the grouped-map
+    applyInPandas surface: rolling median has no native Spark window
+    aggregate, so each host's series is one pandas frame (one shuffle
+    on host). Oracle = ANSI window median (quantile_cont over ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW) — medians of <= 5 doubles are
+    exact, so the grouped-map and the SQL window agree bit-for-bit."""
+    from crawler_spark.operators.metrics import rolling_median_flags
+
+    d1 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1)"
+    d2 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)"
+    f = _frontier(spark, sf_dir)
+    lat = f.select(
+        "host",
+        F.col("discovery_seq").alias("seq"),
+        (
+            50.0
+            + F.expr(f"({d1} * 16 + {d2})") * 7.0
+            + F.col("priority") * 100.0
+        ).alias("lat_ms"),
+    )
+    return rolling_median_flags(lat, window=5, k=3.0)
+
+
 def q_redirect_aware_seen(spark, sf_dir):
     """Redirect-aware URL-seen gating: a discovered URL whose redirect
     chain TERMINATES at an already-seen page is a duplicate fetch even
@@ -5528,6 +5553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_budget_rollup": q_domain_budget_rollup,
         "redirect_resolution": q_redirect_resolution,
         "redirect_aware_seen": q_redirect_aware_seen,
+        "rolling_latency_anomaly": q_rolling_latency_anomaly,
         "matryoshka_eval": q_matryoshka_eval,
         "anchor_topk": q_anchor_topk,
         "crawl_trap_score": q_crawl_trap_score,
@@ -9365,6 +9391,29 @@ def oracle_sql() -> dict[str, str]:
                    s.src IS NULL AS resolved
             FROM parked p
             LEFT JOIN (SELECT DISTINCT src FROM e) s ON p.cur = s.src
+        """,
+        "rolling_latency_anomaly": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            lat AS (
+              SELECT host, discovery_seq AS seq,
+                     CAST(50.0 + ({_hexdig_sql("cast(doc_id AS varchar)", 1)}
+                                  * 16
+                                  + {_hexdig_sql("cast(doc_id AS varchar)", 2)})
+                            * 7.0
+                          + priority * 100.0 AS DOUBLE) AS lat_ms
+              FROM f
+            ),
+            w AS (
+              SELECT host, seq, lat_ms,
+                     median(lat_ms) OVER (
+                       PARTITION BY host ORDER BY seq
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                     ) AS roll_med
+              FROM lat
+            )
+            SELECT host, seq, lat_ms, roll_med,
+                   lat_ms > 3.0 * roll_med AS spike
+            FROM w
         """,
         "redirect_aware_seen": """
             WITH RECURSIVE e AS (

@@ -34,6 +34,45 @@ def results_by_host(results: DataFrame) -> DataFrame:
     )
 
 
+def rolling_median_flags(
+    df: DataFrame,
+    key_col: str = "host",
+    order_col: str = "seq",
+    val_col: str = "lat_ms",
+    window: int = 5,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-key trailing rolling-median spike detection — the fetch-loop
+    health monitor: a latency above ``k`` x its host's rolling median is
+    an anomaly the AIMD backoff should react to before the tail
+    percentiles even move. Rolling median is the textbook grouped-map
+    case Spark's native windows cannot express (no median frame
+    aggregate), so this is ``groupBy(key).applyInPandas`` — one shuffle
+    on the key, each group processed as a pandas frame with a vectorized
+    ``rolling(window).median()``. Medians of <= ``window`` doubles are
+    exact midpoint averages, so an ANSI window-median oracle
+    (quantile_cont over ROWS BETWEEN) agrees bit-for-bit. At 10^10 rows
+    a mega-host group would need the salted pre-split politeness_select
+    uses; fetch-log keys (host, day) stay bounded."""
+    import pandas as pd  # noqa: F401 (documents the grouped-map dependency)
+
+    out_schema = (
+        f"{key_col} string, {order_col} long, {val_col} double, "
+        "roll_med double, spike boolean"
+    )
+
+    def flag(pdf):
+        pdf = pdf.sort_values(order_col)
+        med = pdf[val_col].rolling(window, min_periods=1).median()
+        return pdf.assign(roll_med=med, spike=pdf[val_col] > k * med)[
+            [key_col, order_col, val_col, "roll_med", "spike"]
+        ]
+
+    return df.select(key_col, order_col, val_col).groupBy(key_col).applyInPandas(
+        flag, schema=out_schema
+    )
+
+
 def round_summary(metrics: DataFrame) -> DataFrame:
     """A6: per-round totals from the per-partition metrics table."""
     return (

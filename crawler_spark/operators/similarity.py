@@ -179,6 +179,88 @@ def ivf_topk(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+# -------------------------------------------- persisted incremental IVF index
+
+
+def ivf_index_init(catalog, emb: DataFrame, n_cells: int = 8, n_iter: int = 2,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Build a PERSISTED IVF index as catalog tables: ``ivf_centroids``
+    (k-means-refined, frozen from here on — the standard incremental-IVF
+    contract) and ``ivf_cells`` (vec_id, cell_id, v). Committed in one
+    snapshot, so searchers never see a half-built index."""
+    cents = make_centroids(emb, n_cells, vec_col, id_col)
+    if n_iter:
+        cents = kmeans_refine(emb, cents, n_iter, vec_col, id_col)
+    cents = cents.localCheckpoint()
+    catalog.stage_overwrite("ivf_centroids", cents)
+    catalog.stage_overwrite(
+        "ivf_cells",
+        assign_cells(emb, cents, vec_col, id_col).select("vec_id", "cell_id", "v"),
+    )
+    catalog.commit(meta={"ivf_n_cells": n_cells})
+
+
+def ivf_add_wave(catalog, emb: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> int:
+    """Absorb a new vector wave into the persisted IVF index: anti-join
+    the already-indexed ids (idempotent — a replayed wave adds nothing),
+    assign survivors to the FROZEN centroids (one broadcast join over
+    O(wave) rows, the index base is never rescanned), and append. This
+    is how a daily crawl's embeddings join a 10^10-vector ANN index
+    without a rebuild; recall drifts only as the data distribution
+    leaves the frozen centroids, which `ivf_index_init` re-runs on a
+    maintenance cadence. Returns the number of vectors actually added."""
+    cents = catalog.read("ivf_centroids")
+    existing = catalog.read("ivf_cells").select("vec_id")
+    new = emb.join(
+        existing.withColumnRenamed("vec_id", id_col), id_col, "left_anti"
+    )
+    assigned = assign_cells(new, cents, vec_col, id_col).select(
+        "vec_id", "cell_id", "v"
+    ).persist()
+    n = assigned.count()
+    if n:
+        catalog.stage_append("ivf_cells", assigned)
+        catalog.commit()
+    assigned.unpersist()
+    return n
+
+
+def ivf_index_search(catalog, query_vec: list[float], k: int = 10,
+                     n_probe: int = 2) -> DataFrame:
+    """Top-k over the PERSISTED index: rank the (broadcast-sized)
+    centroid table against the query, probe the n_probe nearest cells
+    — a partition-pruned scan of ivf_cells — and exact-cosine rank the
+    survivors. Same argmax pinning as ivf_topk (round-9 sims, id
+    tie-break)."""
+    cents = catalog.read("ivf_centroids")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(x * x for x in query_vec) ** 0.5
+    probe_cells = [
+        r["cell_id"]
+        for r in cents.select(
+            "cell_id",
+            F.round(
+                _dot(F.col("centroid"), q) / (_norm(F.col("centroid")) * F.lit(qn)), 9
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("cell_id"))
+        .limit(n_probe)
+        .collect()
+    ]
+    scored = (
+        catalog.read("ivf_cells")
+        .filter(F.col("cell_id").isin(probe_cells))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn)), 6
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
 # ------------------------------------------------------ product quantization
 
 

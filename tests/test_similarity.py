@@ -135,3 +135,46 @@ def test_pq_adc_recall_on_planted_clusters(spark):
     assert all(v % 8 == 0 for v in got)
     assert 0 in got
     assert len(got & exact) >= 2
+
+
+def test_ivf_persisted_index_incremental_wave(spark, emb, tmp_path):
+    """Incremental IVF: init on wave A, absorb wave B against the FROZEN
+    centroids — the persisted index equals one-shot assignment of A+B to
+    the same centroids, replays are no-ops, and probe-all search over
+    the index equals brute-force cosine."""
+    from crawler_spark.operators.similarity import (
+        assign_cells,
+        ivf_add_wave,
+        ivf_index_init,
+        ivf_index_search,
+    )
+    from crawler_spark.sources.catalog import SnapshotCatalog
+
+    wave_a = emb.filter(F.col("vec_id") % 2 == 0)
+    wave_b = emb.filter(F.col("vec_id") % 2 == 1)
+    catalog = SnapshotCatalog(str(tmp_path / "ivf"), spark)
+    ivf_index_init(catalog, wave_a, n_cells=8, n_iter=1)
+    assert ivf_add_wave(catalog, wave_b) == wave_b.count()
+    assert ivf_add_wave(catalog, wave_b) == 0  # replayed wave: no-op
+    # overlapping wave: only genuinely-new ids land
+    mixed = emb.filter(F.col("vec_id") <= 3)  # all already indexed
+    assert ivf_add_wave(catalog, mixed) == 0
+
+    cents = catalog.read("ivf_centroids")
+    expected = {
+        (r["vec_id"], r["cell_id"])
+        for r in assign_cells(emb, cents).select("vec_id", "cell_id").collect()
+    }
+    got = {
+        (r["vec_id"], r["cell_id"])
+        for r in catalog.read("ivf_cells").select("vec_id", "cell_id").collect()
+    }
+    assert got == expected
+
+    q = _qvec(emb)
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    via_index = [
+        r["vec_id"]
+        for r in ivf_index_search(catalog, q, k=5, n_probe=8).collect()
+    ]
+    assert via_index == brute  # probe-all == exact
