@@ -2166,6 +2166,114 @@ def q_quality_scores(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_quality_tradeoff(spark, sf_dir):
+    """The quality-vs-quantity curve every curation run draws before
+    picking a threshold: for each candidate cutoff, how many documents
+    and what fraction of the corpus token mass survive. One scoring
+    scan; the 10-threshold rollup here is a tagged explode for oracle
+    clarity — at 100 TB it collapses to ten conditional sums in a
+    single aggregate (no row blowup), same results."""
+    from crawler_spark.functions.text import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    ts = [i / 10.0 for i in range(10)]
+    tagged = d.select(
+        "quality",
+        "n_tok",
+        F.explode(F.array(*[F.lit(t) for t in ts])).alias("threshold"),
+    )
+    tot = d.agg(F.sum("n_tok").cast("double").alias("tot_tok"))
+    kept = F.col("quality") >= F.col("threshold")
+    return (
+        tagged.groupBy("threshold")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_docs"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "tokens_kept"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_docs",
+            "tokens_kept",
+            _pin(F.col("tokens_kept") / F.col("tot_tok"), 6).alias("token_frac"),
+        )
+    )
+
+
+def q_image_curriculum(spark, sf_dir):
+    """Image-side curriculum staging: cut the pair corpus into 4
+    resolution quartiles (stage 1 = highest-megapixel, trained last in
+    a low-to-high-res schedule) with per-stage image counts, mean
+    megapixels, and caption token mass — the manifest a progressive-
+    resolution trainer consumes. Same scale recipe as
+    curriculum_stages: EXACT percentile cuts broadcast back (two
+    distributed passes, never a global ntile sort)."""
+    from crawler_spark.operators.pairs import synth_pair_meta
+
+    m = synth_pair_meta(_t(spark, sf_dir, "documents")).select(
+        "image_id", (F.col("w").cast("long") * F.col("h")).alias("px"), "n_tokens"
+    )
+    cuts = m.agg(
+        F.round(F.expr("percentile(px, 0.25)"), 9).alias("c1"),
+        F.round(F.expr("percentile(px, 0.5)"), 9).alias("c2"),
+        F.round(F.expr("percentile(px, 0.75)"), 9).alias("c3"),
+    )
+    staged = m.crossJoin(F.broadcast(cuts)).withColumn(
+        "stage",
+        F.when(F.col("px") >= F.col("c3"), F.lit(1))
+        .when(F.col("px") >= F.col("c2"), F.lit(2))
+        .when(F.col("px") >= F.col("c1"), F.lit(3))
+        .otherwise(F.lit(4)),
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_images"),
+        # integer-space mean (sum(px) and count are exact; ONE division)
+        # — a float avg would be partial-aggregation-order dependent
+        _pin(
+            F.sum("px") / (F.count("*") * F.lit(1048576.0)), 6
+        ).alias("mean_mpx"),
+        F.sum("n_tokens").alias("caption_tokens"),
+    )
+
+
+def q_host_concentration(spark, sf_dir):
+    """Corpus diversity dashboard: the Herfindahl-Hirschman index of
+    host shares plus top-1/top-3 shares — the one-row check that a
+    crawl isn't quietly becoming three domains' mirror. HHI is computed
+    in INTEGER space (sum of squared counts over total squared) so no
+    float summation order exists to diverge; the host histogram is
+    dimension-sized."""
+    f = _frontier(spark, sf_dir)
+    per_host = f.groupBy("host").agg(F.count("*").alias("n"))
+    tot = per_host.agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    top3 = (
+        per_host.orderBy(F.desc("n"), "host")
+        .limit(3)
+        .agg(F.sum("n").alias("top3_n"), F.max("n").alias("top1_n"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top3))
+        .select(
+            "n_hosts",
+            "total",
+            _pin(F.col("sum_sq") / (F.col("total") * F.col("total")), 6).alias(
+                "hhi"
+            ),
+            _pin(F.col("top1_n") / F.col("total"), 6).alias("top1_share"),
+            _pin(F.col("top3_n") / F.col("total"), 6).alias("top3_share"),
+        )
+    )
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrubbing (the mandatory pre-training pass): regex-redact
     emails, E.164-ish phone numbers, and IPv4 addresses, reporting
@@ -5515,6 +5623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "quality_tradeoff": q_quality_tradeoff,
+        "image_curriculum": q_image_curriculum,
+        "host_concentration": q_host_concentration,
         "gopher_flags": q_gopher_flags,
         "pii_redaction": q_pii_redaction,
         "contamination_check": q_contamination_check,
@@ -8642,6 +8753,87 @@ def oracle_sql() -> dict[str, str]:
                 len_band * 0.4 + least(stop_ratio * 5, 1.0) * 0.3
                 + alpha_ratio * 0.3 - punct_ratio * 0.2, 1.0), 0.0), 6) AS quality
             FROM r
+        """,
+        "quality_tradeoff": """
+            WITH base AS (
+              SELECT doc_id, text, length(text) AS n,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents
+            ),
+            q AS (
+              SELECT
+                round(greatest(least(
+                  (CASE WHEN n >= 100 AND n <= 10000 THEN 1.0 ELSE 0.5 END) * 0.4
+                  + least(len(list_intersect(toks, ['the','and','of','to','in'])) * 1.0
+                          / greatest(len(toks), 1) * 5, 1.0) * 0.3
+                  + length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0
+                    / greatest(n, 1) * 0.3
+                  - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                    / greatest(n, 1) * 0.2, 1.0), 0.0), 6) AS quality,
+                CAST(len(list_filter(toks, x -> len(x) > 0)) AS BIGINT) AS n_tok
+              FROM base
+            ),
+            tot AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS tot_tok FROM q)
+            SELECT t.t AS threshold,
+                   CAST(sum(CASE WHEN quality >= t.t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN quality >= t.t THEN n_tok ELSE 0 END)
+                        AS BIGINT) AS tokens_kept,
+                   floor(CAST(sum(CASE WHEN quality >= t.t THEN n_tok ELSE 0 END)
+                              AS DOUBLE) / tot_tok * 1000000.0 + 0.5)
+                     / 1000000.0 AS token_frac
+            FROM q CROSS JOIN tot,
+                 (VALUES (CAST(0.0 AS DOUBLE)), (0.1), (0.2), (0.3), (0.4),
+                         (0.5), (0.6), (0.7), (0.8), (0.9)) AS t(t)
+            GROUP BY t.t, tot_tok
+        """,
+        "image_curriculum": f"""
+            WITH meta AS ({_PAIR_META_SQL}),
+            m AS (
+              SELECT image_id, CAST(w AS BIGINT) * h AS px, n_tokens
+              FROM meta
+            ),
+            cuts AS (
+              SELECT round(quantile_cont(px, 0.25), 9) AS c1,
+                     round(quantile_cont(px, 0.5), 9) AS c2,
+                     round(quantile_cont(px, 0.75), 9) AS c3
+              FROM m
+            ),
+            staged AS (
+              SELECT px, n_tokens,
+                     CASE WHEN px >= c3 THEN 1
+                          WHEN px >= c2 THEN 2
+                          WHEN px >= c1 THEN 3
+                          ELSE 4 END AS stage
+              FROM m CROSS JOIN cuts
+            )
+            SELECT stage, count(*) AS n_images,
+                   floor(CAST(sum(px) AS DOUBLE) / (count(*) * 1048576.0)
+                         * 1000000.0 + 0.5) / 1000000.0 AS mean_mpx,
+                   CAST(sum(n_tokens) AS BIGINT) AS caption_tokens
+            FROM staged GROUP BY stage
+        """,
+        "host_concentration": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            per_host AS (SELECT host, count(*) AS n FROM f GROUP BY host),
+            tot AS (
+              SELECT count(*) AS n_hosts, CAST(sum(n) AS BIGINT) AS total,
+                     CAST(sum(n * n) AS BIGINT) AS sum_sq
+              FROM per_host
+            ),
+            top3 AS (
+              SELECT CAST(sum(n) AS BIGINT) AS top3_n,
+                     CAST(max(n) AS BIGINT) AS top1_n
+              FROM (SELECT n FROM per_host ORDER BY n DESC, host LIMIT 3)
+            )
+            SELECT n_hosts, total,
+                   floor(CAST(sum_sq AS DOUBLE) / (total * total)
+                         * 1000000.0 + 0.5) / 1000000.0 AS hhi,
+                   floor(CAST(top1_n AS DOUBLE) / total
+                         * 1000000.0 + 0.5) / 1000000.0 AS top1_share,
+                   floor(CAST(top3_n AS DOUBLE) / total
+                         * 1000000.0 + 0.5) / 1000000.0 AS top3_share
+            FROM tot CROSS JOIN top3
         """,
         "token_stats": """
             SELECT doc_id,
