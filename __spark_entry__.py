@@ -2491,6 +2491,42 @@ def q_sequence_packing(spark, sf_dir):
     )
 
 
+def q_shard_skew(spark, sf_dir):
+    """Packing-quality report over the sequence_packing manifest: fill
+    percentiles (p10/p50/p90), min/max, and the Gini coefficient of
+    bin fills — the number that says whether the trainer's shards are
+    balanced or one straggler bin will pace every epoch. The manifest
+    is bins-sized (thousands of rows at any corpus scale), so the
+    global rank window is safe; Gini uses the sorted-rank formula with
+    DECIMAL-exact sums (order-independent), one final division."""
+    bins = q_sequence_packing(spark, sf_dir)
+    w = Window.orderBy("fill_ratio", "bucket", "bin_id")
+    ranked = bins.select(
+        F.col("fill_ratio").cast("decimal(20,6)").alias("x"),
+        "fill_ratio",
+        F.row_number().over(w).alias("i"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_bins"),
+        F.round(F.expr("percentile(fill_ratio, 0.1)"), 6).alias("p10_fill"),
+        F.round(F.expr("percentile(fill_ratio, 0.5)"), 6).alias("p50_fill"),
+        F.round(F.expr("percentile(fill_ratio, 0.9)"), 6).alias("p90_fill"),
+        F.min("fill_ratio").alias("min_fill"),
+        F.max("fill_ratio").alias("max_fill"),
+        F.sum("x").alias("sum_x"),
+        F.sum(F.col("i") * F.col("x")).alias("sum_ix"),
+    )
+    gini = (
+        (F.lit(2) * F.col("sum_ix") - (F.col("n_bins") + 1) * F.col("sum_x"))
+        .cast("double")
+        / (F.col("n_bins") * F.col("sum_x")).cast("double")
+    )
+    return agg.select(
+        "n_bins", "p10_fill", "p50_fill", "p90_fill", "min_fill", "max_fill",
+        _pin(gini, 6).alias("gini"),
+    )
+
+
 def q_training_shards(spark, sf_dir):
     """End-to-end corpus shard manifest in ONE plan: Gopher-rule gate ->
     exact dedup (first-wins by normalized-text fingerprint) -> token
@@ -5378,6 +5414,65 @@ def q_ann_recall_eval(spark, sf_dir):
     return ann_recall_eval(_t(spark, sf_dir, "embeddings"))
 
 
+def q_robots_rule_usage(spark, sf_dir):
+    """Robots-rule load audit: for every rule in the RFC 9309 matcher
+    dimension, how many frontier URLs it MATCHES at all vs how many it
+    actually DECIDES (wins longest-match precedence), plus the denials
+    it causes — the report that tells a crawl operator which robots
+    rules are load-bearing and which are dead weight (and how much the
+    '<default>' allow is doing). Two broadcast joins over the same URL
+    derivation rfc9309_gate uses; the rule dimension is tiny."""
+    from crawler_spark.functions.robots import like_pattern
+    from crawler_spark.operators.politeness import rfc9309_gate
+
+    RULES = [
+        ("h0", "/sec1*", False),
+        ("h0", "/sec1/item7*", True),
+        ("h0", "*.html$", False),
+        ("h1", "/*", False),
+        ("h1", "/sec2*", True),
+        ("h2", "*.html$", True),
+        ("h2", "*item3*", False),
+    ]
+    rules = spark.createDataFrame(
+        [(h, p, like_pattern(p), a) for h, p, a in RULES],
+        "host string, pattern string, like_pattern string, allow boolean",
+    )
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.col("doc_id").alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string")).alias("host"),
+        F.concat(
+            F.lit("/sec"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("/item"),
+            (F.col("doc_id") % 11).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".html")).otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    gated = rfc9309_gate(urls, rules)
+    decided = gated.groupBy(
+        "host",
+        F.coalesce(F.col("matched_pattern"), F.lit("<default>")).alias("pattern"),
+    ).agg(
+        F.count("*").alias("n_decided"),
+        F.sum((~F.col("allowed")).cast("long")).alias("n_denied"),
+    )
+    matched = (
+        urls.join(F.broadcast(rules), "host")
+        .filter(F.expr("path LIKE like_pattern ESCAPE '!'"))
+        .groupBy("host", "pattern")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return matched.join(decided, ["host", "pattern"], "full").select(
+        "host",
+        "pattern",
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        F.coalesce("n_decided", F.lit(0)).alias("n_decided"),
+        F.coalesce("n_denied", F.lit(0)).alias("n_denied"),
+    )
+
+
 def q_retrieval_recall(spark, sf_dir):
     """Cross-modal retrieval eval (CLIP-eval shape): for a deterministic
     1-in-8 sample of images, rank every caption by exact cosine in the
@@ -5564,6 +5659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "hard_negative_captions": q_hard_negative_captions,
         "rfc9309_gate": q_rfc9309_gate,
+        "robots_rule_usage": q_robots_rule_usage,
         "retrieval_recall": q_retrieval_recall,
         "ann_recall_eval": q_ann_recall_eval,
         "refresh_value": q_refresh_value,
@@ -5632,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "repetition_suite": q_repetition_suite,
         "sequence_packing": q_sequence_packing,
+        "shard_skew": q_shard_skew,
         "training_shards": q_training_shards,
         "event_funnel": q_event_funnel,
         "event_transitions": q_event_transitions,
@@ -7385,6 +7482,56 @@ def oracle_sql() -> dict[str, str]:
             FROM urls u
             LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (url_hash)
         """,
+        "robots_rule_usage": """
+            WITH rules(host, pattern, like_pattern, allow) AS (
+              VALUES ('h0', '/sec1*', '/sec1%', FALSE),
+                     ('h0', '/sec1/item7*', '/sec1/item7%', TRUE),
+                     ('h0', '*.html$', '%.html', FALSE),
+                     ('h1', '/*', '/%', FALSE),
+                     ('h1', '/sec2*', '/sec2%', TRUE),
+                     ('h2', '*.html$', '%.html', TRUE),
+                     ('h2', '*item3*', '%item3%', FALSE)
+            ),
+            urls AS (
+              SELECT doc_id AS url_hash,
+                     'h' || CAST(doc_id % 3 AS VARCHAR) AS host,
+                     '/sec' || CAST(doc_id % 5 AS VARCHAR)
+                       || '/item' || CAST(doc_id % 11 AS VARCHAR)
+                       || CASE WHEN doc_id % 4 = 0 THEN '.html' ELSE '' END
+                       AS path
+              FROM documents
+            ),
+            m AS (
+              SELECT url_hash, u.host, pattern, allow,
+                row_number() OVER (PARTITION BY url_hash
+                  ORDER BY len(pattern) DESC, CAST(allow AS INT) DESC,
+                           pattern DESC) AS rn
+              FROM urls u JOIN rules r ON u.host = r.host
+              WHERE u.path LIKE r.like_pattern ESCAPE '!'
+            ),
+            decided AS (
+              SELECT u.host,
+                     coalesce(m.pattern, '<default>') AS pattern,
+                     count(*) AS n_decided,
+                     CAST(sum(CASE WHEN NOT coalesce(m.allow, TRUE)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_denied
+              FROM urls u
+              LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (url_hash)
+              GROUP BY 1, 2
+            ),
+            matched AS (
+              SELECT u.host, r.pattern, count(*) AS n_matched
+              FROM urls u JOIN rules r ON u.host = r.host
+              WHERE u.path LIKE r.like_pattern ESCAPE '!'
+              GROUP BY 1, 2
+            )
+            SELECT host, pattern,
+                   coalesce(n_matched, 0) AS n_matched,
+                   coalesce(n_decided, 0) AS n_decided,
+                   coalesce(n_denied, 0) AS n_denied
+            FROM matched
+            FULL OUTER JOIN decided USING (host, pattern)
+        """,
         "dsir_weights": """
             WITH t AS (
               SELECT doc_id, lang = 'en' AS is_t,
@@ -8663,6 +8810,49 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN ev USING (shingle)
             WHERE g.doc_id >= 50
             GROUP BY g.doc_id
+        """,
+        "shard_skew": """
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len(list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+                doc_id % 32 AS bucket
+              FROM documents
+            ),
+            r AS (
+              SELECT *, sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY n_tokens DESC, doc_id
+              ) AS cum FROM t
+            ),
+            bins AS (
+              SELECT bucket,
+                     CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+                     round(sum(n_tokens) / 512.0, 6) AS fill_ratio
+              FROM r GROUP BY bucket, bin_id
+            ),
+            ranked AS (
+              SELECT CAST(fill_ratio AS DECIMAL(20,6)) AS x, fill_ratio,
+                     row_number() OVER (
+                       ORDER BY fill_ratio, bucket, bin_id) AS i
+              FROM bins
+            ),
+            agg AS (
+              SELECT count(*) AS n_bins,
+                     round(quantile_cont(fill_ratio, 0.1), 6) AS p10_fill,
+                     round(quantile_cont(fill_ratio, 0.5), 6) AS p50_fill,
+                     round(quantile_cont(fill_ratio, 0.9), 6) AS p90_fill,
+                     min(fill_ratio) AS min_fill,
+                     max(fill_ratio) AS max_fill,
+                     sum(x) AS sum_x,
+                     sum(i * x) AS sum_ix
+              FROM ranked
+            )
+            SELECT n_bins, p10_fill, p50_fill, p90_fill, min_fill, max_fill,
+                   floor(CAST(2 * sum_ix - (n_bins + 1) * sum_x AS DOUBLE)
+                         / CAST(n_bins * sum_x AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS gini
+            FROM agg
         """,
         "training_shards": """
             WITH base AS (
