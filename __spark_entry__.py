@@ -3927,6 +3927,59 @@ def q_image_patches(spark, sf_dir):
     return image_patches(images)
 
 
+def q_phash_stability(spark, sf_dir):
+    """How stable is the dedup key under benign transforms? Composes
+    augment_images -> decode_stats over engine images and reports, per
+    variant (hflip / center-crop), the Hamming distance distribution of
+    each variant's phash to its own original — measured with native
+    ``bit_count(xor)`` after the Arrow decode stage. The number that
+    decides whether phash-banding can be trusted to catch flipped or
+    cropped re-posts, or whether the pipeline needs transform-invariant
+    features. No SQL oracle (binary codec); rows-only — identity==0 and
+    unrelated-pair separation are pytest-pinned (tests/test_patches.py
+    neighborhood)."""
+    from crawler_spark.operators.multimodal import augment_images, decode_stats
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    variants = augment_images(images)
+    hashed = decode_stats(
+        variants.select(
+            F.concat_ws("#", "image_id", "variant").alias("image_id"),
+            "bytes",
+            "fmt",
+        )
+    ).select(
+        F.split(F.col("image_id"), "#")[0].alias("image_id"),
+        F.split(F.col("image_id"), "#")[1].alias("variant"),
+        "phash",
+    )
+    orig = hashed.filter(F.col("variant") == "orig").select(
+        "image_id", F.col("phash").alias("phash_orig")
+    )
+    ham = (
+        hashed.filter(F.col("variant") != "orig")
+        .join(orig, "image_id")
+        .select(
+            "variant",
+            F.bit_count(
+                F.col("phash").bitwiseXOR(F.col("phash_orig"))
+            ).alias("hamming"),
+        )
+    )
+    return ham.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("hamming"), 6).alias("mean_hamming"),
+        F.max("hamming").alias("max_hamming"),
+        F.sum((F.col("hamming") <= 3).cast("long")).alias("n_within_band3"),
+    )
+
+
 def q_image_transcode(spark, sf_dir):
     """Multimodal: storage-normalization transcode (every image
     re-encoded to qdct) with a per-row PSNR audit of the north rule's
@@ -5778,6 +5831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_augment": q_image_augment,
         "image_patches": q_image_patches,
         "image_transcode": q_image_transcode,
+        "phash_stability": q_phash_stability,
         "snapshot_diff": q_snapshot_diff,
         "budget_allocation": q_budget_allocation,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
