@@ -575,6 +575,35 @@ def q_drain_forecast(spark, sf_dir):
     )
 
 
+def q_fetcher_load_forecast(spark, sf_dir):
+    """Fleet planning: compose the HRW host->fetcher assignment with the
+    politeness drain forecast — per fetcher: hosts owned, URLs queued,
+    and the fetcher's critical path (max rounds-to-drain among its
+    hosts, budget 4/round), plus each fetcher's share of the fleet's
+    URL load (integer-exact ratio). The table that says whether the
+    fetcher fleet is balanced BEFORE the crawl starts. Host dimension
+    is tiny; everything downstream of the one groupBy is
+    dimension-sized."""
+    from crawler_spark.operators.assign import hrw_assign
+
+    f = _frontier(spark, sf_dir)
+    per_host = f.groupBy("host").agg(F.count(F.lit(1)).alias("n_pending"))
+    assigned = hrw_assign(per_host, "host", n_workers=8, out_col="fetcher_id")
+    per_fetcher = assigned.groupBy("fetcher_id").agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("n_pending").alias("n_urls"),
+        F.max(F.expr("div(n_pending + 3, 4)")).alias("critical_rounds"),
+    )
+    tot = per_fetcher.agg(F.sum("n_urls").alias("tot_urls"))
+    return per_fetcher.crossJoin(F.broadcast(tot)).select(
+        "fetcher_id",
+        "n_hosts",
+        "n_urls",
+        "critical_rounds",
+        _pin(F.col("n_urls") / F.col("tot_urls"), 6).alias("load_share"),
+    )
+
+
 def q_robots_gate(spark, sf_dir):
     """T5/J5: robots dimension broadcast join + deny filter + budget calc."""
     f = _frontier(spark, sf_dir)
@@ -5654,6 +5683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlseen_antijoin": q_urlseen_antijoin,
         "urlseen_cuckoo": q_urlseen_cuckoo,
         "drain_forecast": q_drain_forecast,
+        "fetcher_load_forecast": q_fetcher_load_forecast,
         "robots_gate": q_robots_gate,
         "canonicalize": q_canonicalize,
         "surt_index": q_surt_index,
@@ -5875,6 +5905,33 @@ def oracle_sql() -> dict[str, str]:
                      AS fetcher_id
             FROM hosts CROSS JOIN range(0, 32) t(f)
             GROUP BY host_id
+        """,
+        "fetcher_load_forecast": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            per_host AS (
+              SELECT host, count(*) AS n_pending FROM f GROUP BY host
+            ),
+            assigned AS (
+              SELECT host, n_pending,
+                     CAST(arg_max(w, md5('hrw:' || host
+                                         || ':' || CAST(w AS varchar)))
+                       AS INT) AS fetcher_id
+              FROM per_host CROSS JOIN range(0, 8) t(w)
+              GROUP BY host, n_pending
+            ),
+            per_fetcher AS (
+              SELECT fetcher_id, count(*) AS n_hosts,
+                     CAST(sum(n_pending) AS BIGINT) AS n_urls,
+                     CAST(max((n_pending + 3) // 4) AS BIGINT)
+                       AS critical_rounds
+              FROM assigned GROUP BY fetcher_id
+            ),
+            tot AS (SELECT CAST(sum(n_urls) AS BIGINT) AS tot_urls
+                    FROM per_fetcher)
+            SELECT fetcher_id, n_hosts, n_urls, critical_rounds,
+                   floor(CAST(n_urls AS DOUBLE) / tot_urls
+                         * 1000000.0 + 0.5) / 1000000.0 AS load_share
+            FROM per_fetcher CROSS JOIN tot
         """,
         "hrw_rebalance": """
             WITH hosts AS (
