@@ -725,6 +725,151 @@ def q_hourly_event_counts(spark, sf_dir):
     )
 
 
+def q_fetch_rate_ewma(spark, sf_dir):
+    """Fetch-rate trend smoothing: 16-term truncated EWMA (alpha = 1/2)
+    over the hourly event-count series — the smoothed throughput signal
+    an adaptive scheduler trends against (raw per-hour counts whipsaw
+    on politeness-budget beat frequencies). All arithmetic is EXACT:
+    weights 2^-(j+1) make every term a dyadic rational, the scaled sum
+    sum(x_{t-j} * 2^(15-j)) is integer (bit-identical cross-engine),
+    and the final /65536.0 is a lossless double. The window is over the
+    HOURS HISTOGRAM (dimension-sized), never the fact table; the 16
+    lag() terms share one window frame."""
+    e = _t(spark, sf_dir, "events")
+    hours = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("hour")
+    scaled = F.col("n") * F.lit(1 << 15)
+    for j in range(1, 16):
+        scaled = scaled + F.coalesce(F.lag("n", j).over(w), F.lit(0)) * F.lit(
+            1 << (15 - j)
+        )
+    return hours.select(
+        "hour",
+        "n",
+        scaled.cast("long").alias("ewma_scaled"),
+        (scaled.cast("long") / F.lit(65536.0)).alias("ewma"),
+    )
+
+
+def q_event_order_audit(spark, sf_dir):
+    """Out-of-order arrival audit — the batch measurement that sizes a
+    streaming watermark: per user (arrival order = event_id), an event
+    is disordered when its event time trails the per-user running max
+    by more than the 600 s tolerance; per event type report volume,
+    disorder count/rate and the worst skew in seconds. The window is
+    partitioned by user (never a global sort); disorder math is integer
+    seconds, exact cross-engine."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("ts").over(w)
+    d = e.select(
+        "event_type",
+        F.greatest(
+            F.lit(0),
+            (
+                F.unix_timestamp(prev_max) - F.unix_timestamp(F.col("ts"))
+            ).cast("long"),
+        ).alias("disorder_s"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("disorder_s") > 600).cast("long")).alias("n_late"),
+        F.max("disorder_s").alias("max_disorder_s"),
+        F.round(
+            F.sum((F.col("disorder_s") > 600).cast("long")) / F.count("*"), 6
+        ).alias("late_rate"),
+    )
+
+
+def q_host_wilson_health(spark, sf_dir):
+    """Host health as a Wilson-score lower bound (z = 1.96) on the
+    fetch success rate — the statistically honest ranking when hosts
+    have wildly different sample sizes (a 1/1 host must NOT outrank a
+    98/100 host, which a raw ratio does). Success is derived
+    deterministically from the doc fingerprint (md5 last hex digit
+    != 'f' -> ~15/16 base rate modulated per host). One hash agg to
+    (host, s, n), then pure arithmetic + one IEEE-exact sqrt — written
+    with the identical operation tree in the oracle so the doubles
+    match bit-for-bit before the final round."""
+    d = _t(spark, sf_dir, "documents")
+    z = F.lit(1.96)
+    per_host = (
+        d.select(
+            F.concat(F.lit("host-"), (F.col("doc_id") % 20).cast("string")).alias(
+                "host"
+            ),
+            (
+                F.substring(F.md5(F.col("text")), 32, 1)
+                > F.concat((F.col("doc_id") % 3).cast("string"))
+            )
+            .cast("long")
+            .alias("ok"),
+        )
+        .groupBy("host")
+        .agg(F.sum("ok").alias("s"), F.count("*").alias("n"))
+    )
+    p = F.col("s") / F.col("n")
+    n = F.col("n")
+    wlb = (
+        p
+        + z * z / (2 * n)
+        - z * F.sqrt((p * (F.lit(1) - p) + z * z / (4 * n)) / n)
+    ) / (F.lit(1) + z * z / n)
+    return per_host.select(
+        "host",
+        "s",
+        "n",
+        F.round(p, 6).alias("success_rate"),
+        F.round(wlb, 6).alias("wilson_lb"),
+    )
+
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the vocabulary head: OLS slope/intercept of
+    ln(freq) vs ln(rank) for the top-256 tokens — the one-row corpus
+    fingerprint that flags template/boilerplate corpora (slope well
+    above -1 = unnaturally flat head) before they poison token budgets.
+    Numeric determinism: each ln is round-9-stabilized into a
+    DECIMAL(12,9), all cross-products stay in exact decimal through the
+    sums, and the final slope algebra runs on doubles with an identical
+    operation tree in the oracle. The regression input is 256 rows —
+    the window and the fit never touch the fact table."""
+    from crawler_spark.operators.corpus import vocab_topk
+
+    v = vocab_topk(_t(spark, sf_dir, "documents"), k=256)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("tok"))
+    pts = v.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("x"),
+        F.round(F.log(F.col("n_occ").cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    k, sx, sy, sxy, sxx = (F.col(c) for c in ["k", "sx", "sy", "sxy", "sxx"])
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return s.select(
+        k.alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / k, 6).alias("intercept"),
+    )
+
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: typed from_json over the JSON props
     column (schema-on-read, JVM-side parse — no Python), aggregated per
@@ -1979,6 +2124,59 @@ def q_image_decode_stats(spark, sf_dir):
     return decode_stats(images)
 
 
+def q_image_hash_agreement(spark, sf_dir):
+    """Perceptual-hash ensemble audit: pHash/dHash/aHash per image in
+    ONE decode pass (operators/multimodal.py:alt_hashes), then native
+    bit_count(xor) pairwise agreement — the on-corpus correlation table
+    that justifies (or kills) a 2-of-3 ensemble dedup rule. No SQL
+    oracle (binary codec); the hash functions' numeric contracts are
+    pytest-covered (tests/test_alt_hashes.py)."""
+    from crawler_spark.operators.multimodal import alt_hashes
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    h = alt_hashes(images)
+    return h.select(
+        "image_id",
+        "phash",
+        "dhash",
+        "ahash",
+        (64 - F.bit_count(F.col("phash").bitwiseXOR(F.col("dhash")))).alias(
+            "agree_pd"
+        ),
+        (64 - F.bit_count(F.col("phash").bitwiseXOR(F.col("ahash")))).alias(
+            "agree_pa"
+        ),
+        (64 - F.bit_count(F.col("dhash").bitwiseXOR(F.col("ahash")))).alias(
+            "agree_da"
+        ),
+    )
+
+
+def q_image_border_gate(spark, sf_dir):
+    """Letterbox / uniform-border gate over engine-encoded images
+    (operators/multimodal.py:border_scores): per-side border widths +
+    letterboxed flag — the pre-crop curation gate. No SQL oracle
+    (binary codec); planted-border exactness is pytest-covered
+    (tests/test_alt_hashes.py)."""
+    from crawler_spark.operators.multimodal import border_scores
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    return border_scores(images)
+
+
+
 # --------------------------------------------------------------------------
 # dedup suite (documents)
 # --------------------------------------------------------------------------
@@ -2046,6 +2244,36 @@ def q_substring_overlap(spark, sf_dir):
 
     return substring_overlap_pairs(
         _t(spark, sf_dir, "documents"), window=5, min_shared=1
+    )
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint sketch (Schleimer/Wilkerson/Aiken SIGMOD'03,
+    the MOSS algorithm): min-hash-per-window selection over 4-token gram
+    hashes, ties rightmost — guaranteed to catch every shared run of
+    >= w+k-1 = 7 tokens at ~2/(w+1) = 40% of the full window-index size.
+    Per-doc rollup: grams, selected fingerprints, selection density."""
+    from crawler_spark.operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(_t(spark, sf_dir, "documents"), k=4, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.any_value("n_grams").alias("n_grams"),
+        F.count("*").alias("n_fps"),
+        F.round(
+            F.count("*") / (F.any_value("n_grams") - F.lit(4) + F.lit(1)), 6
+        ).alias("density"),
+    )
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Verbatim-overlap pairs from the winnowed sketch: self-join on
+    selected fingerprint hashes only — same guarantee as the full
+    window index for runs >= 7 tokens, at a fraction of the join
+    fan-out. The scale-path replacement for substring_overlap."""
+    from crawler_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), k=4, w=4, min_shared=1
     )
 
 
@@ -5152,6 +5380,30 @@ def q_host_components(spark, sf_dir):
     )
 
 
+def q_seed_distance(spark, sf_dir):
+    """Multi-source BFS hop distance from the vetted seed hosts over
+    the deterministic host link graph (host_components' edge family):
+    the hard-cutoff counterpart of trustrank's smooth decay — a crawl
+    admission fence 'only hosts within H hops of a seed'. Level-
+    synchronous frontier joins, one shuffle per hop, O(E) total work;
+    oracle = hop-bounded recursive CTE with min-distance rollup."""
+    from crawler_spark.operators.graph import bfs_distances
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % 20
+    e1 = docs.filter(F.col("doc_id") % 4 == 0).select(
+        h.alias("src"), ((h + 10) % 20).alias("dst")
+    )
+    e2 = docs.filter(F.col("doc_id") % 16 == 1).select(
+        h.alias("src"), ((h + 5) % 20).alias("dst")
+    )
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst")).distinct()
+    seeds = spark.range(2).select(F.col("id").alias("node"))
+    return bfs_distances(edges, seeds, max_hops=8).select(
+        F.col("node").alias("host_id"), F.col("dist").cast("int").alias("dist")
+    )
+
+
 def q_caption_junk_filter(spark, sf_dir):
     """LAION-style caption junk gate: alt-text scraped from the web is
     full of URLs, filenames, and generic placeholders that train
@@ -5691,6 +5943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top1_event_per_type": q_top1_event_per_type,
         "event_type_stats": q_event_type_stats,
         "hourly_event_counts": q_hourly_event_counts,
+        "fetch_rate_ewma": q_fetch_rate_ewma,
+        "event_order_audit": q_event_order_audit,
+        "host_wilson_health": q_host_wilson_health,
+        "zipf_fit": q_zipf_fit,
         "sessionize_events": q_sessionize_events,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -5752,6 +6008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_threshold_eval": q_phash_threshold_eval,
         "caption_junk_filter": q_caption_junk_filter,
         "host_components": q_host_components,
+        "seed_distance": q_seed_distance,
         "pair_pipeline": q_pair_pipeline,
         "dedup_cross_wave": q_dedup_cross_wave,
         "cloaking_signal": q_cloaking_signal,
@@ -5787,6 +6044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validated_match": q_validated_match,
         "rollup_event_stats": q_rollup_event_stats,
         "image_decode_stats": q_image_decode_stats,
+        "image_hash_agreement": q_image_hash_agreement,
+        "image_border_gate": q_image_border_gate,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_simhash": q_dedup_simhash,
@@ -5794,6 +6053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_pairs": q_simhash64_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "substring_overlap": q_substring_overlap,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_impact": q_dedup_impact,
@@ -6191,6 +6452,104 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) * 100.0 / (SELECT count(*) FROM events), 4)
                      AS pct_of_all
             FROM events GROUP BY event_type
+        """,
+        "zipf_fit": """
+            WITH t AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            v AS (
+              SELECT tok, count(*) AS n_occ FROM t GROUP BY tok
+              ORDER BY n_occ DESC, tok ASC LIMIT 256
+            ),
+            r AS (
+              SELECT row_number() OVER (ORDER BY n_occ DESC, tok ASC) AS rank,
+                     n_occ
+              FROM v
+            ),
+            p AS (
+              SELECT CAST(round(ln(rank), 9) AS DECIMAL(12,9)) AS x,
+                     CAST(round(ln(n_occ), 9) AS DECIMAL(12,9)) AS y
+              FROM r
+            ),
+            s AS (
+              SELECT count(*) AS k,
+                     CAST(sum(x) AS DOUBLE) AS sx,
+                     CAST(sum(y) AS DOUBLE) AS sy,
+                     CAST(sum(x * y) AS DOUBLE) AS sxy,
+                     CAST(sum(x * x) AS DOUBLE) AS sxx
+              FROM p
+            )
+            SELECT k AS n_points,
+                   round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+                   round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                         / k, 6) AS intercept
+            FROM s
+        """,
+        "event_order_audit": """
+            WITH d AS (
+              SELECT event_type,
+                     greatest(0, CAST(date_diff('second', ts,
+                       max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     ) AS BIGINT)) AS disorder_s
+              FROM events
+            )
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CASE WHEN disorder_s > 600 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_late,
+                   max(disorder_s) AS max_disorder_s,
+                   round(sum(CASE WHEN disorder_s > 600 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS late_rate
+            FROM d GROUP BY event_type
+        """,
+        "host_wilson_health": """
+            WITH per_host AS (
+              SELECT 'host-' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                     CAST(sum(CASE WHEN substr(md5(text), 32, 1)
+                                > CAST(doc_id % 3 AS VARCHAR)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS s,
+                     count(*) AS n
+              FROM documents GROUP BY 1
+            )
+            SELECT host, s, n,
+                   round(s * 1.0 / n, 6) AS success_rate,
+                   round(
+                     (s * 1.0 / n + 1.96 * 1.96 / (2 * n)
+                      - 1.96 * sqrt(((s * 1.0 / n) * (1 - s * 1.0 / n)
+                                     + 1.96 * 1.96 / (4 * n)) / n))
+                     / (1 + 1.96 * 1.96 / n), 6) AS wilson_lb
+            FROM per_host
+        """,
+        "fetch_rate_ewma": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+              FROM events GROUP BY 1
+            )
+            SELECT hour, n, ewma_scaled, ewma_scaled / 65536.0 AS ewma
+            FROM (
+              SELECT hour, n,
+                     CAST(n * 32768
+                        + coalesce(lag(n, 1) OVER w, 0) * 16384
+                        + coalesce(lag(n, 2) OVER w, 0) * 8192
+                        + coalesce(lag(n, 3) OVER w, 0) * 4096
+                        + coalesce(lag(n, 4) OVER w, 0) * 2048
+                        + coalesce(lag(n, 5) OVER w, 0) * 1024
+                        + coalesce(lag(n, 6) OVER w, 0) * 512
+                        + coalesce(lag(n, 7) OVER w, 0) * 256
+                        + coalesce(lag(n, 8) OVER w, 0) * 128
+                        + coalesce(lag(n, 9) OVER w, 0) * 64
+                        + coalesce(lag(n, 10) OVER w, 0) * 32
+                        + coalesce(lag(n, 11) OVER w, 0) * 16
+                        + coalesce(lag(n, 12) OVER w, 0) * 8
+                        + coalesce(lag(n, 13) OVER w, 0) * 4
+                        + coalesce(lag(n, 14) OVER w, 0) * 2
+                        + coalesce(lag(n, 15) OVER w, 0) * 1 AS BIGINT) AS ewma_scaled
+              FROM h WINDOW w AS (ORDER BY hour)
+            ) s
         """,
         "hourly_event_counts": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -6910,6 +7269,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
                    round(sum(nbytes) / 8388608.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, shard_id
+        """,
+        "seed_distance": """
+            WITH RECURSIVE e0 AS (
+              SELECT doc_id % 20 AS a, (doc_id % 20 + 10) % 20 AS b
+              FROM documents WHERE doc_id % 4 = 0
+              UNION
+              SELECT doc_id % 20, (doc_id % 20 + 5) % 20
+              FROM documents WHERE doc_id % 16 = 1
+            ),
+            ed AS (SELECT DISTINCT a, b FROM e0 WHERE a != b),
+            e AS (
+              SELECT a AS s, b AS t FROM ed
+              UNION
+              SELECT b AS s, a AS t FROM ed
+            ),
+            walk(node, d) AS (
+              SELECT CAST(v.node AS BIGINT), v.d
+              FROM (VALUES (0, 0), (1, 0)) v(node, d)
+              UNION
+              SELECT e.t, w.d + 1 FROM walk w JOIN e ON w.node = e.s
+              WHERE w.d < 8
+            )
+            SELECT node AS host_id, CAST(min(d) AS INTEGER) AS dist
+            FROM walk GROUP BY node
         """,
         "host_components": """
             WITH RECURSIVE e0 AS (
@@ -8392,6 +8775,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(sum(b * CAST(pow(2, bit) AS BIGINT)) AS BIGINT) AS simhash
             FROM per_bit GROUP BY doc_id
+        """,
+        "winnow_fingerprints": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, len(ws) - 3 AS n_grams,
+                     md5(array_to_string(ws[i:i+3], ' ')) AS g
+              FROM words, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+              WHERE len(ws) >= 4
+            ),
+            keyed AS (
+              SELECT doc_id, pos, n_grams,
+                     g || '#' || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0') AS key
+              FROM grams
+            ),
+            sel AS (
+              SELECT doc_id, n_grams, pos,
+                     min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp_key
+              FROM keyed
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id, n_grams, fp_key
+              FROM sel WHERE pos <= n_grams - 4
+            )
+            SELECT doc_id, any_value(n_grams) AS n_grams, count(*) AS n_fps,
+                   round(count(*) * 1.0 / (any_value(n_grams) - 4 + 1), 6) AS density
+            FROM fps GROUP BY doc_id
+        """,
+        "winnow_overlap": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, len(ws) - 3 AS n_grams,
+                     md5(array_to_string(ws[i:i+3], ' ')) AS g
+              FROM words, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+              WHERE len(ws) >= 4
+            ),
+            keyed AS (
+              SELECT doc_id, pos, n_grams,
+                     g || '#' || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0') AS key
+              FROM grams
+            ),
+            sel AS (
+              SELECT doc_id, n_grams, pos,
+                     min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp_key
+              FROM keyed
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id, substr(fp_key, 1, 32) AS fp
+              FROM sel WHERE pos <= n_grams - 4
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 1
         """,
         "substring_overlap": """
             WITH words AS (

@@ -98,6 +98,12 @@ HEADLINE = [
     "embedding_classifier",
     "dedup_impact",
     "host_mirror_jaccard",
+    # round-2 resumption additions
+    "winnow_overlap",
+    "seed_distance",
+    "event_order_audit",
+    "zipf_fit",
+    "image_hash_agreement",
 ]
 
 BENCH_HOSTS = 50
@@ -141,6 +147,7 @@ def _bench_frontier(spark, n_urls: int):
             F.lit("pending").alias("status"),
             F.lit(0).alias("round_id"),
             F.lit(0).alias("attempts"),
+            F.lit(0).alias("born_round"),
         )
         .withColumn("url_hash", F.xxhash64("url_canon"))
         .withColumn("host", F.parse_url("url_canon", F.lit("HOST")))

@@ -127,3 +127,35 @@ def phash64(px: np.ndarray) -> int:
     for bit in bits:
         v = (v << 1) | int(bit)
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _pack_bits64(bits: "np.ndarray") -> int:
+    """64 bools -> signed int64 (two's complement), MSB first."""
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash64(px: np.ndarray) -> int:
+    """Difference hash (dHash): NN-resample to an 8x9 grid, bit = pixel
+    brighter than its left neighbor. Gradient-based — robust to global
+    brightness/contrast shifts that flip aHash bits, cheaper than the
+    block-mean pHash; the standard second opinion in perceptual-hash
+    dedup ensembles. Deterministic, pure numpy."""
+    h, w = px.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(9) * w // 9).clip(0, w - 1)
+    g = px[np.ix_(ys, xs)].astype(np.int32)
+    return _pack_bits64((g[:, 1:] > g[:, :-1]).flatten())
+
+
+def ahash64(px: np.ndarray) -> int:
+    """Average hash (aHash): 8x8 block means thresholded by their MEAN
+    (pHash thresholds by the median — aHash is the cruder, faster
+    sibling that over-fires on skewed histograms; shipping both lets
+    the agreement audit quantify that on-corpus). Deterministic."""
+    h, w = px.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    means = px[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    return _pack_bits64((means > means.mean()).flatten())

@@ -719,6 +719,127 @@ def substring_overlap_pairs(
     )
 
 
+# ------------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS plagiarism-detector algorithm): hash every
+    k-token gram, slide a window of ``w`` consecutive gram hashes, and
+    in each window select the MINIMUM hash (ties -> rightmost
+    position). The selected (hash, position) set is the document's
+    fingerprint sketch, with two guarantees the paper proves:
+
+    * any shared token run of length >= w + k - 1 between two documents
+      shares at least one selected fingerprint (no long verbatim overlap
+      is ever missed), and
+    * no run shorter than k is ever matched (noise floor).
+
+    Expected density is 2/(w+1) of all grams — a tunable, position-aware
+    sketch that is much smaller than the full window set
+    ``substring_overlap_pairs`` fingerprints, which is what makes it the
+    right exact-overlap index at corpus scale.
+
+    Dataflow: token split -> (pos, md5(gram)) via one native
+    transform(sequence) explode -> per-doc window min over ``w`` rows ->
+    distinct. The only shuffle is the doc-partitioned window (doc-sized
+    partitions, never skewed); the tie rule rides inside the min key:
+    ``md5 || '#' || lpad(99999999 - pos)`` makes lexicographic min =
+    (min hash, then rightmost position), bit-identical in the DuckDB
+    oracle. Only full windows select (pos <= n_grams - w), per the
+    paper; docs with fewer than k + w - 1 tokens emit no fingerprints.
+
+    Returns (doc_id, n_grams, fp, fp_pos) — one row per distinct
+    selected fingerprint.
+    """
+    ws = F.col("__ws")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - k + 1),
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(ws, i, k))).alias("g"),
+        ),
+    )
+    keyed = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.trim(F.col(text_col))), "\\s+").alias("__ws"),
+        )
+        .filter(F.size(ws) >= k)
+        .select(
+            "doc_id",
+            (F.size(ws) - k + 1).cast("long").alias("n_grams"),
+            F.explode(grams).alias("gr"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("gr.pos").alias("pos"),
+            F.concat(
+                F.col("gr.g"),
+                F.lit("#"),
+                F.lpad((F.lit(99999999) - F.col("gr.pos")).cast("string"), 8, "0"),
+            ).alias("key"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        keyed.withColumn("fp_key", F.min("key").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+        .select("doc_id", "n_grams", "fp_key")
+        .distinct()
+        .select(
+            "doc_id",
+            "n_grams",
+            F.substring("fp_key", 1, 32).alias("fp"),
+            (F.lit(99999999) - F.substring("fp_key", 34, 8).cast("long"))
+            .cast("long")
+            .alias("fp_pos"),
+        )
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Verbatim-overlap candidate pairs from winnowed fingerprints: join
+    documents on shared selected HASHES (position-independent — the
+    paper's matching step), count distinct shared fingerprints. By the
+    winnowing guarantee, every doc pair sharing a token run of length
+    >= w + k - 1 appears here — at ~2/(w+1) of the index size (and the
+    join fan-out) of the full-window ``substring_overlap_pairs``.
+
+    Same scale shape as every LSH pair family above: one self-join on a
+    uniform 128-bit key, candidates proportional to true overlaps."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w).select(
+        "doc_id", "fp"
+    ).distinct()
+    return (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ------------------------------------------------- content-defined chunks
 
 

@@ -627,3 +627,121 @@ def augment_images(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         go, schema=AUGMENT_SCHEMA
     )
+
+
+ALT_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def alt_hashes(images: DataFrame) -> DataFrame:
+    """Perceptual-hash ensemble: pHash (block-mean/median), dHash
+    (horizontal gradient), aHash (block-mean/mean) per image in ONE
+    decode pass — the dedup-ensemble input (a pair is a near-dup when
+    >= 2 of 3 hashes agree within their Hamming band, which kills each
+    family's characteristic false positives: aHash on skewed
+    histograms, dHash on smooth gradients, pHash on crops).
+
+    One Arrow-batched mapInPandas stage over (image_id, bytes, fmt);
+    downstream agreement math (bit_count(xor)) is native and
+    codegen-able — see the image_hash_agreement query."""
+
+    from crawler_spark.functions.codecs import ahash64, dhash64
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "phash": phash64(px),
+                        "dhash": dhash64(px),
+                        "ahash": ahash64(px),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in ALT_HASH_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=ALT_HASH_SCHEMA
+    )
+
+
+BORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("top", T.IntegerType()),
+        T.StructField("bottom", T.IntegerType()),
+        T.StructField("left", T.IntegerType()),
+        T.StructField("right", T.IntegerType()),
+        T.StructField("border_frac", T.DoubleType()),
+        T.StructField("letterboxed", T.BooleanType()),
+    ]
+)
+
+
+def border_scores(
+    images: DataFrame, tol: float = 2.0, min_frac: float = 0.08
+) -> DataFrame:
+    """Letterbox / uniform-border detection (the LAION-style curation
+    gate that precedes any crop: black bars and solid frames inflate
+    resolution metadata and poison aspect-ratio bucketing). A border
+    row/column is one whose pixel range (max - min) is <= ``tol``;
+    each side's border width is the run of such lines from that edge,
+    capped at half the dimension so a fully-flat image reads as
+    all-border without double counting. ``letterboxed`` fires when
+    either axis loses >= ``min_frac`` of its extent to borders.
+
+    Vectorized per image (two ptp reductions + argmin scans, no Python
+    loops over pixels), one Arrow-batched mapInPandas stage."""
+
+    def _run(flags: np.ndarray) -> int:
+        # leading True run length; argmin finds the first False
+        if flags.all():
+            return len(flags)
+        return int(np.argmin(flags))
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt).astype(np.int32)
+                h, w = px.shape
+                row_ptp = px.max(axis=1) - px.min(axis=1)
+                col_ptp = px.max(axis=0) - px.min(axis=0)
+                rflat = row_ptp <= tol
+                cflat = col_ptp <= tol
+                top = min(_run(rflat), h // 2)
+                bottom = min(_run(rflat[::-1]), h // 2)
+                left = min(_run(cflat), w // 2)
+                right = min(_run(cflat[::-1]), w // 2)
+                frac = ((top + bottom) * w + (left + right) * h) / float(h * w + 1)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "w": w,
+                        "h": h,
+                        "top": top,
+                        "bottom": bottom,
+                        "left": left,
+                        "right": right,
+                        "border_frac": frac,
+                        "letterboxed": bool(
+                            (top + bottom) >= min_frac * h
+                            or (left + right) >= min_frac * w
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in BORDER_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=BORDER_SCHEMA
+    )
