@@ -5404,6 +5404,142 @@ def q_seed_distance(spark, sf_dir):
     )
 
 
+def q_stride_schedule(spark, sf_dir):
+    """Weighted-fair frontier admission (stride/WFQ, Waldspurger &
+    Weihl OSDI'94): host h's k-th URL gets integer virtual finish
+    k*10080/weight (10080 is divisible by every weight 1..10, so the
+    virtual clock is EXACT cross-engine); admitting the 64 earliest
+    finishes gives throughput proportional to host weight — the
+    value-weighted generalization of the flat politeness budget.
+    Per-host window + global TakeOrdered; never a full sort."""
+    from crawler_spark.operators.politeness import stride_schedule
+
+    f = _frontier(spark, sf_dir)
+    weights = spark.range(20).select(
+        F.concat(F.lit("host-"), F.col("id").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        (1 + F.col("id") % 3).cast("int").alias("weight"),
+    )
+    out = stride_schedule(f, weights, budget=64)
+    return out.select(
+        "url",
+        "host",
+        F.col("weight").cast("long").alias("weight"),
+        F.col("k").cast("long").alias("k"),
+        "vf",
+    )
+
+
+def q_host_kcore(spark, sf_dir):
+    """2-core decomposition by iterative peeling (4 rounds) over a
+    deterministic host graph: a 10-node even-host ring (doc_id%10*2 ->
+    +2 chords) plus odd leaf hosts hanging off it. Leaves peel away in
+    round 1; the ring survives with its true core degrees — the spam
+    -farm vs organic-neighborhood separator that pairs with
+    host_triangles. Each peel is one degree agg + two semi-joins;
+    the oracle unrolls identical rounds."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ring_h = (F.col("doc_id") % 10) * 2
+    e_ring = docs.select(
+        ring_h.alias("a"), ((ring_h + 2) % 20).alias("b")
+    )
+    leaf_h = F.col("doc_id") % 20
+    e_leaf = docs.filter(F.col("doc_id") % 16 == 1).select(
+        leaf_h.alias("a"), ((leaf_h + 5) % 20).alias("b")
+    )
+    ed = e_ring.union(e_leaf).filter(F.col("a") != F.col("b")).distinct()
+    e = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    for _ in range(4):
+        deg = e.groupBy("a").agg(F.count("*").alias("c"))
+        alive = deg.filter(F.col("c") >= 2).select("a").localCheckpoint()
+        e = (
+            e.join(alive, "a", "left_semi")
+            .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("a").alias("host_id")).agg(
+        F.count("*").alias("degree")
+    )
+
+
+def q_caption_boilerplate(spark, sf_dir):
+    """Cross-host caption boilerplate: 3-token caption-PREFIX
+    fingerprints that appear on >= 2 distinct hosts — stock-photo
+    alt-text and CMS template stems ("image of a ...") that
+    exact-dedup-per-host misses but that poison image-caption training
+    pairs corpus-wide. One hash agg (map-side combinable), no joins."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    return (
+        d.select(
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, 3))).alias("fp"),
+            "doc_id",
+            (F.col("doc_id") % 20).alias("host_id"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("host_id").alias("n_hosts"),
+            F.min("doc_id").alias("exemplar"),
+        )
+        .filter(F.col("n_hosts") >= 2)
+    )
+
+
+
+def q_subimage_matches(spark, sf_dir):
+    """Crop/thumbnail provenance: tile-pHash index over the source
+    corpus joined (one shuffle, uniform 64-bit key) against the
+    whole-image pHash of a circulating crop corpus — here the crops
+    are the sources' own 16x16 patches re-encoded standalone
+    (image_patches), i.e. the worst real case: fragments that share
+    ZERO whole-image hash bits with their source. png only (lossless
+    round trip; qdct recompression shifts tile pixels). No SQL oracle
+    (binary codec); planted-crop exactness is pytest-covered
+    (tests/test_alt_hashes.py)."""
+    from crawler_spark.operators.multimodal import (
+        decode_stats,
+        image_patches,
+        tile_hashes,
+    )
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
+    rows = [T1_SMOKE.payload(u) for u in urls]
+    images = spark.createDataFrame(
+        [
+            (r["image_id"], r["bytes"], r["fmt"])
+            for r in rows
+            if r["fmt"] == "png"
+        ],
+        "image_id string, bytes binary, fmt string",
+    )
+    crops = image_patches(images, patch=16).select(
+        F.concat_ws(
+            "#", "image_id", F.col("patch_row").cast("string"),
+            F.col("patch_col").cast("string"),
+        ).alias("image_id"),
+        F.col("bytes"),
+        F.col("fmt"),
+    )
+    crop_hashes = decode_stats(crops).select(
+        F.col("image_id").alias("crop_id"), F.col("phash").alias("crop_phash")
+    )
+    index = tile_hashes(images, tile=16)
+    return (
+        index.join(
+            crop_hashes, index["tile_phash"] == crop_hashes["crop_phash"]
+        )
+        .groupBy("image_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.count_distinct("crop_id").alias("n_crops_matched"),
+        )
+    )
+
+
+
 def q_caption_junk_filter(spark, sf_dir):
     """LAION-style caption junk gate: alt-text scraped from the web is
     full of URLs, filenames, and generic placeholders that train
@@ -6009,6 +6145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_junk_filter": q_caption_junk_filter,
         "host_components": q_host_components,
         "seed_distance": q_seed_distance,
+        "stride_schedule": q_stride_schedule,
+        "host_kcore": q_host_kcore,
+        "caption_boilerplate": q_caption_boilerplate,
         "pair_pipeline": q_pair_pipeline,
         "dedup_cross_wave": q_dedup_cross_wave,
         "cloaking_signal": q_cloaking_signal,
@@ -6046,6 +6185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": q_image_decode_stats,
         "image_hash_agreement": q_image_hash_agreement,
         "image_border_gate": q_image_border_gate,
+        "subimage_matches": q_subimage_matches,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_simhash": q_dedup_simhash,
@@ -7293,6 +7433,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS host_id, CAST(min(d) AS INTEGER) AS dist
             FROM walk GROUP BY node
+        """,
+        "stride_schedule": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            wts AS (
+              SELECT 'host-' || i || '.test' AS host,
+                     1 + i % 3 AS weight
+              FROM range(20) t(i)
+            ),
+            r AS (
+              SELECT f.url, f.host,
+                     CAST(coalesce(w.weight, 1) AS BIGINT) AS weight,
+                     CAST(row_number() OVER (
+                       PARTITION BY f.host
+                       ORDER BY f.priority, f.depth, f.discovery_seq
+                     ) AS BIGINT) AS k
+              FROM f LEFT JOIN wts w ON f.host = w.host
+            )
+            SELECT url, host, weight, k,
+                   CAST(k * 10080 / weight AS BIGINT) AS vf
+            FROM r ORDER BY vf, host, k LIMIT 64
+        """,
+        "host_kcore": """
+            WITH ring AS (
+              SELECT (doc_id % 10) * 2 AS a,
+                     ((doc_id % 10) * 2 + 2) % 20 AS b
+              FROM documents
+            ),
+            leaf AS (
+              SELECT doc_id % 20 AS a, (doc_id % 20 + 5) % 20 AS b
+              FROM documents WHERE doc_id % 16 = 1
+            ),
+            ed AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM ring UNION ALL SELECT a, b FROM leaf
+              ) WHERE a != b
+            ),
+            e0 AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed
+              )
+            ),
+            k1 AS (SELECT a FROM e0 GROUP BY a HAVING count(*) >= 2),
+            e1 AS (SELECT a, b FROM e0
+                   WHERE a IN (SELECT a FROM k1) AND b IN (SELECT a FROM k1)),
+            k2 AS (SELECT a FROM e1 GROUP BY a HAVING count(*) >= 2),
+            e2 AS (SELECT a, b FROM e1
+                   WHERE a IN (SELECT a FROM k2) AND b IN (SELECT a FROM k2)),
+            k3 AS (SELECT a FROM e2 GROUP BY a HAVING count(*) >= 2),
+            e3 AS (SELECT a, b FROM e2
+                   WHERE a IN (SELECT a FROM k3) AND b IN (SELECT a FROM k3)),
+            k4 AS (SELECT a FROM e3 GROUP BY a HAVING count(*) >= 2),
+            e4 AS (SELECT a, b FROM e3
+                   WHERE a IN (SELECT a FROM k4) AND b IN (SELECT a FROM k4))
+            SELECT a AS host_id, count(*) AS degree FROM e4 GROUP BY a
+        """,
+        "caption_boilerplate": """
+            WITH p AS (
+              SELECT doc_id, doc_id % 20 AS host_id,
+                     md5(array_to_string(
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'),
+                                    ' ')[1:3], ' ')) AS fp
+              FROM documents
+            )
+            SELECT fp, count(*) AS n_docs,
+                   count(DISTINCT host_id) AS n_hosts,
+                   min(doc_id) AS exemplar
+            FROM p GROUP BY fp
+            HAVING count(DISTINCT host_id) >= 2
         """,
         "host_components": """
             WITH RECURSIVE e0 AS (

@@ -104,6 +104,9 @@ HEADLINE = [
     "event_order_audit",
     "zipf_fit",
     "image_hash_agreement",
+    "stride_schedule",
+    "host_kcore",
+    "caption_boilerplate",
 ]
 
 BENCH_HOSTS = 50

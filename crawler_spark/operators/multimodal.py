@@ -745,3 +745,58 @@ def border_scores(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         go, schema=BORDER_SCHEMA
     )
+
+
+TILE_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("gx", T.IntegerType()),
+        T.StructField("gy", T.IntegerType()),
+        T.StructField("tile_phash", T.LongType()),
+    ]
+)
+
+
+def tile_hashes(images: DataFrame, tile: int = 16) -> DataFrame:
+    """Tile-level perceptual-hash index for SUB-image matching: pHash of
+    every aligned ``tile``x``tile`` block — the crop/thumbnail detector
+    whole-image hashing is structurally blind to (a quadrant crop
+    shares zero whole-image pHash bits but is bit-identical at the tile
+    level). Joining a suspect image's whole pHash against this index on
+    equality finds "is this a crop of something we already have" in one
+    shuffle on a uniform 64-bit key — the image-side analog of the
+    substring_overlap window index (contiguous-region evidence, where
+    phash-banding is the set-similarity analog).
+
+    One Arrow-batched mapInPandas flatMap (UDTF shape, same as
+    image_patches); grid edges that don't fill a full tile are dropped
+    (partial tiles hash unstably under recompression). Index size is
+    (w//tile)*(h//tile) rows per image — bounded, explode-free."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                h, w = px.shape
+                for gy in range(h // tile):
+                    for gx in range(w // tile):
+                        t = px[
+                            gy * tile : (gy + 1) * tile,
+                            gx * tile : (gx + 1) * tile,
+                        ]
+                        rows.append(
+                            {
+                                "image_id": r.image_id,
+                                "gx": gx,
+                                "gy": gy,
+                                "tile_phash": phash64(t),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TILE_HASH_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=TILE_HASH_SCHEMA
+    )

@@ -230,3 +230,46 @@ def rfc9309_gate(
         .withColumn("matched_pattern", F.col("_best.pattern"))
         .drop("_best")
     )
+
+
+def stride_schedule(
+    frontier: DataFrame,
+    weights: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    order_cols: list[str] | None = None,
+    weight_scale: int = 10080,
+) -> DataFrame:
+    """Weighted-fair (stride/WFQ) frontier admission: each host owns a
+    virtual-time stream; its k-th URL finishes at vf = k * S / weight
+    (S = ``weight_scale``, a highly-composite constant so common small
+    weights divide it EXACTLY — integer virtual times, no float drift
+    cross-engine). Admitting the globally earliest ``budget`` virtual
+    finishes gives each host throughput proportional to its weight
+    (stride scheduling; Waldspurger & Weihl OSDI'94), the
+    generalization of the flat per-host politeness budget when hosts
+    have unequal value (link-rank, sitemap priority, paid sources).
+
+    Dataflow: per-host row_number (the same doc-sized window family as
+    ``politeness_select``; at 10^10 rows the identical salted two-phase
+    construction applies), integer vf, then a global TakeOrdered on
+    (vf, host, k) — orderBy+limit compiles to TakeOrderedAndProject:
+    only ``budget`` rows cross to the driver-side merge, the frontier
+    is never globally sorted.
+
+    ``weights`` is a (host, weight:int) dimension, broadcast. Hosts
+    absent from it weigh 1. Ties are total: (vf, host, k).
+    """
+    oc = order_cols or ["priority", "depth", "discovery_seq"]
+    w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in oc])
+    ranked = (
+        frontier.join(F.broadcast(weights), host_col, "left")
+        .withColumn("weight", F.coalesce(F.col("weight"), F.lit(1)))
+        .withColumn("k", F.row_number().over(w))
+        .withColumn(
+            "vf",
+            (F.col("k").cast("long") * F.lit(weight_scale) / F.col("weight"))
+            .cast("long"),
+        )
+    )
+    return ranked.orderBy("vf", host_col, "k").limit(budget)

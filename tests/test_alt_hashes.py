@@ -69,3 +69,20 @@ def test_border_widths_exact_on_planted_letterbox(spark):
     fl = got["flat"]  # fully flat: capped at half each dimension, flagged
     assert (fl["top"], fl["bottom"], fl["left"], fl["right"]) == (16, 16, 16, 16)
     assert fl["letterboxed"]
+
+
+def test_tile_hash_finds_planted_quadrant_crop(spark):
+    from crawler_spark.functions.codecs import phash64
+    from crawler_spark.operators.multimodal import tile_hashes
+
+    src = _noise(32, 48, seed=21)  # 2x3 grid of 16px tiles
+    crop = src[16:32, 32:48].copy()  # exact tile (gy=1, gx=2)
+    other = _noise(16, 16, seed=22)
+    idx = tile_hashes(_img_df(spark, [("src", src)]), tile=16).collect()
+    assert len(idx) == 6  # full grid indexed
+    by_pos = {(r["gy"], r["gx"]): r["tile_phash"] for r in idx}
+    crop_ph = phash64(decode(encode(crop, "png"), "png"))
+    other_ph = phash64(decode(encode(other, "png"), "png"))
+    hits = [pos for pos, ph in by_pos.items() if ph == crop_ph]
+    assert hits == [(1, 2)]  # found at exactly the planted position
+    assert all(ph != other_ph for ph in by_pos.values())  # no false hit
