@@ -870,6 +870,118 @@ def q_zipf_fit(spark, sf_dir):
 
 
 
+def q_discovery_curve(spark, sf_dir):
+    """Discovery-saturation curve: per hour, active keys vs FIRST-SEEN
+    keys, cumulative coverage, novelty rate — the crawl's "are we still
+    finding new URLs or re-crawling the same web" trend (here users/
+    hours stand in for URLs/waves on the shared tables). First-seen is
+    a grouped min (map-side combinable, never a fact window); the
+    cumulative runs over the hours HISTOGRAM only."""
+    e = _t(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", "ts")
+    active = e.groupBy(hr.alias("hour")).agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    first_seen = (
+        e.groupBy("user_id")
+        .agg(F.min(hr).alias("hour"))
+        .groupBy("hour")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(first_seen, "hour", "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .withColumn("cum_seen", F.sum("n_new").over(w))
+        .select(
+            "hour",
+            "n_active",
+            "n_new",
+            "cum_seen",
+            F.round(F.col("n_new") / F.col("n_active"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+def q_char_entropy_gate(spark, sf_dir):
+    """Character-entropy quality gate: Shannon entropy of the per-doc
+    character distribution — near-zero = repeated-char junk, near
+    ln(alphabet) = random junk / mojibake; the cheap complement to the
+    Gopher word-level battery. Chars are extracted positionally
+    (transform(sequence) — identical edge semantics both engines, no
+    split('') divergence); each -p*ln(p) term is round-9 stabilized
+    into exact decimal before the per-doc sum, so the grouped float
+    reduction is order-independent. One explode + two-level agg, the
+    repetition_suite scan shape."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+    ).filter(F.length("t") >= 1)  # sequence(1,0) is DESCENDING in Spark
+    chars = d.select(
+        "doc_id",
+        F.length("t").alias("len"),
+        F.explode(
+            F.expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))")
+        ).alias("ch"),
+    )
+    per_char = chars.groupBy("doc_id", "len", "ch").agg(
+        F.count("*").alias("c")
+    )
+    term = F.round(
+        (F.col("c") / F.col("len")) * F.log(F.col("c") / F.col("len")), 9
+    ).cast("decimal(18,9)")
+    return (
+        per_char.select("doc_id", "len", term.alias("term"))
+        .groupBy("doc_id")
+        .agg((-F.sum("term")).cast("double").alias("entropy_nats"))
+        .select(
+            "doc_id",
+            F.round("entropy_nats", 6).alias("entropy_nats"),
+            (F.col("entropy_nats") < 2.0).alias("low_entropy"),
+        )
+    )
+
+
+def q_shard_checksums(spark, sf_dir):
+    """Shard manifest checksums: md5 over each packed bin's SORTED
+    member list — the reproducibility receipt that the same corpus
+    packs to byte-identical shards on any cluster size (the north
+    rule's two-cluster-size criterion applied to OUTPUT, not just
+    throughput; every ordering in the pipeline is content-derived, so
+    the checksum is partitioning-invariant by construction). Reuses
+    the sequence_packing layout (running-sum window in 32 hash
+    buckets)."""
+    from crawler_spark.functions.text import token_count
+
+    budget = 512
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 32).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n_tokens"), "doc_id")
+    binned = d.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(budget))).cast(
+            "long"
+        ),
+    )
+    return binned.groupBy("bucket", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("checksum"),
+    )
+
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: typed from_json over the JSON props
     column (schema-on-read, JVM-side parse — no Python), aggregated per
@@ -6083,6 +6195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_order_audit": q_event_order_audit,
         "host_wilson_health": q_host_wilson_health,
         "zipf_fit": q_zipf_fit,
+        "discovery_curve": q_discovery_curve,
+        "char_entropy_gate": q_char_entropy_gate,
+        "shard_checksums": q_shard_checksums,
         "sessionize_events": q_sessionize_events,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -6628,6 +6743,71 @@ def oracle_sql() -> dict[str, str]:
                    round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
                          / k, 6) AS intercept
             FROM s
+        """,
+        "discovery_curve": """
+            WITH active AS (
+              SELECT date_trunc('hour', ts) AS hour,
+                     count(DISTINCT user_id) AS n_active
+              FROM events GROUP BY 1
+            ),
+            fs AS (
+              SELECT user_id, min(date_trunc('hour', ts)) AS hour
+              FROM events GROUP BY user_id
+            ),
+            nw AS (SELECT hour, count(*) AS n_new FROM fs GROUP BY hour)
+            SELECT a.hour, a.n_active,
+                   CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
+                   CAST(sum(coalesce(nw.n_new, 0)) OVER (
+                     ORDER BY a.hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_seen,
+                   round(coalesce(nw.n_new, 0) * 1.0 / a.n_active, 6)
+                     AS novelty_rate
+            FROM active a LEFT JOIN nw ON a.hour = nw.hour
+        """,
+        "char_entropy_gate": """
+            WITH d AS (
+              SELECT doc_id, lower(trim(text)) AS t FROM documents
+            ),
+            chars AS (
+              SELECT doc_id, length(t) AS len, substring(t, i, 1) AS ch
+              FROM d, unnest(generate_series(1, length(t))) AS u(i)
+              WHERE length(t) >= 1
+            ),
+            pc AS (
+              SELECT doc_id, len, ch, count(*) AS c
+              FROM chars GROUP BY doc_id, len, ch
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(-sum(CAST(round((c * 1.0 / len) * ln(c * 1.0 / len), 9)
+                                    AS DECIMAL(18,9))) AS DOUBLE) AS entropy_nats
+              FROM pc GROUP BY doc_id
+            )
+            SELECT doc_id, round(entropy_nats, 6) AS entropy_nats,
+                   entropy_nats < 2.0 AS low_entropy
+            FROM s
+        """,
+        "shard_checksums": """
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len(list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+                doc_id % 32 AS bucket
+              FROM documents
+            ),
+            r AS (
+              SELECT *, sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY n_tokens DESC, doc_id
+              ) AS cum FROM t
+            )
+            SELECT bucket,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+                   count(*) AS n_docs,
+                   md5(array_to_string(list_sort(list(doc_id)), ','))
+                     AS checksum
+            FROM r GROUP BY bucket, bin_id
         """,
         "event_order_audit": """
             WITH d AS (

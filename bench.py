@@ -107,6 +107,9 @@ HEADLINE = [
     "stride_schedule",
     "host_kcore",
     "caption_boilerplate",
+    "char_entropy_gate",
+    "shard_checksums",
+    "discovery_curve",
 ]
 
 BENCH_HOSTS = 50
