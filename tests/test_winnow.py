@@ -140,3 +140,41 @@ def test_bfs_unreachable_component_absent(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     got = {r["node"]: r["dist"] for r in bfs_distances(e, seeds).collect()}
     assert got == {0: 0, 1: 1}
+
+
+# ------------------------- property fuzz (hypothesis) ---------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    _tok = st.sampled_from([f"t{i}" for i in range(12)])  # small alphabet
+    _doc = st.lists(_tok, min_size=K + W - 1, max_size=40)
+
+    @settings(max_examples=25, deadline=None)
+    @given(a=_doc, b=_doc, run=st.lists(_tok, min_size=W + K - 1, max_size=W + K + 3))
+    def test_winnow_guarantee_fuzz(spark, a, b, run):
+        """Detection guarantee under fuzz: planting the same run of
+        >= w+k-1 tokens into two random docs ALWAYS yields a shared
+        selected fingerprint hash (Schleimer et al. Theorem: no miss)."""
+        da = " ".join(a + run)
+        db = " ".join(run + b)
+        fa = {fp for fp, _ in _py_winnow(da)}
+        fb = {fp for fp, _ in _py_winnow(db)}
+        assert fa & fb, (da, db)
+
+    @settings(max_examples=15, deadline=None)
+    @given(doc=st.lists(_tok, min_size=K + W - 1, max_size=60))
+    def test_winnow_spark_equals_python_fuzz(spark, doc):
+        """Spark operator == pure-python mirror on random token docs."""
+        text = " ".join(doc)
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        got = {
+            (r["fp"], r["fp_pos"])
+            for r in winnow_fingerprints(df, k=K, w=W).collect()
+        }
+        assert got == _py_winnow(text)
