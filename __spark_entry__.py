@@ -5652,6 +5652,21 @@ def q_subimage_matches(spark, sf_dir):
 
 
 
+def q_embedding_neardup_mp(spark, sf_dir):
+    """Multi-probe SRP near-dup (Lv et al. VLDB'07 on random
+    hyperplanes): each vector also probes with its lowest-|margin| bit
+    flipped per band — recovering exactly the near-threshold pairs
+    that straddle one hyperplane, at zero extra index size. Dot
+    products accumulate round-9 DECIMAL terms so sign bits AND the
+    argmin flip choice are order-independent cross-engine."""
+    from crawler_spark.operators.dedup import srp_multiprobe_pairs
+
+    return srp_multiprobe_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+
 def q_caption_junk_filter(spark, sf_dir):
     """LAION-style caption junk gate: alt-text scraped from the web is
     full of URLs, filenames, and generic placeholders that train
@@ -6352,6 +6367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "embedding_quantization": q_embedding_quantization,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_mp": q_embedding_neardup_mp,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "pq_adc_topk": q_pq_adc_topk,
@@ -10246,6 +10262,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cosine FROM scored WHERE vec_id != 0
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_neardup_mp": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            votes AS (
+              SELECT vec_id, p.p, v[t.pos] AS x,
+                CASE WHEN substr(md5(p.p || '_' || (t.pos - 1)), 1, 1) >= '8'
+                     THEN 1.0 ELSE -1.0 END AS w
+              FROM e,
+                   unnest(generate_series(1, len(v))) AS t(pos),
+                   unnest(generate_series(0, 15)) AS p(p)
+            ),
+            dots AS (
+              SELECT vec_id, p,
+                     sum(CAST(round(x * w, 9) AS DECIMAL(18,9))) AS dot
+              FROM votes GROUP BY vec_id, p
+            ),
+            sig AS (
+              SELECT vec_id, CAST(p // 4 AS INT) AS band_id,
+                     CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
+                          * CAST(pow(2, p % 4) AS BIGINT)) AS BIGINT) AS band_val
+              FROM dots GROUP BY vec_id, p // 4
+            ),
+            fl AS (
+              SELECT vec_id, CAST(p // 4 AS INT) AS band_id,
+                     CAST(p % 4 AS BIGINT) AS flip_bit,
+                     row_number() OVER (PARTITION BY vec_id, p // 4
+                                        ORDER BY abs(dot), p) AS rn
+              FROM dots
+            ),
+            probe AS (
+              SELECT vec_id, band_id, band_val FROM sig
+              UNION ALL
+              SELECT s.vec_id, s.band_id,
+                     xor(s.band_val, CAST(pow(2, f.flip_bit) AS BIGINT))
+              FROM sig s JOIN fl f
+                ON s.vec_id = f.vec_id AND s.band_id = f.band_id AND f.rn = 1
+            ),
+            cand AS (
+              SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+                              greatest(a.vec_id, b.vec_id) AS id_b
+              FROM probe a JOIN sig b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.vec_id != b.vec_id
+            )
+            SELECT id_a, id_b,
+                   round(list_dot_product(ea.v, eb.v)
+                     / (sqrt(list_dot_product(ea.v, ea.v))
+                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+            FROM cand
+            JOIN e ea ON id_a = ea.vec_id
+            JOIN e eb ON id_b = eb.vec_id
+            WHERE round(list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v))
+                     * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.35
         """,
         "embedding_neardup": """
             WITH e AS (

@@ -110,6 +110,7 @@ HEADLINE = [
     "char_entropy_gate",
     "shard_checksums",
     "discovery_curve",
+    "embedding_neardup_mp",
 ]
 
 BENCH_HOSTS = 50

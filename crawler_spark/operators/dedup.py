@@ -525,6 +525,135 @@ def embedding_neardup_pairs(
     )
 
 
+def srp_multiprobe_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Multi-probe SRP LSH (Lv et al., VLDB'07 applied to random
+    hyperplanes): near-threshold pairs that straddle ONE hyperplane are
+    exactly the ones plain banding misses — and the bit most likely to
+    be wrong is the one with the smallest |margin| (the vector sits
+    closest to that plane). Each vector therefore probes with its
+    original band value AND the value with its lowest-margin bit
+    flipped: recall rises like adding a second hash table, for zero
+    extra index size (the index side stores originals only).
+
+    Determinism upgrade over ``srp_band_signatures``: every dot product
+    accumulates round-9 DECIMAL terms, so margins (and hence both the
+    sign bits and the argmin flip choice) are order-independent and
+    bit-identical in the SQL oracle — a float sum's partition-order
+    1-ulp wobble could otherwise flip a near-zero margin's sign.
+    Argmin ties break toward the lowest bit index.
+
+    Same scale shape as the base operator: one explode (n·dim rows),
+    one agg with n_planes parallel decimal sums, probe join keyed by
+    (band_id, band_val) — candidates track true near-duplicates, and
+    exact cosine verifies every candidate."""
+    band_bits = n_planes // n_bands
+    elems = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+
+    def w(p: int):
+        h = F.md5(F.concat(F.lit(f"{p}_"), F.col("pos").cast("string")))
+        return F.when(F.substring(h, 1, 1) >= "8", F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+
+    per_vec = elems.groupBy("vec_id").agg(
+        *[
+            F.sum(F.round(F.col("x") * w(p), 9).cast("decimal(18,9)")).alias(
+                f"_d{p}"
+            )
+            for p in range(n_planes)
+        ]
+    )
+    probes = []  # (band_id, probe_id, band_val expr)
+    for b in range(n_bands):
+        val = None
+        for i in range(band_bits):
+            term = (
+                F.col(f"_d{b * band_bits + i}") >= 0
+            ).cast("long") * F.lit(1 << i)
+            val = term if val is None else val + term
+        absd = [F.abs(F.col(f"_d{b * band_bits + i}")) for i in range(band_bits)]
+        m = F.least(*absd)
+        # mask = 1 << argmin(|margin|); the when-chain's first match is
+        # the lowest bit index, the oracle's ORDER BY (abs(dot), p) twin
+        mask = None
+        for i in range(band_bits):
+            cond = absd[i] == m
+            mask = (
+                F.when(cond, F.lit(1 << i))
+                if mask is None
+                else mask.when(cond, F.lit(1 << i))
+            )
+        flipped = val.bitwiseXOR(mask.cast("long"))
+        probes.append((b, 0, val))
+        probes.append((b, 1, flipped))
+    sig = per_vec.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.lit(pid).alias("probe_id"),
+                        v.alias("band_val"),
+                    )
+                    for b, pid, v in probes
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.band_id", "s.probe_id", "s.band_val")
+    index = sig.filter(F.col("probe_id") == 0).select(
+        "vec_id", "band_id", "band_val"
+    )
+    cand = (
+        sig.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("id_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+        )
+
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # ------------------------------------------- 64-bit signature Hamming
 
 

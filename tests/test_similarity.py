@@ -178,3 +178,29 @@ def test_ivf_persisted_index_incremental_wave(spark, emb, tmp_path):
         for r in ivf_index_search(catalog, q, k=5, n_probe=8).collect()
     ]
     assert via_index == brute  # probe-all == exact
+
+
+def test_srp_multiprobe_superset_and_verified(spark):
+    """Multi-probe SRP must (a) find every pair plain banding finds —
+    probe set includes the original signatures — (b) strictly improve
+    candidate recall on this corpus, and (c) emit only exact-cosine
+    verified pairs above the threshold."""
+    from crawler_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        srp_multiprobe_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    mp = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in srp_multiprobe_pairs(emb, threshold=0.35).collect()
+    }
+    assert set(base) <= set(mp)  # originals always probed
+    assert len(mp) > len(base)  # the flipped probes actually recover pairs
+    assert all(c >= 0.35 for c in mp.values())  # exact verify holds
+    # same exact cosine on the shared pairs (verification is identical)
+    assert all(mp[k] == base[k] for k in base)
