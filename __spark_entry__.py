@@ -2389,6 +2389,30 @@ def q_winnow_overlap(spark, sf_dir):
     )
 
 
+def q_winnow_cross_wave(spark, sf_dir):
+    """Incremental winnowing dedup across waves: the NEW wave (odd
+    doc_ids) probes ONLY the persisted fingerprint index of the OLD
+    wave (even doc_ids) — new x old, never wave-squared, exactly how
+    the winnow index absorbs a daily crawl (the verbatim-overlap twin
+    of dedup_cross_wave's minhash form). Probe join on the selected
+    md5 fingerprints at ~2/(w+1) the volume of a full window index."""
+    from crawler_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    old = winnow_fingerprints(d.filter(F.col("doc_id") % 2 == 0)).select(
+        F.col("doc_id").alias("old_doc"), "fp"
+    ).distinct()
+    new = winnow_fingerprints(d.filter(F.col("doc_id") % 2 == 1)).select(
+        F.col("doc_id").alias("new_doc"), "fp"
+    ).distinct()
+    return (
+        new.join(old, "fp")
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster reduction: MinHash-LSH candidate pairs ->
     connected components -> (doc_id, cluster_id=min reachable doc id).
@@ -6325,6 +6349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_overlap": q_substring_overlap,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap": q_winnow_overlap,
+        "winnow_cross_wave": q_winnow_cross_wave,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_impact": q_dedup_impact,
@@ -9211,6 +9236,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, any_value(n_grams) AS n_grams, count(*) AS n_fps,
                    round(count(*) * 1.0 / (any_value(n_grams) - 4 + 1), 6) AS density
             FROM fps GROUP BY doc_id
+        """,
+        "winnow_cross_wave": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, len(ws) - 3 AS n_grams,
+                     md5(array_to_string(ws[i:i+3], ' ')) AS g
+              FROM words, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+              WHERE len(ws) >= 4
+            ),
+            keyed AS (
+              SELECT doc_id, pos, n_grams,
+                     g || '#' || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0') AS key
+              FROM grams
+            ),
+            sel AS (
+              SELECT doc_id, n_grams, pos,
+                     min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp_key
+              FROM keyed
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id, substr(fp_key, 1, 32) AS fp
+              FROM sel WHERE pos <= n_grams - 4
+            )
+            SELECT n.doc_id AS new_doc, o.doc_id AS old_doc,
+                   count(*) AS n_shared
+            FROM fps n JOIN fps o ON n.fp = o.fp
+            WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+            GROUP BY 1, 2
         """,
         "winnow_overlap": """
             WITH words AS (
