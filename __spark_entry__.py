@@ -2293,6 +2293,29 @@ def q_image_border_gate(spark, sf_dir):
 # dedup suite (documents)
 # --------------------------------------------------------------------------
 
+def q_blocklist_filter(spark, sf_dir):
+    """C4-style term-blocklist gate: drop documents containing any
+    blocked WORD (token-level, not substring — "scanner" must not trip
+    on "scan"). The block set is a broadcast literal; matching is one
+    exists() over the token array (no explode, no shuffle, whole-stage
+    codegen) — the cheapest gate in the text cascade, run before
+    quality scoring. Reports the matched terms so the blocklist's hit
+    profile is auditable."""
+    d = _t(spark, sf_dir, "documents")
+    blocked = ["merge", "cube", "skew"]
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    hits = F.filter(
+        F.array([F.lit(b) for b in blocked]), lambda b: F.array_contains(toks, b)
+    )
+    return d.select(
+        "doc_id",
+        F.size(hits).alias("n_blocked_terms"),
+        F.array_join(hits, ",").alias("blocked_terms"),
+        (F.size(hits) == 0).alias("kept"),
+    )
+
+
+
 def q_dedup_exact(spark, sf_dir):
     from crawler_spark.operators.dedup import dedup_exact
 
@@ -6302,6 +6325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stride_schedule": q_stride_schedule,
         "host_kcore": q_host_kcore,
         "caption_boilerplate": q_caption_boilerplate,
+        "blocklist_filter": q_blocklist_filter,
         "pair_pipeline": q_pair_pipeline,
         "dedup_cross_wave": q_dedup_cross_wave,
         "cloaking_signal": q_cloaking_signal,
@@ -7708,6 +7732,24 @@ def oracle_sql() -> dict[str, str]:
             e4 AS (SELECT a, b FROM e3
                    WHERE a IN (SELECT a FROM k4) AND b IN (SELECT a FROM k4))
             SELECT a AS host_id, count(*) AS degree FROM e4 GROUP BY a
+        """,
+        "blocklist_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_filter(['merge', 'cube', 'skew'],
+                                 b -> list_contains(ws, b)) AS hits
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(hits) AS INTEGER) AS n_blocked_terms,
+                   coalesce(array_to_string(hits, ','), '') AS blocked_terms,
+                   len(hits) = 0 AS kept
+            FROM h
         """,
         "caption_boilerplate": """
             WITH p AS (
