@@ -104,49 +104,63 @@ def _twin_sig_sql(t: int) -> str:
     return sig
 
 
-def _link_rank_sql(n_iter: int = 3) -> str:
+def _link_rank_sql(
+    n_iter: int = 3, where: str = "", prefix: str = "", body_only: bool = False
+) -> str:
     """DuckDB mirror of q_host_link_rank: the same edge derivation and
     n_iter unrolled PageRank iterations. `(CAST(1 AS DOUBLE) - CAST(0.85
     AS DOUBLE))` reproduces Python's `1.0 - 0.85` double bit-for-bit
-    (decimal literal arithmetic would give exact 0.15 instead)."""
+    (decimal literal arithmetic would give exact 0.15 instead).
+
+    ``where`` filters the document edge derivation (wave splits);
+    ``prefix`` namespaces every CTE so two chains can share one query;
+    ``body_only`` emits just the CTE list ending in ``{prefix}out`` for
+    composition (rank_drift joins two such chains)."""
     d6 = _hexdig_sql("cast(doc_id AS varchar)", 6)
     d7 = _hexdig_sql("cast(doc_id AS varchar)", 7)
     teleport = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    P = prefix
     sql = f"""
-        WITH edges AS (
+        {P}edges AS (
           SELECT src, dst, count(*) AS weight FROM (
             SELECT doc_id % 20 AS src, (16 * {d6} + {d7}) % 20 AS dst
-            FROM documents
+            FROM documents {where}
           ) WHERE src != dst GROUP BY src, dst
         ),
-        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
-        outw AS (
+        {P}nodes AS (SELECT src AS node FROM {P}edges UNION SELECT dst FROM {P}edges),
+        {P}nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM {P}nodes),
+        {P}outw AS (
           SELECT src, CAST(sum(weight) AS DOUBLE) AS outw
-          FROM edges GROUP BY src
+          FROM {P}edges GROUP BY src
         ),
-        shares AS (
+        {P}shares AS (
           SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) / o.outw AS share
-          FROM edges e JOIN outw o ON e.src = o.src
+          FROM {P}edges e JOIN {P}outw o ON e.src = o.src
         ),
-        r0 AS (
+        {P}r0 AS (
           SELECT node, round(1.0 / n_nodes, 9) AS rank
-          FROM nodes CROSS JOIN nn
+          FROM {P}nodes CROSS JOIN {P}nn
         )"""
     for k in range(1, n_iter + 1):
         sql += f""",
-        c{k} AS (
+        {P}c{k} AS (
           SELECT s.dst, sum(r.rank * s.share) AS inflow
-          FROM shares s JOIN r{k - 1} r ON s.src = r.node GROUP BY s.dst
+          FROM {P}shares s JOIN {P}r{k - 1} r ON s.src = r.node GROUP BY s.dst
         ),
-        r{k} AS (
+        {P}r{k} AS (
           SELECT n.node,
                  round({teleport} / nn.n_nodes
                        + CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0), 9) AS rank
-          FROM nodes n LEFT JOIN c{k} c ON n.node = c.dst CROSS JOIN nn
+          FROM {P}nodes n LEFT JOIN {P}c{k} c ON n.node = c.dst CROSS JOIN {P}nn nn
         )"""
-    sql += f"""
-        SELECT node AS host_id, round(rank, 6) AS rank FROM r{n_iter}"""
+    if body_only:
+        sql += f""",
+        {P}out AS (
+          SELECT node AS host_id, round(rank, 6) AS rank FROM {P}r{n_iter}
+        )"""
+        return sql
+    sql = "WITH " + sql.lstrip() + f"""
+        SELECT node AS host_id, round(rank, 6) AS rank FROM {P}r{n_iter}"""
     return sql
 
 
@@ -5714,6 +5728,80 @@ def q_embedding_neardup_mp(spark, sf_dir):
 
 
 
+def q_dispatch_timeline(spark, sf_dir):
+    """Mercator back-queue dispatch timeline: within one round, host
+    h's k-th URL dispatches at (k-1) * crawl_delay_s seconds — the
+    exact-timestamp form of the per-round politeness budget (the
+    round model quantizes this; the timeline is what a real fetcher
+    fleet executes). Delays are dyadic (0.25 * (1 + host % 4)), so
+    every offset is an exact double cross-engine. Admits offsets
+    inside the 16 s round, returns the first 64 dispatches by
+    (offset, host, k) via TakeOrdered — never a global sort."""
+    f = _frontier(spark, sf_dir)
+    dims = spark.range(20).select(
+        F.concat(F.lit("host-"), F.col("id").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        (0.25 * (1 + F.col("id") % 4)).alias("delay_s"),
+    )
+    w = Window.partitionBy("host").orderBy("priority", "depth", "discovery_seq")
+    t = (
+        f.join(F.broadcast(dims), "host")
+        .withColumn("k", F.row_number().over(w).cast("long"))
+        .withColumn("offset_s", (F.col("k") - 1) * F.col("delay_s"))
+        .filter(F.col("offset_s") < 16.0)
+    )
+    return t.select("url", "host", "k", "delay_s", "offset_s").orderBy(
+        "offset_s", "host", "k"
+    ).limit(64)
+
+
+
+def q_rank_drift(spark, sf_dir):
+    """Wave-over-wave link-rank drift: PageRank over wave A's edges
+    (even doc_ids) vs wave B's (odd), full-outer joined per host with
+    the rank delta — the re-prioritization signal an incremental
+    crawler feeds back into host_priorities between waves (big movers
+    get re-crawled; the embedding_drift analog for link structure).
+    Both chains are 3 round-9-stabilized iterations; the oracle runs
+    two prefixed unrolled-CTE chains in one query."""
+    from crawler_spark.operators.rank import link_rank
+
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+
+    def wave_rank(parity):
+        edges = (
+            docs.filter(F.col("doc_id") % 2 == parity)
+            .select(
+                (F.col("doc_id") % 20).alias("src"),
+                F.expr(f"(16 * {d6} + {d7}) % 20").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("weight"))
+        )
+        return link_rank(edges, n_iter=3, damping=0.85).select(
+            F.col("node").alias("host_id"), F.round("rank", 6).alias("rank")
+        )
+
+    a = wave_rank(0).withColumnRenamed("rank", "rank_a")
+    b = wave_rank(1).withColumnRenamed("rank", "rank_b")
+    return (
+        a.join(b, "host_id", "full_outer")
+        .select(
+            "host_id",
+            F.coalesce("rank_a", F.lit(0.0)).alias("rank_a"),
+            F.coalesce("rank_b", F.lit(0.0)).alias("rank_b"),
+        )
+        .withColumn(
+            "delta", F.round(F.col("rank_b") - F.col("rank_a"), 6)
+        )
+    )
+
+
+
 def q_caption_junk_filter(spark, sf_dir):
     """LAION-style caption junk gate: alt-text scraped from the web is
     full of URLs, filenames, and generic placeholders that train
@@ -6232,6 +6320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_schedule": q_frontier_schedule,
         "host_link_rank": q_host_link_rank,
+        "rank_drift": q_rank_drift,
         "opic_priority": q_opic_priority,
         "hrw_fetcher_assign": q_hrw_fetcher_assign,
         "hrw_rebalance": q_hrw_rebalance,
@@ -6326,6 +6415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_kcore": q_host_kcore,
         "caption_boilerplate": q_caption_boilerplate,
         "blocklist_filter": q_blocklist_filter,
+        "dispatch_timeline": q_dispatch_timeline,
         "pair_pipeline": q_pair_pipeline,
         "dedup_cross_wave": q_dedup_cross_wave,
         "cloaking_signal": q_cloaking_signal,
@@ -6473,6 +6563,15 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY host ORDER BY priority, depth, discovery_seq
               ) AS sched_rank FROM f
             ) WHERE sched_rank <= 4
+        """,
+        "rank_drift": "WITH " + _link_rank_sql(n_iter=3, where="WHERE doc_id % 2 = 0", prefix="a_", body_only=True).lstrip()
+        + "," + _link_rank_sql(n_iter=3, where="WHERE doc_id % 2 = 1", prefix="b_", body_only=True)
+        + """
+            SELECT coalesce(a.host_id, b.host_id) AS host_id,
+                   coalesce(a.rank, 0.0) AS rank_a,
+                   coalesce(b.rank, 0.0) AS rank_b,
+                   round(coalesce(b.rank, 0.0) - coalesce(a.rank, 0.0), 6) AS delta
+            FROM a_out a FULL OUTER JOIN b_out b ON a.host_id = b.host_id
         """,
         "host_link_rank": _link_rank_sql(n_iter=3),
         "opic_priority": _opic_sql(n_iter=3),
@@ -7732,6 +7831,25 @@ def oracle_sql() -> dict[str, str]:
             e4 AS (SELECT a, b FROM e3
                    WHERE a IN (SELECT a FROM k4) AND b IN (SELECT a FROM k4))
             SELECT a AS host_id, count(*) AS degree FROM e4 GROUP BY a
+        """,
+        "dispatch_timeline": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            dims AS (
+              SELECT 'host-' || i || '.test' AS host,
+                     0.25 * (1 + i % 4) AS delay_s
+              FROM range(20) t(i)
+            ),
+            r AS (
+              SELECT f.url, f.host, d.delay_s,
+                     CAST(row_number() OVER (
+                       PARTITION BY f.host
+                       ORDER BY f.priority, f.depth, f.discovery_seq
+                     ) AS BIGINT) AS k
+              FROM f JOIN dims d ON f.host = d.host
+            )
+            SELECT url, host, k, delay_s, (k - 1) * delay_s AS offset_s
+            FROM r WHERE (k - 1) * delay_s < 16.0
+            ORDER BY offset_s, host, k LIMIT 64
         """,
         "blocklist_filter": """
             WITH t AS (
