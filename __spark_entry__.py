@@ -3501,6 +3501,49 @@ def q_image_dup_clusters(spark, sf_dir):
     )
 
 
+def q_image_dedup_keep_best(spark, sf_dir):
+    """Image dedup end state: near-dup clusters (stored-phash banded
+    Hamming<=7, connected components) -> keep-BEST election per
+    cluster — highest resolution wins, id breaks ties — with
+    singletons kept by definition. This is the manifest a curation
+    run actually writes (image_dup_clusters stops at cluster labels).
+    Twin rows inherit their base image's w/h (re-encoded copies).
+    The oracle extends the brute-force + recursive-CTE re-proof with
+    the same election window."""
+    from crawler_spark.operators.dedup import dedup_clusters, hamming64_pairs
+    from crawler_spark.operators.pairs import phash_with_twins, synth_pair_meta
+
+    meta = synth_pair_meta(_t(spark, sf_dir, "documents"))
+    sigs = phash_with_twins(meta)
+    pairs = hamming64_pairs(
+        sigs, id_col="image_id", sig_col="sig", max_hamming=7, n_bands=8
+    )
+    cl = dedup_clusters(pairs).select(
+        F.col("doc_id").alias("image_id"), "cluster_id"
+    )
+    allr = (
+        sigs.select("image_id")
+        .join(cl, "image_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "image_id"))
+        .withColumn("base_id", F.col("image_id") % 1000000000)
+    )
+    m = meta.select(
+        F.col("image_id").cast("long").alias("base_id"), "w", "h"
+    )
+    sized = allr.join(m, "base_id")
+    w_ = Window.partitionBy("cluster_id").orderBy(
+        (F.col("w") * F.col("h")).desc(), "image_id"
+    )
+    return sized.select(
+        "image_id",
+        "cluster_id",
+        "w",
+        "h",
+        (F.row_number().over(w_) == 1).alias("kept"),
+    )
+
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -6321,6 +6364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "host_link_rank": q_host_link_rank,
         "rank_drift": q_rank_drift,
+        "image_dedup_keep_best": q_image_dedup_keep_best,
         "opic_priority": q_opic_priority,
         "hrw_fetcher_assign": q_hrw_fetcher_assign,
         "hrw_rebalance": q_hrw_rebalance,
@@ -10399,6 +10443,50 @@ def oracle_sql() -> dict[str, str]:
             WITH meta AS ({_PAIR_META_SQL})
             SELECT image_id, {_zvalue_duckdb_sql("w", "h", bits=12)} AS zkey
             FROM meta
+        """,
+        "image_dedup_keep_best": f"""
+            WITH RECURSIVE meta AS ({_PAIR_META_SQL}),
+            sigs AS (
+              SELECT CAST(image_id AS BIGINT) AS image_id, phash AS sig FROM meta
+              UNION ALL
+              SELECT image_id + 1000000000, {_twin_sig_sql(1)} FROM meta
+              UNION ALL
+              SELECT image_id + 2000000000, {_twin_sig_sql(2)} FROM meta
+            ),
+            pairs AS (
+              SELECT a.image_id AS s, b.image_id AS t
+              FROM sigs a JOIN sigs b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.sig, b.sig)) <= 7
+            ),
+            e AS (
+              SELECT s, t FROM pairs
+              UNION
+              SELECT t AS s, s AS t FROM pairs
+            ),
+            reach(s, t) AS (
+              SELECT s, t FROM e
+              UNION
+              SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+            )
+            , cl AS (
+              SELECT s AS image_id, least(s, min(t)) AS cluster_id
+              FROM reach GROUP BY s
+            ),
+            allr AS (
+              SELECT s.image_id,
+                     coalesce(c.cluster_id, s.image_id) AS cluster_id
+              FROM sigs s LEFT JOIN cl c ON s.image_id = c.image_id
+            ),
+            sized AS (
+              SELECT a.image_id, a.cluster_id, m.w, m.h,
+                     row_number() OVER (
+                       PARTITION BY a.cluster_id
+                       ORDER BY m.w * m.h DESC, a.image_id
+                     ) AS rn
+              FROM allr a JOIN meta m
+                ON a.image_id % 1000000000 = CAST(m.image_id AS BIGINT)
+            )
+            SELECT image_id, cluster_id, w, h, (rn = 1) AS kept FROM sized
         """,
         "image_dup_clusters": f"""
             WITH RECURSIVE meta AS ({_PAIR_META_SQL}),
