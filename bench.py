@@ -111,6 +111,9 @@ HEADLINE = [
     "shard_checksums",
     "discovery_curve",
     "embedding_neardup_mp",
+    "rank_drift",
+    "image_dedup_keep_best",
+    "blocklist_filter",
 ]
 
 BENCH_HOSTS = 50
