@@ -164,6 +164,65 @@ def _link_rank_sql(
     return sql
 
 
+def _trust_rank_sql(n_iter: int = 3, prefix: str = "t_", seed_mod: int = 4) -> str:
+    """DuckDB mirror of operators/rank.trust_rank over the host graph:
+    same edge derivation as _link_rank_sql, teleport mass restricted to
+    the ``node % seed_mod == 0`` seed set, n_iter unrolled iterations.
+    Emits the CTE body only, ending in ``{prefix}t{n_iter}`` (node,
+    trust) — compose like _link_rank_sql(body_only=True). Pinned
+    floor-rounding per iteration (the operator's .5-boundary-safe
+    scheme), damping mirrored as CAST(0.85 AS DOUBLE) arithmetic so the
+    doubles match Python's 1.0 - 0.85 bit-for-bit."""
+    d6 = _hexdig_sql("cast(doc_id AS varchar)", 6)
+    d7 = _hexdig_sql("cast(doc_id AS varchar)", 7)
+    teleport = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+
+    def pin9(expr: str) -> str:
+        return f"floor(({expr}) * 1000000000.0 + 0.5) / 1000000000.0"
+
+    P = prefix
+    sql = f"""
+        {P}edges AS (
+          SELECT src, dst, count(*) AS weight FROM (
+            SELECT doc_id % 20 AS src, (16 * {d6} + {d7}) % 20 AS dst
+            FROM documents
+          ) WHERE src != dst GROUP BY src, dst
+        ),
+        {P}nodes AS (SELECT src AS node FROM {P}edges UNION SELECT dst FROM {P}edges),
+        {P}outw AS (
+          SELECT src, CAST(sum(weight) AS DOUBLE) AS outw
+          FROM {P}edges GROUP BY src
+        ),
+        {P}shares AS (
+          SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) / o.outw AS share
+          FROM {P}edges e JOIN {P}outw o ON e.src = o.src
+        ),
+        {P}seeds AS (SELECT node FROM {P}nodes WHERE node % {seed_mod} = 0),
+        {P}ns AS (SELECT CAST(count(*) AS DOUBLE) AS n_seeds FROM {P}seeds),
+        {P}base AS (
+          SELECT n.node,
+                 CASE WHEN s.node IS NOT NULL
+                      THEN 1.0 / ns.n_seeds ELSE CAST(0 AS DOUBLE) END AS d0
+          FROM {P}nodes n LEFT JOIN {P}seeds s ON n.node = s.node
+          CROSS JOIN {P}ns ns
+        ),
+        {P}t0 AS (SELECT node, {pin9('d0')} AS trust FROM {P}base)"""
+    step = pin9(
+        teleport + " * b.d0 + CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0)"
+    )
+    for k in range(1, n_iter + 1):
+        sql += f""",
+        {P}c{k} AS (
+          SELECT s.dst, sum(t.trust * s.share) AS inflow
+          FROM {P}shares s JOIN {P}t{k - 1} t ON s.src = t.node GROUP BY s.dst
+        ),
+        {P}t{k} AS (
+          SELECT b.node, {step} AS trust
+          FROM {P}base b LEFT JOIN {P}c{k} c ON b.node = c.dst
+        )"""
+    return sql
+
+
 def _opic_sql(n_iter: int = 3) -> str:
     """DuckDB mirror of q_opic_priority: same edge derivation, n_iter
     unrolled OPIC waves (virtual-page pot -> weighted inflow -> state
@@ -4761,6 +4820,65 @@ def q_trustrank(spark, sf_dir):
     )
 
 
+def q_spam_mass(spark, sf_dir):
+    """Spam mass (Gyongyi/Berkhin/Garcia-Molina/Pedersen, public
+    VLDB'06 "Link Spam Detection Based on Mass Estimation"): the share
+    of a host's PageRank NOT accounted for by trust flowing from a
+    vetted seed set — m(v) = (p(v) - t'(v)) / p(v), with t' the
+    TrustRank vector rescaled so total trust equals total PageRank
+    mass. High mass = authority earned from unvetted neighborhoods
+    (link farms); the crawl scheduler demotes those hosts before they
+    soak up fetch budget. Reference parity: the reference has no link
+    model at all (FIFO rounds, crawler.py) — this is the scale-path
+    prioritization layer SURVEY §2.8 calls for.
+
+    Same host graph as host_link_rank; seeds = host_id % 4 == 0 (the
+    "hand-vetted" 25%). Both chains are the one-join-one-agg-per-
+    iteration dataflow (operators/rank.py link_rank / trust_rank); the
+    two totals fold in as one-row broadcast aggregates — no driver
+    collect, no global sort. Oracle: two prefixed unrolled-CTE chains
+    (_link_rank_sql + _trust_rank_sql) composed in one query."""
+    from crawler_spark.operators.rank import link_rank, trust_rank
+
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.select(
+            (F.col("doc_id") % 20).alias("src"),
+            F.expr(f"(16 * {d6} + {d7}) % 20").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    seeds = spark.range(0, 20, 4).select(F.col("id").alias("node"))
+    p = link_rank(edges, n_iter=3)
+    t = trust_rank(edges, seeds, n_iter=3)
+    psum = p.agg(_pin(F.sum("rank"), 9).alias("p_total"))
+    tsum = t.agg(_pin(F.sum("trust"), 9).alias("t_total"))
+    return (
+        p.join(t, "node")
+        .crossJoin(F.broadcast(psum))
+        .crossJoin(F.broadcast(tsum))
+        .select(
+            F.col("node").alias("host_id"),
+            _pin(F.col("rank"), 6).alias("rank"),
+            _pin(F.col("trust"), 6).alias("trust"),
+            _pin(
+                (
+                    F.col("rank")
+                    - _pin(
+                        F.col("trust") * F.col("p_total") / F.col("t_total"), 9
+                    )
+                )
+                / F.col("rank"),
+                6,
+            ).alias("spam_mass"),
+        )
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Distributed weighted sampling WITHOUT replacement (Efraimidis &
     Spirakis, public IPL'06): each row draws key = ln(u)/w with u
@@ -6584,6 +6702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_jaccard": q_kmv_jaccard,
         "audio_stats": q_audio_stats,
         "trustrank": q_trustrank,
+        "spam_mass": q_spam_mass,
         "weighted_sample": q_weighted_sample,
         "vocab_coverage": q_vocab_coverage,
         "mime_sniff": q_mime_sniff,
@@ -6618,6 +6737,31 @@ def oracle_sql() -> dict[str, str]:
             FROM a_out a FULL OUTER JOIN b_out b ON a.host_id = b.host_id
         """,
         "host_link_rank": _link_rank_sql(n_iter=3),
+        "spam_mass": "WITH "
+        + _link_rank_sql(n_iter=3, prefix="p_", body_only=True).lstrip()
+        + ","
+        + _trust_rank_sql(n_iter=3, prefix="t_")
+        + """,
+            psum AS (
+              SELECT floor(sum(rank) * 1000000000.0 + 0.5) / 1000000000.0
+                       AS p_total
+              FROM p_r3
+            ),
+            tsum AS (
+              SELECT floor(sum(trust) * 1000000000.0 + 0.5) / 1000000000.0
+                       AS t_total
+              FROM t_t3
+            )
+            SELECT p.node AS host_id,
+                   floor(p.rank * 1000000.0 + 0.5) / 1000000.0 AS rank,
+                   floor(t.trust * 1000000.0 + 0.5) / 1000000.0 AS trust,
+                   floor((p.rank
+                          - floor(t.trust * ps.p_total / ts.t_total
+                                  * 1000000000.0 + 0.5) / 1000000000.0)
+                         / p.rank * 1000000.0 + 0.5) / 1000000.0 AS spam_mass
+            FROM p_r3 p JOIN t_t3 t ON p.node = t.node
+            CROSS JOIN psum ps CROSS JOIN tsum ts
+        """,
         "opic_priority": _opic_sql(n_iter=3),
         "hrw_fetcher_assign": """
             WITH hosts AS (

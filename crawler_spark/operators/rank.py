@@ -194,6 +194,96 @@ def opic_importance(
     )
 
 
+def trust_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    round_iter: int = 9,
+) -> DataFrame:
+    """Weighted TrustRank (Gyongyi/Garcia-Molina/Pedersen, public
+    VLDB'04): PageRank with teleport mass restricted to a vetted seed
+    set, so trust decays with link distance from known-good hosts and
+    link farms — which no seed points at — starve.
+
+    ``edges``: (src, dst, weight); ``seeds``: one ``node`` column, the
+    trusted subset. Returns (node, trust) for every node in the graph.
+
+    t_0(v) = seed(v)/|S|;  t_{k+1}(v) = (1-d)*seed(v)/|S|
+             + d * sum over in-edges (u,v) of t_k(u) * w_uv / outw(u).
+
+    Same dataflow as link_rank (one share-vs-state hash join + one
+    map-side-combined agg per iteration); the seed indicator joins in
+    as a broadcast (seed sets are small by construction — hand-vetted),
+    and |S| folds in as a one-row broadcast aggregate, never a driver
+    collect. Per-iteration pinned rounding (floor(x*10^k + 0.5)/10^k —
+    identical IEEE ops in Spark and DuckDB, immune to the .5-boundary
+    HALF_UP/double divergence that plain round() has on decimal-ish
+    teleport products like 0.15 * 1/|S|) keeps the unrolled-CTE ANSI
+    oracle hash-exact.
+    """
+
+    def pin(col, k=round_iter):
+        sc = float(10**k)
+        return F.floor(col * F.lit(sc) + F.lit(0.5)) / F.lit(sc)
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = nodes.join(F.broadcast(seeds), "node", "left_semi")
+    n_seeds = seed_nodes.agg(F.count("*").cast("double").alias("n_seeds"))
+    outw = edges.groupBy("src").agg(
+        F.sum(F.col("weight").cast("double")).alias("outw")
+    )
+    shares = (
+        edges.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("weight").cast("double") / F.col("outw")).alias("share"),
+        )
+        .persist()
+    )
+    # d0 = teleport share: 1/|S| on seeds, 0 elsewhere
+    base = (
+        nodes.join(
+            F.broadcast(seed_nodes.withColumn("is_seed", F.lit(True))),
+            "node",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_seeds))
+        .select(
+            "node",
+            F.when(
+                F.col("is_seed"), F.lit(1.0) / F.col("n_seeds")
+            ).otherwise(F.lit(0.0)).alias("d0"),
+        )
+    )
+    trust = base.select("node", pin(F.col("d0")).alias("trust"))
+    for it in range(n_iter):
+        inflow = (
+            shares.join(trust, shares["src"] == trust["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("trust") * F.col("share")).alias("inflow"))
+        )
+        trust = (
+            base.join(inflow, base["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                pin(
+                    (1.0 - damping) * F.col("d0")
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("trust"),
+            )
+        )
+        if (it + 1) % 4 == 0 and it + 1 < n_iter:
+            trust = trust.localCheckpoint()
+    shares.unpersist()
+    return trust
+
+
 def focused_priority(
     pages: DataFrame,
     edges: DataFrame,

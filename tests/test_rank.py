@@ -128,3 +128,75 @@ def test_opic_all_dangling_redistributes_uniformly(spark):
         assert got[v] == pytest.approx(want[v], abs=5e-9), v
     assert min(got.values()) > 0.0
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def _pure_python_trust(edges, seeds, n_iter=3, damping=0.85):
+    def pin(x, k=9):
+        import math
+
+        sc = float(10**k)
+        return math.floor(x * sc + 0.5) / sc
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    seeds = [v for v in nodes if v in set(seeds)]
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + float(w)
+    d0 = {v: (1.0 / len(seeds) if v in set(seeds) else 0.0) for v in nodes}
+    trust = {v: pin(d0[v]) for v in nodes}
+    for _ in range(n_iter):
+        inflow = {}
+        for s, d, w in edges:
+            inflow[d] = inflow.get(d, 0.0) + trust[s] * (float(w) / outw[s])
+        trust = {
+            v: pin((1.0 - damping) * d0[v] + damping * inflow.get(v, 0.0))
+            for v in nodes
+        }
+    return trust
+
+
+def test_trust_rank_matches_pure_python(spark):
+    from crawler_spark.operators.rank import trust_rank
+
+    edges = [
+        (1, 2, 3),
+        (1, 3, 1),
+        (2, 3, 2),
+        (3, 1, 1),
+        (4, 3, 5),  # 4 is an unvetted pure source
+        (5, 4, 1),  # 5 -> 4: a chain no seed points at
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {r.node: r.trust for r in trust_rank(df, seeds, n_iter=3).collect()}
+    want = _pure_python_trust(edges, [1, 2], n_iter=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-9), v
+    # trust only reaches nodes downstream of the seed set: 4 and 5 get
+    # no teleport and no seed-reachable in-edges -> exactly zero
+    assert got[4] == 0.0 and got[5] == 0.0
+    # total trust never exceeds the injected teleport mass (<= 1)
+    assert 0.0 < sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_trust_rank_starves_link_farm_that_pagerank_rewards(spark):
+    from crawler_spark.operators.rank import link_rank, trust_rank
+
+    # two seeds (0, 1) cross-linking, plus a 3-node farm (10,11,12)
+    # densely boosting node 12; PageRank rewards 12, TrustRank starves it
+    edges = [
+        (0, 1, 1),
+        (1, 0, 1),
+        (10, 12, 5),
+        (11, 12, 5),
+        (12, 10, 1),
+        (12, 11, 1),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    pr = {r.node: r.rank for r in link_rank(df, n_iter=3).collect()}
+    tr = {r.node: r.trust for r in trust_rank(df, seeds, n_iter=3).collect()}
+    assert pr[12] == max(pr.values())  # the farm wins raw PageRank
+    assert tr[12] == 0.0  # but earns zero trust
+    assert tr[0] > 0 and tr[1] > 0
