@@ -2635,6 +2635,47 @@ def q_image_phash_neardup(spark, sf_dir):
     return verify_pairs_psnr(cand, images, min_psnr=30.0)
 
 
+def q_image_colorhist(spark, sf_dir):
+    """Intensity-histogram near-dup — the image signal orthogonal to
+    pHash (phash keys on spatial frequency structure, the histogram on
+    tonal distribution; dedup cascades run both because each catches
+    twins the other misses, e.g. a re-dithered image keeps its
+    histogram but shifts phash bits). Decode -> 16-bin L1-normalized
+    luma histogram (Arrow-batched mapInPandas, multimodal.luma_hist),
+    block on the dominant bin, score sum(min(a_i,b_i)) with native
+    zip_with/aggregate — the pair loop is pure JVM codegen over
+    16-double signatures, never pixels. Input mixes engine-encoded
+    originals with +1-brightness twins (histogram shifts one bin edge
+    at most -> intersection stays near 1). No SQL oracle (binary
+    codec, Python decode); rows-only — numpy brute-force parity is
+    pytest-asserted (tests/test_colorhist.py)."""
+    import numpy as np
+
+    from crawler_spark.functions.codecs import decode, encode
+    from crawler_spark.operators.multimodal import (
+        hist_intersection_pairs,
+        luma_hist,
+    )
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(48)]
+    rows = [
+        (r["image_id"], r["bytes"], r["fmt"])
+        for r in (T1_SMOKE.payload(u) for u in urls)
+    ]
+    variants = []
+    for image_id, data, fmt in rows[:16]:
+        px = decode(data, fmt).astype(np.int16)
+        px = np.clip(px + 1, 0, 255)  # brightness twin
+        variants.append(
+            (image_id + "-v", encode(px.astype(np.uint8), "png"), "png")
+        )
+    images = spark.createDataFrame(
+        rows + variants, "image_id string, bytes binary, fmt string"
+    )
+    return hist_intersection_pairs(luma_hist(images), min_intersection=0.9)
+
+
 # --------------------------------------------------------------------------
 # text analysis (documents)
 # --------------------------------------------------------------------------
@@ -3810,6 +3851,60 @@ def q_adaptive_politeness(spark, sf_dir):
     return adaptive_budgets(outcomes, base_budget=8)
 
 
+def q_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-discovery audit — the operational health check next
+    to sitemap_ingest: per host, how much of what the host ADVERTISES
+    (sitemap-listed URLs) the crawl actually discovered, and how much
+    of what it discovered the host never advertised (orphans — the
+    pages only link-following finds). Membership flags derive from md5
+    digits of the doc id (listed: digit 8 < 12, i.e. ~75%; discovered:
+    digit 9 < 10, i.e. ~62.5%), so both engines score the same sets.
+    One map-side projection + one per-host aggregation — a single
+    shuffle whose key (host) is the politeness partitioning the crawl
+    already maintains; zero-denominator hosts are pinned to 0 rather
+    than dividing (Spark's x/0 -> NULL vs DuckDB's inf would
+    otherwise diverge)."""
+    d8 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 8, 1)) - 1)"
+    d9 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 9, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+    flagged = docs.select(
+        (F.col("doc_id") % 20).alias("host_id"),
+        (F.expr(d8) < 12).cast("int").alias("listed"),
+        (F.expr(d9) < 10).cast("int").alias("discovered"),
+    )
+    agg = flagged.groupBy("host_id").agg(
+        F.sum("listed").cast("long").alias("n_listed"),
+        F.sum("discovered").cast("long").alias("n_discovered"),
+        F.sum(F.col("listed") * F.col("discovered")).cast("long").alias(
+            "n_both"
+        ),
+    )
+    return agg.select(
+        "host_id",
+        "n_listed",
+        "n_discovered",
+        "n_both",
+        F.when(F.col("n_listed") == 0, F.lit(0.0))
+        .otherwise(
+            _pin(
+                F.col("n_both").cast("double")
+                / F.col("n_listed").cast("double"),
+                6,
+            )
+        )
+        .alias("coverage"),
+        F.when(F.col("n_discovered") == 0, F.lit(0.0))
+        .otherwise(
+            _pin(
+                (F.col("n_discovered") - F.col("n_both")).cast("double")
+                / F.col("n_discovered").cast("double"),
+                6,
+            )
+        )
+        .alias("orphan_rate"),
+    )
+
+
 def q_sitemap_ingest(spark, sf_dir):
     """Sitemap-protocol frontier seeding: synthesize one sitemap XML blob
     per host from the documents table (deterministic string-agg), parse
@@ -4285,6 +4380,69 @@ def q_dust_params(spark, sf_dir):
         )
         .withColumn(
             "strip_safe", F.col("n_uniform") == F.col("n_groups")
+        )
+    )
+
+
+def q_dust_apply(spark, sf_dir):
+    """DUST rule APPLICATION — the operational half of dust_params:
+    mine the per-host strip-safety verdict, broadcast the tiny rules
+    dimension back onto the URL stream, rewrite each URL to its
+    stripped canonical form where the rule is safe (keep it verbatim
+    where stripping would merge distinct content), and account the
+    frontier reduction per host. On safe (even) hosts the 4 session
+    variants per base URL collapse to one entry — reduction 0.75; on
+    unsafe (odd) hosts nothing collapses — reduction 0. This is the
+    dedup a canonicalizer buys BEFORE fetch: at 10^10 URLs the rules
+    table is per-host (~10^7 rows, broadcastable) while the URL
+    rewrite is a map-side stateless projection — no extra shuffle
+    beyond the mining aggregation itself."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        (F.col("doc_id") % 20).alias("host_id"),
+        F.col("doc_id").alias("url_id"),
+        (F.col("doc_id") - F.col("doc_id") % 80 + F.col("doc_id") % 20).alias(
+            "grp"
+        ),
+        F.md5(
+            F.when(
+                (F.col("doc_id") % 20) % 2 == 0,
+                F.col("doc_id") - F.col("doc_id") % 80 + F.col("doc_id") % 20,
+            )
+            .otherwise(F.col("doc_id"))
+            .cast("string")
+        ).alias("fp"),
+    )
+    grouped = urls.groupBy("host_id", "grp").agg(
+        F.count_distinct("fp").alias("n_fp")
+    )
+    rules = grouped.groupBy("host_id").agg(
+        (
+            F.sum((F.col("n_fp") == 1).cast("int")) == F.count("*")
+        ).alias("strip_safe")
+    )
+    applied = urls.join(F.broadcast(rules), "host_id").select(
+        "host_id",
+        F.when(F.col("strip_safe"), F.col("grp"))
+        .otherwise(F.col("url_id"))
+        .alias("canonical_id"),
+    )
+    return (
+        applied.groupBy("host_id")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.count_distinct("canonical_id").alias("n_canonical"),
+        )
+        .select(
+            "host_id",
+            "n_raw",
+            "n_canonical",
+            _pin(
+                1.0
+                - F.col("n_canonical").cast("double")
+                / F.col("n_raw").cast("double"),
+                6,
+            ).alias("reduction"),
         )
     )
 
@@ -6630,6 +6788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_impact": q_dedup_impact,
         "image_phash_neardup": q_image_phash_neardup,
+        "image_colorhist": q_image_colorhist,
         "minhash_banded_pairs": q_minhash_banded_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "lang_id": q_lang_id,
@@ -6673,6 +6832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "pq_adc_topk": q_pq_adc_topk,
         "sitemap_ingest": q_sitemap_ingest,
+        "sitemap_coverage": q_sitemap_coverage,
         "adaptive_politeness": q_adaptive_politeness,
         "domain_budget_rollup": q_domain_budget_rollup,
         "redirect_resolution": q_redirect_resolution,
@@ -6686,6 +6846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "warc_roundtrip": q_warc_roundtrip,
         "dust_params": q_dust_params,
+        "dust_apply": q_dust_apply,
         "quality_classifier": q_quality_classifier,
         "image_sharpness": q_image_sharpness,
         "image_watermark": q_image_watermark,
@@ -10982,6 +11143,35 @@ def oracle_sql() -> dict[str, str]:
                      AS next_delay_ms
             FROM agg
         """,
+        "sitemap_coverage": f"""
+            WITH flagged AS (
+              SELECT doc_id % 20 AS host_id,
+                     CASE WHEN {_hexdig_sql("cast(doc_id AS varchar)", 8)} < 12
+                          THEN 1 ELSE 0 END AS listed,
+                     CASE WHEN {_hexdig_sql("cast(doc_id AS varchar)", 9)} < 10
+                          THEN 1 ELSE 0 END AS discovered
+              FROM documents
+            ),
+            agg AS (
+              SELECT host_id,
+                     cast(sum(listed) AS BIGINT) AS n_listed,
+                     cast(sum(discovered) AS BIGINT) AS n_discovered,
+                     cast(sum(listed * discovered) AS BIGINT) AS n_both
+              FROM flagged GROUP BY host_id
+            )
+            SELECT host_id, n_listed, n_discovered, n_both,
+                   CASE WHEN n_listed = 0 THEN 0.0
+                        ELSE floor(cast(n_both AS DOUBLE)
+                                   / cast(n_listed AS DOUBLE)
+                                   * 1000000.0 + 0.5) / 1000000.0
+                   END AS coverage,
+                   CASE WHEN n_discovered = 0 THEN 0.0
+                        ELSE floor(cast(n_discovered - n_both AS DOUBLE)
+                                   / cast(n_discovered AS DOUBLE)
+                                   * 1000000.0 + 0.5) / 1000000.0
+                   END AS orphan_rate
+            FROM agg
+        """,
         "sitemap_ingest": """
             WITH entries AS (
               SELECT 'host-' || CAST(doc_id % 20 AS VARCHAR) AS host,
@@ -11488,6 +11678,39 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN n_fp = 1 THEN 1 ELSE 0 END) = count(*)
                      AS strip_safe
             FROM g GROUP BY host_id
+        """,
+        "dust_apply": """
+            WITH urls AS (
+              SELECT doc_id % 20 AS host_id, doc_id AS url_id,
+                     doc_id - doc_id % 80 + doc_id % 20 AS grp,
+                     md5(cast(CASE WHEN (doc_id % 20) % 2 = 0
+                              THEN doc_id - doc_id % 80 + doc_id % 20
+                              ELSE doc_id END AS varchar)) AS fp
+              FROM documents
+            ),
+            g AS (
+              SELECT host_id, grp, count(DISTINCT fp) AS n_fp
+              FROM urls GROUP BY host_id, grp
+            ),
+            rules AS (
+              SELECT host_id,
+                     sum(CASE WHEN n_fp = 1 THEN 1 ELSE 0 END) = count(*)
+                       AS strip_safe
+              FROM g GROUP BY host_id
+            ),
+            applied AS (
+              SELECT u.host_id,
+                     CASE WHEN r.strip_safe THEN u.grp
+                          ELSE u.url_id END AS canonical_id
+              FROM urls u JOIN rules r ON u.host_id = r.host_id
+            )
+            SELECT host_id,
+                   cast(count(*) AS BIGINT) AS n_raw,
+                   cast(count(DISTINCT canonical_id) AS BIGINT) AS n_canonical,
+                   floor((1.0 - cast(count(DISTINCT canonical_id) AS DOUBLE)
+                                / cast(count(*) AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS reduction
+            FROM applied GROUP BY host_id
         """,
         "quality_classifier": f"""
             WITH w AS (

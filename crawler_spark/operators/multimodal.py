@@ -169,6 +169,89 @@ def embed_images(images: DataFrame, dim: int = 16) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(go, schema=schema)
 
 
+LUMA_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("hist", T.ArrayType(T.DoubleType())),
+        T.StructField("dominant_bin", T.IntegerType()),
+    ]
+)
+
+
+def luma_hist(images: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Decode → L1-normalized intensity histogram per image, plus the
+    dominant bin as a cheap blocking key. Arrow-batched mapInPandas
+    like decode_stats; the histogram is ``n_bins`` doubles regardless
+    of image size, so the downstream pair join moves O(n_bins) per row
+    no matter how large the source images are — decode once, compare
+    tiny signatures forever. 256 must divide into ``n_bins`` even
+    buckets (uint8 pixels)."""
+    if 256 % n_bins:
+        raise ValueError("n_bins must divide 256")
+    shift = 256 // n_bins
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                counts = np.bincount(
+                    (px.ravel() // shift).astype(np.int64), minlength=n_bins
+                ).astype(np.float64)
+                hist = counts / counts.sum()
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "hist": hist.tolist(),
+                        "dominant_bin": int(hist.argmax()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in LUMA_HIST_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=LUMA_HIST_SCHEMA
+    )
+
+
+def hist_intersection_pairs(
+    hists: DataFrame, min_intersection: float = 0.9
+) -> DataFrame:
+    """Histogram-intersection near-dup candidates: block on the
+    dominant bin (two images whose intersection is >= 0.9 MUST share
+    their heaviest bin when that bin holds > 55% mass — and in any
+    case blocking trades recall for never materializing O(n²)), then
+    score sum(min(a_i, b_i)) with native zip_with/aggregate — JVM-side,
+    whole-stage codegen, no Python in the pair loop. Returns
+    (image_a, image_b, intersection) for pairs >= min_intersection."""
+    a = hists.select(
+        F.col("dominant_bin"),
+        F.col("image_id").alias("image_a"),
+        F.col("hist").alias("ha"),
+    )
+    b = hists.select(
+        F.col("dominant_bin"),
+        F.col("image_id").alias("image_b"),
+        F.col("hist").alias("hb"),
+    )
+    inter = F.aggregate(
+        F.zip_with("ha", "hb", lambda x, y: F.least(x, y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "dominant_bin")
+        .filter(F.col("image_a") < F.col("image_b"))
+        .select(
+            "image_a",
+            "image_b",
+            F.round(inter, 6).alias("intersection"),
+        )
+        .filter(F.col("intersection") >= min_intersection)
+    )
+
+
 PAIR_PSNR_SCHEMA = T.StructType(
     [
         T.StructField("doc_a", T.StringType()),
