@@ -223,6 +223,48 @@ def _trust_rank_sql(n_iter: int = 3, prefix: str = "t_", seed_mod: int = 4) -> s
     return sql
 
 
+def _lpa_sql(n_iter: int = 3) -> str:
+    """DuckDB mirror of operators/graph.label_propagation over the host
+    graph: same edge derivation as _link_rank_sql, symmetrized, n_iter
+    unrolled rounds of (node, label) weight-agg + per-node top-1 window
+    with (weight DESC, label ASC) tie-break. Integer sums only — no
+    float pinning needed."""
+    d6 = _hexdig_sql("cast(doc_id AS varchar)", 6)
+    d7 = _hexdig_sql("cast(doc_id AS varchar)", 7)
+    sql = f"""
+        WITH e0 AS (
+          SELECT src, dst, count(*) AS weight FROM (
+            SELECT doc_id % 20 AS src, (16 * {d6} + {d7}) % 20 AS dst
+            FROM documents
+          ) WHERE src != dst GROUP BY src, dst
+        ),
+        und AS (
+          SELECT src, dst, sum(weight) AS weight FROM (
+            SELECT src, dst, weight FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst, weight FROM e0
+          ) GROUP BY src, dst
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)"""
+    for k in range(1, n_iter + 1):
+        sql += f""",
+        v{k} AS (
+          SELECT u.src, l.label AS nlabel, sum(u.weight) AS w
+          FROM und u JOIN l{k - 1} l ON u.dst = l.node
+          GROUP BY u.src, l.label
+        ),
+        l{k} AS (
+          SELECT src AS node, nlabel AS label FROM (
+            SELECT src, nlabel, row_number() OVER (
+              PARTITION BY src ORDER BY w DESC, nlabel ASC
+            ) AS rn FROM v{k}
+          ) WHERE rn = 1
+        )"""
+    sql += f"""
+        SELECT node AS host_id, label AS community FROM l{n_iter}"""
+    return sql
+
+
 def _opic_sql(n_iter: int = 3) -> str:
     """DuckDB mirror of q_opic_priority: same edge derivation, n_iter
     unrolled OPIC waves (virtual-page pot -> weighted inflow -> state
@@ -2411,6 +2453,20 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     from crawler_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_shingle_containment(spark, sf_dir):
+    """Asymmetric near-dup: Broder containment
+    |A∩B| / min(|A|,|B|) over word 3-gram shingles — catches the
+    subset/excerpt/boilerplate-wrapped copies symmetric Jaccard waves
+    through (operators/dedup.py shingle_containment_pairs). Same
+    shared-shingle candidate pre-filter scale shape as
+    ngram_jaccard_pairs."""
+    from crawler_spark.operators.dedup import shingle_containment_pairs
+
+    return shingle_containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.9
+    )
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -5872,6 +5928,37 @@ def q_host_components(spark, sf_dir):
     )
 
 
+def q_host_communities(spark, sf_dir):
+    """Community detection over the host link graph — label propagation
+    (operators/graph.py label_propagation), one notch finer than
+    host_components' connected components: heavily-interlinked host
+    groups converge to one label even when stray edges merge distinct
+    clusters into a single component. Budget capping then treats each
+    community as one spend unit (a farm is one community however many
+    hosts it spawns). Same weighted host-graph derivation as
+    host_link_rank, symmetrized; 3 synchronous rounds, max-incident-
+    weight label with smallest-label tie-break (deterministic), so the
+    unrolled-CTE oracle — per round a (node, label) weight agg + a
+    per-node top-1 window — matches exactly. Integer sums only."""
+    from crawler_spark.operators.graph import label_propagation
+
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.select(
+            (F.col("doc_id") % 20).alias("src"),
+            F.expr(f"(16 * {d6} + {d7}) % 20").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    return label_propagation(edges, n_iter=3).select(
+        F.col("node").alias("host_id"), "community"
+    )
+
+
 def q_seed_distance(spark, sf_dir):
     """Multi-source BFS hop distance from the vetted seed hosts over
     the deterministic host link graph (host_components' edge family):
@@ -6730,6 +6817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_threshold_eval": q_phash_threshold_eval,
         "caption_junk_filter": q_caption_junk_filter,
         "host_components": q_host_components,
+        "host_communities": q_host_communities,
         "seed_distance": q_seed_distance,
         "stride_schedule": q_stride_schedule,
         "host_kcore": q_host_kcore,
@@ -6780,6 +6868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": q_dedup_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "shingle_containment": q_shingle_containment,
         "substring_overlap": q_substring_overlap,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap": q_winnow_overlap,
@@ -8233,6 +8322,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY fp
             HAVING count(DISTINCT host_id) >= 2
         """,
+        "host_communities": _lpa_sql(n_iter=3),
         "host_components": """
             WITH RECURSIVE e0 AS (
               SELECT doc_id % 20 AS a, (doc_id % 20 + 10) % 20 AS b
@@ -9850,6 +9940,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+        """,
+        "shingle_containment": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_inter,
+                   round(n_inter * 1.0 / least(sa.n_sh, sb.n_sh), 6)
+                     AS containment
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_inter * 1.0 / least(sa.n_sh, sb.n_sh), 6) >= 0.9
         """,
         "minhash_lsh_pairs": """
             WITH words AS (

@@ -114,6 +114,12 @@ HEADLINE = [
     "rank_drift",
     "image_dedup_keep_best",
     "blocklist_filter",
+    "spam_mass",
+    "host_communities",
+    "shingle_containment",
+    "dust_apply",
+    "sitemap_coverage",
+    "image_colorhist",
 ]
 
 BENCH_HOSTS = 50

@@ -275,6 +275,64 @@ def simhash_dup_groups(
     )
 
 
+def shingle_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Broder CONTAINMENT (public SEQUENCES'97, alongside resemblance):
+    c(A,B) = |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|) — the asymmetric
+    near-dup signal Jaccard structurally misses. A short doc quoted
+    whole inside a long one has tiny Jaccard (the union is dominated by
+    the long doc) but containment 1.0; dedup cascades run containment
+    to catch subset pages, syndicated excerpts, and boilerplate-wrapped
+    copies that resemblance-based passes wave through.
+
+    Same scale shape as ngram_jaccard_pairs: shared-shingle self-join
+    candidate pre-filter (the O(n²) cross product never materializes),
+    one (doc_a, doc_b) intersection agg, two broadcast-size size joins.
+    """
+    sh = _shingles(docs, text_col, id_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "containment")
+    )
+
+
 def minhash_banded_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -334,3 +334,33 @@ def test_cdc_chunks_shift_invariance(spark):
     }
     assert tot[1] == len(base.split())
     assert tot[2] == len(shifted.split())
+
+
+def test_shingle_containment_catches_subset_jaccard_misses(spark):
+    from crawler_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "editorial preamble with many framing words goes here first then "
+        + quote
+        + " and afterwards a long tail of commentary keeps adding shingles "
+        "that dilute the union so resemblance collapses toward zero"
+    )
+    rows = [(1, quote), (2, long_doc), (3, "totally unrelated content here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in shingle_containment_pairs(docs, threshold=0.9).collect()
+    }
+    # the quote's shingles all appear in the long doc -> containment 1.0
+    assert cont[(1, 2)] == 1.0
+    assert (1, 3) not in cont and (2, 3) not in cont
+    # while symmetric Jaccard at the same bar misses the pair entirely
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) not in jac

@@ -86,3 +86,59 @@ def test_resolve_redirects_log_join_count(spark):
         .toString()
     )
     assert plan.count("Join") == 1, plan
+
+
+def _pure_python_lpa(edges, n_iter=3):
+    und = {}
+    for s, d, w in edges:
+        und[(s, d)] = und.get((s, d), 0) + w
+        und[(d, s)] = und.get((d, s), 0) + w
+    nodes = sorted({s for s, _ in und})
+    labels = {v: v for v in nodes}
+    for _ in range(n_iter):
+        new = {}
+        for v in nodes:
+            votes = {}
+            for (s, d), w in und.items():
+                if s == v:
+                    lbl = labels[d]
+                    votes[lbl] = votes.get(lbl, 0) + w
+            new[v] = min(votes, key=lambda l: (-votes[l], l))
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_pure_python(spark):
+    from crawler_spark.operators.graph import label_propagation
+
+    # barbell: two K4-ish dense clusters {0..3} and {10..13} joined by
+    # one weak bridge 3-10. Connected components would merge them; LPA
+    # must keep two communities.
+    edges = []
+    for grp in (range(0, 4), range(10, 14)):
+        grp = list(grp)
+        for i in grp:
+            for j in grp:
+                if i < j:
+                    edges.append((i, j, 3))
+    edges.append((3, 10, 1))  # the bridge
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = {r.node: r.community for r in label_propagation(df, n_iter=3).collect()}
+    want = _pure_python_lpa(edges, n_iter=3)
+    assert got == want
+    left = {got[v] for v in range(0, 4)}
+    right = {got[v] for v in range(10, 14)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_label_propagation_weight_beats_degree(spark):
+    from crawler_spark.operators.graph import label_propagation
+
+    # node 5 has TWO unit edges into {1,2} (same label side after
+    # round 1? no — distinct labels) and ONE weight-5 edge to 9:
+    # max-incident-weight must pull 5 toward 9, not the popular side
+    edges = [(1, 5, 1), (2, 5, 1), (5, 9, 5), (1, 2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = {r.node: r.community for r in label_propagation(df, n_iter=3).collect()}
+    want = _pure_python_lpa(edges, n_iter=3)
+    assert got == want
