@@ -265,6 +265,51 @@ def _lpa_sql(n_iter: int = 3) -> str:
     return sql
 
 
+def _kcenter_sql(k: int = 6) -> str:
+    """DuckDB mirror of operators/similarity.kcenter_sample over the
+    embeddings table (seed vec_id = 0): k-1 unrolled greedy rounds,
+    each one a least(mind, d²-to-newest-center) update + a
+    (mind DESC, vec_id ASC) top-1 pick; d² via the dot-product
+    identity, round-9, exactly as the operator."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {a})"
+            f" - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 9)"
+        )
+
+    sql = """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        p0 AS (SELECT vec_id, v FROM e WHERE vec_id = 0),
+        m1 AS (
+          SELECT e.vec_id, e.v, {d} AS mind FROM e, p0 c
+        )""".format(d=d2("e.v", "c.v"))
+    for t in range(1, k):
+        sql += f""",
+        p{t} AS (
+          SELECT vec_id, v, mind FROM m{t}
+          ORDER BY mind DESC, vec_id ASC LIMIT 1
+        )"""
+        if t < k - 1:
+            sql += f""",
+        m{t + 1} AS (
+          SELECT m.vec_id, m.v,
+                 least(m.mind, {d2('m.v', 'c.v')}) AS mind
+          FROM m{t} m, p{t} c
+        )"""
+    parts = [
+        "SELECT vec_id, 0 AS pick_order, CAST(0 AS DOUBLE) AS radius FROM p0"
+    ] + [
+        f"SELECT vec_id, {t} AS pick_order, mind AS radius FROM p{t}"
+        for t in range(1, k)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(parts)
+
+
 def _opic_sql(n_iter: int = 3) -> str:
     """DuckDB mirror of q_opic_priority: same edge derivation, n_iter
     unrolled OPIC waves (virtual-page pot -> weighted inflow -> state
@@ -3758,6 +3803,21 @@ def q_embedding_quantization(spark, sf_dir):
     )
 
 
+def q_kcenter_coreset(spark, sf_dir):
+    """Diversity coreset for curation: greedy k-center / farthest-point
+    sampling over the embeddings table (operators/similarity.py
+    kcenter_sample, Gonzalez'85 2-approximation), seed vec_id=0, k=6.
+    Output is the pick sequence with each pick's coverage radius — the
+    plateau point tells the curation run when the coreset already
+    spans the space. Inherently k-sequential, but each round is one
+    narrow map (least(mind, d²-to-newest-center)) + a TakeOrdered(1)
+    argmax; driver traffic is one row per round. Full SQL oracle:
+    unrolled greedy rounds (_kcenter_sql)."""
+    from crawler_spark.operators.similarity import kcenter_sample
+
+    return kcenter_sample(_t(spark, sf_dir, "embeddings"), k=6)
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact top-10 by cosine vs the vec_id=0 embedding —
     native zip_with/aggregate, TakeOrdered top-k (no global sort)."""
@@ -6913,6 +6973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_stats_by_resolution": q_caption_stats_by_resolution,
         "dup_rate_by_source": q_dup_rate_by_source,
         "cosine_topk": q_cosine_topk,
+        "kcenter_coreset": q_kcenter_coreset,
         "embedding_centroids": q_embedding_centroids,
         "embedding_quantization": q_embedding_quantization,
         "embedding_neardup": q_embedding_neardup,
@@ -10972,6 +11033,7 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS int8_checksum
             FROM m
         """,
+        "kcenter_coreset": _kcenter_sql(k=6),
         "cosine_topk": """
             WITH q AS (
               SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

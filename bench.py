@@ -120,6 +120,7 @@ HEADLINE = [
     "dust_apply",
     "sitemap_coverage",
     "image_colorhist",
+    "kcenter_coreset",
 ]
 
 BENCH_HOSTS = 50

@@ -179,6 +179,71 @@ def ivf_topk(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+def kcenter_sample(
+    emb: DataFrame,
+    k: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed_id: int = 0,
+) -> DataFrame:
+    """Greedy k-center / farthest-point coreset (Gonzalez, public TCS
+    1985; the 2-approximation every diversity-sampling pipeline leans
+    on): pick the seed, then k-1 times pick the point FARTHEST from
+    everything picked so far. The radius sequence (each pick's distance
+    at selection) is the coverage diagnostic — when it plateaus, the
+    coreset already spans the embedding space and curation can stop.
+
+    Scale shape: greedy FPS is inherently k-sequential (pick t depends
+    on all t-1 prior picks), but each round is O(n·d) narrow work: the
+    incremental identity mind_t(x) = least(mind_{t-1}(x), d²(x, c_t))
+    means only the NEWEST center is ever compared — one map over the
+    persisted (vec_id, v, mind) state + one TakeOrdered(1) argmax per
+    round, never a k-way join, never a global sort. Each round's
+    driver traffic is ONE row (the next center); the k-row result is a
+    scheduler-side artifact like IVF centroids. d² uses the dot-product
+    identity (a·a - 2a·b + b·b), round-9, so the unrolled-CTE oracle
+    (list_dot_product) reproduces picks and radii exactly. For k in
+    the thousands, swap in recursive-bisection FPS; this exact variant
+    is for curation-scale k (10²-10³).
+    """
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seed = e.filter(F.col("vec_id") == seed_id).head()
+    if seed is None:
+        raise ValueError(f"seed_id {seed_id} not found")
+    picks = [(int(seed.vec_id), 0, 0.0)]
+    cur = list(seed.v)
+    state = e.select("vec_id", "v", _dot("v", "v").alias("vv")).withColumn(
+        "mind", F.lit(None).cast("double")
+    )
+    for t in range(1, k):
+        cvec = F.array(*[F.lit(float(x)) for x in cur])
+        cc = 0.0
+        for x in cur:  # left fold, matching the SQL dot's order
+            cc += x * x
+        d2 = F.round(
+            F.col("vv") - 2.0 * _dot(F.col("v"), cvec) + F.lit(cc), 9
+        )
+        state = state.withColumn(
+            "mind", F.least(F.coalesce(F.col("mind"), d2), d2)
+        )
+        if t % 3 == 0:
+            state = state.localCheckpoint()
+        nxt = (
+            state.orderBy(F.desc("mind"), F.asc("vec_id"))
+            .select("vec_id", "v", "mind")
+            .head()
+        )
+        picks.append((int(nxt.vec_id), t, float(nxt.mind)))
+        cur = list(nxt.v)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picks, "vec_id long, pick_order int, radius double"
+    )
+
+
 # -------------------------------------------- persisted incremental IVF index
 
 

@@ -204,3 +204,71 @@ def test_srp_multiprobe_superset_and_verified(spark):
     assert all(c >= 0.35 for c in mp.values())  # exact verify holds
     # same exact cosine on the shared pairs (verification is identical)
     assert all(mp[k] == base[k] for k in base)
+
+
+def _pure_python_fps(vecs, k, seed_id=0):
+    def d2(a, b):
+        aa = 0.0
+        ab = 0.0
+        bb = 0.0
+        for x, y in zip(a, b):
+            aa += x * x
+            ab += x * y
+            bb += y * y
+        return round(aa - 2.0 * ab + bb, 9)
+
+    picks = [(seed_id, 0, 0.0)]
+    cur = vecs[seed_id]
+    mind = {}
+    for t in range(1, k):
+        for vid, v in vecs.items():
+            d = d2(v, cur)
+            mind[vid] = min(mind.get(vid, d), d)
+        nxt = min(mind, key=lambda i: (-mind[i], i))
+        picks.append((nxt, t, mind[nxt]))
+        cur = vecs[nxt]
+    return picks
+
+
+def test_kcenter_matches_pure_python_and_spans_corners(spark):
+    from crawler_spark.operators.similarity import kcenter_sample
+
+    # 4 far corners + a tight blob near corner 0: FPS must visit all
+    # corners before drilling into the blob
+    vecs = {
+        0: [0.0, 0.0],
+        1: [10.0, 0.0],
+        2: [0.0, 10.0],
+        3: [10.0, 10.0],
+        4: [0.1, 0.2],
+        5: [0.2, 0.1],
+        6: [0.15, 0.15],
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # array<float> loses precision vs the python doubles; recompute the
+    # expectation from the float32-rounded vectors the engine sees
+    import numpy as np
+
+    f32 = {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
+    got = [(r.vec_id, r.pick_order, r.radius) for r in
+           kcenter_sample(df, k=5).orderBy("pick_order").collect()]
+    want = _pure_python_fps(f32, k=5)
+    assert got == want
+    assert [g[0] for g in got[:4]] == [0, 3, 1, 2]  # corners first
+    radii = [g[2] for g in got[1:]]
+    assert radii == sorted(radii, reverse=True)  # non-increasing radii
+
+
+def test_kcenter_missing_seed_raises(spark):
+    from crawler_spark.operators.similarity import kcenter_sample
+
+    df = spark.createDataFrame(
+        [(1, [0.0])], "vec_id long, embedding array<float>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kcenter_sample(df, k=2, seed_id=99)
