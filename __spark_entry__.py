@@ -2777,6 +2777,70 @@ def q_image_colorhist(spark, sf_dir):
     return hist_intersection_pairs(luma_hist(images), min_intersection=0.9)
 
 
+def q_image_flip_dedup(spark, sf_dir):
+    """Orientation-invariant image dedup: mirrored and rotated-180
+    re-uploads scatter a plain pHash to ~random Hamming distance, so a
+    dedup pass keyed on it misses them entirely. flip_canonical_sigs
+    (multimodal.py) emits the min-over-4-orientations canonical hash
+    (codecs.flip_min_phash64) next to the plain one in a single decode
+    pass; banded Hamming<=3 over the canonical column then recalls
+    every planted fliplr/flipud/rot180 twin at distance 0, while the
+    plain-hash distance (joined alongside) documents what a naive pass
+    would have seen. No SQL oracle (binary codec); rows-only —
+    exactness is pytest-asserted (tests/test_flipsig.py)."""
+    from crawler_spark.functions.codecs import decode, encode
+    from crawler_spark.operators.dedup import hamming64_pairs
+    from crawler_spark.operators.multimodal import flip_canonical_sigs
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(48)]
+    rows = [
+        (r["image_id"], r["bytes"], r["fmt"])
+        for r in (T1_SMOKE.payload(u) for u in urls)
+    ]
+    variants = []
+    for j, (image_id, data, fmt) in enumerate(rows[:18]):
+        px = decode(data, fmt)
+        flipped = (
+            px[:, ::-1] if j % 3 == 0 else px[::-1, :] if j % 3 == 1
+            else px[::-1, ::-1]
+        )
+        variants.append(
+            (image_id + "-m", encode(flipped.copy(), "png"), "png")
+        )
+    images = spark.createDataFrame(
+        rows + variants, "image_id string, bytes binary, fmt string"
+    )
+    sigs = flip_canonical_sigs(images)
+    cand = hamming64_pairs(
+        sigs, id_col="image_id", sig_col="flip_phash", max_hamming=3,
+        n_bands=8,
+    )
+    plain = sigs.select(F.col("image_id"), F.col("phash"))
+    return (
+        cand.join(
+            plain.select(
+                F.col("image_id").alias("doc_a"), F.col("phash").alias("pa")
+            ),
+            "doc_a",
+        )
+        .join(
+            plain.select(
+                F.col("image_id").alias("doc_b"), F.col("phash").alias("pb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("hamming").alias("canonical_hamming"),
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias(
+                "plain_hamming"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis (documents)
 # --------------------------------------------------------------------------
@@ -6938,6 +7002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_impact": q_dedup_impact,
         "image_phash_neardup": q_image_phash_neardup,
         "image_colorhist": q_image_colorhist,
+        "image_flip_dedup": q_image_flip_dedup,
         "minhash_banded_pairs": q_minhash_banded_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "lang_id": q_lang_id,

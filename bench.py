@@ -121,6 +121,7 @@ HEADLINE = [
     "sitemap_coverage",
     "image_colorhist",
     "kcenter_coreset",
+    "image_flip_dedup",
 ]
 
 BENCH_HOSTS = 50

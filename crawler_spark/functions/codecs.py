@@ -129,6 +129,25 @@ def phash64(px: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def flip_min_phash64(px: np.ndarray) -> int:
+    """Orientation-canonical perceptual hash: min of phash64 over the 4
+    axis-preserving dihedral orientations (identity, left-right flip,
+    up-down flip, 180° rotation). A mirrored or upside-down re-upload —
+    the standard hostile-dedup evasion and the single most common
+    benign transform in scraped image corpora — canonicalizes to the
+    SAME signature, so one banded-Hamming pass catches it without
+    enumerating orientation pairs at join time. (90° rotations
+    transpose the aspect ratio; a second pass over the transposed hash
+    covers them when needed.) min over signed int64 is a deterministic
+    canonical pick. Pure numpy views — no pixel copies."""
+    return min(
+        phash64(px),
+        phash64(px[:, ::-1]),
+        phash64(px[::-1, :]),
+        phash64(px[::-1, ::-1]),
+    )
+
+
 def _pack_bits64(bits: "np.ndarray") -> int:
     """64 bools -> signed int64 (two's complement), MSB first."""
     v = 0

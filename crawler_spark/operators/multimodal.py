@@ -756,6 +756,46 @@ def alt_hashes(images: DataFrame) -> DataFrame:
     )
 
 
+FLIP_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("flip_phash", T.LongType()),
+    ]
+)
+
+
+def flip_canonical_sigs(images: DataFrame) -> DataFrame:
+    """Plain pHash + orientation-canonical pHash (codecs.py
+    flip_min_phash64) per image in one decode pass. Downstream banded
+    Hamming over ``flip_phash`` recalls mirrored/rotated-180 twins that
+    the plain hash scatters to Hamming ~32 (random distance); shipping
+    both columns lets the dedup report attribute each catch to
+    orientation or to genuine pixel similarity."""
+
+    from crawler_spark.functions.codecs import flip_min_phash64
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "phash": phash64(px),
+                        "flip_phash": flip_min_phash64(px),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FLIP_SIG_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=FLIP_SIG_SCHEMA
+    )
+
+
 BORDER_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),
