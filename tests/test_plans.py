@@ -170,3 +170,46 @@ def test_ivf_batch_no_cartesian(spark):
     CartesianProduct."""
     plan = _plan(spark, "ann_recall_eval")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_spam_mass_totals_broadcast_and_no_cartesian(spark):
+    # the two one-row totals fold in via broadcast; the seed indicator
+    # joins broadcast; nothing may degenerate to CartesianProduct
+    plan = _plan(spark, "spam_mass")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3, plan
+    assert "PythonUDF" not in plan
+
+
+def test_host_communities_stays_native(spark):
+    plan = _plan(spark, "host_communities")
+    assert "CartesianProduct" not in plan, plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shingle_containment_shares_jaccards_shape(spark):
+    # shared-shingle equi-join candidate pre-filter: a real keyed join,
+    # no cartesian, no Python in the pair loop
+    plan = _plan(spark, "shingle_containment")
+    assert "CartesianProduct" not in plan, plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sitemap_coverage_is_single_shuffle(spark):
+    # one map-side projection + one host-keyed agg: exactly one
+    # exchange (partial->final HashAggregate pair around it)
+    plan = _plan(spark, "sitemap_coverage")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
+    assert "PythonUDF" not in plan
+
+
+def test_dust_apply_rules_stay_broadcast(spark):
+    # the mined per-host rules dimension must broadcast back onto the
+    # URL stream (at 10^10 URLs a shuffle join here would be the
+    # bottleneck; rules are O(hosts))
+    plan = _plan(spark, "dust_apply")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
