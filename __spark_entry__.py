@@ -2777,6 +2777,67 @@ def q_image_colorhist(spark, sf_dir):
     return hist_intersection_pairs(luma_hist(images), min_intersection=0.9)
 
 
+def q_image_dedup_cross_wave(spark, sf_dir):
+    """Incremental image dedup, the shape a production crawl runs
+    every wave: THIS wave's decoded image hashes probed against the
+    persisted all-time signature catalog with the asymmetric banded
+    Hamming join (operators/dedup.py hamming64_join) — O(|wave|) work
+    per round, never a self-join over history. Wave B mixes
+    +1-brightness re-uploads of catalog images (Hamming <= 3 after
+    lossless roundtrip) with genuinely new images; output classifies
+    every wave-B image as dup-of-catalog (best match: min hamming,
+    then min catalog id) or new. No SQL oracle (binary codec);
+    rows-only — brute-force parity pytest in tests/test_flipsig.py."""
+    import numpy as np
+
+    from crawler_spark.functions.codecs import decode, encode
+    from crawler_spark.operators.dedup import hamming64_join
+    from crawler_spark.operators.multimodal import decode_stats
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(48)]
+    rows = [
+        (r["image_id"], r["bytes"], r["fmt"])
+        for r in (T1_SMOKE.payload(u) for u in urls)
+    ]
+    wave_b = []
+    for image_id, data, fmt in rows[:12]:  # re-uploads of catalog images
+        px = decode(data, fmt).astype(np.int16)
+        px = np.clip(px + 1, 0, 255)
+        wave_b.append(
+            (image_id + "-b", encode(px.astype(np.uint8), "png"), "png")
+        )
+    fresh_urls = [f"http://host-1.test/p0/d0/img-{i}" for i in range(12)]
+    wave_b += [
+        (r["image_id"] + "-b", r["bytes"], r["fmt"])
+        for r in (T1_SMOKE.payload(u) for u in fresh_urls)
+    ]
+    mk = lambda r: spark.createDataFrame(  # noqa: E731
+        r, "image_id string, bytes binary, fmt string"
+    )
+    catalog = decode_stats(mk(rows)).select("image_id", "phash")
+    probe = decode_stats(mk(wave_b)).select("image_id", "phash")
+    hits = hamming64_join(
+        probe, catalog, id_col="image_id", sig_col="phash", max_hamming=3
+    )
+    best = Window.partitionBy("probe_id").orderBy("hamming", "index_id")
+    top = (
+        hits.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "index_id", "hamming")
+    )
+    return (
+        probe.select(F.col("image_id").alias("probe_id"))
+        .join(top, "probe_id", "left")
+        .select(
+            F.col("probe_id").alias("image_id"),
+            F.col("index_id").alias("dup_of"),
+            "hamming",
+            F.col("index_id").isNull().alias("is_new"),
+        )
+    )
+
+
 def q_image_flip_dedup(spark, sf_dir):
     """Orientation-invariant image dedup: mirrored and rotated-180
     re-uploads scatter a plain pHash to ~random Hamming distance, so a
@@ -7003,6 +7064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": q_image_phash_neardup,
         "image_colorhist": q_image_colorhist,
         "image_flip_dedup": q_image_flip_dedup,
+        "image_dedup_cross_wave": q_image_dedup_cross_wave,
         "minhash_banded_pairs": q_minhash_banded_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "lang_id": q_lang_id,

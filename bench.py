@@ -122,6 +122,7 @@ HEADLINE = [
     "image_colorhist",
     "kcenter_coreset",
     "image_flip_dedup",
+    "image_dedup_cross_wave",
 ]
 
 BENCH_HOSTS = 50

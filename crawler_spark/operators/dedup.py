@@ -778,6 +778,66 @@ def hamming64_pairs(
     )
 
 
+def hamming64_join(
+    probe: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig64",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Asymmetric banded Hamming join: each PROBE signature against an
+    INDEX catalog — the incremental shape a crawl runs every wave
+    (this wave's image hashes vs the persisted all-time signature
+    table) instead of re-self-joining history. Same pigeonhole
+    exactness as hamming64_pairs (max_hamming < n_bands ⇒ every
+    qualifying pair shares a whole band); candidate keys are
+    (band_id, band_val), high-cardinality, and the join is
+    probe-sized — O(|wave|), not O(|corpus|), per round.
+
+    Returns (probe_id, index_id, hamming), hamming <= max_hamming.
+    """
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+
+    def _bands(df, out_id):
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftrightunsigned(F.col("sig"), b * bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return (
+            df.select(
+                F.col(id_col).alias(out_id), F.col(sig_col).alias("sig")
+            )
+            .select(out_id, "sig", F.explode(band_arr).alias("bv"))
+            .select(out_id, "sig", "bv.band_id", "bv.band_val")
+        )
+
+    p = _bands(probe, "probe_id").withColumnRenamed("sig", "psig")
+    ix = _bands(index, "index_id").withColumnRenamed("sig", "isig")
+    return (
+        p.join(ix, ["band_id", "band_val"])
+        .select(
+            "probe_id",
+            "index_id",
+            F.bit_count(F.col("psig").bitwiseXOR(F.col("isig"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # ------------------------------------------------- duplicate clusters
 
 

@@ -81,3 +81,40 @@ def test_flip_sigs_recall_mirror_twins_plain_phash_misses(spark):
             assert d > 3  # plain pHash sees them as far apart
     # the mirror trick must actually be LOAD-BEARING for most twins
     assert missed >= 4, f"only {missed} of 6 twins needed the canonical hash"
+
+
+def test_hamming64_join_matches_bruteforce(spark):
+    from crawler_spark.operators.dedup import hamming64_join
+
+    pixels = _pixels(10)
+    catalog_rows = [(i, encode(px, "png"), "png") for i, px in pixels]
+    probe_rows = []
+    for j, (i, px) in enumerate(pixels[:5]):
+        q = np.clip(px.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+        probe_rows.append((i + "-b", encode(q, "png"), "png"))
+    from crawler_spark.operators.multimodal import decode_stats
+
+    mk = lambda r: spark.createDataFrame(
+        r, "image_id string, bytes binary, fmt string"
+    )
+    cat = decode_stats(mk(catalog_rows)).select("image_id", "phash")
+    probe = decode_stats(mk(probe_rows)).select("image_id", "phash")
+    got = {
+        (r.probe_id, r.index_id): r.hamming
+        for r in hamming64_join(
+            probe, cat, id_col="image_id", sig_col="phash", max_hamming=3
+        ).collect()
+    }
+    # brute force over the same signatures
+    ch = {r.image_id: r.phash for r in cat.collect()}
+    ph = {r.image_id: r.phash for r in probe.collect()}
+    want = {}
+    for pi, psig in ph.items():
+        for ci, csig in ch.items():
+            d = bin((psig ^ csig) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(pi, ci)] = d
+    assert got == want
+    # every +1-brightness probe finds its own catalog source
+    for pi in ph:
+        assert (pi, pi[: -len("-b")]) in got
