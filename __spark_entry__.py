@@ -764,6 +764,40 @@ def q_fetcher_load_forecast(spark, sf_dir):
     )
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap DISCOVERY via robots.txt — the protocol loop the
+    sitemap_ingest source starts from: every host's robots.txt is
+    scanned for ``Sitemap:`` directives (case-insensitive, any
+    indentation, group-independent per sitemaps.org) with one native
+    regexp_extract_all (functions/robots.py sitemap_urls) and exploded
+    into the (host, sitemap_url) seed list. Robots blobs are
+    synthesized deterministically per host — mixed-case directives and
+    an every-other-host second sitemap exercise the matcher. Scale:
+    the robots dimension is O(hosts); this is a map-side projection
+    over it, no shuffle at all."""
+    from crawler_spark.functions.robots import sitemap_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 20).alias("host_id")).distinct()
+    hs = F.col("host_id").cast("string")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\nSitemap: http://host-"),
+        hs,
+        F.lit(".test/sitemap-0.xml\nCrawl-delay: 2"),
+        F.when(
+            F.col("host_id") % 2 == 0,
+            F.concat(
+                F.lit("\n  sitemap: http://host-"),
+                hs,
+                F.lit(".test/sitemap-1.xml"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return hosts.select(
+        "host_id", F.explode(sitemap_urls(txt)).alias("sitemap_url")
+    )
+
+
 def q_robots_gate(spark, sf_dir):
     """T5/J5: robots dimension broadcast join + deny filter + budget calc."""
     f = _frontier(spark, sf_dir)
@@ -6928,6 +6962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drain_forecast": q_drain_forecast,
         "fetcher_load_forecast": q_fetcher_load_forecast,
         "robots_gate": q_robots_gate,
+        "robots_sitemaps": q_robots_sitemaps,
         "canonicalize": q_canonicalize,
         "surt_index": q_surt_index,
         "latest_event_per_user": q_latest_event_per_user,
@@ -7407,6 +7442,28 @@ def oracle_sql() -> dict[str, str]:
             per AS (SELECT host, count(*) AS n_pending FROM f GROUP BY host)
             SELECT host, n_pending, (n_pending + 3) // 4 AS rounds_to_drain
             FROM per
+        """,
+        "robots_sitemaps": r"""
+            WITH hosts AS (
+              SELECT DISTINCT doc_id % 20 AS host_id FROM documents
+            ),
+            blobs AS (
+              SELECT host_id,
+                     'User-agent: *' || chr(10) || 'Disallow: /private'
+                     || chr(10) || 'Sitemap: http://host-'
+                     || CAST(host_id AS varchar) || '.test/sitemap-0.xml'
+                     || chr(10) || 'Crawl-delay: 2'
+                     || CASE WHEN host_id % 2 = 0
+                          THEN chr(10) || '  sitemap: http://host-'
+                               || CAST(host_id AS varchar)
+                               || '.test/sitemap-1.xml'
+                          ELSE '' END AS txt
+              FROM hosts
+            )
+            SELECT host_id, u.sitemap_url
+            FROM blobs,
+                 unnest(regexp_extract_all(txt,
+                        '(?im)^\s*sitemap:\s*(\S+)', 1)) AS u(sitemap_url)
         """,
         "robots_gate": f"""
             WITH f AS ({frontier}),

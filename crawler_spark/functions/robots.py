@@ -112,6 +112,20 @@ def robots_rules_udf(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+def sitemap_urls(robots_txt_col):
+    """``Sitemap:`` directive extraction (RFC 9309 §2.3 treats it as an
+    unknown-but-preserved line; the sitemaps.org protocol defines it) —
+    the way crawlers actually DISCOVER sitemaps. Pure native
+    ``regexp_extract_all`` (inline (?im) flags work in both Java regex
+    and RE2, so the DuckDB oracle matches verbatim); returns the
+    array of sitemap URLs in file order. Sitemap lines are
+    group-independent per the protocol, so this never consults
+    user-agent sections."""
+    return F.regexp_extract_all(
+        robots_txt_col, F.lit(r"(?im)^\s*sitemap:\s*(\S+)"), 1
+    )
+
+
 def robots_dim(robots_texts: DataFrame, host_col: str = "host",
                text_col: str = "robots_txt") -> DataFrame:
     """(host, robots_txt) → the broadcastable politeness dimension with

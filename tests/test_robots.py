@@ -1,6 +1,8 @@
 """robots.txt parsing (T5 gating dimension): pure-function cases +
 vectorized dimension build round-trip against SynthWeb's rule table."""
 
+from pyspark.sql import functions as F
+
 from crawler_spark.functions.robots import (
     DEFAULT_DELAY_S,
     parse_robots_txt,
@@ -172,3 +174,25 @@ def test_rfc9309_allow_wins_exact_tie(spark):
     )
     row = rfc9309_gate(urls, rules).first()
     assert row.allowed and row.matched_pattern == "/p/a*"
+
+
+def test_sitemap_urls_extraction(spark):
+    from crawler_spark.functions.robots import sitemap_urls
+
+    txt = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: http://a.test/s1.xml\n"
+        "  SITEMAP:   http://a.test/s2.xml\n"
+        "notasitemap: http://a.test/nope.xml\n"
+        "sitemap:http://a.test/s3.xml"
+    )
+    df = spark.createDataFrame([(txt,), ("no directives here",)], "t string")
+    got = [r.u for r in df.select(sitemap_urls(F.col("t")).alias("u")).collect()]
+    # case-insensitive, leading whitespace ok, no-space-after-colon ok,
+    # prefixed token NOT matched; file order preserved; empty -> []
+    assert got[0] == [
+        "http://a.test/s1.xml",
+        "http://a.test/s2.xml",
+        "http://a.test/s3.xml",
+    ]
+    assert got[1] == []
