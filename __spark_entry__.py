@@ -2567,6 +2567,41 @@ def q_minhash_banded_pairs(spark, sf_dir):
     )
 
 
+def q_bbit_minhash_est(spark, sf_dir):
+    """b-bit minwise hashing (Li & Koenig WWW'10): Jaccard estimated
+    from the lowest 8 bits of k=16 minhashes — 16x smaller sketches at
+    equal k, the post-LSH candidate-verification path that never
+    re-reads raw text. Adjacent-id pairs, estimate vs exact shingle
+    Jaccard side by side (operators/dedup.py bbit_pair_estimate)."""
+    from crawler_spark.operators.dedup import bbit_pair_estimate
+
+    return bbit_pair_estimate(
+        _t(spark, sf_dir, "documents"), n_hashes=16, b_hex=2
+    )
+
+
+def q_oph_signatures(spark, sf_dir):
+    """Densified one-permutation hashing (Li/Owen/Zhang NIPS'12,
+    Shrivastava/Li ICML'14): ONE hash pass buckets shingles into 16
+    bins (min md5 per bin); empty bins borrow circularly-right with
+    rotation distance t. k-way sketch at 1/k-th of classic minhash's
+    hashing CPU — the 100 TB signature-build path
+    (operators/dedup.py oph_signatures)."""
+    from crawler_spark.operators.dedup import oph_signatures
+
+    return oph_signatures(_t(spark, sf_dir, "documents"), n_bins=16)
+
+
+def q_oph_jaccard_est(spark, sf_dir):
+    """Densified-OPH Jaccard estimator over adjacent-id pairs:
+    J_hat = (bins whose densified (t, sig) agree) / 16. Linear join on
+    (doc_id, bin) — never all-pairs (operators/dedup.py
+    oph_pair_estimate)."""
+    from crawler_spark.operators.dedup import oph_pair_estimate
+
+    return oph_pair_estimate(_t(spark, sf_dir, "documents"), n_bins=16)
+
+
 def q_ngram_jaccard_capped(spark, sf_dir):
     """n-gram Jaccard with hot-shingle DF capping: shingles in > max_df
     docs are excluded from CANDIDATE generation (bounding the join's
@@ -7101,6 +7136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_flip_dedup": q_image_flip_dedup,
         "image_dedup_cross_wave": q_image_dedup_cross_wave,
         "minhash_banded_pairs": q_minhash_banded_pairs,
+        "bbit_minhash_est": q_bbit_minhash_est,
+        "oph_signatures": q_oph_signatures,
+        "oph_jaccard_est": q_oph_jaccard_est,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
@@ -10026,6 +10064,125 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(band_id AS INT) AS band_id,
                    min(md5(band_id || '|' || shingle)) AS sig
             FROM bands GROUP BY doc_id, band_id
+        """,
+        "bbit_minhash_est": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_sh,
+                     """
+        + ",\n                     ".join(
+            f"substr(min(md5('{i}|' || shingle)), 31, 2) AS b{i}"
+            for i in range(16)
+        )
+        + """
+              FROM sh GROUP BY doc_id
+            ),
+            inter AS (
+              SELECT sa.doc_id AS doc_a, count(*) AS n_inter
+              FROM sh sa JOIN sh sb
+                ON sa.doc_id + 1 = sb.doc_id AND sa.shingle = sb.shingle
+              GROUP BY 1
+            ),
+            matched AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n_sh AS na, b.n_sh AS nb,
+                     """
+        + "\n                     + ".join(
+            f"(CASE WHEN a.b{i} = b.b{i} THEN 1 ELSE 0 END)" for i in range(16)
+        )
+        + """ AS nm
+              FROM per_doc a JOIN per_doc b ON a.doc_id + 1 = b.doc_id
+            )
+            SELECT m.doc_a, m.doc_b, CAST(m.nm AS INT) AS n_match,
+                   ROUND(GREATEST(0.0,
+                     (m.nm / 16.0 - 1.0/256.0) / (1.0 - 1.0/256.0)), 6) AS j_est,
+                   ROUND(COALESCE(i.n_inter, 0)
+                     / (m.na + m.nb - COALESCE(i.n_inter, 0)), 6) AS j_exact
+            FROM matched m LEFT JOIN inter i ON i.doc_a = m.doc_a
+        """,
+        "oph_signatures": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            binmins AS (
+              SELECT doc_id,
+                     instr('0123456789abcdef', substr(md5(shingle), 32, 1)) - 1 AS bin,
+                     min(md5(shingle)) AS v
+              FROM sh GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT doc_id, j
+              FROM (SELECT DISTINCT doc_id FROM binmins),
+                   unnest(generate_series(0, 15)) AS t(j)
+            ),
+            borrow AS (
+              SELECT g.doc_id, g.j, b.v,
+                     CAST((b.bin - g.j + 16) % 16 AS INT) AS t,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY g.doc_id, g.j
+                       ORDER BY (b.bin - g.j + 16) % 16) AS rn
+              FROM grid g JOIN binmins b ON b.doc_id = g.doc_id
+            )
+            SELECT doc_id, CAST(j AS INT) AS bin, t, v AS sig
+            FROM borrow WHERE rn = 1
+        """,
+        "oph_jaccard_est": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            binmins AS (
+              SELECT doc_id,
+                     instr('0123456789abcdef', substr(md5(shingle), 32, 1)) - 1 AS bin,
+                     min(md5(shingle)) AS v
+              FROM sh GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT doc_id, j
+              FROM (SELECT DISTINCT doc_id FROM binmins),
+                   unnest(generate_series(0, 15)) AS t(j)
+            ),
+            borrow AS (
+              SELECT g.doc_id, g.j, b.v,
+                     CAST((b.bin - g.j + 16) % 16 AS INT) AS t,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY g.doc_id, g.j
+                       ORDER BY (b.bin - g.j + 16) % 16) AS rn
+              FROM grid g JOIN binmins b ON b.doc_id = g.doc_id
+            ),
+            sigs AS (
+              SELECT doc_id, j AS bin, t, v AS sig FROM borrow WHERE rn = 1
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(SUM(CASE WHEN a.t = b.t AND a.sig = b.sig
+                            THEN 1 ELSE 0 END) AS INT) AS n_match,
+                   ROUND(SUM(CASE WHEN a.t = b.t AND a.sig = b.sig
+                             THEN 1 ELSE 0 END) / 16.0, 6) AS j_est
+            FROM sigs a JOIN sigs b
+              ON a.doc_id + 1 = b.doc_id AND a.bin = b.bin
+            GROUP BY 1, 2
         """,
         "dedup_simhash": """
             WITH toks AS (

@@ -1252,3 +1252,206 @@ def semdedup(
             F.coalesce(F.col("_rm"), F.lit(False)).alias("removed"),
         )
     )
+
+
+# ------------------------------------------------- b-bit minwise / OPH
+
+
+def bbit_pair_estimate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    b_hex: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """b-bit minwise hashing (Li & Koenig, WWW'10): keep only the lowest
+    b bits of each of the k minhash values and estimate Jaccard from the
+    fraction of matching b-bit slots, J_hat = (A - C) / (1 - C) with
+    collision floor C = 2^-b. At corpus scale this stores a 2-hex-char
+    (b = 8 bit) slot instead of a full 128-bit minhash — 16x smaller
+    sketches for the same k — which is the difference between a sketch
+    table that fits executor memory and one that doesn't. Evaluated over
+    adjacent-id doc pairs (the post-LSH candidate-verification shape:
+    estimate J from STORED sketches, never re-shingling the raw text)
+    against the exact shingle Jaccard. One pass computes all k mins as
+    parallel agg columns; the pair join is on doc_id — no all-pairs
+    blowup anywhere.
+
+    Output: doc_a, doc_b, n_match, j_est, j_exact.
+    """
+    b_bits = 4 * b_hex
+    c = 1.0 / (2 ** b_bits)
+    sh = _shingles(docs, text_col, id_col, shingle_n)
+    # k mins in ONE aggregation pass; slot i keeps only the trailing
+    # b_hex chars of the min md5 (the "lowest b bits" of the minhash)
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
+        *[
+            F.substring(
+                F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))),
+                33 - b_hex,
+                b_hex,
+            ).alias(f"_b{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    a = per_doc.alias("a")
+    b = per_doc.alias("b")
+    n_match = sum(
+        F.when(F.col(f"a._b{i}") == F.col(f"b._b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    inter = (
+        sh.alias("sa")
+        .join(
+            sh.alias("sb"),
+            (F.col("sa.doc_id") + 1 == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy(F.col("sa.doc_id").alias("doc_a"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .join(inter, F.col("a.doc_id") == F.col("doc_a"), "left")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_match.cast("int").alias("n_match"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    (n_match / F.lit(float(n_hashes)) - F.lit(c))
+                    / F.lit(1.0 - c),
+                ),
+                6,
+            ).alias("j_est"),
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (
+                    F.col("a.n_sh")
+                    + F.col("b.n_sh")
+                    - F.coalesce(F.col("n_inter"), F.lit(0))
+                ),
+                6,
+            ).alias("j_exact"),
+        )
+    )
+
+
+def oph_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bins: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Densified one-permutation hashing (Li/Owen/Zhang NIPS'12 +
+    Shrivastava/Li ICML'14 rotation densification): ONE hash evaluation
+    per shingle — the shingle's md5 is bucketed into k bins by its last
+    hex digit and the min md5 within each bin is the bin's raw value —
+    versus classic k-minhash's k hash families. At 100 TB that is the
+    difference between one min-agg column per bin filled by a single
+    pass and k full passes' worth of hashing CPU. Empty bins (sparse
+    docs) borrow the value of the nearest non-empty bin to the RIGHT
+    (circular), carrying the rotation distance t so borrowed bins stay
+    distinguishable — the densified estimator J_hat = (matching bins)/k
+    stays unbiased.
+
+    Plan: one shuffle (groupBy doc_id, bin), then the densification is
+    pure per-doc array work via higher-order functions — map lookup +
+    first-non-null scan, no second shuffle, no UDF.
+
+    Output: doc_id, bin, t, sig.
+    """
+    sh = _shingles(docs, text_col, id_col, shingle_n)
+    binmins = (
+        sh.select(
+            "doc_id",
+            F.expr(
+                "instr('0123456789abcdef', substring(md5(shingle), 32, 1)) - 1"
+            ).cast("int").alias("bin"),
+            F.md5(F.col("shingle")).alias("h"),
+        )
+        .groupBy("doc_id", "bin")
+        .agg(F.min("h").alias("v"))
+    )
+    per_doc = binmins.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bin"), F.col("v")))
+        ).alias("m")
+    )
+    k = F.lit(n_bins)
+    # two-step: first resolve t per bin, then look the source bin up —
+    # keeps the lambda nesting shallow enough for codegen
+    with_t = per_doc.select(
+        "doc_id",
+        "m",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bins - 1)),
+                lambda j: F.element_at(
+                    F.filter(
+                        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+                        lambda t: F.element_at(
+                            F.col("m"), ((j + t) % k).cast("int")
+                        ).isNotNull(),
+                    ),
+                    1,
+                ),
+            )
+        ).alias("bin", "t"),
+    )
+    return with_t.select(
+        "doc_id",
+        F.col("bin").cast("int").alias("bin"),
+        F.col("t").cast("int").alias("t"),
+        F.element_at(
+            F.col("m"), ((F.col("bin") + F.col("t")) % k).cast("int")
+        ).alias("sig"),
+    )
+
+
+def oph_pair_estimate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bins: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Densified-OPH Jaccard estimator over adjacent-id doc pairs:
+    J_hat = (# bins whose densified (t, sig) agree) / k. Join is on
+    doc_id + bin — linear in docs, never all-pairs.
+
+    Output: doc_a, doc_b, n_match, j_est.
+    """
+    sig = oph_signatures(docs, text_col, id_col, n_bins, shingle_n)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+            & (F.col("a.bin") == F.col("b.bin")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("a.t") == F.col("b.t"))
+                    & (F.col("a.sig") == F.col("b.sig")),
+                    1,
+                ).otherwise(0)
+            ).cast("int").alias("n_match")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            F.round(F.col("n_match") / F.lit(float(n_bins)), 6).alias("j_est"),
+        )
+    )

@@ -364,3 +364,54 @@ def test_shingle_containment_catches_subset_jaccard_misses(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_bbit_minwise_estimate_bounds(spark):
+    from crawler_spark.operators.dedup import bbit_pair_estimate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # identical -> all 16 slots match, j_est = j_exact = 1
+        (3, "unrelated words entirely disjoint from the neighbours here"),
+        (4, "another fully different document with its own private tokens"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_a: r for r in bbit_pair_estimate(docs).collect()}
+    assert got[1].n_match == 16 and got[1].j_est == 1.0 and got[1].j_exact == 1.0
+    # disjoint docs: exact J = 0; the b-bit estimate is >= 0 by clamping
+    # and small (collision floor C = 1/256 per slot)
+    assert got[3].j_exact == 0.0 and 0.0 <= got[3].j_est < 0.5
+    # estimator stays within [0, 1] everywhere
+    for r in got.values():
+        assert 0.0 <= r.j_est <= 1.0
+
+
+def test_oph_densification_invariants(spark):
+    from crawler_spark.operators.dedup import oph_pair_estimate, oph_signatures
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "tiny"),  # < 3 tokens -> no shingles -> no signature at all
+        (4, "just three tokens"),  # exactly ONE shingle -> 1 real bin, 15 borrowed
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = oph_signatures(docs, n_bins=16)
+    rows_by_doc = {}
+    for r in sig.collect():
+        rows_by_doc.setdefault(r.doc_id, []).append(r)
+    # every signed doc emits exactly k=16 bins; shingle-less docs emit none
+    assert 3 not in rows_by_doc
+    assert {len(v) for k, v in rows_by_doc.items()} == {16}
+    # doc 4 has one occupied bin: exactly one t=0 row and the other 15
+    # borrow from it (all sigs equal, t spans the full rotation)
+    d4 = sorted(rows_by_doc[4], key=lambda r: r.bin)
+    assert sum(1 for r in d4 if r.t == 0) == 1
+    assert len({r.sig for r in d4}) == 1
+    assert sorted(((r.bin + r.t) % 16) for r in d4) == [
+        d4[[r.t for r in d4].index(0)].bin
+    ] * 16
+    # identical docs -> identical densified signatures -> J_hat = 1
+    est = {r.doc_a: r for r in oph_pair_estimate(docs, n_bins=16).collect()}
+    assert est[1].n_match == 16 and est[1].j_est == 1.0
