@@ -62,6 +62,60 @@ def _hexdig_sql(expr: str, i: int) -> str:
     return f"(instr('0123456789abcdef', substring(md5({expr}), {i}, 1)) - 1)"
 
 
+def _dots_sql(expr: str) -> str:
+    """DuckDB mirror of canon.resolve_href_native's bounded 8-pass
+    dot-segment fixed-point (same five regexes, same order)."""
+    for _ in range(8):
+        expr = rf"regexp_replace({expr}, '/\.(/|$)', '/', 'g')"
+        expr = rf"regexp_replace({expr}, '/[^/.][^/]*/\.\.(/|$)', '/', 'g')"
+        expr = rf"regexp_replace({expr}, '/\.[^/.][^/]*/\.\.(/|$)', '/', 'g')"
+        expr = rf"regexp_replace({expr}, '/\.\.[^/]+/\.\.(/|$)', '/', 'g')"
+        expr = rf"regexp_replace({expr}, '^/\.\.(/|$)', '/', 'g')"
+    return expr
+
+
+_RESOLVE_LINKS_SQL = f"""
+    WITH pairs AS (
+      SELECT doc_id,
+             'http://host-' || (doc_id % 20) || '.test/sec-' || (doc_id % 7)
+               || '/sub/page-' || doc_id || '.html' AS base,
+             (list_value(
+                'next-' || doc_id || '.html', './same.html', '../up.html',
+                '../../../../deep.html', '/rooted/x.html',
+                '//cdn-host.test/asset.png', 'https://ext.test/abs',
+                '?page=2', '#frag', '', 'a/../b/./c.html',
+                'mailto:admin@host.test'))[(doc_id % 12) + 1] AS href
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, base, href,
+             regexp_extract(base, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1) AS origin,
+             regexp_extract(base, '^([a-z][a-z0-9+.-]*):', 1) AS scheme,
+             CASE WHEN regexp_extract(base,
+                    '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(base,
+                    '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS bpath
+      FROM pairs
+    ),
+    parts2 AS (
+      SELECT *, regexp_replace(bpath, '[^/]*$', '') AS bdir FROM parts
+    )
+    SELECT doc_id, base, href,
+           regexp_replace(
+             CASE WHEN href = '' THEN base
+                  WHEN href LIKE '#%' THEN base
+                  WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+                    THEN href
+                  WHEN href LIKE '//%' THEN scheme || ':' || href
+                  WHEN href LIKE '?%' THEN origin || bpath || href
+                  WHEN href LIKE '/%' THEN origin || {_dots_sql("href")}
+                  ELSE origin || {_dots_sql("(bdir || href)")}
+             END, '#.*$', '', 'g') AS resolved
+    FROM parts2
+"""
+
+
 _PAIR_META_SQL = f"""
   SELECT doc_id AS image_id,
          CAST(32 + 8 * (16 * {_hexdig_sql("cast(doc_id AS varchar)", 1)}
@@ -761,6 +815,50 @@ def q_fetcher_load_forecast(spark, sf_dir):
         "n_urls",
         "critical_rounds",
         _pin(F.col("n_urls") / F.col("tot_urls"), 6).alias("load_share"),
+    )
+
+
+def q_resolve_links(spark, sf_dir):
+    """RFC 3986 §5.2.2 reference resolution — the link-extractor step
+    that turns a raw ``<a href>`` into an absolute outlink: absolute,
+    protocol-relative, root-relative, query-only, fragment-only, empty
+    and dot-segment relative refs, all resolved in native expressions
+    (functions/canon.py resolve_href_native; proven against stdlib
+    urljoin in tests). (base, href) pairs are synthesized
+    deterministically per doc to cover every branch. Map-side
+    projection — zero shuffles at any scale."""
+    from crawler_spark.functions.canon import resolve_href_native
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://host-"), (d % 20).cast("string"),
+        F.lit(".test/sec-"), (d % 7).cast("string"),
+        F.lit("/sub/page-"), d.cast("string"), F.lit(".html"),
+    )
+    href = F.element_at(
+        F.array(
+            F.concat(F.lit("next-"), d.cast("string"), F.lit(".html")),
+            F.lit("./same.html"),
+            F.lit("../up.html"),
+            F.lit("../../../../deep.html"),
+            F.lit("/rooted/x.html"),
+            F.lit("//cdn-host.test/asset.png"),
+            F.lit("https://ext.test/abs"),
+            F.lit("?page=2"),
+            F.lit("#frag"),
+            F.lit(""),
+            F.lit("a/../b/./c.html"),
+            F.lit("mailto:admin@host.test"),
+        ),
+        ((d % 12) + 1).cast("int"),
+    )
+    pairs = docs.select("doc_id", base.alias("base"), href.alias("href"))
+    return pairs.select(
+        "doc_id",
+        "base",
+        "href",
+        resolve_href_native(F.col("base"), F.col("href")).alias("resolved"),
     )
 
 
@@ -6998,6 +7096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetcher_load_forecast": q_fetcher_load_forecast,
         "robots_gate": q_robots_gate,
         "robots_sitemaps": q_robots_sitemaps,
+        "resolve_links": q_resolve_links,
         "canonicalize": q_canonicalize,
         "surt_index": q_surt_index,
         "latest_event_per_user": q_latest_event_per_user,
@@ -7481,6 +7580,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, n_pending, (n_pending + 3) // 4 AS rounds_to_drain
             FROM per
         """,
+        "resolve_links": _RESOLVE_LINKS_SQL,
         "robots_sitemaps": r"""
             WITH hosts AS (
               SELECT DISTINCT doc_id % 20 AS host_id FROM documents

@@ -143,3 +143,47 @@ def test_surt_key(spark):
     got = {r["url"]: r["s"] for r in df.select("url", surt_key(F.col("url")).alias("s")).collect()}
     for u, want in cases:
         assert got[u] == want, (u, got[u])
+
+
+def test_resolve_href_matches_stdlib_urljoin(spark):
+    """Both the native expression chain and the Arrow UDF must agree
+    with urllib.parse.urljoin (fragment-stripped) on every branch a
+    link extractor meets."""
+    from urllib.parse import urljoin
+
+    from crawler_spark.functions.canon import (
+        resolve_href_native,
+        resolve_href_udf,
+    )
+
+    cases = [
+        ("http://a.test/x/y/page.html", "other.html"),
+        ("http://a.test/x/y/page.html", "./other.html"),
+        ("http://a.test/x/y/page.html", "../up.html"),
+        ("http://a.test/x/y/page.html", "../../../../deep.html"),  # over-pop
+        ("http://a.test/x/y/page.html", "/root.html"),
+        ("http://a.test/x/y/page.html", "/a/b/../../../c"),
+        ("http://a.test/x/y/page.html", "//cdn.test/img.png"),
+        ("http://a.test/x/y/page.html", "https://b.test/abs"),
+        ("http://a.test/x/y/page.html", "mailto:x@y.z"),
+        ("http://a.test/x/y/page.html", "?q=1"),
+        ("http://a.test/x/y/page.html", "#frag"),
+        ("http://a.test/x/y/page.html", ""),
+        ("http://a.test/x/y/page.html", "sub/dir/"),
+        ("http://a.test/x/y/page.html", "a/../b/./c.html"),
+        ("http://a.test/x/y/page.html?old=1", "new.html"),
+        ("http://a.test/", "p.html"),
+        ("http://a.test", "p.html"),
+        ("https://a.test:8443/d/", "../e/./f/../g.html"),
+    ]
+    df = spark.createDataFrame(cases, "base string, href string")
+    got = df.select(
+        "base",
+        "href",
+        resolve_href_native(F.col("base"), F.col("href")).alias("nat"),
+        resolve_href_udf(F.col("base"), F.col("href")).alias("udf"),
+    ).collect()
+    for r in got:
+        want = urljoin(r.base, r.href).split("#", 1)[0]
+        assert r.nat == want, (r.base, r.href, r.nat, want)
+        assert r.udf == want, (r.base, r.href, r.udf, want)
