@@ -5218,6 +5218,39 @@ def q_audio_stats(spark, sf_dir):
     return pcm_stats(audio)
 
 
+def q_audio_vad(spark, sf_dir):
+    """Multimodal: energy-threshold voice-activity segmentation — the
+    utterance chunker before ASR transcription (operators/audio.py
+    vad_segments): tone bursts separated by silence gaps, short pauses
+    bridged, blips dropped. Waveforms synthesized deterministically
+    (seeded burst layout per id). No SQL oracle (binary samples);
+    rows-only — exact boundaries are pytest-covered
+    (tests/test_audio.py planted segments)."""
+    import numpy as np
+
+    from crawler_spark.operators.audio import vad_segments
+
+    sr = 8000
+    rows = []
+    for i in range(48):
+        rng = np.random.default_rng(1000 + i)
+        n_bursts = 1 + i % 4
+        pieces = [np.zeros(sr // 4)]
+        for b in range(n_bursts):
+            dur = sr // 4 + (sr // 8) * int(rng.integers(0, 4))
+            t = np.arange(dur) / sr
+            pieces.append(
+                np.rint(3000 * np.sin(2 * np.pi * (150 + 25 * b) * t))
+            )
+            pieces.append(np.zeros(sr // 4 + (sr // 16) * int(rng.integers(0, 3))))
+        pcm = np.clip(np.concatenate(pieces), -32768, 32767).astype("<i2")
+        rows.append((f"vad-{i}", bytearray(pcm.tobytes()), sr))
+    audio = spark.createDataFrame(
+        rows, "audio_id string, bytes binary, sample_rate int"
+    )
+    return vad_segments(audio)
+
+
 def q_cdc_chunk_dedup(spark, sf_dir):
     """Content-defined-chunking dedup (see operators/dedup.py
     cdc_chunks): chunk boundaries ride the content (md5-class tokens),
@@ -7311,6 +7344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "kmv_jaccard": q_kmv_jaccard,
         "audio_stats": q_audio_stats,
+        "audio_vad": q_audio_vad,
         "trustrank": q_trustrank,
         "spam_mass": q_spam_mass,
         "weighted_sample": q_weighted_sample,

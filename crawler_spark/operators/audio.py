@@ -128,3 +128,81 @@ def downsample_pcm(audio: DataFrame, factor: int = 2) -> DataFrame:
     return audio.select("audio_id", "bytes", "sample_rate").mapInPandas(
         go, schema=RESAMPLE_SCHEMA
     )
+
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("start_s", T.DoubleType()),
+        T.StructField("end_s", T.DoubleType()),
+        T.StructField("seg_rms", T.DoubleType()),
+    ]
+)
+
+
+def vad_segments(
+    audio: DataFrame,
+    frame_ms: int = 10,
+    active_rms: float = 300.0,
+    max_gap_frames: int = 5,
+    min_len_frames: int = 10,
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation: the utterance
+    chunker an ASR-training pipeline runs before transcription — split
+    each waveform at silence, bridge pauses shorter than
+    ``max_gap_frames`` (a speaker's breath doesn't end the utterance),
+    drop blips shorter than ``min_len_frames``. One output row per kept
+    segment with exact start/end seconds and the segment RMS.
+
+    All run detection is vectorized (np.diff over the active-frame
+    mask — no per-frame Python), inside the same bounded-Arrow-batch
+    mapInPandas shape as pcm_stats: executor memory is flat in corpus
+    size, and a 30-minute waveform costs one numpy pass.
+    """
+
+    def _runs(mask: np.ndarray) -> np.ndarray:
+        # (start, end) frame index pairs of True runs, half-open
+        edges = np.diff(np.concatenate(([0], mask.astype(np.int8), [0])))
+        return np.stack(
+            [np.where(edges == 1)[0], np.where(edges == -1)[0]], axis=1
+        )
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = _decode_pcm(bytes(r.bytes)).astype(np.float64)
+                sr = int(r.sample_rate)
+                flen = max(1, sr * frame_ms // 1000)
+                nf = len(x) // flen
+                if not nf:
+                    continue
+                frames = x[: nf * flen].reshape(nf, flen)
+                frms = np.sqrt((frames * frames).mean(axis=1))
+                active = frms >= active_rms
+                # bridge short gaps: a gap row in the inverted mask
+                # shorter than max_gap_frames flips back to active
+                for g0, g1 in _runs(~active):
+                    if 0 < g0 and g1 < nf and (g1 - g0) <= max_gap_frames:
+                        active[g0:g1] = True
+                segs = _runs(active)
+                kept = segs[(segs[:, 1] - segs[:, 0]) >= min_len_frames]
+                for k, (s0, s1) in enumerate(kept):
+                    seg = x[s0 * flen : s1 * flen]
+                    rows.append(
+                        {
+                            "audio_id": r.audio_id,
+                            "seg_idx": k,
+                            "start_s": s0 * flen / sr,
+                            "end_s": s1 * flen / sr,
+                            "seg_rms": float(np.sqrt((seg * seg).mean())),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VAD_SCHEMA.fields]
+            )
+
+    return audio.select("audio_id", "bytes", "sample_rate").mapInPandas(
+        go, schema=VAD_SCHEMA
+    )

@@ -63,3 +63,40 @@ def test_downsample_pcm_halves_rate_and_length(spark):
     )
     (s,) = pcm_stats(df2).collect()
     assert s["duration_s"] == pytest.approx(1.0)
+
+
+def test_vad_segments_exact_boundaries(spark):
+    """Planted bursts: exact frame-aligned boundaries, gap bridging,
+    and min-length blip rejection."""
+    import numpy as np
+
+    from crawler_spark.operators.audio import vad_segments
+
+    sr = 1000  # frame_ms=10 -> flen=10 samples, boundaries exact
+    tone = lambda n: np.full(n, 5000.0)
+    sil = lambda n: np.zeros(n)
+    # a: 200ms tone, 300ms silence, 200ms tone -> two segments
+    a = np.concatenate([tone(200), sil(300), tone(200)])
+    # b: 200ms tone, 30ms pause (3 frames <= max_gap 5 -> bridged), 200ms tone
+    b = np.concatenate([tone(200), sil(30), tone(200)])
+    # c: a 50ms blip (5 frames < min_len 10) -> dropped entirely
+    c = np.concatenate([sil(100), tone(50), sil(100)])
+    rows = [
+        ("a", bytearray(x.astype("<i2").tobytes()), sr)
+        for name, x in [("a", a)]
+    ] + [
+        ("b", bytearray(b.astype("<i2").tobytes()), sr),
+        ("c", bytearray(c.astype("<i2").tobytes()), sr),
+    ]
+    df = spark.createDataFrame(
+        rows, "audio_id string, bytes binary, sample_rate int"
+    )
+    segs = {}
+    for r in vad_segments(df).collect():
+        segs.setdefault(r.audio_id, []).append((r.seg_idx, r.start_s, r.end_s))
+    assert sorted(segs["a"]) == [(0, 0.0, 0.2), (1, 0.5, 0.7)]
+    assert sorted(segs["b"]) == [(0, 0.0, 0.43)]  # bridged into one
+    assert "c" not in segs  # blip dropped
+    # seg_rms of a pure constant-amplitude segment is the amplitude
+    got = vad_segments(df).filter("audio_id = 'a'").first()
+    assert abs(got.seg_rms - 5000.0) < 1e-9
