@@ -565,8 +565,14 @@ def embedding_neardup_pairs(
             F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
         )
 
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms once per VECTOR (not per candidate pair): the per-pair work
+    # below is a single dot product — same floats, ~3x less fold cost
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     dot = F.aggregate(
         F.zip_with(
             F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")
@@ -577,7 +583,7 @@ def embedding_neardup_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -692,8 +698,13 @@ def srp_multiprobe_pairs(
             F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
         )
 
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms once per VECTOR, joined in — per-pair work is the dot alone
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     dot = F.aggregate(
         F.zip_with(
             F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")
@@ -705,7 +716,7 @@ def srp_multiprobe_pairs(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6)
+            "cosine", F.round(dot / (F.col("na") * F.col("nb")), 6)
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -1201,14 +1212,6 @@ def semdedup(
             9,
         ).alias("csim"),
     ).persist()
-    a = scored.select(
-        F.col("vec_id").alias("id_a"), F.col("cell_id").alias("cell_a"),
-        F.col("v").alias("va"), F.col("csim").alias("csim_a"),
-    )
-    b = scored.select(
-        F.col("vec_id").alias("id_b"), F.col("cell_id").alias("cell_b"),
-        F.col("v").alias("vb"), F.col("csim").alias("csim_b"),
-    )
     # cast to double BEFORE multiplying: float32 products lose enough
     # precision to flip a round(.., 9) vs the all-double oracle
     def _d(c):
@@ -1216,6 +1219,19 @@ def semdedup(
             c, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double")
         )
 
+    # self-norm once per VECTOR (the pair join below would otherwise
+    # re-run both norm folds for every within-cell pair)
+    scored = scored.withColumn("nv", F.sqrt(_d(F.col("v"))))
+    a = scored.select(
+        F.col("vec_id").alias("id_a"), F.col("cell_id").alias("cell_a"),
+        F.col("v").alias("va"), F.col("csim").alias("csim_a"),
+        F.col("nv").alias("na"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("id_b"), F.col("cell_id").alias("cell_b"),
+        F.col("v").alias("vb"), F.col("csim").alias("csim_b"),
+        F.col("nv").alias("nb"),
+    )
     pair_cos = F.round(
         F.aggregate(
             F.zip_with(
@@ -1225,7 +1241,7 @@ def semdedup(
             F.lit(0.0),
             lambda s, x: s + x,
         )
-        / (F.sqrt(_d(F.col("va"))) * F.sqrt(_d(F.col("vb")))),
+        / (F.col("na") * F.col("nb")),
         9,
     )
     removed_ids = (
