@@ -319,6 +319,83 @@ def _lpa_sql(n_iter: int = 3) -> str:
     return sql
 
 
+def _hyperball_sql(n_iter: int = 3, final: str = "balls") -> str:
+    """DuckDB mirror of operators/graph.hyperball_balls over the sparse
+    host graph (every 3rd doc emits one edge, 32 hosts): unrolled
+    register CTE chain b0..bT — per round a UNION ALL of the prior
+    registers with the edge-joined neighbor registers, then a
+    (node, idx) max-agg — plus the integer-scaled raw-HLL estimate per
+    round (the hll_distinct oracle's exact recipe). final='harmonic'
+    appends the lcm-integer harmonic-centrality reduction mirroring
+    operators/graph.harmonic_from_balls."""
+    d6 = _hexdig_sql("cast(doc_id AS varchar)", 6)
+    d7 = _hexdig_sql("cast(doc_id AS varchar)", 7)
+    sql = f"""
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT CAST(doc_id % 32 AS BIGINT) AS src,
+                   CAST((16 * {d6} + {d7}) % 32 AS BIGINT) AS dst
+            FROM documents WHERE doc_id % 3 = 0
+          ) WHERE src != dst
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        b0 AS (
+          SELECT node, CAST(h % 256 AS INT) AS idx,
+                 CASE WHEN (h >> 8) = 0 THEN 53
+                      ELSE length(bin((h >> 8) & -(h >> 8))) END AS rho_max
+          FROM (
+            SELECT node,
+                   CAST(concat('0x', substring(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM nodes
+          )
+        )"""
+    for t in range(1, n_iter + 1):
+        sql += f""",
+        b{t} AS (
+          SELECT node, idx, max(rho_max) AS rho_max FROM (
+            SELECT node, idx, rho_max FROM b{t - 1}
+            UNION ALL
+            SELECT e.src AS node, b.idx, b.rho_max
+            FROM e JOIN b{t - 1} b ON b.node = e.dst
+          ) GROUP BY node, idx
+        )"""
+    for t in range(0, n_iter + 1):
+        sql += f""",
+        est{t} AS (
+          SELECT node AS host_id, {t} AS t,
+                 round(47072.71267120224 * pow(CAST(2 AS DOUBLE), 53)
+                       / (sum(CAST(1 AS BIGINT) << (53 - rho_max))
+                          + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)),
+                       3) AS ball_est
+          FROM b{t} GROUP BY node
+        )"""
+    balls = "\n            UNION ALL\n            ".join(
+        f"SELECT * FROM est{t}" for t in range(n_iter + 1)
+    )
+    if final == "balls":
+        return sql + "\n            " + balls
+    import math as _math
+
+    lcm = _math.lcm(*range(1, n_iter + 1))
+    return sql + f""",
+        balls AS (
+            {balls}
+        ),
+        sc AS (
+          SELECT host_id, t, CAST(round(ball_est * 1000) AS BIGINT) AS sc
+          FROM balls
+        ),
+        st AS (
+          SELECT host_id, t, sc,
+                 lag(sc) OVER (PARTITION BY host_id ORDER BY t) AS prev
+          FROM sc
+        )
+        SELECT host_id,
+               round(sum((sc - prev) * ({lcm} // t)) / {1000.0 * lcm}, 6)
+                 AS harmonic
+        FROM st WHERE t >= 1 GROUP BY host_id"""
+
+
 def _kcenter_sql(k: int = 6) -> str:
     """DuckDB mirror of operators/similarity.kcenter_sample over the
     embeddings table (seed vec_id = 0): k-1 unrolled greedy rounds,
@@ -7102,6 +7179,58 @@ def q_url_static_priority(spark, sf_dir):
     return url_static_features(f.select(url.alias("url")))
 
 
+def _hyperball_edges(spark, sf_dir):
+    """Sparse deterministic host graph for the HyperBall queries: every
+    3rd doc emits one (doc_id%32) -> md5-digit host edge over 32 hosts
+    — sparser than host_communities' family so 3-hop balls don't
+    saturate to the whole graph (growth stays visible per round)."""
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") % 32).alias("src"),
+            F.expr(f"(16 * {d6} + {d7}) % 32").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_hyperball_balls(spark, sf_dir):
+    """HyperBall neighborhood function (Boldi & Vigna WWW'13) over the
+    sparse host graph: |B(host, t)| HLL estimates for t = 0..3 — 'how
+    much of the web does this host unlock within t hops', the
+    billion-node-scale primitive behind geometric frontier priorities.
+    One edge-join + (node, idx) max-agg per round over O(n*256)
+    register rows; never a per-pair BFS. Register/estimator recipe is
+    byte-identical to hll_distinct's, so the unrolled-CTE oracle is
+    engine-exact (integer-scaled denominator, round-3 estimate)."""
+    from crawler_spark.operators.graph import hyperball_balls
+
+    return hyperball_balls(_hyperball_edges(spark, sf_dir), n_iter=3).select(
+        F.col("node").alias("host_id"), "t", "ball_est"
+    )
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality from the HyperBall run: sum_t>=1
+    (|B(v,t)|-|B(v,t-1)|)/t — each newly reached host weighted by
+    1/distance (Boldi & Vigna's estimator). All reweighting happens in
+    lcm-scaled int64 space so the cross-engine sum is order-independent
+    and exact; one window + one agg on top of q_hyperball_balls."""
+    from crawler_spark.operators.graph import (
+        harmonic_from_balls,
+        hyperball_balls,
+    )
+
+    balls = hyperball_balls(_hyperball_edges(spark, sf_dir), n_iter=3)
+    return harmonic_from_balls(balls, n_iter=3).select(
+        F.col("node").alias("host_id"), "harmonic"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -7204,6 +7333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_threshold_eval": q_phash_threshold_eval,
         "caption_junk_filter": q_caption_junk_filter,
         "host_components": q_host_components,
+        "hyperball_balls": q_hyperball_balls,
+        "harmonic_centrality": q_harmonic_centrality,
         "host_communities": q_host_communities,
         "seed_distance": q_seed_distance,
         "stride_schedule": q_stride_schedule,
@@ -8740,6 +8871,8 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(DISTINCT host_id) >= 2
         """,
         "host_communities": _lpa_sql(n_iter=3),
+        "hyperball_balls": _hyperball_sql(n_iter=3, final="balls"),
+        "harmonic_centrality": _hyperball_sql(n_iter=3, final="harmonic"),
         "host_components": """
             WITH RECURSIVE e0 AS (
               SELECT doc_id % 20 AS a, (doc_id % 20 + 10) % 20 AS b

@@ -123,6 +123,8 @@ HEADLINE = [
     "kcenter_coreset",
     "image_flip_dedup",
     "image_dedup_cross_wave",
+    "hyperball_balls",
+    "harmonic_centrality",
 ]
 
 BENCH_HOSTS = 50

@@ -1471,3 +1471,106 @@ def oph_pair_estimate(
             F.round(F.col("n_match") / F.lit(float(n_bins)), 6).alias("j_est"),
         )
     )
+
+
+# --------------------------------------------- prefix-filter (PPJoin)
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    with_stats: bool = False,
+) -> DataFrame:
+    """AllPairs/PPJoin prefix filtering (Bayardo et al. WWW'07, Xiao et
+    al. WWW'08): exact Jaccard >= threshold with a candidate join over
+    token PREFIXES instead of full shingle sets.
+
+    Under a global token order (ascending document frequency, ties by
+    shingle string — rarest first), any pair with J(x,y) >= t must share
+    a token inside BOTH prefixes of length |x| - ceil(t*|x|) + 1: if all
+    shared tokens sat past x's prefix, the intersection would fit in the
+    suffix of size ceil(t*|x|) - 1 < t*|x| <= |x ∩ y|. So joining
+    prefix-vs-prefix loses nothing, while the join input shrinks from
+    every (doc, shingle) row to ~(1-t)·|x| rows per doc — at t=0.8
+    that's 5x fewer probe rows and, because prefixes hold the RAREST
+    tokens, the candidate blowup on hot shingles ("the end of the")
+    disappears entirely: the hottest keys never enter the join. The
+    length filter (t*|x| <= |y| <= |x|/t, both implied by J >= t) prunes
+    survivors before the exact-verify join over full sets.
+
+    This is the scale-critical upgrade over ngram_jaccard_pairs'
+    shared-shingle join: same exact output, candidate set smaller by
+    orders of magnitude on skewed corpora — the published all-pairs
+    algorithm used at web scale. with_stats=True returns one row
+    (n_cand_prefix, n_pairs) instead of the pairs, for the
+    efficiency-audit query.
+    """
+    sh = _shingles(docs, text_col, id_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pre = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "shingle", "n_sh")
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t forces t*|a| <= |b| and t*|b| <= |a|
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    pairs = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    if not with_stats:
+        return pairs
+    return cand.agg(F.count("*").alias("n_cand_prefix")).crossJoin(
+        pairs.agg(F.count("*").alias("n_pairs"))
+    )

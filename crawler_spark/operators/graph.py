@@ -296,3 +296,185 @@ def bfs_distances(
         frontier = nxt.select("node")
     e.unpersist()
     return dist
+
+
+def hyperball_balls(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, WWW 2013): per-node HyperLogLog
+    counters of the out-ball B(v,t) = nodes reachable from v in <= t
+    hops, grown by t synchronous counter-union rounds — THE algorithm
+    that made neighborhood functions / geometric centralities feasible
+    on billion-node web graphs, and exactly what a frontier
+    prioritizer wants: |B(v,t)| is "how much of the web this host
+    unlocks within t hops", computable without any per-pair BFS.
+
+    State is the register table (node, idx, rho_max) — O(n * m) rows
+    with m = 256 registers capped by the true ball size, never a
+    per-node visited set. One round = one hash join of the edge list
+    against the register table (B_t(v) ∪= B_{t-1}(w) for v -> w) plus
+    one map-side-combinable (node, idx) max-agg; lineage is
+    localCheckpoint-truncated per round like the other iterative
+    operators here. The register/estimator recipe is byte-identical to
+    sketches.hll_registers/hll_estimate (integer-scaled harmonic
+    denominator, raw Flajolet estimator, md5-digit hashing), so the
+    whole run unrolls into an exact ANSI-SQL oracle.
+
+    Returns (node, t, ball_est) for t = 0..n_iter; ball_est is
+    monotone nondecreasing in t (registers only grow).
+    """
+    from crawler_spark.operators.sketches import HLL_ALPHA, HLL_M, HLL_P
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = F.expr(
+        "cast(conv(substring(md5(cast(node as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    hw = nodes.select("node", h.alias("h")).select(
+        "node",
+        (F.col("h") % HLL_M).cast("int").alias("idx"),
+        F.expr(f"shiftright(h, {HLL_P})").alias("w"),
+    )
+    b = hw.select(
+        "node",
+        "idx",
+        F.when(F.col("w") == 0, F.lit(53))
+        .otherwise(F.length(F.bin(F.col("w").bitwiseAND(-F.col("w")))))
+        .alias("rho_max"),
+    ).localCheckpoint()
+
+    def est(bt: DataFrame, t: int) -> DataFrame:
+        return (
+            bt.groupBy("node")
+            .agg(
+                (
+                    F.sum(F.expr("shiftleft(1L, 53 - rho_max)"))
+                    + (F.lit(HLL_M) - F.count(F.lit(1)))
+                    * F.lit(1 << 53).cast("long")
+                ).alias("denom_scaled")
+            )
+            .select(
+                "node",
+                F.lit(t).alias("t"),
+                F.round(
+                    F.lit(HLL_ALPHA * HLL_M * HLL_M)
+                    * F.pow(F.lit(2.0), 53)
+                    / F.col("denom_scaled"),
+                    3,
+                ).alias("ball_est"),
+            )
+        )
+
+    out = est(b, 0)
+    for t in range(1, n_iter + 1):
+        contrib = e.join(b.withColumnRenamed("node", "dst"), "dst").select(
+            F.col("src").alias("node"), "idx", "rho_max"
+        )
+        b = (
+            b.unionByName(contrib)
+            .groupBy("node", "idx")
+            .agg(F.max("rho_max").alias("rho_max"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(est(b, t))
+    e.unpersist()
+    return out
+
+
+def harmonic_from_balls(
+    balls: DataFrame, n_iter: int = 3, node_col: str = "node"
+) -> DataFrame:
+    """Harmonic centrality from HyperBall output: sum over t >= 1 of
+    (|B(v,t)| - |B(v,t-1)|) / t — each newly reached node weighted by
+    1/distance (Boldi & Vigna's estimator; balls are monotone so every
+    term is >= 0). All arithmetic runs in INTEGER space — round-3
+    estimates scale exactly to int64 thousandths, each 1/t reweights
+    via lcm(1..n_iter) integer factors — so the sum is
+    order-independent and the single float division at the end is
+    engine-exact."""
+    import math as _math
+
+    from pyspark.sql import Window
+
+    lcm = _math.lcm(*range(1, n_iter + 1))
+    w = Window.partitionBy(node_col).orderBy("t")
+    s = balls.withColumn(
+        "sc", F.round(F.col("ball_est") * 1000).cast("long")
+    )
+    d = s.withColumn("prev", F.lag("sc").over(w)).filter(F.col("t") >= 1)
+    term = (F.col("sc") - F.col("prev")) * F.expr(f"{lcm} div t")
+    return (
+        d.groupBy(node_col)
+        .agg(F.sum(term).alias("num"))
+        .select(
+            node_col,
+            F.round(F.col("num") / F.lit(1000.0 * lcm), 6).alias("harmonic"),
+        )
+    )
+
+
+def effective_diameter(
+    balls: DataFrame, n_iter: int = 3, q_permille: int = 900
+) -> DataFrame:
+    """Effective diameter from HyperBall output: the interpolated hop
+    count t at which the neighborhood function N(t) = sum_v |B(v,t)|
+    first reaches q of N(t_max) (q = 900 permille = the standard 90%
+    effective diameter; Palmer et al. KDD'02, Boldi & Vigna WWW'13).
+
+    All comparisons run in int64 space — N(t) sums the round-3 ball
+    estimates as exact thousandths, and the q-threshold test is
+    1000*N(t) >= q*N(T) in integers — so the crossing index is
+    engine-exact; the single interpolated division at the end is one
+    double op on int64 inputs (deterministic cross-engine). Returns one
+    row (t_lo, t_hi, eff_diameter)."""
+    nf = balls.groupBy("t").agg(
+        F.sum(F.round(F.col("ball_est") * 1000).cast("long")).alias("nf_sc")
+    )
+    total = nf.filter(F.col("t") == n_iter).select(
+        F.col("nf_sc").alias("nf_total")
+    )
+    j = nf.crossJoin(F.broadcast(total))
+    # first t where 1000*N(t) >= q*N(T)  (exact integer test)
+    hit = (
+        j.filter(F.lit(1000) * F.col("nf_sc") >= F.lit(q_permille) * F.col("nf_total"))
+        .agg(F.min("t").alias("t_hi"))
+    )
+    prev = (
+        j.join(F.broadcast(hit), F.col("t") == F.col("t_hi") - 1)
+        .select(F.col("nf_sc").alias("nf_lo"))
+    )
+    at = j.join(F.broadcast(hit), F.col("t") == F.col("t_hi")).select(
+        F.col("nf_sc").alias("nf_hi"), "t_hi", "nf_total"
+    )
+    # t_hi == 0 (the ball at t=0 already crosses q): diameter 0, no prev
+    return (
+        at.join(F.broadcast(prev), how="left")
+        .select(
+            F.greatest(F.col("t_hi") - 1, F.lit(0)).cast("long").alias("t_lo"),
+            F.col("t_hi").cast("long").alias("t_hi"),
+            F.round(
+                F.when(F.col("t_hi") == 0, F.lit(0.0)).otherwise(
+                    (F.col("t_hi") - 1)
+                    + (
+                        F.col("nf_total") * (F.lit(q_permille) / 1000.0)
+                        - F.col("nf_lo")
+                    )
+                    / (F.col("nf_hi") - F.col("nf_lo"))
+                ),
+                6,
+            ).alias("eff_diameter"),
+        )
+    )

@@ -142,3 +142,100 @@ def test_label_propagation_weight_beats_degree(spark):
     got = {r.node: r.community for r in label_propagation(df, n_iter=3).collect()}
     want = _pure_python_lpa(edges, n_iter=3)
     assert got == want
+
+
+def _py_hyperball(edges, n_iter):
+    """Pure-python HyperBall mirror: per-node HLL registers over exact
+    synchronous ball growth, same md5/60-bit/rho recipe as
+    operators/sketches.hll_registers and the integer-scaled raw
+    estimator of hll_estimate."""
+    import hashlib
+
+    M, P = 256, 8
+    alpha = 0.7213 / (1.0 + 1.079 / M)
+
+    def reg(node):
+        h = int(hashlib.md5(str(node).encode()).hexdigest()[:15], 16)
+        idx, w = h % M, h >> P
+        rho = 53 if w == 0 else (w & -w).bit_length()
+        return idx, rho
+
+    nodes = sorted({x for e in edges for x in e})
+    regs = {v: dict([reg(v)]) for v in nodes}
+
+    def est(r):
+        denom = sum(1 << (53 - rho) for rho in r.values())
+        denom += (M - len(r)) * (1 << 53)
+        return round(alpha * M * M * 2.0**53 / denom, 3)
+
+    out = {(v, 0): est(regs[v]) for v in nodes}
+    for t in range(1, n_iter + 1):
+        new = {}
+        for v in nodes:
+            merged = dict(regs[v])
+            for s, d in edges:
+                if s == v:
+                    for idx, rho in regs[d].items():
+                        if rho > merged.get(idx, 0):
+                            merged[idx] = rho
+            new[v] = merged
+        regs = new
+        for v in nodes:
+            out[(v, t)] = est(regs[v])
+    return out
+
+
+def test_hyperball_matches_pure_python_registers(spark):
+    from crawler_spark.operators.graph import hyperball_balls
+
+    # two chains joined at a hub + a cycle: balls grow at different
+    # rates per node so every round changes some estimate
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 1), (6, 5),
+             (7, 8), (8, 9), (9, 7), (4, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node, r.t): r.ball_est
+        for r in hyperball_balls(df, n_iter=4).collect()
+    }
+    want = _py_hyperball(edges, n_iter=4)
+    assert got == want
+    # monotone in t for every node (registers only grow)
+    for v in sorted({x for e in edges for x in e}):
+        seq = [got[(v, t)] for t in range(5)]
+        assert seq == sorted(seq)
+    # chain head 6 reaches {6,5,1,2,3,4,0} by t=4: strictly more than
+    # cycle node 7 (ball saturates at 3 nodes by t=2)
+    assert got[(6, 4)] > got[(7, 4)]
+    assert got[(7, 2)] == got[(7, 4)]
+
+
+def test_harmonic_from_balls_matches_pure_python(spark):
+    from crawler_spark.operators.graph import (
+        harmonic_from_balls,
+        hyperball_balls,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 1), (6, 5),
+             (7, 8), (8, 9), (9, 7), (4, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    n_iter = 4
+    got = {
+        r.node: r.harmonic
+        for r in harmonic_from_balls(
+            hyperball_balls(df, n_iter=n_iter), n_iter=n_iter
+        ).collect()
+    }
+    balls = _py_hyperball(edges, n_iter)
+    import math
+
+    lcm = math.lcm(*range(1, n_iter + 1))
+    want = {}
+    for v in sorted({x for e in edges for x in e}):
+        sc = {t: round(balls[(v, t)] * 1000) for t in range(n_iter + 1)}
+        num = sum((sc[t] - sc[t - 1]) * (lcm // t) for t in range(1, n_iter + 1))
+        want[v] = round(num / (1000.0 * lcm), 6)
+    assert got == want
+    # every term is >= 0, so harmonic >= 0; the hub-chain head beats
+    # the saturated 3-cycle members
+    assert all(h >= 0 for h in got.values())
+    assert got[6] > got[7]

@@ -213,3 +213,16 @@ def test_dust_apply_rules_stay_broadcast(spark):
     plan = _plan(spark, "dust_apply")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_hyperball_stays_native_keyed_joins(spark):
+    # the register-union rounds are localCheckpoint-truncated, so the
+    # visible plan is the estimator layer: per-round partial-agg sums
+    # over checkpointed registers, unioned — no cartesian, no Python,
+    # no global sort anywhere in the visible plan
+    for name in ("hyperball_balls", "harmonic_centrality"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, plan
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        assert "partial_sum" in plan, plan
+        assert plan.count("Sort [") == 0 or name == "harmonic_centrality", plan
