@@ -359,21 +359,55 @@ def _hyperball_sql(n_iter: int = 3, final: str = "balls") -> str:
             FROM e JOIN b{t - 1} b ON b.node = e.dst
           ) GROUP BY node, idx
         )"""
+    # mirrors operators/graph.hyperball_balls est(): raw Flajolet
+    # estimator with the linear-counting small-range branch
     for t in range(0, n_iter + 1):
         sql += f""",
         est{t} AS (
-          SELECT node AS host_id, {t} AS t,
-                 round(47072.71267120224 * pow(CAST(2 AS DOUBLE), 53)
-                       / (sum(CAST(1 AS BIGINT) << (53 - rho_max))
-                          + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)),
-                       3) AS ball_est
-          FROM b{t} GROUP BY node
+          SELECT host_id, {t} AS t,
+                 round(CASE WHEN raw <= 640.0 AND occupied < 256
+                            THEN 256.0 * ln(256.0 / (256 - occupied))
+                            ELSE raw END, 3) AS ball_est
+          FROM (
+            SELECT node AS host_id,
+                   47072.71267120224 * pow(CAST(2 AS DOUBLE), 53)
+                     / (sum(CAST(1 AS BIGINT) << (53 - rho_max))
+                        + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)) AS raw,
+                   count(*) AS occupied
+            FROM b{t} GROUP BY node
+          )
         )"""
     balls = "\n            UNION ALL\n            ".join(
         f"SELECT * FROM est{t}" for t in range(n_iter + 1)
     )
     if final == "balls":
         return sql + "\n            " + balls
+    if final == "effdiam":
+        return sql + f""",
+        balls AS (
+            {balls}
+        ),
+        nf AS (
+          SELECT t, sum(CAST(round(ball_est * 1000) AS BIGINT)) AS nf_sc
+          FROM balls GROUP BY t
+        ),
+        tot AS (SELECT nf_sc AS nf_total FROM nf WHERE t = {n_iter}),
+        hit AS (
+          SELECT min(t) AS t_hi FROM nf, tot
+          WHERE 1000 * nf_sc >= 900 * nf_total
+        ),
+        lo AS (SELECT nf_sc AS nf_lo FROM nf, hit WHERE nf.t = hit.t_hi - 1),
+        at AS (
+          SELECT nf_sc AS nf_hi, t_hi, nf_total
+          FROM nf, hit, tot WHERE nf.t = hit.t_hi
+        )
+        SELECT CAST(greatest(t_hi - 1, 0) AS BIGINT) AS t_lo,
+               CAST(t_hi AS BIGINT) AS t_hi,
+               round(CASE WHEN t_hi = 0 THEN 0.0
+                     ELSE (t_hi - 1)
+                          + (nf_total * (900 / 1000.0) - nf_lo)
+                            / (nf_hi - nf_lo) END, 6) AS eff_diameter
+        FROM at LEFT JOIN lo ON true"""
     import math as _math
 
     lcm = _math.lcm(*range(1, n_iter + 1))
@@ -7231,6 +7265,57 @@ def q_harmonic_centrality(spark, sf_dir):
     )
 
 
+def q_effective_diameter(spark, sf_dir):
+    """90% effective diameter of the host graph from the HyperBall run
+    (Palmer et al. KDD'02): the interpolated hop count where the
+    neighborhood function N(t) = Σ_v |B(v,t)| reaches 90% of N(t_max) —
+    the one-number 'how far apart is this web' diagnostic that decides
+    crawl depth budgets. Integer-space crossing test (1000·N(t) >=
+    900·N(T) over int64 thousandths) so the crossing index is
+    engine-exact; one double division for the interpolation."""
+    from crawler_spark.operators.graph import (
+        effective_diameter,
+        hyperball_balls,
+    )
+
+    balls = hyperball_balls(_hyperball_edges(spark, sf_dir), n_iter=3)
+    return effective_diameter(balls, n_iter=3, q_permille=900)
+
+
+def q_ppjoin_pairs(spark, sf_dir):
+    """Exact trigram Jaccard >= 0.75 via AllPairs/PPJoin prefix
+    filtering (Bayardo WWW'07, Xiao WWW'08): the candidate join probes
+    only each doc's (1-t)-fraction prefix of RAREST shingles under a
+    global df order, plus the length filter — the published web-scale
+    all-pairs algorithm, orders of magnitude fewer candidates than the
+    shared-shingle join on skewed corpora because hot shingles never
+    enter the join. Threshold 3/4 is binary-exact so ceil(t*n) has no
+    fp hazard in either engine. Oracle = naive complete all-pairs
+    Jaccard, so the gate proves the filter LOSES NOTHING."""
+    from crawler_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.75
+    )
+
+
+def q_ppjoin_prefix_stats(spark, sf_dir):
+    """PPJoin efficiency audit: candidate-pair count surviving the
+    prefix+length filters vs final verified pairs — the numbers that
+    justify the prefix filter at 100 TB (candidates ~ true near-dups,
+    not shared-hot-shingle blowup). Oracle mirrors the prefix
+    construction in SQL (row_number over (df, shingle) per doc), so the
+    gate pins the filter's exact semantics cross-engine."""
+    from crawler_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=3,
+        threshold=0.75,
+        with_stats=True,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -7335,6 +7420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components": q_host_components,
         "hyperball_balls": q_hyperball_balls,
         "harmonic_centrality": q_harmonic_centrality,
+        "effective_diameter": q_effective_diameter,
+        "ppjoin_pairs": q_ppjoin_pairs,
+        "ppjoin_prefix_stats": q_ppjoin_prefix_stats,
         "host_communities": q_host_communities,
         "seed_distance": q_seed_distance,
         "stride_schedule": q_stride_schedule,
@@ -8873,6 +8961,81 @@ def oracle_sql() -> dict[str, str]:
         "host_communities": _lpa_sql(n_iter=3),
         "hyperball_balls": _hyperball_sql(n_iter=3, final="balls"),
         "harmonic_centrality": _hyperball_sql(n_iter=3, final="harmonic"),
+        "effective_diameter": _hyperball_sql(n_iter=3, final="effdiam"),
+        # completeness proof: the oracle is the NAIVE all-pairs Jaccard —
+        # a prefix-filter bug that drops a true pair shows as row loss
+        "ppjoin_pairs": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.75
+        """,
+        "ppjoin_prefix_stats": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+            pre AS (
+              SELECT s.doc_id, s.shingle, z.n_sh,
+                     row_number() OVER (PARTITION BY s.doc_id
+                                        ORDER BY d.df, s.shingle) AS pos
+              FROM sh s JOIN dfreq d USING (shingle)
+                        JOIN sizes z USING (doc_id)
+            ),
+            pref AS (
+              SELECT doc_id, shingle, n_sh FROM pre
+              WHERE pos <= n_sh - ceil(0.75 * n_sh) + 1
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM pref a JOIN pref b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               AND b.n_sh >= 0.75 * a.n_sh AND a.n_sh >= 0.75 * b.n_sh
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                          JOIN sh sb ON sb.doc_id = c.doc_b
+                                    AND sb.shingle = sa.shingle
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN sizes za ON doc_a = za.doc_id
+              JOIN sizes zb ON doc_b = zb.doc_id
+              WHERE round(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6)
+                      >= 0.75
+            )
+            SELECT (SELECT count(*) FROM cand) AS n_cand_prefix,
+                   (SELECT count(*) FROM pairs) AS n_pairs
+        """,
         "host_components": """
             WITH RECURSIVE e0 AS (
               SELECT doc_id % 20 AS a, (doc_id % 20 + 10) % 20 AS b

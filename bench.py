@@ -125,6 +125,8 @@ HEADLINE = [
     "image_dedup_cross_wave",
     "hyperball_balls",
     "harmonic_centrality",
+    "effective_diameter",
+    "ppjoin_pairs",
 ]
 
 BENCH_HOSTS = 50

@@ -357,6 +357,19 @@ def hyperball_balls(
     ).localCheckpoint()
 
     def est(bt: DataFrame, t: int) -> DataFrame:
+        # Flajolet's raw estimator is flat (~alpha*m) below ~2.5m items —
+        # useless for small balls, which is exactly where HyperBall
+        # starts. Standard small-range correction: when raw <= 2.5m and
+        # V = m - occupied > 0, use linear counting m*ln(m/V) (within a
+        # branch the estimate stays monotone in the registers; the
+        # branch switch itself happens far above any sandbox ball).
+        raw = (
+            F.lit(HLL_ALPHA * HLL_M * HLL_M)
+            * F.pow(F.lit(2.0), 53)
+            / F.col("denom_scaled")
+        )
+        v_zero = F.lit(HLL_M) - F.col("occupied")
+        lin = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero)
         return (
             bt.groupBy("node")
             .agg(
@@ -364,15 +377,16 @@ def hyperball_balls(
                     F.sum(F.expr("shiftleft(1L, 53 - rho_max)"))
                     + (F.lit(HLL_M) - F.count(F.lit(1)))
                     * F.lit(1 << 53).cast("long")
-                ).alias("denom_scaled")
+                ).alias("denom_scaled"),
+                F.count(F.lit(1)).alias("occupied"),
             )
             .select(
                 "node",
                 F.lit(t).alias("t"),
                 F.round(
-                    F.lit(HLL_ALPHA * HLL_M * HLL_M)
-                    * F.pow(F.lit(2.0), 53)
-                    / F.col("denom_scaled"),
+                    F.when(
+                        (raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0), lin
+                    ).otherwise(raw),
                     3,
                 ).alias("ball_est"),
             )

@@ -415,3 +415,88 @@ def test_oph_densification_invariants(spark):
     # identical docs -> identical densified signatures -> J_hat = 1
     est = {r.doc_a: r for r in oph_pair_estimate(docs, n_bins=16).collect()}
     assert est[1].n_match == 16 and est[1].j_est == 1.0
+
+
+def _brute_jaccard_pairs(rows, n=3, t=0.75):
+    """All-pairs trigram Jaccard ground truth (and shared-shingle
+    candidate count) in pure python."""
+    import itertools
+
+    def sh(text):
+        ws = text.strip().lower().split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: sh(txt) for i, txt in rows if len(txt.strip().split()) >= n}
+    pairs, n_cand_share = {}, 0
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            n_cand_share += 1
+        union = len(sets[a]) + len(sets[b]) - inter
+        j = round(inter / union, 6) if union else 0.0
+        if j >= t:
+            pairs[(a, b)] = j
+    return pairs, n_cand_share
+
+
+def test_prefix_filter_completeness_and_pruning(spark):
+    from crawler_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    # a hot boilerplate phrase shared by EVERY doc (the skew killer the
+    # prefix filter exists for) + near-dup families straddling the 0.75
+    # boundary + singletons; t=3/4 is binary-exact so ceil(t*n) has no
+    # fp hazard
+    boiler = "all rights reserved contact us terms"
+    a = f"alpha beta gamma delta epsilon zeta {boiler}"
+    b = f"one two three four five six seven eight {boiler}"
+    rows = [
+        (1, a),
+        (2, a),                      # exact dup: J = 1.0
+        (3, a + " extraword"),       # tail append: J = 10/11 ~ 0.909
+        (4, b),
+        (5, b + " tailword"),        # tail append: J = 12/13 ~ 0.923
+        (6, f"totally unrelated words appear in this document {boiler}"),
+        (7, f"yet another completely distinct piece of text {boiler}"),
+        (8, "short doc no"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want, n_cand_share = _brute_jaccard_pairs(rows, t=0.75)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_pairs(docs, threshold=0.75).collect()
+    }
+    assert got == want and len(want) >= 4  # non-vacuous: both families pair
+    # identical output to the shared-shingle operator (same exact verify)
+    ref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.75).collect()
+    }
+    assert got == ref
+    # pruning: the boilerplate shingles pair EVERY doc in the shared-
+    # shingle join; the prefix join must examine strictly fewer pairs
+    stats = prefix_filter_pairs(docs, threshold=0.75, with_stats=True).collect()[0]
+    assert stats.n_pairs == len(want)
+    assert stats.n_cand_prefix < n_cand_share
+    # the filter is not vacuous either: it still admits every true pair
+    assert stats.n_cand_prefix >= len(want)
+
+
+def test_prefix_filter_boundary_pair_survives(spark):
+    from crawler_spark.operators.dedup import prefix_filter_pairs
+
+    # EXACT-threshold pair: 7 shingles each, intersection 6, union 8 ->
+    # J = 6/8 = 0.75 exactly. prefix = 7 - ceil(0.75*7) + 1 = 2: the
+    # intersection exactly equals ceil(t*n_sh) = 6 — the tightest case
+    # the prefix-length proof allows; a one-off error in the prefix
+    # bound drops this pair
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 y1"
+    # trigrams: 7 each (w1w2w3 .. w7w8{w9|y1}); shared = 6
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    out = prefix_filter_pairs(docs, threshold=0.75).collect()
+    assert len(out) == 1 and out[0].jaccard == 0.75

@@ -164,9 +164,14 @@ def _py_hyperball(edges, n_iter):
     regs = {v: dict([reg(v)]) for v in nodes}
 
     def est(r):
+        import math
+
         denom = sum(1 << (53 - rho) for rho in r.values())
         denom += (M - len(r)) * (1 << 53)
-        return round(alpha * M * M * 2.0**53 / denom, 3)
+        raw = alpha * M * M * 2.0**53 / denom
+        if raw <= 2.5 * M and len(r) < M:  # linear-counting small range
+            return round(float(M) * math.log(float(M) / (M - len(r))), 3)
+        return round(raw, 3)
 
     out = {(v, 0): est(regs[v]) for v in nodes}
     for t in range(1, n_iter + 1):
@@ -239,3 +244,36 @@ def test_harmonic_from_balls_matches_pure_python(spark):
     # the saturated 3-cycle members
     assert all(h >= 0 for h in got.values())
     assert got[6] > got[7]
+
+
+def test_effective_diameter_matches_pure_python(spark):
+    from crawler_spark.operators.graph import (
+        effective_diameter,
+        hyperball_balls,
+    )
+
+    # directed 6-cycle: balls grow by exactly one node per hop, so the
+    # neighborhood function climbs linearly and the 90% crossing lands
+    # strictly between two integer t values (real interpolation)
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    n_iter = 4
+    got = effective_diameter(
+        hyperball_balls(df, n_iter=n_iter), n_iter=n_iter, q_permille=900
+    ).collect()
+    assert len(got) == 1
+    balls = _py_hyperball(edges, n_iter)
+    nf = {
+        t: sum(round(balls[(v, t)] * 1000) for v in range(6))
+        for t in range(n_iter + 1)
+    }
+    t_hi = min(t for t in nf if 1000 * nf[t] >= 900 * nf[n_iter])
+    want = round(
+        (t_hi - 1) + (nf[n_iter] * 0.9 - nf[t_hi - 1]) / (nf[t_hi] - nf[t_hi - 1]),
+        6,
+    ) if t_hi else 0.0
+    r = got[0]
+    assert (r.t_lo, r.t_hi, r.eff_diameter) == (max(t_hi - 1, 0), t_hi, want)
+    assert 0 < r.eff_diameter <= n_iter
+    # interpolation is genuinely fractional here, not an integer hit
+    assert r.eff_diameter != float(r.t_hi) and r.eff_diameter != float(r.t_lo)

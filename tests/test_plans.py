@@ -226,3 +226,19 @@ def test_hyperball_stays_native_keyed_joins(spark):
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
         assert "partial_sum" in plan, plan
         assert plan.count("Sort [") == 0 or name == "harmonic_centrality", plan
+
+
+def test_ppjoin_prefix_join_stays_keyed(spark):
+    # the candidate join must be a keyed equi-join on the prefix
+    # shingle (length filters ride along as join conditions), never a
+    # cartesian; exact verify is also keyed; zero Python anywhere
+    plan = _plan(spark, "ppjoin_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan  # length filter must ride the equi-join
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    keyed = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")  # AQE at tiny sf
+    )
+    assert keyed >= 3, plan
