@@ -7316,6 +7316,33 @@ def q_ppjoin_prefix_stats(spark, sf_dir):
     )
 
 
+def q_ed_join_pairs(spark, sf_dir):
+    """Edit-distance similarity join (Ed-Join, Xiao et al. VLDB'08):
+    all document pairs with Levenshtein distance <= 12, candidates from
+    a char-3-gram prefix filter (k*q+1 rarest grams per doc under a
+    global df order) + length filter, verified with Spark's
+    threshold-banded levenshtein. The complement to the Jaccard family:
+    catches character-level edits (typos, template fills) that word
+    shingles blur. Oracle = NAIVE complete all-pairs levenshtein, so the
+    gate proves the prefix filter LOSES NOTHING."""
+    from crawler_spark.operators.dedup import ed_join_pairs
+
+    return ed_join_pairs(_t(spark, sf_dir, "documents"), q=3, k=12)
+
+
+def q_ed_join_stats(spark, sf_dir):
+    """Ed-Join efficiency audit: candidates surviving the prefix+length
+    filters vs verified pairs — at 10^10 docs the probe side is a fixed
+    k*q+1 = 37 rarest grams per doc, so this ratio is what keeps the
+    verify stage (the only O(k*n)-per-pair step) proportional to true
+    near-dups. Oracle mirrors the prefix construction in SQL."""
+    from crawler_spark.operators.dedup import ed_join_pairs
+
+    return ed_join_pairs(
+        _t(spark, sf_dir, "documents"), q=3, k=12, with_stats=True
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -7423,6 +7450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": q_effective_diameter,
         "ppjoin_pairs": q_ppjoin_pairs,
         "ppjoin_prefix_stats": q_ppjoin_prefix_stats,
+        "ed_join_pairs": q_ed_join_pairs,
+        "ed_join_stats": q_ed_join_stats,
         "host_communities": q_host_communities,
         "seed_distance": q_seed_distance,
         "stride_schedule": q_stride_schedule,
@@ -9032,6 +9061,76 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes zb ON doc_b = zb.doc_id
               WHERE round(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6)
                       >= 0.75
+            )
+            SELECT (SELECT count(*) FROM cand) AS n_cand_prefix,
+                   (SELECT count(*) FROM pairs) AS n_pairs
+        """,
+        # completeness proof: naive all-pairs banded levenshtein — a
+        # prefix-filter bug that drops a true pair shows as row loss
+        "ed_join_pairs": """
+            WITH d AS (
+              SELECT doc_id, lower(trim(text)) AS t FROM documents
+              WHERE length(lower(trim(text))) > 0
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.t, b.t) AS ed
+            FROM d a JOIN d b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.t) - length(b.t)) <= 12
+            WHERE levenshtein(a.t, b.t) <= 12
+        """,
+        "ed_join_stats": """
+            WITH d AS (
+              SELECT doc_id, lower(trim(text)) AS t FROM documents
+              WHERE length(lower(trim(text))) > 0
+            ),
+            pd AS (
+              SELECT doc_id, t, length(t) AS n_chars,
+                     repeat(chr(1), 2) || t || repeat(chr(2), 2) AS p
+              FROM d
+            ),
+            gr AS (
+              SELECT DISTINCT doc_id, n_chars, substring(p, i, 3) AS gram
+              FROM pd, unnest(generate_series(1, length(p) - 2)) AS u(i)
+            ),
+            dfreq AS (SELECT gram, count(*) AS df FROM gr GROUP BY gram),
+            pre AS (
+              SELECT doc_id, gram, n_chars FROM (
+                SELECT g.doc_id, g.gram, g.n_chars,
+                       row_number() OVER (PARTITION BY g.doc_id
+                                          ORDER BY f.df, g.gram) AS pos
+                FROM gr g JOIN dfreq f USING (gram)
+              ) WHERE pos <= 37
+            ),
+            shorts AS (
+              SELECT doc_id, n_chars,
+                     CAST(floor(n_chars / 13.0) AS BIGINT) AS band
+              FROM pd WHERE n_chars <= 34
+            ),
+            probe AS (
+              SELECT doc_id, n_chars, band + d AS band
+              FROM shorts, unnest([-1, 0, 1]) AS t(d)
+            ),
+            cand AS (
+              SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM pre a JOIN pre b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 AND b.n_chars >= a.n_chars - 12
+                 AND a.n_chars >= b.n_chars - 12
+                UNION ALL
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM shorts a JOIN probe b
+                  ON a.band = b.band AND a.doc_id < b.doc_id
+                 AND b.n_chars >= a.n_chars - 12
+                 AND a.n_chars >= b.n_chars - 12
+              )
+            ),
+            pairs AS (
+              SELECT c.doc_a, c.doc_b FROM cand c
+              JOIN pd x ON x.doc_id = c.doc_a
+              JOIN pd y ON y.doc_id = c.doc_b
+              WHERE levenshtein(x.t, y.t) <= 12
             )
             SELECT (SELECT count(*) FROM cand) AS n_cand_prefix,
                    (SELECT count(*) FROM pairs) AS n_pairs

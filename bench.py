@@ -127,6 +127,7 @@ HEADLINE = [
     "harmonic_centrality",
     "effective_diameter",
     "ppjoin_pairs",
+    "ed_join_pairs",
 ]
 
 BENCH_HOSTS = 50

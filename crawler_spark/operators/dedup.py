@@ -1574,3 +1574,128 @@ def prefix_filter_pairs(
     return cand.agg(F.count("*").alias("n_cand_prefix")).crossJoin(
         pairs.agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------- edit-distance join
+
+
+def ed_join_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: int = 3,
+    k: int = 12,
+    with_stats: bool = False,
+) -> DataFrame:
+    """Ed-Join (Xiao et al. VLDB'08): all pairs with Levenshtein distance
+    <= k, via q-gram prefix filtering + native banded-DP verify.
+
+    One edit operation changes at most q of a string's positional
+    q-grams, so ed(x,y) <= k implies at most k*q DISTINCT q-grams of x
+    are absent from y's gram set (a vanished distinct gram needs >= 1 of
+    its occurrences destroyed, and k edits destroy <= k*q occurrences).
+    Under a global total order on grams (ascending document frequency,
+    ties by gram — rarest first), consider a pair with ed <= k where at
+    least one side has >= k*q+1 grams: if that side's k*q+1-gram prefix
+    missed the other's FULL set entirely it would contradict the k*q
+    bound, so some prefix gram g is in the other's set — and g lands in
+    the other's PREFIX too (a set with >= k*q+1 grams keeps every
+    element <= its prefix end under the shared order; a smaller set's
+    prefix IS its whole set). So prefix-vs-prefix loses nothing for any
+    pair with a "long" side, and the join never touches more than
+    k*q+1 grams per string regardless of length — on a 10^10-doc corpus
+    the probe side is O(k*q) rows/doc of the RAREST grams, so hot
+    boilerplate grams never enter the join.
+
+    Pairs where BOTH sides have <= k*q grams (strings of <= k*q - q + 1
+    chars) get no guarantee — two tiny strings can be within ed k with
+    disjoint gram sets (any two strings of length <= k are!). Those go
+    through a separate short path: an equi-join on a length band of
+    width k+1 (each side also probes its neighbor bands, so every pair
+    passing the length filter meets on a key). Quadratic within a band,
+    but semantically unavoidable — at ed <= k, short strings really are
+    pairwise near-duplicates in droves; at scale this path holds only
+    the <= 3 bands below ~k*q chars. Strings are padded with q-1 copies
+    of sentinel chars (chr(1)/chr(2)) so strings shorter than q still
+    emit grams.
+
+    Survivors pass the length filter (ed >= abs(len difference)), then
+    the exact verify uses Spark's threshold-banded levenshtein (O(k*n)
+    per pair, not O(n^2)).
+
+    Comparison is over lower(trim(text)) — the same case-insensitive
+    normalization the Jaccard family uses. with_stats=True returns one
+    row (n_cand_prefix, n_pairs) for the efficiency audit.
+    """
+    pad_l, pad_r = "\x01" * (q - 1), "\x02" * (q - 1)
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("__t"),
+        F.length(norm).alias("n_chars"),
+        F.concat(F.lit(pad_l), norm, F.lit(pad_r)).alias("__p"),
+    ).filter(F.length("__t") > 0)
+    p = F.col("__p")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(p) - q + 1),
+            lambda i: F.substring(p, i, q),
+        )
+    )
+    gr = base.select("doc_id", "n_chars", F.explode(grams).alias("gram"))
+    dfreq = gr.groupBy("gram").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    pre = (
+        gr.join(dfreq, "gram")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k * q + 1)
+        .select("doc_id", "gram", "n_chars")
+    )
+    cand_long = pre.alias("a").join(
+        pre.alias("b"),
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: ed(x,y) >= abs(|x| - |y|)
+        & (F.col("b.n_chars") >= F.col("a.n_chars") - k)
+        & (F.col("a.n_chars") >= F.col("b.n_chars") - k),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    # short path: both sides under k*q grams — no prefix guarantee, so
+    # meet on a length band of width k+1 (probe own + neighbor bands)
+    short_th = k * q - q + 1
+    shorts = base.filter(F.col("n_chars") <= short_th).select(
+        "doc_id", "n_chars", (F.col("n_chars") / (k + 1)).cast("long").alias("band")
+    )
+    probe = shorts.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+    )
+    cand_short = shorts.alias("a").join(
+        probe.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.n_chars") >= F.col("a.n_chars") - k)
+        & (F.col("a.n_chars") >= F.col("b.n_chars") - k),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
+    ta = base.select(F.col("doc_id").alias("doc_a"), F.col("__t").alias("__ta"))
+    tb = base.select(F.col("doc_id").alias("doc_b"), F.col("__t").alias("__tb"))
+    pairs = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        # threshold-banded DP: returns -1 when the distance exceeds k
+        .withColumn("ed", F.levenshtein("__ta", "__tb", k))
+        .filter(F.col("ed") >= 0)
+        .select("doc_a", "doc_b", "ed")
+    )
+    if not with_stats:
+        return pairs
+    return cand.agg(F.count("*").alias("n_cand_prefix")).crossJoin(
+        pairs.agg(F.count("*").alias("n_pairs"))
+    )

@@ -500,3 +500,77 @@ def test_prefix_filter_boundary_pair_survives(spark):
     )
     out = prefix_filter_pairs(docs, threshold=0.75).collect()
     assert len(out) == 1 and out[0].jaccard == 0.75
+
+
+def _lev(a, b):
+    """Plain DP Levenshtein for ground truth."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+def test_ed_join_matches_bruteforce(spark):
+    from crawler_spark.operators.dedup import ed_join_pairs
+
+    k, q = 4, 3
+    # adversarial mix: tail edits, internal edits, exact-threshold pair,
+    # repeated-gram strings (multiset-vs-set hazard), strings shorter
+    # than q (padding path), and a hot shared suffix on every doc
+    hot = " copyright footer text"
+    rows = [
+        (1, "the quick brown fox jumps over the dog" + hot),
+        (2, "the quick brown fox jumps over the dig" + hot),   # ed 1
+        (3, "the quick brown fox leaps over the dog" + hot),   # ed ~4
+        (4, "a completely different document body here" + hot),
+        (5, "aaaaaaaaaaaaaaaaaaaa"),                            # repeated grams
+        (6, "aaaaaaaaaaaaaaaabbbb"),                            # ed 4 vs 5
+        (7, "ab"),                                              # shorter than q
+        (8, "abxy"),                                            # ed 2 vs 7
+        (9, "zq"),                                              # ed 2 vs 7
+    ]
+    want = {
+        (a, b): _lev(ta.strip().lower(), tb.strip().lower())
+        for (a, ta) in rows
+        for (b, tb) in rows
+        if a < b
+        and _lev(ta.strip().lower(), tb.strip().lower()) <= k
+    }
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.ed
+        for r in ed_join_pairs(docs, q=q, k=k).collect()
+    }
+    assert got == want
+    # non-vacuous: hits at ed 1..k, incl. the short-string padding path
+    assert (1, 2) in got and (5, 6) in got and got[(5, 6)] == 4
+    assert (7, 8) in got and (7, 9) in got
+    # true negatives actually excluded
+    assert all((4, x) not in got and (x, 4) not in got for x in (1, 2, 3))
+
+
+def test_ed_join_prefix_prunes_hot_grams(spark):
+    from crawler_spark.operators.dedup import ed_join_pairs
+
+    # every doc shares a long hot boilerplate, so the full-gram join
+    # would candidate every pair; the prefix (rarest grams) must not
+    k, q = 2, 3
+    boiler = "shared boilerplate sentence repeated on every single page of this site"
+    rows = [(i, f"unique{i:04d} body {i * 7919} {boiler}") for i in range(1, 21)]
+    rows += [(99, rows[0][1] + "!")]  # one true near-dup of doc 1 (ed 1)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = ed_join_pairs(docs, q=q, k=k, with_stats=True).collect()[0]
+    assert stats.n_pairs == 1
+    n_docs = len(rows)
+    # far fewer candidates than the all-shared-gram blowup n*(n-1)/2
+    assert stats.n_cand_prefix < n_docs * (n_docs - 1) // 2 / 3
+    out = ed_join_pairs(docs, q=q, k=k).collect()
+    assert [(r.doc_a, r.doc_b, r.ed) for r in out] == [(1, 99, 1)]

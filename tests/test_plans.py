@@ -242,3 +242,14 @@ def test_ppjoin_prefix_join_stays_keyed(spark):
         + plan.count("BroadcastHashJoin")  # AQE at tiny sf
     )
     assert keyed >= 3, plan
+
+
+def test_ed_join_stays_keyed_native(spark):
+    # candidate generation is two keyed equi-joins (prefix gram; length
+    # band), verify rides levenshtein in codegen; never cartesian, zero
+    # Python
+    plan = _plan(spark, "ed_join_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "levenshtein" in plan, plan
