@@ -7316,6 +7316,27 @@ def q_ppjoin_prefix_stats(spark, sf_dir):
     )
 
 
+def q_refresh_allocation(spark, sf_dir):
+    """Optimal cross-host refresh-budget allocation (Cho &
+    Garcia-Molina TODS'03): grant B=100 revisits/period across hosts by
+    taking the B globally-largest marginal freshness gains
+    val*lam/(f*(f+1)) — greedy is exactly optimal because the
+    per-host objective val*lam*n/(n+1) is concave and separable. All
+    gains are lcm-scaled int64 (x2520), so the global rank order is
+    engine-exact. Rates/values derive deterministically from the
+    frontier: lam = per-host sum of md5-nibble change signals, val =
+    1 + host's min doc_id %% 3."""
+    from crawler_spark.operators.politeness import refresh_allocation
+
+    d8 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 8, 1)) - 1)"
+    f = _frontier(spark, sf_dir)
+    hosts = f.groupBy("host").agg(
+        F.sum(F.expr(f"1 + {d8} % 4")).cast("long").alias("lam"),
+        (F.min("doc_id") % 3 + 1).cast("long").alias("val"),
+    )
+    return refresh_allocation(hosts, budget=100, f_max=8)
+
+
 def q_ed_join_pairs(spark, sf_dir):
     """Edit-distance similarity join (Ed-Join, Xiao et al. VLDB'08):
     all document pairs with Levenshtein distance <= 12, candidates from
@@ -7445,6 +7466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_recall": q_retrieval_recall,
         "ann_recall_eval": q_ann_recall_eval,
         "refresh_value": q_refresh_value,
+        "refresh_allocation": q_refresh_allocation,
         "rank_priority_bands": q_rank_priority_bands,
         "pair_shards": q_pair_shards,
         "bpe_train": q_bpe_train,
@@ -9440,6 +9462,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rank >= c2 THEN 2
                         ELSE 3 END AS INT) AS priority
             FROM ranks, cuts
+        """,
+        "refresh_allocation": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            hosts AS (
+              SELECT host,
+                     sum(1 + (instr('0123456789abcdef',
+                          substring(md5(cast(doc_id AS varchar)), 8, 1)) - 1)
+                         % 4) AS lam,
+                     min(doc_id) % 3 + 1 AS val
+              FROM f GROUP BY host
+            ),
+            marg AS (
+              SELECT host, ff AS fr,
+                     (val * lam * 2520) // (ff * (ff + 1)) AS gain_scaled
+              FROM hosts, unnest(generate_series(1, 8)) AS t(ff)
+            ),
+            top AS (
+              SELECT * FROM marg
+              ORDER BY gain_scaled DESC, host, fr LIMIT 100
+            )
+            SELECT host, count(*) AS n_visits,
+                   CAST(sum(gain_scaled) AS BIGINT) AS freshness_gain_scaled
+            FROM top GROUP BY host
         """,
         "refresh_value": f"""
             WITH f AS ({_FRONTIER_SQL}),

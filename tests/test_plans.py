@@ -253,3 +253,12 @@ def test_ed_join_stays_keyed_native(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "levenshtein" in plan, plan
+
+
+def test_refresh_allocation_uses_take_ordered(spark):
+    # global top-B must be TakeOrderedAndProject (per-partition top-B +
+    # driver merge), never a global Sort+Limit single partition; all
+    # int64 native math, zero Python
+    plan = _plan(spark, "refresh_allocation")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
