@@ -7316,6 +7316,40 @@ def q_ppjoin_prefix_stats(spark, sf_dir):
     )
 
 
+def q_bowtie_classes(spark, sf_dir):
+    """Bow-tie census of the host graph (Broder WWW'00): SCC / IN /
+    OUT / OTHER relative to the max-degree pivot's core, via one
+    forward and one backward directed BFS. Edge family is built to
+    exercise all four classes: an 8-host directed ring (the core), 8
+    hosts feeding in, 8 fed out to, and a second disjoint ring (OTHER —
+    strongly connected but not the pivot's component). Oracle =
+    unbounded recursive-CTE reachability (UNION dedup terminates on
+    cycles); the Spark side's hop budget of 10 covers the ring
+    diameter, so both are the exact census."""
+    from crawler_spark.operators.graph import bowtie_classes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # h decoupled from the branch selector (doc_id %% 4 fixes doc_id %% 8
+    # to two residues, so h must come from the quotient)
+    h = (F.col("doc_id") / 4).cast("long") % 8
+    ring = docs.filter(F.col("doc_id") % 4 == 0).select(
+        h.alias("src"), ((h + 1) % 8).alias("dst")
+    )
+    fan_in = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (h + 8).alias("src"), h.alias("dst")
+    )
+    fan_out = docs.filter(F.col("doc_id") % 4 == 2).select(
+        h.alias("src"), (h + 16).alias("dst")
+    )
+    ring2 = docs.filter(F.col("doc_id") % 4 == 3).select(
+        (h + 24).alias("src"), ((h + 1) % 8 + 24).alias("dst")
+    )
+    edges = ring.union(fan_in).union(fan_out).union(ring2)
+    return bowtie_classes(edges, max_hops=10).select(
+        F.col("node").alias("host_id"), "cls"
+    )
+
+
 def q_refresh_allocation(spark, sf_dir):
     """Optimal cross-host refresh-budget allocation (Cho &
     Garcia-Molina TODS'03): grant B=100 revisits/period across hosts by
@@ -7467,6 +7501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": q_ann_recall_eval,
         "refresh_value": q_refresh_value,
         "refresh_allocation": q_refresh_allocation,
+        "bowtie_classes": q_bowtie_classes,
         "rank_priority_bands": q_rank_priority_bands,
         "pair_shards": q_pair_shards,
         "bpe_train": q_bpe_train,
@@ -9462,6 +9497,53 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rank >= c2 THEN 2
                         ELSE 3 END AS INT) AS priority
             FROM ranks, cuts
+        """,
+        "bowtie_classes": """
+            WITH RECURSIVE e0 AS (
+              SELECT (doc_id // 4) % 8 AS a, ((doc_id // 4) % 8 + 1) % 8 AS b
+              FROM documents WHERE doc_id % 4 = 0
+              UNION
+              SELECT (doc_id // 4) % 8 + 8, (doc_id // 4) % 8
+              FROM documents WHERE doc_id % 4 = 1
+              UNION
+              SELECT (doc_id // 4) % 8, (doc_id // 4) % 8 + 16
+              FROM documents WHERE doc_id % 4 = 2
+              UNION
+              SELECT (doc_id // 4) % 8 + 24, ((doc_id // 4) % 8 + 1) % 8 + 24
+              FROM documents WHERE doc_id % 4 = 3
+            ),
+            ed AS (SELECT DISTINCT a, b FROM e0 WHERE a != b),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT a AS node FROM ed UNION ALL SELECT b FROM ed
+              )
+            ),
+            pv AS (
+              SELECT node FROM (
+                SELECT node, count(*) AS deg FROM (
+                  SELECT a AS node FROM ed UNION ALL SELECT b FROM ed
+                ) GROUP BY node
+              ) ORDER BY deg DESC, node LIMIT 1
+            ),
+            fwd(node) AS (
+              SELECT node FROM pv
+              UNION
+              SELECT e.b FROM fwd f JOIN ed e ON f.node = e.a
+            ),
+            bwd(node) AS (
+              SELECT node FROM pv
+              UNION
+              SELECT e.a FROM bwd w JOIN ed e ON w.node = e.b
+            )
+            SELECT n.node AS host_id,
+                   CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL
+                          THEN 'SCC'
+                        WHEN b.node IS NOT NULL THEN 'IN'
+                        WHEN f.node IS NOT NULL THEN 'OUT'
+                        ELSE 'OTHER' END AS cls
+            FROM nodes n
+            LEFT JOIN (SELECT DISTINCT node FROM fwd) f ON f.node = n.node
+            LEFT JOIN (SELECT DISTINCT node FROM bwd) b ON b.node = n.node
         """,
         "refresh_allocation": f"""
             WITH f AS ({_FRONTIER_SQL}),

@@ -492,3 +492,74 @@ def effective_diameter(
             ).alias("eff_diameter"),
         )
     )
+
+
+def bowtie_classes(
+    edges: DataFrame,
+    max_hops: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al. WWW'00
+    "Graph structure in the web"): classify every node relative to the
+    core component around a deterministic pivot — ``SCC`` (reaches the
+    pivot AND is reached by it), ``IN`` (reaches it only), ``OUT``
+    (reached only), ``OTHER`` (tendrils/disconnected). The original
+    web-graph census ran exactly this from BFS pivots; a crawler reads
+    it as "which hosts can seed the core (IN), which are sinks (OUT),
+    and which the current seed set can never reach (OTHER)".
+
+    Pivot = highest-degree node (ties: smallest id) — the FW-BW SCC
+    pivot rule, deterministic so the SQL oracle reproduces it. Forward
+    and backward reach are two level-synchronous multi-source BFS runs
+    (``bfs_distances`` with directed edges; the backward run just swaps
+    endpoint roles), each O(E) total across hops, one equi-join shuffle
+    per hop. ``max_hops`` must cover the graph's directed diameter for
+    the census to be exact — at web scale run with hops ~ effective
+    diameter + slack (the neighborhood function from HyperBall tells
+    you where reach saturates).
+
+    Returns (node, cls). Classification is two broadcast-sized hash
+    left-joins over the node dimension — no shuffle beyond the BFS.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    pivot = deg.orderBy(F.col("deg").desc(), F.col("node")).limit(1).select(
+        "node"
+    )
+    fwd = bfs_distances(e, pivot, max_hops=max_hops, directed=True).select(
+        "node", F.lit(1).alias("f")
+    )
+    bwd = bfs_distances(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        pivot,
+        max_hops=max_hops,
+        directed=True,
+    ).select("node", F.lit(1).alias("b"))
+    return (
+        nodes.join(fwd, "node", "left")
+        .join(bwd, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("f").isNotNull() & F.col("b").isNotNull(), "SCC")
+            .when(F.col("b").isNotNull(), "IN")
+            .when(F.col("f").isNotNull(), "OUT")
+            .otherwise("OTHER")
+            .alias("cls"),
+        )
+    )

@@ -277,3 +277,80 @@ def test_effective_diameter_matches_pure_python(spark):
     assert 0 < r.eff_diameter <= n_iter
     # interpolation is genuinely fractional here, not an integer hit
     assert r.eff_diameter != float(r.t_hi) and r.eff_diameter != float(r.t_lo)
+
+
+def _py_bowtie(edges):
+    """Pure-python bow-tie census: pivot = max degree (tie: min id)."""
+    from collections import defaultdict
+
+    es = {(a, b) for a, b in edges if a != b}
+    nodes = {v for e in es for v in e}
+    deg = defaultdict(int)
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    pivot = min(nodes, key=lambda v: (-deg[v], v))
+    fwd_adj, bwd_adj = defaultdict(set), defaultdict(set)
+    for a, b in es:
+        fwd_adj[a].add(b)
+        bwd_adj[b].add(a)
+
+    def reach(adj):
+        seen, stack = {pivot}, [pivot]
+        while stack:
+            v = stack.pop()
+            for u in adj[v]:
+                if u not in seen:
+                    seen.add(u)
+                    stack.append(u)
+        return seen
+
+    f, b = reach(fwd_adj), reach(bwd_adj)
+    return {
+        v: ("SCC" if v in f and v in b else "IN" if v in b
+            else "OUT" if v in f else "OTHER")
+        for v in nodes
+    }
+
+
+def test_bowtie_classes_matches_pure_python(spark):
+    from crawler_spark.operators.graph import bowtie_classes
+
+    # core 3-cycle + in-chain + out-chain + disjoint 2-cycle + a tendril
+    # hanging off IN (classified OTHER: reaches IN but never the core
+    # ... no — reaching IN reaches the core, so it's IN; the genuinely
+    # OTHER tendril hangs off OUT)
+    edges = [
+        (0, 1), (1, 2), (2, 0),      # SCC (pivot has max degree here)
+        (3, 0), (4, 3),              # IN chain
+        (1, 5), (5, 6),              # OUT chain
+        (7, 8), (8, 7),              # disjoint 2-cycle -> OTHER
+        (6, 6),                      # self-loop dropped
+        (9, 4),                      # tendril into IN -> IN
+        (5, 5),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.cls for r in bowtie_classes(df, max_hops=8).collect()}
+    want = _py_bowtie(edges)
+    assert got == want
+    assert want[0] == "SCC" and want[4] == "IN" and want[9] == "IN"
+    assert want[6] == "OUT" and want[7] == "OTHER"
+
+
+def test_bowtie_census_topology(spark):
+    from crawler_spark.operators.graph import bowtie_classes
+
+    # the shipped query's 32-host family: 8-ring core, 8 in, 8 out,
+    # disjoint second ring
+    edges = (
+        [(i, (i + 1) % 8) for i in range(8)]
+        + [(i + 8, i) for i in range(8)]
+        + [(i, i + 16) for i in range(8)]
+        + [(24 + i, 24 + (i + 1) % 8) for i in range(8)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.cls for r in bowtie_classes(df, max_hops=10).collect()}
+    census = {}
+    for cls in got.values():
+        census[cls] = census.get(cls, 0) + 1
+    assert census == {"SCC": 8, "IN": 8, "OUT": 8, "OTHER": 8}
