@@ -7316,6 +7316,16 @@ def q_ppjoin_prefix_stats(spark, sf_dir):
     )
 
 
+def q_adjacency_gap_bits(spark, sf_dir):
+    """WebGraph BV compression estimate over the HyperBall host graph:
+    per host, γ-coded gap-list bits vs flat ceil(log2 n)-per-successor
+    bits (Boldi & Vigna WWW'04). All arithmetic is integer (floor-log2
+    via length(bin(x)) in BOTH engines), so the oracle is bit-exact."""
+    from crawler_spark.operators.graph import adjacency_gap_bits
+
+    return adjacency_gap_bits(_hyperball_edges(spark, sf_dir))
+
+
 def q_bowtie_classes(spark, sf_dir):
     """Bow-tie census of the host graph (Broder WWW'00): SCC / IN /
     OUT / OTHER relative to the max-degree pivot's core, via one
@@ -7502,6 +7512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_value": q_refresh_value,
         "refresh_allocation": q_refresh_allocation,
         "bowtie_classes": q_bowtie_classes,
+        "adjacency_gap_bits": q_adjacency_gap_bits,
         "rank_priority_bands": q_rank_priority_bands,
         "pair_shards": q_pair_shards,
         "bpe_train": q_bpe_train,
@@ -9497,6 +9508,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rank >= c2 THEN 2
                         ELSE 3 END AS INT) AS priority
             FROM ranks, cuts
+        """,
+        "adjacency_gap_bits": f"""
+            WITH e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT CAST(doc_id % 32 AS BIGINT) AS src,
+                       CAST((16 * {_hexdig_sql("cast(doc_id AS varchar)", 6)}
+                             + {_hexdig_sql("cast(doc_id AS varchar)", 7)})
+                            % 32 AS BIGINT) AS dst
+                FROM documents WHERE doc_id % 3 = 0
+              ) WHERE src != dst
+            ),
+            g AS (
+              SELECT src AS s, dst AS d,
+                     lag(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
+              FROM e
+            ),
+            nat AS (
+              SELECT s,
+                     CASE WHEN prev IS NULL THEN
+                       CASE WHEN d >= s THEN 2 * (d - s)
+                            ELSE 2 * (s - d) - 1 END
+                     ELSE d - prev - 1 END AS nat
+              FROM g
+            ),
+            nn AS (
+              SELECT length(bin(count(*) - 1)) AS flat_w FROM (
+                SELECT DISTINCT node FROM (
+                  SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+                )
+              )
+            )
+            SELECT s AS host_id, count(*) AS deg,
+                   CAST(sum(2 * (length(bin(nat + 1)) - 1) + 1) AS BIGINT)
+                     AS bits_gamma,
+                   CAST(count(*) * (SELECT flat_w FROM nn) AS BIGINT)
+                     AS bits_flat
+            FROM nat GROUP BY s
         """,
         "bowtie_classes": """
             WITH RECURSIVE e0 AS (

@@ -354,3 +354,32 @@ def test_bowtie_census_topology(spark):
     for cls in got.values():
         census[cls] = census.get(cls, 0) + 1
     assert census == {"SCC": 8, "IN": 8, "OUT": 8, "OTHER": 8}
+
+
+def test_adjacency_gap_bits_exact(spark):
+    from crawler_spark.operators.graph import adjacency_gap_bits
+
+    # hand-checkable: node 5 -> [2, 7, 9]; first gap signed (2-5=-3 ->
+    # nat 2*3-1=5, gamma(6)=2*2+1=5 bits), then 7-2-1=4 (gamma(5)=5),
+    # 9-7-1=1 (gamma(2)=3). node 0 -> [1]: nat 2, gamma(3)=3.
+    edges = [(5, 2), (5, 7), (5, 9), (0, 1), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.host_id: r for r in adjacency_gap_bits(df).collect()}
+    # n_nodes = 6 distinct -> flat width = len(bin(5)) = 3 bits
+    assert (got[5].deg, got[5].bits_gamma, got[5].bits_flat) == (3, 13, 9)
+    assert (got[0].deg, got[0].bits_gamma, got[0].bits_flat) == (1, 3, 3)
+
+
+def test_adjacency_gap_bits_beats_flat_on_clustered(spark):
+    from crawler_spark.operators.graph import adjacency_gap_bits
+
+    # consecutive successor runs (the locality BV exploits): gaps all 0
+    # after the first -> gamma 1 bit each, far below the flat width
+    edges = [(0, d) for d in range(1, 64)] + [(1, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = {x.host_id: x for x in adjacency_gap_bits(df).collect()}[0]
+    assert r.deg == 63
+    # first gap nat=2*1=2 -> gamma(3)=3 bits; 62 runs of gamma(1)=1
+    assert r.bits_gamma == 3 + 62
+    assert r.bits_flat == 63 * 6  # 64 nodes -> len(bin(63)) = 6
+    assert r.bits_gamma < r.bits_flat / 5
