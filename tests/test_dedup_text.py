@@ -574,3 +574,40 @@ def test_ed_join_prefix_prunes_hot_grams(spark):
     assert stats.n_cand_prefix < n_docs * (n_docs - 1) // 2 / 3
     out = ed_join_pairs(docs, q=q, k=k).collect()
     assert [(r.doc_a, r.doc_b, r.ed) for r in out] == [(1, 99, 1)]
+
+
+# ------------------------- ed-join property fuzz ---------------------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    # tiny alphabet maximizes gram collisions AND edit-distance near
+    # misses; lengths straddle the short-path threshold k*q-q+1 = 7
+    _s = st.text(alphabet="abc", min_size=1, max_size=24)
+
+    @settings(max_examples=6, deadline=None)
+    @given(texts=st.lists(_s, min_size=4, max_size=9, unique=True))
+    def test_ed_join_lossless_fuzz(spark, texts):
+        """The prefix filter + short band path must lose NOTHING:
+        operator output == brute-force all-pairs Levenshtein on random
+        small-alphabet strings crossing the short/long boundary."""
+        from crawler_spark.operators.dedup import ed_join_pairs
+
+        k = 3
+        rows = list(enumerate(texts))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_a, r.doc_b): r.ed
+            for r in ed_join_pairs(docs, q=3, k=k, m=2).collect()
+        }
+        want = {
+            (a, b): _lev(ta, tb)
+            for a, ta in rows
+            for b, tb in rows
+            if a < b and _lev(ta, tb) <= k
+        }
+        assert got == want
