@@ -612,6 +612,47 @@ def q_hrw_fetcher_assign(spark, sf_dir):
     return hrw_assign(hosts, "host_id", n_workers=32, out_col="fetcher_id")
 
 
+def q_ring_vs_hrw_balance(spark, sf_dir):
+    """Consistent-hash ring vs rendezvous load balance, quantified:
+    the same 500 hosts assigned to 16 workers by (a) a Karger ring
+    with 8 vnodes/worker (`operators/assign.ring_assign`) and (b) HRW;
+    per-worker host counts side by side. Ring arcs are exponential
+    order statistics, so its spread is visibly wider at small vnode
+    counts — the number that decides vnode sizing for a fetcher fleet.
+    Ring + scores are md5 hex (plan-time literal ring), so the SQL
+    oracle reproduces both argmins bit-for-bit."""
+    from crawler_spark.operators.assign import hrw_assign, ring_assign
+
+    workers = [f"w{i:02d}" for i in range(16)]
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 500).alias("host_id"))
+        .distinct()
+    )
+    ring = (
+        ring_assign(hosts, "host_id", workers, vnodes=8)
+        .groupBy("worker")
+        .agg(F.count("*").cast("long").alias("n_ring"))
+    )
+    hrw = (
+        hrw_assign(hosts, "host_id", n_workers=16, out_col="wid")
+        .withColumn(
+            "worker",
+            F.concat(F.lit("w"), F.lpad(F.col("wid").cast("string"), 2, "0")),
+        )
+        .groupBy("worker")
+        .agg(F.count("*").cast("long").alias("n_hrw"))
+    )
+    return (
+        ring.join(hrw, "worker", "full")
+        .select(
+            "worker",
+            F.coalesce("n_ring", F.lit(0)).alias("n_ring"),
+            F.coalesce("n_hrw", F.lit(0)).alias("n_hrw"),
+        )
+    )
+
+
 def q_hrw_rebalance(spark, sf_dir):
     """The minimal-disruption property as a checked query: reassigning
     the same 500 hosts from 32 to 31 fetchers (drop fetcher 31) moves
@@ -7428,6 +7469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_priority": q_opic_priority,
         "hrw_fetcher_assign": q_hrw_fetcher_assign,
         "hrw_rebalance": q_hrw_rebalance,
+        "ring_vs_hrw_balance": q_ring_vs_hrw_balance,
         "url_template_stats": q_url_template_stats,
         "depth_histogram": q_depth_histogram,
         "recrawl_schedule": q_recrawl_schedule,
@@ -7766,6 +7808,43 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(n_urls AS DOUBLE) / tot_urls
                          * 1000000.0 + 0.5) / 1000000.0 AS load_share
             FROM per_fetcher CROSS JOIN tot
+        """,
+        "ring_vs_hrw_balance": """
+            WITH hosts AS (
+              SELECT DISTINCT doc_id % 500 AS host_id FROM documents
+            ),
+            ring AS (
+              SELECT md5('ring:w' || lpad(CAST(w AS varchar), 2, '0')
+                         || ':' || CAST(v AS varchar)) AS pos,
+                     'w' || lpad(CAST(w AS varchar), 2, '0') AS wk
+              FROM range(0, 16) a(w) CROSS JOIN range(0, 8) b(v)
+            ),
+            kh AS (
+              SELECT host_id,
+                     md5('key:' || CAST(host_id AS varchar)) AS khash
+              FROM hosts
+            ),
+            ras AS (
+              SELECT host_id,
+                     coalesce(
+                       arg_min(wk, pos) FILTER (WHERE pos >= khash),
+                       arg_min(wk, pos)) AS worker
+              FROM kh CROSS JOIN ring GROUP BY host_id
+            ),
+            has AS (
+              SELECT host_id,
+                     'w' || lpad(CAST(arg_max(f,
+                        md5('hrw:' || CAST(host_id AS varchar)
+                            || ':' || CAST(f AS varchar))) AS varchar),
+                        2, '0') AS worker
+              FROM hosts CROSS JOIN range(0, 16) t(f) GROUP BY host_id
+            ),
+            rc AS (SELECT worker, count(*) AS n_ring FROM ras GROUP BY worker),
+            hc AS (SELECT worker, count(*) AS n_hrw FROM has GROUP BY worker)
+            SELECT coalesce(rc.worker, hc.worker) AS worker,
+                   coalesce(n_ring, 0) AS n_ring,
+                   coalesce(n_hrw, 0) AS n_hrw
+            FROM rc FULL JOIN hc ON rc.worker = hc.worker
         """,
         "hrw_rebalance": """
             WITH hosts AS (

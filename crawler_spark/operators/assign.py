@@ -82,3 +82,61 @@ def hrw_assign_workers(
         ),
     )
     return df.withColumn(out_col, F.array_max(scores)["w"])
+
+
+def ring_positions(workers: list[str], vnodes: int, salt: str = "ring") -> list[tuple[str, str]]:
+    """The consistent-hash ring as a sorted (position, worker) list:
+    every worker owns ``vnodes`` pseudo-random ring positions
+    md5('salt:worker:v'). Plain data so both the Spark literal array
+    and the SQL oracle derive byte-identical rings."""
+    import hashlib
+
+    pts = [
+        (
+            hashlib.md5(f"{salt}:{w}:{v}".encode()).hexdigest(),
+            w,
+        )
+        for w in workers
+        for v in range(vnodes)
+    ]
+    return sorted(pts)
+
+
+def ring_assign(
+    df: DataFrame,
+    key_col: str,
+    workers: list[str],
+    vnodes: int = 8,
+    out_col: str = "worker",
+    salt: str = "ring",
+) -> DataFrame:
+    """Consistent-hash ring assignment (Karger et al. STOC'97; the
+    Dynamo/Cassandra partitioner): a key belongs to the first ring
+    position clockwise from md5('key:' + key), wrapping to the ring
+    start. The classic alternative to rendezvous hashing: same minimal
+    disruption (removing a worker moves only the keys in ITS arcs, to
+    each arc's successor), O(log V) lookup on a ring snapshot instead
+    of O(W) scores per key — the trade is vnode count, since arc
+    lengths are exponential order statistics and per-worker load
+    balances only as ~1/sqrt(vnodes) (the imbalance query quantifies
+    exactly that against HRW's native balance).
+
+    The ring is a PLAN-TIME literal array of (position, worker) structs
+    — per row one filter + array_min over V elements, pure codegen, no
+    shuffle, no UDF; hex md5 strings order identically everywhere so
+    the SQL oracle reproduces the argmin bit-for-bit.
+    """
+    pts = ring_positions(workers, vnodes, salt)
+    ring = F.array(
+        *[
+            F.struct(F.lit(p).alias("pos"), F.lit(w).alias("w"))
+            for p, w in pts
+        ]
+    )
+    khash = F.md5(F.concat(F.lit("key:"), F.col(key_col).cast("string")))
+    succ = F.filter(ring, lambda s: s["pos"] >= khash)
+    first = F.array_min(ring)["w"]
+    return df.withColumn(
+        out_col,
+        F.coalesce(F.array_min(succ)["w"], first),
+    )
