@@ -7422,6 +7422,23 @@ def q_refresh_allocation(spark, sf_dir):
     return refresh_allocation(hosts, budget=100, f_max=8)
 
 
+def q_weighted_jaccard_pairs(spark, sf_dir):
+    """Weighted (multiset) Jaccard >= 0.5 over word counts (the
+    min-max kernel): repetition-honest near-dup scoring — set Jaccard
+    calls "spam x400" and "spam" identical, the weighted form doesn't.
+    Integer count arithmetic end-to-end (sum(max) = ta + tb -
+    sum(min)), one shared-token join with the per-pair min-sum folded
+    into the join aggregate."""
+    from crawler_spark.operators.dedup import weighted_jaccard_pairs
+
+    # t=0.7: this same-vocabulary corpus puts ~10% of ALL pairs above
+    # 0.5 (measured); 0.7 isolates the true near-dup families (29 pairs
+    # at sf0.01 vs 12k at 0.5)
+    return weighted_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
 def q_ed_join_pairs(spark, sf_dir):
     """Edit-distance similarity join (Ed-Join, Xiao et al. VLDB'08):
     all document pairs with Levenshtein distance <= 12, candidates from
@@ -7567,6 +7584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_pairs": q_ppjoin_pairs,
         "ppjoin_prefix_stats": q_ppjoin_prefix_stats,
         "ed_join_pairs": q_ed_join_pairs,
+        "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "ed_join_stats": q_ed_join_stats,
         "host_communities": q_host_communities,
         "seed_distance": q_seed_distance,
@@ -9217,6 +9235,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT (SELECT count(*) FROM cand) AS n_cand_prefix,
                    (SELECT count(*) FROM pairs) AS n_pairs
+        """,
+        "weighted_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(
+                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+                ) AS tok
+                FROM documents
+              ) WHERE tok != '' GROUP BY doc_id, tok
+            ),
+            totals AS (SELECT doc_id, sum(c) AS total FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(least(a.c, b.c)) AS n_min
+              FROM toks a JOIN toks b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_min * 1.0 / (ta.total + tb.total - n_min), 6) AS jw
+            FROM inter
+            JOIN totals ta ON ta.doc_id = doc_a
+            JOIN totals tb ON tb.doc_id = doc_b
+            WHERE round(n_min * 1.0 / (ta.total + tb.total - n_min), 6) >= 0.7
         """,
         # completeness proof: naive all-pairs banded levenshtein — a
         # prefix-filter bug that drops a true pair shows as row loss

@@ -1736,3 +1736,74 @@ def ed_join_pairs(
     return cand.agg(F.count("*").alias("n_cand_prefix")).crossJoin(
         pairs.agg(F.count("*").alias("n_pairs"))
     )
+
+
+def weighted_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Weighted (multiset) Jaccard similarity join: J_w(x,y) =
+    sum_t min(c_x(t), c_y(t)) / sum_t max(c_x(t), c_y(t)) over word
+    COUNTS — the min-max kernel (Ioffe ICML'10's exact target). Set
+    Jaccard treats "spam spam spam spam" and "spam" as identical;
+    the weighted form scores repetition-inflated template pages
+    honestly, which is why count-aware dedup is the right gate for
+    boilerplate-heavy web text.
+
+    Exactness: counts are integers, and sum(max) = total_x + total_y -
+    sum(min), so the score is a ratio of int64s — engine-exact modulo
+    one final round. Candidates come from a shared-token join with
+    per-pair sum(min) computed IN the join aggregate (min of the two
+    counts per shared token); only candidates reach the threshold
+    test. Same scale shape as the set-Jaccard family: candidate count
+    ~ docs sharing tokens, never O(n^2); at corpus scale cap
+    ultra-hot tokens by df before the join (they cannot push J_w over
+    a 0.5 threshold on their own but dominate join output).
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), "\\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = toks.groupBy("doc_id").agg(F.sum("c").alias("total"))
+    inter = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("n_min"))
+    )
+    return (
+        inter.join(
+            totals.select(F.col("doc_id").alias("doc_a"), F.col("total").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            totals.select(F.col("doc_id").alias("doc_b"), F.col("total").alias("tb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jw",
+            F.round(
+                F.col("n_min") / (F.col("ta") + F.col("tb") - F.col("n_min")),
+                6,
+            ),
+        )
+        .filter(F.col("jw") >= threshold)
+        .select("doc_a", "doc_b", "jw")
+    )

@@ -611,3 +611,30 @@ if _HAVE_HYP:
             if a < b and _lev(ta, tb) <= k
         }
         assert got == want
+
+
+def test_weighted_jaccard_counts_multiplicity(spark):
+    from crawler_spark.operators.dedup import weighted_jaccard_pairs
+
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "spam"),                       # set-J = 1.0; J_w = 1/4
+        (3, "spam spam spam spam"),        # exact dup of 1: J_w = 1
+        (4, "a b a b c"),                  # vs 5: min{a:2,b:2,c:0}=4... see below
+        (5, "a b a b"),                    # J_w(4,5) = 4/5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jw
+        for r in weighted_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert got[(1, 3)] == 1.0
+    assert got[(1, 2)] == 0.25   # min 1 / max 4 — set Jaccard says 1.0
+    assert got[(2, 3)] == 0.25
+    assert got[(4, 5)] == 0.8    # sum(min)=4, union mass 5
+    # threshold filters
+    kept = {
+        (r.doc_a, r.doc_b)
+        for r in weighted_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert kept == {(1, 3), (4, 5)}
