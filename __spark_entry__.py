@@ -7357,6 +7357,83 @@ def q_ppjoin_prefix_stats(spark, sf_dir):
     )
 
 
+def q_warc_revisit_plan(spark, sf_dir):
+    """WARC revisit-record storage plan (WARC 1.1 §6.7.2, the
+    Heritrix/IA dedup that stores a duplicate payload as a pointer):
+    across two crawl waves, the FIRST occurrence of each payload
+    digest (md5 of the body; order = (wave, doc_id)) is stored as a
+    full response record, every later one as a revisit record. Per
+    wave: records of each kind and the payload bytes the revisit form
+    saves — the storage-planning number for a recurring crawl. One
+    digest-partition window over the corpus, exact integer byte
+    math."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("digest").orderBy("wave", "doc_id")
+    planned = (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % 2).alias("wave"),
+            F.md5(F.col("text")).alias("digest"),
+            F.col("n_chars").cast("long").alias("n_bytes"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        planned.groupBy("wave")
+        .agg(
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_response"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_revisit"),
+            F.sum(
+                F.when(F.col("rn") > 1, F.col("n_bytes")).otherwise(F.lit(0))
+            ).alias("bytes_saved"),
+        )
+    )
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the host graph (Newman PRL'02): the
+    Pearson correlation of endpoint degrees over edges — webs are
+    famously DISassortative (hubs link to leaves), and the sign/size
+    of r is a one-number structure check on a crawled graph. Every
+    accumulator is an int64 sum (degrees x edge incidences); the only
+    floats are two IEEE-exact sqrts and one final division, rounded.
+    Directed edges are symmetrized; each undirected edge contributes
+    both (deg_u, deg_v) and (deg_v, deg_u), the standard estimator."""
+    e = _hyperball_edges(spark, sf_dir).filter(F.col("src") != F.col("dst")).distinct()
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    xy = (
+        und.join(deg.withColumnRenamed("src", "src_"), F.col("src") == F.col("src_"))
+        .select("src", "dst", F.col("deg").alias("dx"))
+        .join(
+            deg.select(F.col("src").alias("dst_"), F.col("deg").alias("dy")),
+            F.col("dst") == F.col("dst_"),
+        )
+        .select("dx", "dy")
+    )
+    agg = xy.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    return agg.select(
+        F.col("m").cast("long").alias("n_incidences"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
 def q_adjacency_gap_bits(spark, sf_dir):
     """WebGraph BV compression estimate over the HyperBall host graph:
     per host, γ-coded gap-list bits vs flat ceil(log2 n)-per-successor
@@ -7572,6 +7649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_allocation": q_refresh_allocation,
         "bowtie_classes": q_bowtie_classes,
         "adjacency_gap_bits": q_adjacency_gap_bits,
+        "degree_assortativity": q_degree_assortativity,
+        "warc_revisit_plan": q_warc_revisit_plan,
         "rank_priority_bands": q_rank_priority_bands,
         "pair_shards": q_pair_shards,
         "bpe_train": q_bpe_train,
@@ -9629,6 +9708,57 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rank >= c2 THEN 2
                         ELSE 3 END AS INT) AS priority
             FROM ranks, cuts
+        """,
+        "warc_revisit_plan": """
+            WITH planned AS (
+              SELECT doc_id, doc_id % 2 AS wave, md5(text) AS digest,
+                     CAST(n_chars AS BIGINT) AS n_bytes,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id % 2, doc_id) AS rn
+              FROM documents
+            )
+            SELECT wave,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_response,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_revisit,
+                   CAST(sum(CASE WHEN rn > 1 THEN n_bytes ELSE 0 END)
+                        AS BIGINT) AS bytes_saved
+            FROM planned GROUP BY wave
+        """,
+        "degree_assortativity": f"""
+            WITH e0 AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT CAST(doc_id % 32 AS BIGINT) AS src,
+                       CAST((16 * {_hexdig_sql("cast(doc_id AS varchar)", 6)}
+                             + {_hexdig_sql("cast(doc_id AS varchar)", 7)})
+                            % 32 AS BIGINT) AS dst
+                FROM documents WHERE doc_id % 3 = 0
+              ) WHERE src != dst
+            ),
+            und AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e0
+                UNION ALL SELECT dst, src FROM e0
+              )
+            ),
+            deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+            xy AS (
+              SELECT da.deg AS dx, db.deg AS dy
+              FROM und JOIN deg da ON da.node = und.src
+                       JOIN deg db ON db.node = und.dst
+            ),
+            s AS (
+              SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+                     sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+                     sum(dy * dy) AS syy
+              FROM xy
+            )
+            SELECT CAST(m AS BIGINT) AS n_incidences,
+                   round((m * sxy - sx * sy)
+                         / (sqrt(m * sxx - sx * sx)
+                            * sqrt(m * syy - sy * sy)), 6) AS assortativity
+            FROM s
         """,
         "adjacency_gap_bits": f"""
             WITH e AS (

@@ -74,3 +74,30 @@ def test_warc_roundtrip_differential_fuzz(spark):
     back = parse_records(format_records(df, blobs=7))
     got = sorted((r["uri"], r["status"], r["body"]) for r in back.collect())
     assert got == sorted(rows)
+
+
+def test_warc_revisit_plan_hand_case(spark):
+    """First occurrence by (wave, doc_id) stores full response; later
+    digests become revisit records; bytes_saved counts revisits only."""
+    import __spark_entry__ as entry_mod
+    import os, tempfile
+
+    # build a tiny documents table shaped like the testdata schema
+    rows = [
+        (0, "same body", "en", "s", 9),    # wave 0, original
+        (2, "same body", "en", "s", 9),    # wave 0, revisit of 0
+        (1, "same body", "en", "s", 9),    # wave 1, revisit of 0
+        (3, "unique a", "en", "s", 8),     # wave 1, original
+        (4, "unique b", "en", "s", 8),     # wave 0, original
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.wave: r
+            for r in entry_mod.q_warc_revisit_plan(spark, td).collect()
+        }
+    assert (got[0].n_response, got[0].n_revisit, got[0].bytes_saved) == (2, 1, 9)
+    assert (got[1].n_response, got[1].n_revisit, got[1].bytes_saved) == (1, 1, 9)
