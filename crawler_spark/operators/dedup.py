@@ -1758,9 +1758,12 @@ def weighted_jaccard_pairs(
     per-pair sum(min) computed IN the join aggregate (min of the two
     counts per shared token); only candidates reach the threshold
     test. Same scale shape as the set-Jaccard family: candidate count
-    ~ docs sharing tokens, never O(n^2); at corpus scale cap
-    ultra-hot tokens by df before the join (they cannot push J_w over
-    a 0.5 threshold on their own but dominate join output).
+    ~ docs sharing tokens, never O(n^2). At corpus scale the
+    shared-token join inherits the hot-token blowup; the exact cure is
+    the same prefix-filter principle prefix_filter_pairs uses (it
+    generalizes to weighted overlap), the standard approximate one is
+    a df cap on join tokens — approximate because dropping a token
+    shifts both sides of the ratio.
     """
     toks = (
         docs.select(
