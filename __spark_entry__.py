@@ -7390,6 +7390,18 @@ def q_warc_revisit_plan(spark, sf_dir):
     )
 
 
+def q_ams_f2(spark, sf_dir):
+    """AMS F2 (self-join size) sketch vs exact, over the frontier's
+    host key: the join planner's skew probe — one scan, k=16 int64
+    counters, median-of-squares estimate (emitted as 2x the median to
+    stay integral). Exact F2 computed alongside for the accuracy
+    envelope, sketches.py's hll/countmin pattern."""
+    from crawler_spark.operators.sketches import ams_f2
+
+    f = _frontier(spark, sf_dir)
+    return ams_f2(f, "host")
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Degree assortativity of the host graph (Newman PRL'02): the
     Pearson correlation of endpoint degrees over edges — webs are
@@ -7650,6 +7662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_classes": q_bowtie_classes,
         "adjacency_gap_bits": q_adjacency_gap_bits,
         "degree_assortativity": q_degree_assortativity,
+        "ams_f2": q_ams_f2,
         "warc_revisit_plan": q_warc_revisit_plan,
         "rank_priority_bands": q_rank_priority_bands,
         "pair_shards": q_pair_shards,
@@ -9725,6 +9738,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN rn > 1 THEN n_bytes ELSE 0 END)
                         AS BIGINT) AS bytes_saved
             FROM planned GROUP BY wave
+        """,
+        "ams_f2": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            signs AS (
+              SELECT j,
+                     CAST(1 - 2 * ((instr('0123456789abcdef',
+                        substring(md5('ams' || j || ':' || host), 1, 1)) - 1)
+                        % 2) AS BIGINT) AS s
+              FROM f CROSS JOIN range(0, 16) t(j)
+            ),
+            counters AS (SELECT j, sum(s) AS c FROM signs GROUP BY j),
+            sq AS (
+              SELECT c * c AS c2,
+                     row_number() OVER (ORDER BY c * c) AS rn
+              FROM counters
+            ),
+            est AS (SELECT sum(c2) AS est2x FROM sq WHERE rn IN (8, 9)),
+            exact AS (
+              SELECT sum(f * f) AS f2_exact FROM (
+                SELECT host, count(*) AS f FROM f GROUP BY host
+              )
+            )
+            SELECT CAST(f2_exact AS BIGINT) AS f2_exact,
+                   CAST(est2x AS BIGINT) AS f2_est_2x,
+                   CAST(16 AS INT) AS k
+            FROM exact CROSS JOIN est
         """,
         "degree_assortativity": f"""
             WITH e0 AS (

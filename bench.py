@@ -128,6 +128,13 @@ HEADLINE = [
     "effective_diameter",
     "ppjoin_pairs",
     "ed_join_pairs",
+    "weighted_jaccard_pairs",
+    "refresh_allocation",
+    "bowtie_classes",
+    "adjacency_gap_bits",
+    "degree_assortativity",
+    "warc_revisit_plan",
+    "ring_vs_hrw_balance",
 ]
 
 BENCH_HOSTS = 50

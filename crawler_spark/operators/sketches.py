@@ -26,7 +26,7 @@ dedup/metrics sections call for when exact state no longer fits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # 60-bit hash from the first 15 md5 hex digits: portable to DuckDB as
@@ -137,4 +137,59 @@ def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataF
         probes.join(F.broadcast(sketch), ["cm_row", "cm_col"])
         .groupBy(key_col)
         .agg(F.min("cnt").alias("cm_est"))
+    )
+
+
+AMS_K = 16  # ±1 counters; estimate = median of k counter squares
+
+
+def _ams_sign(j: int, key: str) -> F.Column:
+    """±1 four-wise-ish sign for counter j: parity of one md5 hex digit
+    of the salted key — portable digit arithmetic, no engine hash."""
+    salted = f"concat('ams{j}:', {key})"
+    d = f"(instr('0123456789abcdef', substring(md5({salted}), 1, 1)) - 1)"
+    return F.expr(f"cast(1 - 2 * ({d} % 2) as long)")
+
+
+def ams_f2(df: DataFrame, key_expr: str, k: int = AMS_K) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy
+    STOC'96): F2 = sum_x f_x^2 — the self-join size of a key column,
+    the number a join planner needs to size a shuffle BEFORE running
+    it. Each counter j accumulates sum_x sign_j(x) over one scan
+    (int64, exact); counter^2 is an unbiased F2 estimate and the
+    median of k counters concentrates it. Everything through the
+    median is integer arithmetic, so the SQL oracle matches exactly.
+
+    One posexplode (k copies per row) + one k-row aggregate — sketch
+    size independent of input; at 10^10 rows this is the cheapest way
+    to know whether a host-key shuffle will be skewed (F2 >> n means
+    heavy keys) without a groupBy.
+
+    Returns one row: (f2_exact, f2_est, counters used) — exact side
+    computed alongside for the accuracy-envelope readout.
+    """
+    signs = df.select(
+        F.posexplode(
+            F.array(*[_ams_sign(j, key_expr) for j in range(k)])
+        ).alias("j", "s")
+    )
+    counters = signs.groupBy("j").agg(F.sum("s").alias("c"))
+    # median over k=even counters: mean of the two middle order stats,
+    # exact in integer *2 space; emit both to stay integral
+    sq = counters.select((F.col("c") * F.col("c")).alias("c2"))
+    w = Window.orderBy("c2")  # k rows total — driver-sized, not a scale sort
+    mid = sq.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn").isin(k // 2, k // 2 + 1)
+    )
+    est = mid.agg(F.sum("c2").alias("est2x"))  # 2 * median (integral)
+    exact = (
+        df.select(F.expr(key_expr).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).alias("f2_exact"))
+    )
+    return exact.crossJoin(est).select(
+        F.col("f2_exact").cast("long"),
+        F.col("est2x").cast("long").alias("f2_est_2x"),
+        F.lit(k).cast("int").alias("k"),
     )

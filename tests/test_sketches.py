@@ -122,3 +122,33 @@ def test_own_countmin_never_undercounts(spark):
     est = countmin_estimate(sketch, exact.select("tok"), "tok")
     bad = exact.join(est, "tok").filter(F.col("cm_est") < F.col("exact_cnt"))
     assert bad.count() == 0
+
+
+def _py_ams(keys, k=16):
+    import hashlib
+
+    cs = [0] * k
+    for key in keys:
+        for j in range(k):
+            d = int(hashlib.md5(f"ams{j}:{key}".encode()).hexdigest()[0], 16)
+            cs[j] += 1 - 2 * (d % 2)
+    sq = sorted(c * c for c in cs)
+    est2x = sq[k // 2 - 1] + sq[k // 2]
+    from collections import Counter
+
+    f2 = sum(v * v for v in Counter(keys).values())
+    return f2, est2x
+
+
+def test_ams_f2_matches_pure_python_and_concentrates(spark):
+    from crawler_spark.operators.sketches import ams_f2
+
+    # skewed key stream: one heavy key + uniform tail (the shape the
+    # sketch exists to flag)
+    keys = ["hot"] * 120 + [f"k{i}" for i in range(80)]
+    df = spark.createDataFrame([(x,) for x in keys], "host string")
+    r = ams_f2(df, "host").collect()[0]
+    f2, est2x = _py_ams(keys)
+    assert (r.f2_exact, r.f2_est_2x, r.k) == (f2, est2x, 16)
+    # estimate concentrates: median-of-16 within 3x on this stream
+    assert f2 / 3 <= est2x / 2 <= 3 * f2
