@@ -7390,6 +7390,33 @@ def q_warc_revisit_plan(spark, sf_dir):
     )
 
 
+def q_phash_bit_bias(spark, sf_dir):
+    """Signature bit-bias audit over the stored 60-bit phash column:
+    per bit position, the ones-count and |p(1) - 0.5| bias. Banded
+    Hamming LSH assumes near-uniform bits; a stuck or heavily biased
+    bit shrinks the effective band space and inflates candidate
+    collisions, so this is the health check run before trusting a
+    banding config at corpus scale. Pure integer shift/mask + one
+    60-group aggregate."""
+    from crawler_spark.operators.pairs import synth_pair_meta
+
+    meta = synth_pair_meta(_t(spark, sf_dir, "documents"))
+    bits = meta.select(
+        F.posexplode(
+            F.expr("transform(sequence(0, 59), i -> shiftright(phash, i) & 1)")
+        ).alias("bit_idx", "b")
+    )
+    return (
+        bits.groupBy("bit_idx")
+        .agg(F.count("*").alias("n"), F.sum("b").cast("long").alias("n_ones"))
+        .select(
+            "bit_idx",
+            "n_ones",
+            F.round(F.abs(F.col("n_ones") / F.col("n") - 0.5), 6).alias("bias"),
+        )
+    )
+
+
 def q_ams_f2(spark, sf_dir):
     """AMS F2 (self-join size) sketch vs exact, over the frontier's
     host key: the join planner's skew probe — one scan, k=16 int64
@@ -7663,6 +7690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_gap_bits": q_adjacency_gap_bits,
         "degree_assortativity": q_degree_assortativity,
         "ams_f2": q_ams_f2,
+        "phash_bit_bias": q_phash_bit_bias,
         "warc_revisit_plan": q_warc_revisit_plan,
         "rank_priority_bands": q_rank_priority_bands,
         "pair_shards": q_pair_shards,
@@ -9738,6 +9766,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN rn > 1 THEN n_bytes ELSE 0 END)
                         AS BIGINT) AS bytes_saved
             FROM planned GROUP BY wave
+        """,
+        "phash_bit_bias": """
+            WITH meta AS (
+              SELECT CAST(concat('0x', substring(md5(text), 1, 15))
+                          AS BIGINT) AS phash
+              FROM documents
+            ),
+            bits AS (
+              SELECT i AS bit_idx, (phash >> i) & 1 AS b
+              FROM meta CROSS JOIN range(0, 60) t(i)
+            )
+            SELECT bit_idx, CAST(sum(b) AS BIGINT) AS n_ones,
+                   round(abs(sum(b) * 1.0 / count(*) - 0.5), 6) AS bias
+            FROM bits GROUP BY bit_idx
         """,
         "ams_f2": f"""
             WITH f AS ({_FRONTIER_SQL}),
