@@ -7547,11 +7547,12 @@ def q_weighted_jaccard_pairs(spark, sf_dir):
     into the join aggregate."""
     from crawler_spark.operators.dedup import weighted_jaccard_pairs
 
-    # t=0.7: this same-vocabulary corpus puts ~10% of ALL pairs above
-    # 0.5 (measured); 0.7 isolates the true near-dup families (29 pairs
-    # at sf0.01 vs 12k at 0.5)
+    # trigram tokens: this corpus's ~30-word vocabulary makes every
+    # UNIGRAM hot (join measured 100x slower at sf0.1); word-trigram
+    # multisets keep count semantics with selective join keys. t=0.7
+    # isolates the true near-dup families.
     return weighted_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.7
+        _t(spark, sf_dir, "documents"), threshold=0.7, shingle_n=3
     )
 
 
@@ -9357,13 +9358,18 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM pairs) AS n_pairs
         """,
         "weighted_jaccard_pairs": """
-            WITH toks AS (
+            WITH words AS (
+              SELECT doc_id, string_split(
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            toks AS (
               SELECT doc_id, tok, count(*) AS c FROM (
-                SELECT doc_id, unnest(string_split(
-                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
-                ) AS tok
-                FROM documents
-              ) WHERE tok != '' GROUP BY doc_id, tok
+                SELECT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+                FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+                WHERE len(ws) >= 3
+              ) GROUP BY doc_id, tok
             ),
             totals AS (SELECT doc_id, sum(c) AS total FROM toks GROUP BY doc_id),
             inter AS (

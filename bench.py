@@ -135,6 +135,8 @@ HEADLINE = [
     "degree_assortativity",
     "warc_revisit_plan",
     "ring_vs_hrw_balance",
+    "ams_f2",
+    "phash_bit_bias",
 ]
 
 BENCH_HOSTS = 50

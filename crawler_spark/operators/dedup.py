@@ -1743,6 +1743,7 @@ def weighted_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """Weighted (multiset) Jaccard similarity join: J_w(x,y) =
     sum_t min(c_x(t), c_y(t)) / sum_t max(c_x(t), c_y(t)) over word
@@ -1758,23 +1759,30 @@ def weighted_jaccard_pairs(
     per-pair sum(min) computed IN the join aggregate (min of the two
     counts per shared token); only candidates reach the threshold
     test. Same scale shape as the set-Jaccard family: candidate count
-    ~ docs sharing tokens, never O(n^2). At corpus scale the
-    shared-token join inherits the hot-token blowup; the exact cure is
-    the same prefix-filter principle prefix_filter_pairs uses (it
-    generalizes to weighted overlap), the standard approximate one is
-    a df cap on join tokens — approximate because dropping a token
+    ~ docs sharing tokens, never O(n^2). The join key's selectivity is
+    what bounds output, so ``shingle_n`` controls the token unit: on a
+    small-vocabulary (template/synthetic) corpus unigrams are ALL hot
+    and the join degenerates — word n-grams (with multiplicity, the
+    multiset analog of _shingles) restore high-cardinality keys while
+    keeping count semantics. For realistic vocabularies the exact
+    further cure is the prefix-filter principle prefix_filter_pairs
+    uses (it generalizes to weighted overlap); a df cap is the
+    standard approximation — approximate because dropping a token
     shifts both sides of the ratio.
     """
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), "\\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    arr = F.col("__ws")
+    unit = arr if shingle_n == 1 else F.transform(
+        F.sequence(F.lit(1), F.size(arr) - shingle_n + 1),
+        lambda i: F.concat_ws(" ", F.slice(arr, i, shingle_n)),
+    )
     toks = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col(text_col))), "\\s+"),
-                    lambda t: F.length(t) > 0,
-                )
-            ).alias("tok"),
-        )
+        docs.select(F.col(id_col).alias("doc_id"), ws.alias("__ws"))
+        .filter(F.size("__ws") >= shingle_n)
+        .select("doc_id", F.explode(unit).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
     )
