@@ -521,6 +521,8 @@ def bowtie_classes(
 
     Returns (node, cls). Classification is two broadcast-sized hash
     left-joins over the node dimension — no shuffle beyond the BFS.
+    Node ids must be integers below 2^62 (the direction tag is packed
+    into the low bit so one BFS loop serves both directions).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -542,15 +544,26 @@ def bowtie_classes(
     pivot = deg.orderBy(F.col("deg").desc(), F.col("node")).limit(1).select(
         "node"
     )
-    fwd = bfs_distances(e, pivot, max_hops=max_hops, directed=True).select(
-        "node", F.lit(1).alias("f")
+    # ONE level-synchronous loop covers both directions: pack the
+    # direction into the node id (node*2 for forward, node*2+1 for the
+    # reversed graph) and seed both pivots — half the per-hop driver
+    # jobs of two sequential BFS runs, identical reach sets.
+    packed = e.select(
+        (F.col("src") * 2).alias("src"), (F.col("dst") * 2).alias("dst")
+    ).unionByName(
+        e.select(
+            (F.col("dst") * 2 + 1).alias("src"),
+            (F.col("src") * 2 + 1).alias("dst"),
+        )
     )
-    bwd = bfs_distances(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-        pivot,
-        max_hops=max_hops,
-        directed=True,
-    ).select("node", F.lit(1).alias("b"))
+    seeds = pivot.select(F.explode(F.array(F.col("node") * 2, F.col("node") * 2 + 1)).alias("node"))
+    reach = bfs_distances(packed, seeds, max_hops=max_hops, directed=True)
+    fwd = reach.filter(F.col("node") % 2 == 0).select(
+        F.expr("node div 2").alias("node"), F.lit(1).alias("f")
+    )
+    bwd = reach.filter(F.col("node") % 2 == 1).select(
+        F.expr("(node - 1) div 2").alias("node"), F.lit(1).alias("b")
+    )
     return (
         nodes.join(fwd, "node", "left")
         .join(bwd, "node", "left")
