@@ -7390,6 +7390,29 @@ def q_warc_revisit_plan(spark, sf_dir):
     )
 
 
+def q_exact_global_median(spark, sf_dir):
+    """Exact GLOBAL median fetch latency without a global sort
+    (operators/skew.exact_rank_select): histogram-bisection order
+    statistic — pass 1 bins the column and a window over the BIN
+    dimension locates the rank, pass 2 TakeOrders inside that one bin.
+    The per-host percentile query keeps order stats partition-local;
+    this is the fleet-wide one, where a naive orderBy would total-sort
+    10^10 rows for one number."""
+    from crawler_spark.operators.skew import exact_rank_select
+
+    d1 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1)"
+    d2 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)"
+    f = _frontier(spark, sf_dir)
+    lat = f.select(
+        (
+            F.lit(50)
+            + F.expr(f"({d1} * 16 + {d2})") * 7
+            + F.col("priority") * 100
+        ).cast("long").alias("lat_ms")
+    )
+    return exact_rank_select(lat, "lat_ms", bin_width=64)
+
+
 def q_phash_bit_bias(spark, sf_dir):
     """Signature bit-bias audit over the stored 60-bit phash column:
     per bit position, the ones-count and |p(1) - 0.5| bias. Banded
@@ -7692,6 +7715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "ams_f2": q_ams_f2,
         "phash_bit_bias": q_phash_bit_bias,
+        "exact_global_median": q_exact_global_median,
         "warc_revisit_plan": q_warc_revisit_plan,
         "rank_priority_bands": q_rank_priority_bands,
         "pair_shards": q_pair_shards,
@@ -9772,6 +9796,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN rn > 1 THEN n_bytes ELSE 0 END)
                         AS BIGINT) AS bytes_saved
             FROM planned GROUP BY wave
+        """,
+        "exact_global_median": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            lat AS (
+              SELECT CAST(50
+                + ((instr('0123456789abcdef',
+                      substring(md5(cast(doc_id AS varchar)), 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef',
+                      substring(md5(cast(doc_id AS varchar)), 2, 1)) - 1)) * 7
+                + priority * 100 AS BIGINT) AS v
+              FROM f
+            ),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM lat),
+            nn AS (SELECT count(*) AS c FROM lat)
+            SELECT CAST(c AS BIGINT) AS n,
+                   CAST((c + 1) // 2 AS BIGINT) AS rank,
+                   (SELECT v FROM r WHERE rn = (SELECT (c + 1) // 2 FROM nn))
+                     AS value
+            FROM nn
         """,
         "phash_bit_bias": """
             WITH meta AS (

@@ -137,6 +137,7 @@ HEADLINE = [
     "ring_vs_hrw_balance",
     "ams_f2",
     "phash_bit_bias",
+    "exact_global_median",
 ]
 
 BENCH_HOSTS = 50

@@ -30,7 +30,7 @@ replication factor on >99% of the build rows at 1.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
@@ -70,3 +70,61 @@ def salted_join(
     # broadcast of the replicated build side would hide the mechanism
     # (and a build side big enough to need salting never broadcasts).
     return p.join(b.hint("shuffle_hash"), [key, SALT_COL], how).drop(SALT_COL)
+
+
+def exact_rank_select(
+    df: DataFrame,
+    col: str,
+    rank: int | None = None,
+    bin_width: int = 64,
+) -> DataFrame:
+    """Exact global order statistic WITHOUT a global sort — the k-th
+    smallest value of an integer column in two scans (the classic
+    histogram-bisection selection; Blum et al.'s selection problem done
+    as dataflow). A global `orderBy` materializes a total order of
+    10^10 rows to answer one number; this does:
+
+      pass 1: histogram on `value div bin_width` (map-side combined,
+              output = #occupied bins, data-independent small), then a
+              cumulative window over the BIN DIMENSION (not the data)
+              locates the bin holding rank k;
+      pass 2: filter to that one bin (predicate-pushdown-friendly) and
+              TakeOrdered the within-bin remainder.
+
+    rank defaults to the lower median (n+1)//2. Returns one row
+    (n, rank, value). Exact for any integer column; ties are benign
+    (equal values are interchangeable at equal rank). For repeated
+    quantiles at scale, amortize pass 1 across all ranks — the
+    histogram serves every k.
+    """
+    vals = df.select(F.col(col).cast("long").alias("v"))
+    n = vals.count()
+    if n == 0:
+        raise ValueError("exact_rank_select on empty input")
+    k = rank if rank is not None else (n + 1) // 2
+    if not 1 <= k <= n:
+        raise ValueError(f"rank {k} out of 1..{n}")
+    # floor division (Spark's `div` truncates toward zero, which would
+    # fold negative values into bin 0)
+    fd = (
+        f"(v div {bin_width}) - (case when v % {bin_width} < 0 "
+        "then 1 else 0 end)"
+    )
+    hist = vals.groupBy(F.expr(fd).alias("b")).agg(F.count("*").alias("c"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    located = (
+        hist.withColumn("cum_before", F.coalesce(F.sum("c").over(wb), F.lit(0)))
+        .filter(
+            (F.col("cum_before") < k) & (F.col("cum_before") + F.col("c") >= k)
+        )
+        .select("b", "cum_before")
+    )
+    b_row = located.collect()[0]  # one row — the located bin
+    within = vals.filter(F.expr(fd) == b_row.b)
+    hit = within.orderBy("v").limit(k - b_row.cum_before)
+    out = hit.agg(F.max("v").alias("value"))
+    return out.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(k).cast("long").alias("rank"),
+        F.col("value").cast("long"),
+    )

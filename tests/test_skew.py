@@ -124,3 +124,33 @@ def test_politeness_two_phase_exact_under_single_host_skew(spark):
     plan = politeness_select(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") >= 2  # both phases survive optimization
     assert "_salt" in plan  # phase 1 partitions by (host, salt)
+
+
+def test_exact_rank_select_matches_sorted(spark):
+    from crawler_spark.operators.skew import exact_rank_select
+
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randrange(-500, 500) for _ in range(1001)] + [-500, 499]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    srt = sorted(vals)
+    n = len(vals)
+    for k in (1, 2, (n + 1) // 2, n - 1, n):
+        r = exact_rank_select(df, "x", rank=k, bin_width=64).collect()[0]
+        assert (r.n, r.rank, r.value) == (n, k, srt[k - 1]), k
+    # default = lower median
+    r = exact_rank_select(df, "x").collect()[0]
+    assert r.value == srt[(n + 1) // 2 - 1]
+
+
+def test_exact_rank_select_bin_boundaries(spark):
+    from crawler_spark.operators.skew import exact_rank_select
+
+    # values exactly at multiples of the bin width, incl. negatives
+    vals = [-128, -64, -1, 0, 1, 63, 64, 128]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    srt = sorted(vals)
+    for k in range(1, len(vals) + 1):
+        r = exact_rank_select(df, "x", rank=k, bin_width=64).collect()[0]
+        assert r.value == srt[k - 1], k
