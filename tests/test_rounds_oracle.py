@@ -15,7 +15,10 @@ from crawler_spark.sources.catalog import SnapshotCatalog
 from crawler_spark.sources.synth import T1_SMOKE, T2_CORRECTNESS, T3_DEEP, T4_FLAKY
 
 ROUND_S = 8.0
-ORDER = ["priority", "depth", "discovery_seq", "url_hash"]
+# the key a row actually schedules under: eff_priority is the AGED
+# priority when aging_every is on and == priority otherwise
+# (plans/rounds.py schedule_log)
+ORDER = ["eff_priority", "depth", "discovery_seq", "url_hash"]
 
 
 def _engine_schedule(catalog):
@@ -427,3 +430,48 @@ def test_adaptive_politeness_oracle_match(spark, tmp_path):
     fixed.run()
     assert oracle.schedule != fixed.schedule  # halving took effect
     assert oracle.seen == fixed.seen          # coverage unchanged
+
+
+def test_all_features_combined_oracle_match(spark, tmp_path):
+    """Kitchen-sink interaction gate: transient failures (retry budget),
+    priority-queue host map, adaptive politeness feedback, priority
+    aging, and the bloom prefilter — ALL enabled in one crawl. Feature
+    pairs are each oracle-tested above; this pins the full product of
+    interactions (e.g. a retried URL re-entering an AGED frontier under
+    an adaptively-halved budget) to the sequential oracle exactly."""
+    web = T4_FLAKY
+    pr = {"host-0.test": 2, "host-1.test": 1, "host-5.test": 3}
+    kw = dict(
+        round_seconds=ROUND_S,
+        max_attempts=2,
+        host_priorities=pr,
+        adaptive=True,
+        aging_every=2,
+    )
+    catalog, _ = run_crawl(
+        spark, str(tmp_path / "combo"), web, use_bloom=True, **kw
+    )
+    oracle = OracleCrawler(web, **kw)
+    oracle.run()
+
+    sched = oracle.schedule
+    assert _engine_schedule(catalog) == sched
+    # the scenario is non-degenerate: retries happened (dup schedule
+    # rows) AND aging/priorities actually reordered vs the plain run
+    assert len(sched) > len({u for _, u in sched})
+    plain = OracleCrawler(web, round_seconds=ROUND_S, max_attempts=2)
+    plain.run()
+    assert sched != plain.schedule
+    assert oracle.seen == plain.seen  # coverage invariant under reordering
+
+    engine_seen = {
+        r["url_canon"] for r in catalog.read("seen").select("url_canon").collect()
+    }
+    assert engine_seen == oracle.seen
+    engine_results = {
+        r["url_canon"] for r in catalog.read("results").select("url_canon").collect()
+    }
+    assert engine_results == set(oracle.results)
+    fails = catalog.read("fetch_failures").select("url_canon", "attempts").collect()
+    assert {r["url_canon"] for r in fails} == {u for u, _ in oracle.failures}
+    assert all(r["attempts"] == 2 for r in fails)
