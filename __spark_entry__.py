@@ -3010,6 +3010,42 @@ def q_aging_schedule(spark, sf_dir):
     )
 
 
+def q_host_quota_schedule(spark, sf_dir):
+    """Driver-visible form of the scheduler's cumulative host quota
+    (run_round max_pages_per_host, tests/test_rounds_oracle.py
+    test_host_quota_oracle_match — the Heritrix host-quota control):
+    rows with doc_id % 4 == 0 stand in for already-consumed schedule
+    slots; each host's budget this round is least(base=3, greatest(0,
+    quota=8 - served)); remaining pending rows admit through the
+    per-host window in frontier order. Served counts are an O(hosts)
+    agg broadcast back — the pending side joins on a broadcast, never
+    shuffles on the (potentially skewed) host key."""
+    f = _frontier(spark, sf_dir)
+    served = (
+        f.filter(F.col("doc_id") % 4 == 0)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("host_served"))
+    )
+    budgeted = (
+        f.filter(F.col("doc_id") % 4 != 0)
+        .join(F.broadcast(served), "host", "left")
+        .withColumn("host_served", F.coalesce(F.col("host_served"), F.lit(0)))
+        .withColumn(
+            "budget",
+            F.least(
+                F.lit(3).cast("long"),
+                F.greatest(F.lit(0).cast("long"), F.lit(8) - F.col("host_served")),
+            ),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("priority", "depth", "discovery_seq")
+    return (
+        budgeted.withColumn("sched_rank", F.row_number().over(w))
+        .filter(F.col("sched_rank") <= F.col("budget"))
+        .select("doc_id", "host", "host_served", "budget", "sched_rank")
+    )
+
+
 def q_image_phash_neardup(spark, sf_dir):
     """Image-axis near-dup (the graft cell's payload): decode ->
     64-bit perceptual hash (mapInPandas, Arrow-batched) -> banded
@@ -7749,6 +7785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_audit": q_politeness_audit,
         "ip_politeness": q_ip_politeness,
         "aging_schedule": q_aging_schedule,
+        "host_quota_schedule": q_host_quota_schedule,
         "span_dedup_stats": q_span_dedup_stats,
         "host_mirror_jaccard": q_host_mirror_jaccard,
         "host_cocitation": q_host_cocitation,
@@ -9615,6 +9652,29 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY eff_priority, depth, discovery_seq) AS sched_rank
               FROM aged
             ) WHERE sched_rank <= 4
+        """,
+        "host_quota_schedule": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            served AS (
+              SELECT host, count(*) AS host_served
+              FROM f WHERE doc_id % 4 = 0 GROUP BY host
+            ),
+            p AS (
+              SELECT f.doc_id, f.host, f.priority, f.depth, f.discovery_seq,
+                     coalesce(served.host_served, 0) AS host_served
+              FROM f LEFT JOIN served USING (host)
+              WHERE f.doc_id % 4 <> 0
+            ),
+            b AS (
+              SELECT *,
+                     least(3, greatest(0, 8 - host_served)) AS budget,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY host
+                       ORDER BY priority, depth, discovery_seq) AS sched_rank
+              FROM p
+            )
+            SELECT doc_id, host, host_served, budget, sched_rank
+            FROM b WHERE sched_rank <= budget
         """,
         "span_dedup_stats": """
             WITH words AS (

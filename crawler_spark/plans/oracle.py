@@ -55,10 +55,17 @@ class OracleCrawler:
         host_priorities: dict[str, int] | None = None,
         adaptive: bool = False,
         aging_every: int | None = None,
+        max_pages_per_host: int | None = None,
     ):
         self.web = web
         self.round_seconds = round_seconds
         self.max_attempts = max_attempts
+        # cumulative host quota (Heritrix host-quota analog): a host
+        # that has consumed `max_pages_per_host` schedule SLOTS over the
+        # whole crawl (retries count — each slot is a fetch) never
+        # schedules again; its rows stay pending and the loop drains.
+        self.quota = max_pages_per_host
+        self.host_served: dict[str, int] = {}
         # OPIC-style priority queue hook: lower value schedules first;
         # hosts absent from the map crawl at priority 0 (the default
         # FIFO-by-discovery behavior the reference exhibits)
@@ -140,6 +147,8 @@ class OracleCrawler:
             b = self._budget(host)
             if self.adaptive and host in self.failed_hosts_prev:
                 b = max(1, b // 2)
+            if self.quota is not None:
+                b = min(b, max(0, self.quota - self.host_served.get(host, 0)))
             return b
 
         for e in alive:
@@ -152,6 +161,7 @@ class OracleCrawler:
         failed_hosts_now: set[str] = set()
         for e in taken:
             self.schedule.append((round_id, e.url_canon))
+            self.host_served[e.host] = self.host_served.get(e.host, 0) + 1
             err = self.web.fetch_error(e.url_canon, attempt=e.attempts + 1)
             if err is not None:
                 failed_hosts_now.add(e.host)

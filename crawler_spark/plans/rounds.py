@@ -214,9 +214,20 @@ def run_round(
     host_priorities: dict[str, int] | None = None,
     adaptive: bool = False,
     aging_every: int | None = None,
+    max_pages_per_host: int | None = None,
 ) -> dict:
     """Execute one crawl round; returns counters (crawling_stats analog,
     reference: src/crawler/base_crawler.py:38-47).
+
+    ``max_pages_per_host`` is the cumulative host quota (the Heritrix
+    host-quota control; the reference's per-region result cap is the
+    same idea, crawler.py result-count break): a host that has consumed
+    that many schedule SLOTS over the whole crawl (retries count — every
+    slot is a fetch) never schedules again. Its surplus rows stay
+    pending and the crawl loop drains naturally when only quota-starved
+    work remains. State is a per-round (host, n_scheduled) append —
+    O(hosts) rows per round, summed at read and broadcast, never a scan
+    of the schedule itself.
 
     ``aging_every`` enables starvation-free priority aging (the
     Heritrix/BUbiNG frontier refinement): a pending row's EFFECTIVE
@@ -295,6 +306,31 @@ def run_round(
             )
             .drop("_halve")
         )
+    if max_pages_per_host is not None:
+        # cumulative host quota: this round's budget is capped by the
+        # host's remaining lifetime slots. Served state is the tiny
+        # host_served table (one row per host per past round), summed
+        # and broadcast — the fact side never shuffles.
+        if catalog.exists("host_served"):
+            served = (
+                catalog.read("host_served")
+                .groupBy("host")
+                .agg(F.sum("n_scheduled").alias("_served"))
+            )
+            allowed = allowed.join(F.broadcast(served), "host", "left")
+        else:
+            allowed = allowed.withColumn("_served", F.lit(None).cast("long"))
+        allowed = allowed.withColumn(
+            "budget",
+            F.least(
+                F.col("budget").cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.lit(int(max_pages_per_host))
+                    - F.coalesce(F.col("_served"), F.lit(0)),
+                ),
+            ).cast("int"),
+        ).drop("_served")
     # denied is referenced by the frontier rewrite, the status anti-join
     # and the denied counter; persist so the robots-gate branch runs once
     denied = denied.persist()
@@ -542,6 +578,14 @@ def run_round(
             .withColumn("round_id", F.lit(round_id))
         )
         writes.append(("host_outcomes", host_outcomes, False))
+    if max_pages_per_host is not None:
+        # quota state delta: one row per host scheduled this round
+        host_served_delta = (
+            scheduled.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_scheduled"))
+            .withColumn("round_id", F.lit(round_id))
+        )
+        writes.append(("host_served", host_served_delta, False))
     writes += [
         ("fetch_failures", failures_new, False),
         # one row per fetch partition -> single small file per round
@@ -640,6 +684,7 @@ def run_crawl(
     host_priorities: dict[str, int] | None = None,
     adaptive: bool = False,
     aging_every: int | None = None,
+    max_pages_per_host: int | None = None,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Full crawl loop: init + rounds until the frontier drains, or —
     with ``stop_on_caption_contains`` — until a round lands a matching
@@ -657,7 +702,7 @@ def run_crawl(
             stop_on_caption_contains=stop_on_caption_contains,
             compact_frac=compact_frac, compact_min=compact_min,
             host_priorities=host_priorities, adaptive=adaptive,
-            aging_every=aging_every,
+            aging_every=aging_every, max_pages_per_host=max_pages_per_host,
         )
         history.append(stats)
         if stats.get("target_hits", 0) > 0:
@@ -676,18 +721,25 @@ def resume_crawl(
     use_bloom: bool = True,
     max_attempts: int = 2,
     aging_every: int | None = None,
+    host_priorities: dict[str, int] | None = None,
+    adaptive: bool = False,
+    max_pages_per_host: int | None = None,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Resume from the latest committed snapshot (T2: save_crawling_state
     analog). Staged-but-uncommitted files from a crashed round are
     invisible, so the interrupted round simply re-runs. Pass the same
-    ``aging_every`` the crawl was started with — aging is stateless
-    (derived from born_round), so resume needs no stored aging state."""
+    scheduler flags the crawl was started with: aging is stateless
+    (derived from born_round), adaptive feedback and the host quota read
+    their own committed state tables (host_outcomes / host_served), so
+    resume needs no extra stored state beyond the snapshot itself."""
     catalog = SnapshotCatalog(root, spark)
     history: list[dict] = []
     for _ in range(max_rounds):
         stats = run_round(
             catalog, web, round_seconds=round_seconds, use_bloom=use_bloom,
             max_attempts=max_attempts, aging_every=aging_every,
+            host_priorities=host_priorities, adaptive=adaptive,
+            max_pages_per_host=max_pages_per_host,
         )
         history.append(stats)
         if stats["scheduled"] == 0:

@@ -475,3 +475,67 @@ def test_all_features_combined_oracle_match(spark, tmp_path):
     fails = catalog.read("fetch_failures").select("url_canon", "attempts").collect()
     assert {r["url_canon"] for r in fails} == {u for u, _ in oracle.failures}
     assert all(r["attempts"] == 2 for r in fails)
+
+
+def test_host_quota_oracle_match(spark, tmp_path):
+    """Cumulative host quota (max_pages_per_host, the Heritrix host-quota
+    control): a host that has consumed its lifetime schedule slots never
+    schedules again; its surplus rows stay pending and the loop drains.
+    Engine schedule + seen-set must match the sequential oracle exactly,
+    and the quota must actually bind."""
+    web = T2_CORRECTNESS
+    quota = 4
+    kw = dict(round_seconds=ROUND_S, max_pages_per_host=quota)
+    catalog, _ = run_crawl(spark, str(tmp_path / "quota"), web, use_bloom=True, **kw)
+    oracle = OracleCrawler(web, **kw)
+    oracle.run()
+
+    assert _engine_schedule(catalog) == oracle.schedule
+    engine_seen = {
+        r["url_canon"] for r in catalog.read("seen").select("url_canon").collect()
+    }
+    assert engine_seen == oracle.seen
+
+    # non-degenerate: the cap binds (some host consumed exactly `quota`
+    # slots, none exceeded it) and the capped crawl fetched strictly
+    # fewer slots than the unlimited baseline
+    assert oracle.host_served and max(oracle.host_served.values()) == quota
+    assert all(v <= quota for v in oracle.host_served.values())
+    plain = OracleCrawler(web, round_seconds=ROUND_S)
+    plain.run()
+    assert len(oracle.schedule) < len(plain.schedule)
+
+    # engine's own quota-state table agrees with the oracle's counter
+    served = {
+        r["host"]: r["n"]
+        for r in catalog.read("host_served")
+        .groupBy("host")
+        .agg(F.sum("n_scheduled").alias("n"))
+        .collect()
+    }
+    assert served == oracle.host_served
+
+
+def test_host_quota_resume(spark, tmp_path):
+    """Quota crawls are resumable: the host_served state table is part of
+    the snapshot, so stop-after-k-rounds + resume with the same flag is
+    schedule-identical to an uninterrupted quota crawl."""
+    web = T2_CORRECTNESS
+    quota = 4
+    root = str(tmp_path / "quota_resume")
+    catalog = SnapshotCatalog(root, spark)
+    init_crawl(catalog, web)
+    run_round(catalog, web, round_seconds=ROUND_S, max_pages_per_host=quota)
+    run_round(catalog, web, round_seconds=ROUND_S, max_pages_per_host=quota)
+    del catalog  # "crash"
+
+    catalog2, _ = resume_crawl(
+        spark, root, web, round_seconds=ROUND_S, max_pages_per_host=quota
+    )
+    oracle = OracleCrawler(web, round_seconds=ROUND_S, max_pages_per_host=quota)
+    oracle.run()
+    assert _engine_schedule(catalog2) == oracle.schedule
+    seen2 = {
+        r["url_canon"] for r in catalog2.read("seen").select("url_canon").collect()
+    }
+    assert seen2 == oracle.seen
