@@ -4899,6 +4899,35 @@ def q_hits_scores(spark, sf_dir):
     )
 
 
+def q_salsa_scores(spark, sf_dir):
+    """SALSA (Lempel & Moran WWW'00) over the same deterministic link
+    graph as hits_scores — the degree-normalized random-walk variant
+    that resists the tightly-knit-community capture HITS suffers
+    (operators/graph.py:salsa_scores; 2 L1-normalized iterations,
+    degrees attached to the edge list once, norms broadcast)."""
+    from crawler_spark.operators.graph import salsa_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") - F.col("doc_id") % 16).alias("dst"),
+        )
+        .union(
+            docs.select(
+                F.col("doc_id"), (F.col("doc_id") * 7) % 160
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    out = salsa_scores(edges, iters=2)
+    return out.select(
+        "node",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC archive round-trip: serialize fetch results (uri/status/
     body synthesized from documents) into concatenated WARC-style blobs,
@@ -7786,6 +7815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_politeness": q_ip_politeness,
         "aging_schedule": q_aging_schedule,
         "host_quota_schedule": q_host_quota_schedule,
+        "salsa_scores": q_salsa_scores,
         "span_dedup_stats": q_span_dedup_stats,
         "host_mirror_jaccard": q_host_mirror_jaccard,
         "host_cocitation": q_host_cocitation,
@@ -13284,6 +13314,45 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(CASE WHEN lam > 0.7 THEN 1 ELSE 0 END)
                         AS bigint) AS n_hot
             FROM est GROUP BY host
+        """,
+        "salsa_scores": """
+            WITH e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src, doc_id - doc_id % 16 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 7) % 160 FROM documents
+              ) WHERE src <> dst
+            ),
+            odg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+            idg AS (SELECT dst, count(*) AS indeg FROM e GROUP BY dst),
+            ed AS (SELECT e.src, e.dst, odg.od, idg.indeg
+                   FROM e JOIN odg USING (src) JOIN idg USING (dst)),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            a1r AS (SELECT dst AS node, sum(1.0 / od) AS a
+                    FROM ed GROUP BY dst),
+            a1f AS (SELECT n.node, coalesce(a1r.a, 0) AS a
+                    FROM nodes n LEFT JOIN a1r USING (node)),
+            a1 AS (SELECT node, a / sum(a) OVER () AS a FROM a1f),
+            h1r AS (SELECT ed.src AS node, sum(a1.a / ed.indeg) AS h
+                    FROM ed JOIN a1 ON ed.dst = a1.node GROUP BY ed.src),
+            h1f AS (SELECT n.node, coalesce(h1r.h, 0) AS h
+                    FROM nodes n LEFT JOIN h1r USING (node)),
+            h1 AS (SELECT node, h / sum(h) OVER () AS h FROM h1f),
+            a2r AS (SELECT ed.dst AS node, sum(h1.h / ed.od) AS a
+                    FROM ed JOIN h1 ON ed.src = h1.node GROUP BY ed.dst),
+            a2f AS (SELECT n.node, coalesce(a2r.a, 0) AS a
+                    FROM nodes n LEFT JOIN a2r USING (node)),
+            a2 AS (SELECT node, a / sum(a) OVER () AS a FROM a2f),
+            h2r AS (SELECT ed.src AS node, sum(a2.a / ed.indeg) AS h
+                    FROM ed JOIN a2 ON ed.dst = a2.node GROUP BY ed.src),
+            h2f AS (SELECT n.node, coalesce(h2r.h, 0) AS h
+                    FROM nodes n LEFT JOIN h2r USING (node)),
+            h2 AS (SELECT node, h / sum(h) OVER () AS h FROM h2f)
+            SELECT a2.node, round(a2.a, 6) AS authority,
+                   round(h2.h, 6) AS hub
+            FROM a2 JOIN h2 USING (node)
         """,
         "hits_scores": """
             WITH e AS (

@@ -383,3 +383,45 @@ def test_adjacency_gap_bits_beats_flat_on_clustered(spark):
     assert r.bits_gamma == 3 + 62
     assert r.bits_flat == 63 * 6  # 64 nodes -> len(bin(63)) = 6
     assert r.bits_gamma < r.bits_flat / 5
+
+
+def test_salsa_matches_dense_numpy(spark):
+    from crawler_spark.operators.graph import salsa_scores
+
+    # same tiny web as the HITS test, but under SALSA's degree-normalized
+    # walk: each hub spreads 1/outdeg per out-edge, each authority
+    # returns 1/indeg per in-edge, and both sides are L1-normalized
+    edges = [(0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (2, 3), (4, 5)]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    od = {s: sum(1 for e in edges if e[0] == s) for s, _ in edges}
+    indeg = {d: sum(1 for e in edges if e[1] == d) for _, d in edges}
+    Wf = np.zeros((n, n))  # forward: hub u spreads h(u)/outdeg(u)
+    Wb = np.zeros((n, n))  # backward: authority v returns a(v)/indeg(v)
+    for s, d in edges:
+        Wf[idx[s], idx[d]] = 1.0 / od[s]
+        Wb[idx[s], idx[d]] = 1.0 / indeg[d]
+    h = np.ones(n)
+    for _ in range(3):
+        a = Wf.T @ h
+        a /= a.sum()
+        h = Wb @ a
+        h /= h.sum()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["authority"], r["hub"])
+        for r in salsa_scores(df, iters=3).collect()
+    }
+    assert set(got) == set(nodes)
+    for m in nodes:
+        assert got[m][0] == pytest.approx(a[idx[m]], abs=1e-12)
+        assert got[m][1] == pytest.approx(h[idx[m]], abs=1e-12)
+    # the scores are occupancy distributions: each side sums to 1
+    assert sum(v[0] for v in got.values()) == pytest.approx(1.0)
+    assert sum(v[1] for v in got.values()) == pytest.approx(1.0)
+    # TKC resistance vs HITS: node 3 (indeg 3) still tops authorities,
+    # but 4 and 2 (indeg 1 vs 2) stay proportionate, not crushed
+    ranked = sorted(nodes, key=lambda m: -got[m][0])
+    assert ranked[0] == 3
+    assert got[2][0] > got[4][0] > 0
