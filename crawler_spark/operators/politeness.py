@@ -39,22 +39,25 @@ def politeness_select(
     budget_col: str = "budget",
     n_salt: int = 16,
     order_cols: list[str] | None = None,
+    key_col: str = "host",
 ) -> DataFrame:
-    """Keep the first ``budget`` pending rows per host in frontier order.
+    """Keep the first ``budget`` pending rows per politeness key in
+    frontier order.
 
-    ``allowed`` must carry host, the order columns and an int
-    ``budget_col`` (constant per host). ``order_cols`` overrides the
+    ``allowed`` must carry ``key_col`` (host by default; ``ip_id`` for
+    the Mercator shared-IP refinement), the order columns and an int
+    ``budget_col`` (constant per key). ``order_cols`` overrides the
     default ORDER_COLS total order (run_round passes the aged effective
     key). Returns the scheduled rows (budget columns kept).
     """
     salted = allowed.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(n_salt)))
-    w1 = Window.partitionBy("host", "_salt").orderBy(*_order(order_cols))
+    w1 = Window.partitionBy(key_col, "_salt").orderBy(*_order(order_cols))
     survivors = (
         salted.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= F.col(budget_col))
         .drop("_r1", "_salt")
     )
-    w2 = Window.partitionBy("host").orderBy(*_order(order_cols))
+    w2 = Window.partitionBy(key_col).orderBy(*_order(order_cols))
     return (
         survivors.withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= F.col(budget_col))

@@ -56,6 +56,8 @@ class OracleCrawler:
         adaptive: bool = False,
         aging_every: int | None = None,
         max_pages_per_host: int | None = None,
+        politeness_by: str = "host",
+        n_ips: int = 4,
     ):
         self.web = web
         self.round_seconds = round_seconds
@@ -66,6 +68,11 @@ class OracleCrawler:
         # schedules again; its rows stay pending and the loop drains.
         self.quota = max_pages_per_host
         self.host_served: dict[str, int] = {}
+        # Mercator shared-IP politeness mirror (run_round politeness_by):
+        # ip = xxhash64(host) pmod n_ips; budget per IP = min of its
+        # member hosts' budgets among hosts pending this round
+        self.politeness_by = politeness_by
+        self.n_ips = n_ips
         # OPIC-style priority queue hook: lower value schedules first;
         # hosts absent from the map crawl at priority 0 (the default
         # FIFO-by-discovery behavior the reference exhibits)
@@ -151,9 +158,29 @@ class OracleCrawler:
                 b = min(b, max(0, self.quota - self.host_served.get(host, 0)))
             return b
 
+        if self.politeness_by == "ip":
+            # shared-IP admission: Python % matches Spark pmod for a
+            # positive modulus, and xxh64_str matches xxhash64 exactly
+            def _key(e: _Entry) -> object:
+                return xxh64_str(e.host) % self.n_ips
+
+            ipb: dict[object, int] = {}
+            for e in alive:
+                k, b = _key(e), _round_budget(e.host)
+                ipb[k] = min(ipb.get(k, b), b)
+
+            def _bud(e: _Entry) -> int:
+                return ipb[_key(e)]
+
+        else:
+            def _key(e: _Entry) -> object:
+                return e.host
+
+            _bud = lambda e: _round_budget(e.host)  # noqa: E731
         for e in alive:
-            if used.get(e.host, 0) < _round_budget(e.host):
-                used[e.host] = used.get(e.host, 0) + 1
+            k = _key(e)
+            if used.get(k, 0) < _bud(e):
+                used[k] = used.get(k, 0) + 1
                 taken.append(e)
             else:
                 deferred.append(e)

@@ -215,9 +215,21 @@ def run_round(
     adaptive: bool = False,
     aging_every: int | None = None,
     max_pages_per_host: int | None = None,
+    politeness_by: str = "host",
+    n_ips: int = 4,
 ) -> dict:
     """Execute one crawl round; returns counters (crawling_stats analog,
     reference: src/crawler/base_crawler.py:38-47).
+
+    ``politeness_by="ip"`` switches the admission window to the Mercator
+    shared-IP refinement: virtual hosting maps many hostnames onto one
+    server, so the budget is enforced per IP, not per hostname. The IP
+    stand-in is ``xxhash64(host) pmod n_ips`` (a DNS dimension would
+    slot in identically), and an IP's budget is the MIN of its member
+    hosts' budgets this round — exactly floor(round_seconds / max
+    member delay), i.e. the shared server is as slow as its slowest
+    declared crawl-delay. Mutually exclusive with ``adaptive`` and
+    ``max_pages_per_host`` (both are host-keyed budget clamps).
 
     ``max_pages_per_host`` is the cumulative host quota (the Heritrix
     host-quota control; the reference's per-region result cap is the
@@ -259,6 +271,13 @@ def run_round(
     into the base when it exceeds max(compact_min, compact_frac * base
     rows) — the merge-on-read compaction cadence.
     """
+    if politeness_by not in ("host", "ip"):
+        raise ValueError("politeness_by must be 'host' or 'ip'")
+    if politeness_by == "ip" and (adaptive or max_pages_per_host is not None):
+        raise ValueError(
+            "politeness_by='ip' is incompatible with the host-keyed "
+            "budget clamps (adaptive, max_pages_per_host)"
+        )
     spark = catalog.spark
     round_id = catalog.current_id() + 1
     meta = catalog.meta()
@@ -349,11 +368,33 @@ def run_round(
     else:
         eff = F.col("priority")
     allowed = allowed.withColumn("eff_priority", eff)
-    scheduled = politeness_select(
-        allowed,
-        n_salt=n_salt,
-        order_cols=["eff_priority", "depth", "discovery_seq", "url_hash"],
-    ).persist()
+    sched_key = "host"
+    if politeness_by == "ip":
+        # Mercator shared-IP politeness: key the admission window by the
+        # (deterministic) IP and give each IP the MIN of its member
+        # hosts' budgets — floor(round_seconds / max member delay),
+        # since floor and min commute through the monotone 1/delay.
+        # The per-IP budget dimension is O(n_ips): broadcast.
+        allowed = allowed.withColumn(
+            "ip_id", F.pmod(F.xxhash64("host"), F.lit(n_ips))
+        )
+        ipb = allowed.groupBy("ip_id").agg(F.min("budget").alias("_ipb"))
+        allowed = (
+            allowed.drop("budget")
+            .join(F.broadcast(ipb), "ip_id")
+            .withColumnRenamed("_ipb", "budget")
+        )
+        sched_key = "ip_id"
+    scheduled = (
+        politeness_select(
+            allowed,
+            n_salt=n_salt,
+            order_cols=["eff_priority", "depth", "discovery_seq", "url_hash"],
+            key_col=sched_key,
+        )
+        .drop("ip_id")
+        .persist()
+    )
     # The fetch stage is compute-heavy but byte-light: AQE would coalesce
     # the window shuffle's ~MBs of URL rows into 1-2 partitions and
     # serialize the Python fetch workers. Explicitly hash-repartition to
@@ -685,6 +726,8 @@ def run_crawl(
     adaptive: bool = False,
     aging_every: int | None = None,
     max_pages_per_host: int | None = None,
+    politeness_by: str = "host",
+    n_ips: int = 4,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Full crawl loop: init + rounds until the frontier drains, or —
     with ``stop_on_caption_contains`` — until a round lands a matching
@@ -703,6 +746,7 @@ def run_crawl(
             compact_frac=compact_frac, compact_min=compact_min,
             host_priorities=host_priorities, adaptive=adaptive,
             aging_every=aging_every, max_pages_per_host=max_pages_per_host,
+            politeness_by=politeness_by, n_ips=n_ips,
         )
         history.append(stats)
         if stats.get("target_hits", 0) > 0:
@@ -724,6 +768,8 @@ def resume_crawl(
     host_priorities: dict[str, int] | None = None,
     adaptive: bool = False,
     max_pages_per_host: int | None = None,
+    politeness_by: str = "host",
+    n_ips: int = 4,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Resume from the latest committed snapshot (T2: save_crawling_state
     analog). Staged-but-uncommitted files from a crashed round are
@@ -740,6 +786,7 @@ def resume_crawl(
             max_attempts=max_attempts, aging_every=aging_every,
             host_priorities=host_priorities, adaptive=adaptive,
             max_pages_per_host=max_pages_per_host,
+            politeness_by=politeness_by, n_ips=n_ips,
         )
         history.append(stats)
         if stats["scheduled"] == 0:

@@ -539,3 +539,34 @@ def test_host_quota_resume(spark, tmp_path):
         r["url_canon"] for r in catalog2.read("seen").select("url_canon").collect()
     }
     assert seen2 == oracle.seen
+
+
+def test_ip_politeness_oracle_match(spark, tmp_path):
+    """Mercator shared-IP politeness (politeness_by='ip'): hostnames map
+    onto n_ips shared servers (xxhash64 pmod), the admission window keys
+    by IP, and an IP's budget is the min of its member hosts' budgets.
+    Engine schedule + seen-set match the sequential oracle exactly; the
+    shared budget slows the crawl relative to host-keyed politeness
+    without changing coverage."""
+    from crawler_spark.functions.xxh import xxh64_str
+
+    web = T2_CORRECTNESS
+    kw = dict(round_seconds=ROUND_S, politeness_by="ip", n_ips=2)
+    catalog, _ = run_crawl(spark, str(tmp_path / "ip"), web, **kw)
+    oracle = OracleCrawler(web, **kw)
+    oracle.run()
+
+    assert _engine_schedule(catalog) == oracle.schedule
+    engine_seen = {
+        r["url_canon"] for r in catalog.read("seen").select("url_canon").collect()
+    }
+    assert engine_seen == oracle.seen
+
+    # non-degenerate: hosts actually share IPs, and the shared budget
+    # reordered the schedule vs host-keyed politeness (same coverage)
+    hosts = {h for _, u in oracle.schedule for h in [u.split("://")[1].split("/")[0]]}
+    assert len(hosts) > len({xxh64_str(h) % 2 for h in hosts})
+    plain = OracleCrawler(web, round_seconds=ROUND_S)
+    plain.run()
+    assert oracle.schedule != plain.schedule
+    assert oracle.seen == plain.seen
