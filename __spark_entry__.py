@@ -7677,6 +7677,81 @@ def q_ed_join_stats(spark, sf_dir):
     )
 
 
+def q_pareto_frontier(spark, sf_dir):
+    """Exact distributed skyline over (value_score, staleness): the
+    recrawl candidates no scalarization can rank away — every page not
+    Pareto-dominated on both criteria. Two-phase plan
+    (operators/skyline.py): per-bucket native window sweep, then one
+    sweep over the union of bucket survivors; correctness is
+    partition-count independent because skyline is algebraic over
+    unions, so the dominated bulk never crosses the wire. Oracle is
+    the quadratic NOT-EXISTS dominance definition — proving the
+    two-phase sweep loses nothing."""
+    from crawler_spark.operators.skyline import skyline2d
+
+    pts = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") % 97).cast("long").alias("value_score"),
+        ((F.col("doc_id") * 31) % 89).cast("long").alias("staleness"),
+    )
+    return skyline2d(pts, "value_score", "staleness").select(
+        F.col("x").alias("value_score"), F.col("y").alias("staleness")
+    )
+
+
+def q_aimd_rates(spark, sf_dir):
+    """AIMD politeness-rate replay (operators/politeness.py
+    aimd_trajectory): each host's full 12-round outcome history folded
+    through TCP's additive-increase / multiplicative-decrease rule in
+    ONE higher-order `aggregate` per host — the batch recovery of every
+    converged crawl rate with no per-round state tables, no driver
+    loop, one shuffle. Integer (`div`) arithmetic end-to-end; the
+    oracle replays the identical recurrence as a recursive CTE."""
+    from crawler_spark.operators.politeness import aimd_trajectory
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 20).alias("hid"))
+        .distinct()
+    )
+    outcomes = hosts.select(
+        "hid", F.explode(F.sequence(F.lit(1), F.lit(12))).alias("round_id")
+    ).select(
+        F.concat(
+            F.lit("host-"), F.col("hid").cast("string"), F.lit(".test")
+        ).alias("host"),
+        "round_id",
+        ((F.col("hid") * 7 + F.col("round_id") * 13) % 5 == 0)
+        .cast("int")
+        .alias("n_failed"),
+    )
+    return aimd_trajectory(outcomes)
+
+
+def q_host_distinct_hll(spark, sf_dir):
+    """Per-host HLL distinct-URL estimate vs exact (sketches.py
+    hll_registers_by): the grouped form of the cardinality sketch —
+    the shuffle carries <=256 register rows per host instead of every
+    distinct URL, the pattern that replaces count_distinct when both
+    the group count and per-group cardinality are web-scale. Same
+    integer-scaled harmonic estimator as the global sketch, so the
+    grouped oracle transcribes it verbatim."""
+    from crawler_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    f = _frontier(spark, sf_dir)
+    est = hll_estimate_by(hll_registers_by(f, ["host"], "url"), ["host"])
+    exact = f.groupBy("host").agg(
+        F.countDistinct("url").alias("exact_distinct")
+    )
+    return est.join(exact, "host").select(
+        "host",
+        F.floor(F.col("hll_estimate")).cast("long").alias("hll_floor"),
+        "exact_distinct",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -7779,6 +7854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_gap_bits": q_adjacency_gap_bits,
         "degree_assortativity": q_degree_assortativity,
         "ams_f2": q_ams_f2,
+        "pareto_frontier": q_pareto_frontier,
+        "aimd_rates": q_aimd_rates,
+        "host_distinct_hll": q_host_distinct_hll,
         "phash_bit_bias": q_phash_bit_bias,
         "exact_global_median": q_exact_global_median,
         "warc_revisit_plan": q_warc_revisit_plan,
@@ -9919,6 +9997,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT bit_idx, CAST(sum(b) AS BIGINT) AS n_ones,
                    round(abs(sum(b) * 1.0 / count(*) - 0.5), 6) AS bias
             FROM bits GROUP BY bit_idx
+        """,
+        "pareto_frontier": """
+            WITH pts AS (
+              SELECT DISTINCT CAST(n_chars % 97 AS BIGINT) AS x,
+                              CAST((doc_id * 31) % 89 AS BIGINT) AS y
+              FROM documents
+            )
+            SELECT x AS value_score, y AS staleness
+            FROM pts p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pts q
+              WHERE q.x >= p.x AND q.y >= p.y
+                AND (q.x > p.x OR q.y > p.y)
+            )
+        """,
+        "aimd_rates": """
+            WITH RECURSIVE hosts AS (
+              SELECT DISTINCT doc_id % 20 AS hid FROM documents
+            ),
+            o AS (
+              SELECT hid, r AS round_id,
+                     CASE WHEN (hid * 7 + r * 13) % 5 = 0
+                          THEN 1 ELSE 0 END AS n_failed
+              FROM hosts CROSS JOIN range(1, 13) t(r)
+            ),
+            rc AS (
+              SELECT hid, 0 AS r, CAST(4 AS BIGINT) AS rate,
+                     CAST(0 AS BIGINT) AS inc_, CAST(0 AS BIGINT) AS dec_,
+                     CAST(4 AS BIGINT) AS peak
+              FROM hosts
+              UNION ALL
+              SELECT rc.hid, rc.r + 1,
+                     CASE WHEN o.n_failed > 0
+                          THEN greatest(1, rc.rate // 2)
+                          ELSE least(64, rc.rate + 1) END,
+                     rc.inc_ + CASE WHEN o.n_failed > 0 THEN 0 ELSE 1 END,
+                     rc.dec_ + CASE WHEN o.n_failed > 0 THEN 1 ELSE 0 END,
+                     CASE WHEN o.n_failed > 0 THEN rc.peak
+                          ELSE greatest(rc.peak, least(64, rc.rate + 1)) END
+              FROM rc JOIN o ON o.hid = rc.hid AND o.round_id = rc.r + 1
+            )
+            SELECT 'host-' || hid || '.test' AS host,
+                   CAST(12 AS INT) AS n_rounds,
+                   rate AS final_rate,
+                   inc_ AS n_increase,
+                   dec_ AS n_decrease,
+                   peak AS peak_rate
+            FROM rc WHERE r = 12
+        """,
+        "host_distinct_hll": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            hw AS (
+              SELECT host, h % 256 AS idx, h >> 8 AS w FROM (
+                SELECT host,
+                       CAST(concat('0x', substring(md5(url), 1, 15))
+                            AS BIGINT) AS h
+                FROM f
+              )
+            ),
+            reg AS (
+              SELECT host, idx,
+                     max(CASE WHEN w = 0 THEN 53
+                              ELSE length(bin(w & -w)) END) AS rho_max
+              FROM hw GROUP BY host, idx
+            ),
+            d AS (
+              SELECT host,
+                     sum(CAST(1 AS BIGINT) << (53 - rho_max))
+                     + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
+                       AS denom_scaled
+              FROM reg GROUP BY host
+            ),
+            est AS (
+              SELECT host,
+                     round(47072.71267120224 * pow(CAST(2 AS DOUBLE), 53)
+                           / denom_scaled, 3) AS hll_estimate
+              FROM d
+            ),
+            exact AS (
+              SELECT host, count(DISTINCT url) AS exact_distinct
+              FROM f GROUP BY host
+            )
+            SELECT est.host,
+                   CAST(floor(hll_estimate) AS BIGINT) AS hll_floor,
+                   exact_distinct
+            FROM est JOIN exact ON est.host = exact.host
         """,
         "ams_f2": f"""
             WITH f AS ({_FRONTIER_SQL}),

@@ -342,3 +342,67 @@ def refresh_allocation(
         )
         .select("host", "n_visits", "freshness_gain_scaled")
     )
+
+
+def aimd_trajectory(
+    outcomes: DataFrame,
+    init_rate: int = 4,
+    max_rate: int = 64,
+    min_rate: int = 1,
+) -> DataFrame:
+    """Stateless replay of the AIMD congestion controller over each
+    host's full round history: rate <- rate+1 after a clean round
+    (additive increase), rate <- max(min, rate div 2) after any failed
+    fetch (multiplicative decrease) — TCP's fairness-converging rule
+    applied to crawl admission (Chiu & Jain '89). ``adaptive_budgets``
+    is the controller's one ONLINE step; this operator replays the
+    whole trajectory from the outcome log in one batch pass, which is
+    how a resumed or re-planned crawl recovers every host's converged
+    rate WITHOUT per-round state tables.
+
+    Input: one row per (host, round_id, n_failed). Plan shape: one
+    groupBy(host) packing the history into an ordered array (rounds
+    per host is a small constant — the crawl's round count, not data
+    volume), then the entire recurrence runs inside one higher-order
+    ``aggregate`` fold per row: no iteration, no driver loop, no
+    Python, one shuffle total. All arithmetic is int64 (`div`), so the
+    SQL oracle replays bit-equal.
+
+    Output per host: final_rate, n_increase, n_decrease, peak_rate —
+    the converged budget plus the oscillation profile (a host pinned
+    at min_rate is the politeness analog of a congested link).
+    """
+    hist = outcomes.groupBy("host").agg(
+        F.sort_array(
+            F.collect_list(F.struct("round_id", "n_failed"))
+        ).alias("h")
+    )
+    # fold state packed as one struct: (rate, n_inc, n_dec, peak)
+    fold = F.expr(
+        f"""aggregate(
+             h,
+             named_struct('rate', {init_rate}L, 'inc', 0L, 'dec', 0L,
+                          'peak', {init_rate}L),
+             (s, o) -> IF(
+               o.n_failed > 0,
+               named_struct(
+                 'rate', greatest({min_rate}L, s.rate div 2),
+                 'inc', s.inc, 'dec', s.dec + 1L, 'peak', s.peak),
+               named_struct(
+                 'rate', least({max_rate}L, s.rate + 1L),
+                 'inc', s.inc + 1L, 'dec', s.dec,
+                 'peak', greatest(s.peak, least({max_rate}L, s.rate + 1L))))
+           )"""
+    )
+    return hist.select(
+        "host",
+        F.size("h").alias("n_rounds"),
+        fold.alias("_s"),
+    ).select(
+        "host",
+        "n_rounds",
+        F.col("_s.rate").alias("final_rate"),
+        F.col("_s.inc").alias("n_increase"),
+        F.col("_s.dec").alias("n_decrease"),
+        F.col("_s.peak").alias("peak_rate"),
+    )

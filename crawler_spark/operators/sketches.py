@@ -193,3 +193,50 @@ def ams_f2(df: DataFrame, key_expr: str, k: int = AMS_K) -> DataFrame:
         F.col("est2x").cast("long").alias("f2_est_2x"),
         F.lit(k).cast("int").alias("k"),
     )
+
+
+# ------------------------------------------------- per-group HLL
+
+def hll_registers_by(
+    df: DataFrame, group_cols: list[str], key_expr: str
+) -> DataFrame:
+    """Per-group HLL registers: one sketch per `group_cols` value over
+    `key_expr`. The shuffle carries at most m=256 register rows per
+    group after map-side partial agg — the per-group approximate
+    distinct count that replaces count_distinct's full key shuffle
+    when groups are hot (10^6 URLs per host x 10^7 hosts). Same
+    hash/rho recipe as the global sketch, so the oracle transcribes."""
+    hw = df.select(*group_cols, _h60(key_expr).alias("h")).select(
+        *group_cols,
+        (F.col("h") % HLL_M).cast("int").alias("idx"),
+        F.expr(f"shiftright(h, {HLL_P})").alias("w"),
+    )
+    reg = hw.select(
+        *group_cols,
+        "idx",
+        F.when(F.col("w") == 0, F.lit(53))
+        .otherwise(F.length(F.bin(F.col("w").bitwiseAND(-F.col("w")))))
+        .alias("rho"),
+    )
+    return reg.groupBy(*group_cols, "idx").agg(F.max("rho").alias("rho_max"))
+
+
+def hll_estimate_by(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group raw HLL estimate from grouped registers — the same
+    integer-scaled harmonic denominator as the global estimator
+    (order-independent, engine-exact), one row per group."""
+    return registers.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 53 - rho_max)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << 53).cast("long")
+        ).alias("denom_scaled")
+    ).select(
+        *group_cols,
+        F.round(
+            F.lit(HLL_ALPHA * HLL_M * HLL_M)
+            * F.pow(F.lit(2.0), 53)
+            / F.col("denom_scaled"),
+            3,
+        ).alias("hll_estimate"),
+    )
