@@ -7752,6 +7752,92 @@ def q_host_distinct_hll(spark, sf_dir):
     )
 
 
+def q_join_size_forecast(spark, sf_dir):
+    """Count-Min join-cardinality forecast (sketches.py
+    countmin_join_size, the AGMS inner-product estimator): the shuffle-
+    join size of frontier hosts vs an event-activity host key predicted
+    from two d*w sketches — two O(n) scans + a d*w-row join instead of
+    the join itself; what a planner consults BEFORE committing a
+    10^10-row shuffle. Exact join size co-computed as the witness;
+    estimate >= exact always (one-sided CM error)."""
+    from crawler_spark.operators.sketches import countmin_join_size
+
+    f = _frontier(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("host-"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".test"),
+        ).alias("ehost")
+    )
+    return countmin_join_size(f, "host", ev, "ehost")
+
+
+def q_scd2_robots_history(spark, sf_dir):
+    """Type-2 SCD over a per-host crawl-delay change log
+    (operators/enrich.py scd2_intervals + scd2_lookup): each fetch
+    joins the delay that was in force AT ITS ROUND — joining today's
+    robots dimension onto historical fetches silently rewrites
+    history. Interval build is one lead() window over the dimension-
+    sized change log; the lookup is an equi-join on host with the
+    BETWEEN residual (broadcast dim), 1:1 per fact by construction."""
+    from crawler_spark.operators.enrich import scd2_intervals, scd2_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 20).alias("hid")).distinct()
+    changes = (
+        hosts.select(
+            "hid",
+            F.explode(
+                F.array(
+                    F.lit(1), (F.lit(2) + F.col("hid") % 5).cast("int"),
+                    F.lit(9),
+                )
+            ).alias("round_id"),
+        )
+        .select(
+            F.concat(
+                F.lit("host-"), F.col("hid").cast("string"), F.lit(".test")
+            ).alias("host"),
+            "round_id",
+            ((F.col("hid") + F.col("round_id")) % 7 + 1).cast("long").alias(
+                "delay_s"
+            ),
+        )
+    )
+    dim = scd2_intervals(changes, ["host"], "round_id")
+    facts = docs.select(
+        F.concat(
+            F.lit("host-"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".test"),
+        ).alias("host"),
+        (F.col("doc_id") % 12 + 1).cast("long").alias("fetch_round"),
+    )
+    looked = scd2_lookup(facts, dim, ["host"], "fetch_round")
+    return looked.groupBy(
+        "host", "fetch_round", "delay_s", "valid_from", "valid_to"
+    ).agg(F.count("*").alias("n_fetches"))
+
+
+def q_session_windows(spark, sf_dir):
+    """Native session-window aggregation (F.session_window, 30-min
+    gap): per-user sessions where end = last event + gap — Spark's
+    built-in streaming-capable session operator run in batch form. One
+    hash shuffle on user_id; the oracle is the classic gaps-and-
+    islands construction (lag + running boundary sum), proving the
+    built-in's merge semantics against first principles."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -7855,6 +7941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "ams_f2": q_ams_f2,
         "pareto_frontier": q_pareto_frontier,
+        "join_size_forecast": q_join_size_forecast,
+        "scd2_robots_history": q_scd2_robots_history,
+        "session_windows": q_session_windows,
         "aimd_rates": q_aimd_rates,
         "host_distinct_hll": q_host_distinct_hll,
         "phash_bit_bias": q_phash_bit_bias,
@@ -9997,6 +10086,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT bit_idx, CAST(sum(b) AS BIGINT) AS n_ones,
                    round(abs(sum(b) * 1.0 / count(*) - 0.5), 6) AS bias
             FROM bits GROUP BY bit_idx
+        """,
+        "join_size_forecast": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            ev AS (
+              SELECT 'host-' || (user_id % 20) || '.test' AS ehost
+              FROM events
+            ),
+            ca AS (
+              SELECT r AS cm_row,
+                     {_hexdig_sql("'cm' || r || ':' || host", 1)} * 16
+                     + {_hexdig_sql("'cm' || r || ':' || host", 2)} AS cm_col,
+                     count(*) AS cnt
+              FROM f CROSS JOIN range(0, 4) t(r)
+              GROUP BY 1, 2
+            ),
+            cb AS (
+              SELECT r AS cm_row,
+                     {_hexdig_sql("'cm' || r || ':' || ehost", 1)} * 16
+                     + {_hexdig_sql("'cm' || r || ':' || ehost", 2)} AS cm_col,
+                     count(*) AS cnt
+              FROM ev CROSS JOIN range(0, 4) t(r)
+              GROUP BY 1, 2
+            ),
+            ip AS (
+              SELECT ca.cm_row, sum(ca.cnt * cb.cnt) AS ip
+              FROM ca JOIN cb
+                ON ca.cm_row = cb.cm_row AND ca.cm_col = cb.cm_col
+              GROUP BY ca.cm_row
+            ),
+            est AS (
+              SELECT min(coalesce(ip, 0)) AS join_size_est
+              FROM range(0, 4) rows(cm_row) LEFT JOIN ip USING (cm_row)
+            ),
+            fa AS (SELECT host AS k, count(*) AS fa FROM f GROUP BY host),
+            fb AS (SELECT ehost AS k, count(*) AS fb FROM ev GROUP BY ehost),
+            exact AS (
+              SELECT coalesce(sum(fa * fb), 0) AS join_size_exact
+              FROM fa JOIN fb USING (k)
+            )
+            SELECT CAST(join_size_exact AS BIGINT) AS join_size_exact,
+                   CAST(join_size_est AS BIGINT) AS join_size_est
+            FROM exact CROSS JOIN est
+        """,
+        "scd2_robots_history": """
+            WITH hosts AS (
+              SELECT DISTINCT doc_id % 20 AS hid FROM documents
+            ),
+            changes AS (
+              SELECT 'host-' || hid || '.test' AS host,
+                     CAST(unnest([1, 2 + hid % 5, 9]) AS BIGINT) AS round_id,
+                     hid
+              FROM hosts
+            ),
+            dim AS (
+              SELECT host,
+                     CAST((hid + round_id) % 7 + 1 AS BIGINT) AS delay_s,
+                     round_id AS valid_from,
+                     coalesce(
+                       lead(round_id) OVER (
+                         PARTITION BY host ORDER BY round_id
+                       ) - 1,
+                       999999
+                     ) AS valid_to
+              FROM changes
+            ),
+            facts AS (
+              SELECT 'host-' || (doc_id % 20) || '.test' AS host,
+                     CAST(doc_id % 12 + 1 AS BIGINT) AS fetch_round
+              FROM documents
+            )
+            SELECT f.host, f.fetch_round, d.delay_s, d.valid_from,
+                   d.valid_to, count(*) AS n_fetches
+            FROM facts f
+            LEFT JOIN dim d
+              ON d.host = f.host
+             AND f.fetch_round BETWEEN d.valid_from AND d.valid_to
+            GROUP BY 1, 2, 3, 4, 5
+        """,
+        "session_windows": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "pareto_frontier": """
             WITH pts AS (

@@ -16,7 +16,7 @@ Reference parity:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -184,3 +184,54 @@ def jaccard_tokens(a, b):
         / F.greatest(F.size(F.array_union(ta, tb)), F.lit(1)),
         6,
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    open_end: int = 999999,
+) -> DataFrame:
+    """Type-2 slowly-changing dimension build: a change log (one row
+    per key per version where an attribute changed) becomes validity
+    intervals [valid_from, valid_to] via one lead() window per key —
+    the warehouse pattern that lets any fact row join the dimension
+    value that was TRUE AT ITS TIME (robots rules, host metadata,
+    politeness budgets all change mid-crawl; joining today's dimension
+    onto last month's fetches silently rewrites history).
+
+    The window partitions by key and orders by version — dimension-
+    sized, never a fact-table sort. The current row's interval stays
+    open as `open_end` (a sentinel beats NULL: range predicates stay
+    sargable and engine-comparable). Composes with asof_join for the
+    temporal lookup; `scd2_lookup` below is the interval-equi form."""
+    w = Window.partitionBy(*key_cols).orderBy(version_col)
+    return changes.withColumn(
+        "valid_from", F.col(version_col).cast("long")
+    ).withColumn(
+        "valid_to",
+        F.coalesce(
+            F.lead(F.col(version_col).cast("long")).over(w) - F.lit(1),
+            F.lit(open_end).cast("long"),
+        ),
+    ).drop(version_col)
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    at_col: str,
+) -> DataFrame:
+    """Point-in-time dimension lookup: each fact row joins the ONE
+    interval row covering its `at_col`. Equi-join on the keys first
+    (hash join, dimension broadcast when small) with the BETWEEN as a
+    residual filter — never a pure range theta-join. Intervals per key
+    are disjoint by construction, so the join is 1:1 per fact row."""
+    d = F.broadcast(dim)
+    cond = [facts[c] == dim[c] for c in key_cols] + [
+        facts[at_col].cast("long").between(
+            dim["valid_from"], dim["valid_to"]
+        )
+    ]
+    return facts.join(d, cond, "left").drop(*[dim[c] for c in key_cols])

@@ -240,3 +240,48 @@ def hll_estimate_by(registers: DataFrame, group_cols: list[str]) -> DataFrame:
             3,
         ).alias("hll_estimate"),
     )
+
+
+def countmin_join_size(
+    a: DataFrame, a_key: str, b: DataFrame, b_key: str
+) -> DataFrame:
+    """Equi-join cardinality forecast from two Count-Min sketches
+    (the AGMS/fast-AGMS inner-product estimator, Alon et al. '99 /
+    Cormode & Garofalakis '05): |A JOIN B on k| = sum_k fA(k)*fB(k),
+    upper-bounded by min over the d sketch rows of the row-wise inner
+    product sum_col cntA*cntB. Two O(input) scans build the d*w grids;
+    the estimate itself is a d*w-row join — the number a planner wants
+    BEFORE committing a shuffle join at 10^10 rows (paired with ams_f2
+    for the self-join case). Integer arithmetic end-to-end; exact join
+    size co-computed from grouped counts as the accuracy witness."""
+    sa = countmin_build(a, a_key)
+    sb = countmin_build(b, b_key)
+    ip = (
+        sa.join(sb.withColumnRenamed("cnt", "cnt_b"), ["cm_row", "cm_col"])
+        .groupBy("cm_row")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+    )
+    # a sketch row with NO colliding cells has inner product 0 (the
+    # correct — and tightest — estimate); a bare min over the inner
+    # join would skip it and return NULL on disjoint key spaces
+    est = (
+        sa.select("cm_row")
+        .distinct()
+        .join(ip, "cm_row", "left")
+        .agg(F.min(F.coalesce(F.col("ip"), F.lit(0))).alias("join_size_est"))
+    )
+    fa = a.select(F.expr(a_key).alias("k")).groupBy("k").agg(
+        F.count("*").alias("fa")
+    )
+    fb = b.select(F.expr(b_key).alias("k")).groupBy("k").agg(
+        F.count("*").alias("fb")
+    )
+    exact = fa.join(fb, "k").agg(
+        F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0)).alias(
+            "join_size_exact"
+        )
+    )
+    return exact.crossJoin(est).select(
+        F.col("join_size_exact").cast("long"),
+        F.col("join_size_est").cast("long"),
+    )
