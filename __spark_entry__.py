@@ -7838,6 +7838,81 @@ def q_session_windows(spark, sf_dir):
     )
 
 
+def _reach_sql(tbl: str) -> str:
+    """Dialect-neutral recursive-CTE reachability (hop-bounded BFS over
+    q_seed_distance's edge family) — the SAME text runs on Spark 4's
+    native WITH RECURSIVE and on DuckDB, so the oracle is literally the
+    query. `tbl` is the documents relation in each dialect."""
+    return f"""
+        WITH RECURSIVE e0 AS (
+          SELECT CAST(doc_id % 20 AS BIGINT) AS src,
+                 CAST((doc_id % 20 + 10) % 20 AS BIGINT) AS dst
+          FROM {tbl} WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT CAST(doc_id % 20 AS BIGINT),
+                 CAST((doc_id % 20 + 5) % 20 AS BIGINT)
+          FROM {tbl} WHERE doc_id % 16 = 1
+        ),
+        e AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+        d(node, dist) AS (
+          SELECT CAST(node AS BIGINT), 0
+          FROM (VALUES (0), (1)) t(node)
+          UNION ALL
+          SELECT e.dst, d.dist + 1
+          FROM d JOIN e ON e.src = d.node
+          WHERE d.dist < 8
+        )
+        SELECT node AS host_id, CAST(min(dist) AS INT) AS dist
+        FROM d GROUP BY node
+    """
+
+
+def q_recursive_reachability(spark, sf_dir):
+    """Seed reachability via Spark 4's NATIVE recursive CTE — the
+    declarative twin of operators/graph.py bfs_distances (which drives
+    the same level-synchronous joins from Python). The engine owns the
+    iteration: hop-bounded UNION ALL expansion, min-dist rollup at the
+    end. Same edge family and seeds as `seed_distance`, so the two
+    paths cross-check each other; the oracle is the identical SQL text
+    on DuckDB. The per-path UNION ALL expansion is exponential in
+    dense graphs — bfs_distances' anti-join frontier stays O(E) and
+    remains the scale path; this is the expressiveness demo."""
+    tbl = f"parquet.`{sf_dir}/documents.parquet`"
+    return spark.sql(_reach_sql(tbl))
+
+
+def q_variant_extract_stats(spark, sf_dir):
+    """Semi-structured analytics over the VARIANT type (Spark 4 /
+    Iceberg v3's open binary JSON): event rows serialized to nested
+    JSON, ingested with parse_json into VARIANT, fields pulled back out
+    with typed variant_get paths ('$.m.u' etc.) — the schema-flexible
+    path for payloads whose shape drifts (crawl metadata, page
+    annotations) where from_json's fixed schema would silently null new
+    fields. Extraction stays JVM-side; the oracle builds and walks the
+    same JSON with DuckDB's json operators."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.struct(
+                    F.col("user_id").alias("u"), F.col("event_id").alias("e")
+                ).alias("m"),
+            )
+        ).alias("js")
+    )
+    v = ev.select(F.parse_json(F.col("js")).alias("var"))
+    flat = v.select(
+        F.expr("variant_get(var, '$.t', 'string')").alias("event_type"),
+        F.expr("variant_get(var, '$.m.u', 'long')").alias("u"),
+        F.expr("variant_get(var, '$.m.e', 'long')").alias("e"),
+    )
+    return flat.groupBy("event_type").agg(
+        F.countDistinct("u").alias("n_users"),
+        F.sum("e").alias("sum_event_ids"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -7942,6 +8017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2": q_ams_f2,
         "pareto_frontier": q_pareto_frontier,
         "join_size_forecast": q_join_size_forecast,
+        "recursive_reachability": q_recursive_reachability,
+        "variant_extract_stats": q_variant_extract_stats,
         "scd2_robots_history": q_scd2_robots_history,
         "session_windows": q_session_windows,
         "aimd_rates": q_aimd_rates,
@@ -10086,6 +10163,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT bit_idx, CAST(sum(b) AS BIGINT) AS n_ones,
                    round(abs(sum(b) * 1.0 / count(*) - 0.5), 6) AS bias
             FROM bits GROUP BY bit_idx
+        """,
+        "recursive_reachability": _reach_sql("documents"),
+        "variant_extract_stats": """
+            WITH j AS (
+              SELECT json_object(
+                       't', event_type,
+                       'm', json_object('u', user_id, 'e', event_id)
+                     ) AS js
+              FROM events
+            ),
+            flat AS (
+              SELECT js ->> '$.t' AS event_type,
+                     CAST(js -> '$.m' ->> '$.u' AS BIGINT) AS u,
+                     CAST(js -> '$.m' ->> '$.e' AS BIGINT) AS e
+              FROM j
+            )
+            SELECT event_type,
+                   count(DISTINCT u) AS n_users,
+                   sum(e) AS sum_event_ids,
+                   count(*) AS n_events
+            FROM flat GROUP BY event_type
         """,
         "join_size_forecast": f"""
             WITH f AS ({_FRONTIER_SQL}),
