@@ -193,6 +193,15 @@ class SnapshotCatalog:
             "meta": {**self.meta(), **(meta or {})},
             "stats": stats,
         }
+        self._publish(man)
+        self._staged = {}
+        self._staged_stats = {}
+        return sid
+
+    def _publish(self, man: dict) -> None:
+        """Durably write a manifest, then swap the current pointer —
+        the atomic step shared by commit() and rollback_to()."""
+        sid = man["id"]
         mp = os.path.join(self.root, "snapshots", f"{sid}.json")
         tmp = mp + ".tmp"
         with open(tmp, "w") as f:
@@ -202,8 +211,35 @@ class SnapshotCatalog:
         with open(cp + ".tmp", "w") as f:
             f.write(str(sid))
         os.replace(cp + ".tmp", cp)  # atomic pointer swap = the commit
-        self._staged = {}
-        self._staged_stats = {}
+
+    def rollback_to(self, snapshot: int) -> int:
+        """Iceberg-style rollback: publish a NEW snapshot whose table
+        state (file sets, meta, file stats) is the target snapshot's.
+        History is preserved — the snapshots being undone stay
+        time-travelable until expire_snapshots drops them — and no data
+        file moves or is rewritten; the operation is one manifest write
+        + pointer swap regardless of table size (the property that
+        makes "undo last night's bad crawl round" an O(1) action at
+        10^10 rows). Pending staged writes are rejected: they were
+        built against the state being abandoned and would silently
+        graft onto the restored one."""
+        if self._staged:
+            raise RuntimeError(
+                "staged writes pending; commit() or rollback_staged() "
+                "before rollback_to()"
+            )
+        man = self._manifest(snapshot)  # KeyError-equivalent if expired
+        sid = self.current_id() + 1
+        self._publish(
+            {
+                "id": sid,
+                "parent": sid - 1,
+                "rolled_back_to": snapshot,
+                "tables": man["tables"],
+                "meta": man.get("meta", {}),
+                "stats": man.get("stats", {}),
+            }
+        )
         return sid
 
     def rollback_staged(self) -> None:

@@ -188,3 +188,41 @@ def test_schema_evolution_on_append(spark, tmp_path):
     rows = {r.v: r.extra for r in got.collect()}
     assert rows[0] is None and rows[5] == "x5"
     assert cat.read("t", snapshot=s1).columns == ["v"]
+
+
+def test_rollback_to_restores_state_preserving_history(spark, tmp_path):
+    """Iceberg-style rollback: a NEW snapshot re-points at the target's
+    file sets — O(1) manifest write, no data movement, bad snapshots
+    stay time-travelable, and a later expiry keeps the restored files
+    because the current manifest references them."""
+    import pytest
+
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    cat.stage_overwrite("t", spark.range(5).withColumnRenamed("id", "x"))
+    good = cat.commit(meta={"next_seq": 5})
+    cat.stage_overwrite("t", spark.range(99).withColumnRenamed("id", "x"))
+    cat.stage_append("u", spark.range(2).withColumnRenamed("id", "y"))
+    bad = cat.commit(meta={"next_seq": 99})
+    assert cat.read("t").count() == 99
+
+    rid = cat.rollback_to(good)
+    assert rid == bad + 1
+    assert cat.read("t").count() == 5  # restored state
+    assert not cat.exists("u")  # table born in the bad snapshot is gone
+    assert cat.meta()["next_seq"] == 5  # meta restored too
+    assert cat.read("t", snapshot=bad).count() == 99  # history preserved
+
+    # staged work built against the abandoned state is rejected
+    cat.stage_append("t", spark.range(1).withColumnRenamed("id", "x"))
+    with pytest.raises(RuntimeError):
+        cat.rollback_to(good)
+    cat.rollback_staged()
+
+    # expiry after rollback keeps the restored files (referenced by the
+    # current manifest) while dropping the bad snapshot's orphans
+    cat.stage_append("t", spark.range(1).withColumnRenamed("id", "x"))
+    cat.commit()
+    cat.expire_snapshots(keep_last=2)
+    assert cat.read("t").count() == 6
+    with pytest.raises(FileNotFoundError):
+        cat.read("t", snapshot=bad)
