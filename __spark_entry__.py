@@ -2672,11 +2672,7 @@ def q_image_decode_stats(spark, sf_dir):
     from crawler_spark.sources.synth import T1_SMOKE
 
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
-        "image_id string, bytes binary, fmt string",
-    )
+    images = _synth_image_df(spark, urls)
     return decode_stats(images)
 
 
@@ -2691,11 +2687,7 @@ def q_image_hash_agreement(spark, sf_dir):
     from crawler_spark.sources.synth import T1_SMOKE
 
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
-        "image_id string, bytes binary, fmt string",
-    )
+    images = _synth_image_df(spark, urls)
     h = alt_hashes(images)
     return h.select(
         "image_id",
@@ -2724,11 +2716,7 @@ def q_image_border_gate(spark, sf_dir):
     from crawler_spark.sources.synth import T1_SMOKE
 
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
-        "image_id string, bytes binary, fmt string",
-    )
+    images = _synth_image_df(spark, urls)
     return border_scores(images)
 
 
@@ -5129,11 +5117,7 @@ def q_image_watermark(spark, sf_dir):
     from crawler_spark.sources.synth import T1_SMOKE
 
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
-        "image_id string, bytes binary, fmt string",
-    )
+    images = _synth_image_df(spark, urls)
     return watermark_scores(images)
 
 
@@ -5196,11 +5180,7 @@ def q_image_sharpness(spark, sf_dir):
     from crawler_spark.sources.synth import T1_SMOKE
 
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
-        "image_id string, bytes binary, fmt string",
-    )
+    images = _synth_image_df(spark, urls)
     return sharpness_scores(images)
 
 
@@ -5215,11 +5195,7 @@ def q_image_exposure_gates(spark, sf_dir):
     from crawler_spark.sources.synth import T1_SMOKE
 
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
-        "image_id string, bytes binary, fmt string",
-    )
+    images = _synth_image_df(spark, urls)
     return exposure_entropy_gates(images)
 
 
@@ -5234,11 +5210,7 @@ def q_image_patches(spark, sf_dir):
     from crawler_spark.sources.synth import T1_SMOKE
 
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
-        "image_id string, bytes binary, fmt string",
-    )
+    images = _synth_image_df(spark, urls)
     return image_patches(images)
 
 
@@ -5257,11 +5229,7 @@ def q_phash_stability(spark, sf_dir):
     from crawler_spark.sources.synth import T1_SMOKE
 
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
-        "image_id string, bytes binary, fmt string",
-    )
+    images = _synth_image_df(spark, urls)
     variants = augment_images(images)
     hashed = decode_stats(
         variants.select(
@@ -5305,11 +5273,7 @@ def q_image_transcode(spark, sf_dir):
     from crawler_spark.sources.synth import T1_SMOKE
 
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
-        "image_id string, bytes binary, fmt string",
-    )
+    images = _synth_image_df(spark, urls)
     return transcode_images(images, "qdct")
 
 
@@ -5324,11 +5288,7 @@ def q_image_augment(spark, sf_dir):
     from crawler_spark.sources.synth import T1_SMOKE
 
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
-        "image_id string, bytes binary, fmt string",
-    )
+    images = _synth_image_df(spark, urls)
     return augment_images(images)
 
 
@@ -5901,23 +5861,18 @@ def q_mime_sniff(spark, sf_dir):
     5th image's declared fmt is deliberately spoofed to exercise the
     mismatch path. No SQL oracle (binary payloads); the sniff rule is
     pytest-covered in test_mime_sniff."""
-    from crawler_spark.sources.synth import T1_SMOKE
-
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [
-            (
-                r["image_id"],
-                r["bytes"],
-                # spoof every 5th label to the OTHER format
-                ("png" if r["fmt"] == "qdct" else "qdct")
-                if i % 5 == 0
-                else r["fmt"],
-            )
-            for i, r in enumerate(rows)
-        ],
-        "image_id string, bytes binary, fmt string",
+    # spoof every 5th label (by url index) to the OTHER format
+    spoof = F.regexp_extract("url", r"img-(\d+)$", 1).cast("int") % 5 == 0
+    images = (
+        _synth_image_df(spark, urls, with_url=True)
+        .withColumn(
+            "fmt",
+            F.when(
+                spoof, F.when(F.col("fmt") == "qdct", "png").otherwise("qdct")
+            ).otherwise(F.col("fmt")),
+        )
+        .drop("url")
     )
     sniffed = images.select(
         "image_id",
@@ -6684,18 +6639,8 @@ def q_subimage_matches(spark, sf_dir):
         image_patches,
         tile_hashes,
     )
-    from crawler_spark.sources.synth import T1_SMOKE
-
     urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
-    rows = [T1_SMOKE.payload(u) for u in urls]
-    images = spark.createDataFrame(
-        [
-            (r["image_id"], r["bytes"], r["fmt"])
-            for r in rows
-            if r["fmt"] == "png"
-        ],
-        "image_id string, bytes binary, fmt string",
-    )
+    images = _synth_image_df(spark, urls).filter(F.col("fmt") == "png")
     crops = image_patches(images, patch=16).select(
         F.concat_ws(
             "#", "image_id", F.col("patch_row").cast("string"),
@@ -7675,6 +7620,45 @@ def q_ed_join_stats(spark, sf_dir):
     return ed_join_pairs(
         _t(spark, sf_dir, "documents"), q=10, k=12, m=1, with_stats=True
     )
+
+
+def _synth_image_df(spark, urls, with_url: bool = False):
+    """Deterministic fixture images (image_id, bytes, fmt) synthesized
+    IN EXECUTORS: T1_SMOKE.payload's own-codec PNG/qdct encode is
+    CPU-bound pure python, so a driver-side list comprehension costs
+    len(urls) serial encodes (~17 s for 64 images at bench time); one
+    Arrow-batched mapInPandas wave amortizes it across every core. The
+    payloads are identical either way (the synth web is deterministic
+    per URL)."""
+    import pandas as pd
+
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [T1_SMOKE.payload(u) for u in pdf["url"]]
+            yield pd.DataFrame(
+                {
+                    "url": pd.array(list(pdf["url"]), dtype=object),
+                    "image_id": pd.array(
+                        [r["image_id"] for r in rows], dtype=object
+                    ),
+                    "bytes": pd.array(
+                        [r["bytes"] for r in rows], dtype=object
+                    ),
+                    "fmt": pd.array([r["fmt"] for r in rows], dtype=object),
+                }
+            )
+
+    n_parts = max(1, min(len(urls), spark.sparkContext.defaultParallelism))
+    out = (
+        spark.createDataFrame([(u,) for u in urls], "url string")
+        .repartition(n_parts)
+        .mapInPandas(
+            gen, "url string, image_id string, bytes binary, fmt string"
+        )
+    )
+    return out if with_url else out.drop("url")
 
 
 def q_pareto_frontier(spark, sf_dir):

@@ -628,6 +628,11 @@ def bpe_train(
             .orderBy(F.desc("n_pairs"), "a", "b")
             .limit(1)
             .withColumn("merge_rank", F.lit(k))
+            # eager 1-row checkpoint: every later iteration's plan (and
+            # the final merge-table union) references this argmax —
+            # without it each of them RE-RUNS this iteration's full
+            # corpus pair count, turning n merges into O(n^2) scans
+            .localCheckpoint()
         )
         merges.append(top1.select("merge_rank", "a", "b", "n_pairs"))
         cur = cur.crossJoin(F.broadcast(top1)).select(
