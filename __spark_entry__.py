@@ -7622,6 +7622,25 @@ def q_ed_join_stats(spark, sf_dir):
     )
 
 
+def q_host_scc(spark, sf_dir):
+    """Full strongly-connected-component census of the host graph
+    (operators/graph.py scc_decompose — FW-BW-Trim coloring, the
+    distributed SCC family; Tarjan's stack can't shuffle): every node
+    labeled with its component's minimum id. Bow-tie gave the PIVOT's
+    SCC; this closes the suite — spam rings/link farms are SCCs
+    crawled as one unit, redirect cycles surface as non-singleton
+    components. Trim shreds the acyclic mantle with two anti-joins per
+    pass, coloring + one simultaneous backward sweep settles the
+    cyclic cores. Oracle = mutual-reachability over a recursive-CTE
+    transitive closure (quadratic, test-scale only — which is exactly
+    why the engine side doesn't build a closure)."""
+    from crawler_spark.operators.graph import scc_decompose
+
+    return scc_decompose(_hyperball_edges(spark, sf_dir)).select(
+        F.col("node").alias("host_id"), "scc_id"
+    )
+
+
 def _synth_image_df(spark, urls, with_url: bool = False):
     """Deterministic fixture images (image_id, bytes, fmt) synthesized
     IN EXECUTORS: T1_SMOKE.payload's own-codec PNG/qdct encode is
@@ -8002,6 +8021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": q_pareto_frontier,
         "join_size_forecast": q_join_size_forecast,
         "recursive_reachability": q_recursive_reachability,
+        "host_scc": q_host_scc,
         "variant_extract_stats": q_variant_extract_stats,
         "scd2_robots_history": q_scd2_robots_history,
         "session_windows": q_session_windows,
@@ -10149,6 +10169,30 @@ def oracle_sql() -> dict[str, str]:
             FROM bits GROUP BY bit_idx
         """,
         "recursive_reachability": _reach_sql("documents"),
+        "host_scc": f"""
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT CAST(doc_id % 32 AS BIGINT) AS src,
+                       CAST((16 * {_hexdig_sql("cast(doc_id AS varchar)", 6)}
+                             + {_hexdig_sql("cast(doc_id AS varchar)", 7)})
+                            % 32 AS BIGINT) AS dst
+                FROM documents WHERE doc_id % 3 = 0
+              ) WHERE src != dst
+            ),
+            nodes AS (
+              SELECT DISTINCT n FROM (
+                SELECT src AS n FROM e UNION SELECT dst FROM e
+              )
+            ),
+            r(a, b) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+            )
+            SELECT r1.a AS host_id, min(r1.b) AS scc_id
+            FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+            GROUP BY r1.a
+        """,
         "variant_extract_stats": """
             WITH j AS (
               SELECT json_object(

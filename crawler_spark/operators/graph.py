@@ -716,3 +716,176 @@ def adjacency_gap_bits(
             (F.col("deg") * F.col("flat_w")).cast("long").alias("bits_flat"),
         )
     )
+
+
+def scc_decompose(
+    edges: DataFrame,
+    max_rounds: int = 8,
+    max_color_iters: int = 32,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact strongly-connected-component decomposition of a directed
+    graph — the full census behind bow-tie analysis (bowtie_classes
+    resolves only the pivot's SCC; this labels EVERY node), link-farm
+    collapse (a spam ring is one SCC crawled as one unit), and
+    redirect-cycle detection at component granularity.
+
+    Algorithm: Trim + forward-coloring + per-color backward sweep (the
+    FW-BW-Trim family every distributed SCC system uses — Orzan's
+    coloring, Hong et al. / Slota et al.'s trimming; Tarjan's stack is
+    inherently sequential and cannot shuffle). Each outer round:
+
+      1. TRIM to fixpoint: a node with no in-edges or no out-edges
+         inside the active set can't sit on a cycle — it is a singleton
+         SCC, removed immediately. This shreds the DAG-like mantle/
+         tendrils of a web graph (most of it) for two anti-joins per
+         pass, no reachability computation at all.
+      2. COLOR to fixpoint: c(v) = min(v, min over in-neighbors'
+         colors) iterated until stable — c(v) = the smallest active
+         node that reaches v. One edge join + (dst, min) agg per pass;
+         fixpoint detected by a changed-row count on the node
+         dimension.
+      3. BACKWARD sweep: pivots are nodes with c(v) = v; the pivot's
+         SCC is exactly the nodes with its color that reach it, found
+         by a multi-source backward BFS that only walks edges whose
+         BOTH endpoints carry the pivot's color (sound + complete:
+         every node on a return path provably shares the color). All
+         pivots sweep simultaneously — one BFS, color carried as a
+         second frontier column.
+
+    Every emitted SCC is final (scc_id = the component's minimum node
+    id); survivors re-enter the next round with the settled components
+    removed, which splits their colors further. Deterministic
+    throughout (min-label, no randomness); lineage localCheckpoint-
+    truncated per pass like the other iterative operators here.
+
+    Raises RuntimeError if the budget rounds leave active nodes — the
+    honest contract at sandbox scale; production tuning is raising the
+    budgets (rounds needed ≈ SCC-DAG depth, small for web graphs).
+
+    Returns (node, scc_id)."""
+    e_all = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e_all.select(F.col("a").alias("node"))
+        .union(e_all.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    assigned = None  # (node, scc_id)
+    active = nodes
+    for _ in range(max_rounds):
+        if not active.take(1):
+            break
+        # ---- 1. trim to fixpoint --------------------------------------
+        while True:
+            e = (
+                e_all.join(active, e_all["a"] == active["node"], "left_semi")
+                .join(active, e_all["b"] == active["node"], "left_semi")
+                .filter(F.col("a") != F.col("b"))
+                .localCheckpoint()
+            )
+            keep = (
+                active.join(e, active["node"] == e["b"], "left_semi")
+                .join(e, active["node"] == e["a"], "left_semi")
+                .localCheckpoint()
+            )
+            trimmed = active.join(keep, "node", "left_anti").select(
+                "node", F.col("node").alias("scc_id")
+            )
+            if not trimmed.take(1):
+                break
+            t = trimmed.localCheckpoint()
+            assigned = t if assigned is None else assigned.unionByName(t)
+            active = keep
+        if not active.take(1):
+            break
+        # ---- 2. forward min-label coloring to fixpoint ------------------
+        colors = active.select("node", F.col("node").alias("color"))
+        for _ in range(max_color_iters):
+            incoming = (
+                e.join(colors, e["a"] == colors["node"])
+                .select(F.col("b").alias("node"), F.col("color"))
+                .groupBy("node")
+                .agg(F.min("color").alias("in_color"))
+            )
+            nxt = (
+                colors.join(incoming, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("color"), F.coalesce("in_color", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint()
+            )
+            n_changed = (
+                nxt.join(
+                    colors.withColumnRenamed("color", "old"), "node"
+                )
+                .filter(F.col("color") != F.col("old"))
+                .count()
+            )
+            colors = nxt
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                "coloring did not converge within max_color_iters"
+            )
+        # ---- 3. simultaneous per-color backward sweep from pivots -------
+        # edge (a -> b) is walkable backward from b to a iff both ends
+        # share the sweep color; attach both colors once
+        ec = (
+            e.join(
+                colors.select(
+                    F.col("node").alias("a"), F.col("color").alias("ca")
+                ),
+                "a",
+            )
+            .join(
+                colors.select(
+                    F.col("node").alias("b"), F.col("color").alias("cb")
+                ),
+                "b",
+            )
+            .filter(F.col("ca") == F.col("cb"))
+            .select("a", "b", F.col("ca").alias("color"))
+            .localCheckpoint()
+        )
+        members = colors.filter(F.col("node") == F.col("color")).select(
+            "node", "color"
+        ).localCheckpoint()
+        frontier = members
+        while frontier.take(1):
+            nxt = (
+                frontier.join(
+                    ec,
+                    (frontier["node"] == ec["b"])
+                    & (frontier["color"] == ec["color"]),
+                )
+                .select(F.col("a").alias("node"), ec["color"].alias("color"))
+                .distinct()
+                .join(members, "node", "left_anti")
+                .localCheckpoint()
+            )
+            if not nxt.take(1):
+                break
+            members = members.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        sccs = members.select("node", F.col("color").alias("scc_id"))
+        assigned = (
+            sccs if assigned is None else assigned.unionByName(sccs)
+        ).localCheckpoint()
+        active = active.join(members.select("node"), "node", "left_anti")
+    else:
+        if active.take(1):
+            raise RuntimeError("scc_decompose: round budget exhausted")
+    e_all.unpersist()
+    if assigned is None:
+        return nodes.select("node", F.col("node").alias("scc_id")).limit(0)
+    return assigned
