@@ -138,6 +138,15 @@ HEADLINE = [
     "ams_f2",
     "phash_bit_bias",
     "exact_global_median",
+    "pareto_frontier",
+    "aimd_rates",
+    "host_distinct_hll",
+    "join_size_forecast",
+    "scd2_robots_history",
+    "session_windows",
+    "recursive_reachability",
+    "variant_extract_stats",
+    "host_scc",
 ]
 
 BENCH_HOSTS = 50
