@@ -67,6 +67,10 @@ def get_spark(
         # image-bytes payload (measured), and the standard choice at
         # 100TB scale for size; snappy spends CPU for no ratio here
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # let Catalyst push supported predicates INTO Python data
+        # sources (sources/webds.py prunes unwalked hosts this way);
+        # off by default in Spark 4.1, no effect on other plans
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
