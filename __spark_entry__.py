@@ -5395,6 +5395,37 @@ def q_audio_stats(spark, sf_dir):
     return pcm_stats(audio)
 
 
+def q_audio_spectral(spark, sf_dir):
+    """Multimodal: frame-wise FFT spectral features over raw PCM
+    (operators/audio.py spectral_features) — dominant frequency,
+    centroid, rolloff, flatness, 8 log-spaced band energies: the gates
+    that catch synthetic tones (flatness ~0, one hot band) and wrapped
+    low-bandwidth content (rolloff << Nyquist). Waveforms synthesized
+    deterministically (bin-exact tone + seeded noise floor per id). No
+    SQL oracle (binary samples + FFT); rows-only — closed-form values
+    pytest-covered (tests/test_audio.py planted tones)."""
+    import numpy as np
+
+    from crawler_spark.operators.audio import spectral_features
+
+    sr, frame = 8000, 1024
+    rows = []
+    for i in range(64):
+        rng = np.random.default_rng(1000 + i)
+        k = 8 + (i % 48)  # FFT bin of the tone
+        f0 = k * sr / frame
+        t = np.arange(sr * 2) / sr
+        wave = 9000 * np.sin(2 * np.pi * f0 * t) + rng.normal(
+            0, 30 * (i % 5), sr * 2
+        )
+        pcm = np.clip(np.rint(wave), -32768, 32767).astype("<i2")
+        rows.append((f"aud-{i}", bytearray(pcm.tobytes()), sr))
+    audio = spark.createDataFrame(
+        rows, "audio_id string, bytes binary, sample_rate int"
+    )
+    return spectral_features(audio, frame=frame)
+
+
 def q_audio_vad(spark, sf_dir):
     """Multimodal: energy-threshold voice-activity segmentation — the
     utterance chunker before ASR transcription (operators/audio.py
@@ -8186,6 +8217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "kmv_jaccard": q_kmv_jaccard,
         "audio_stats": q_audio_stats,
+        "audio_spectral": q_audio_spectral,
         "audio_vad": q_audio_vad,
         "trustrank": q_trustrank,
         "spam_mass": q_spam_mass,

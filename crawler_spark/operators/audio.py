@@ -206,3 +206,87 @@ def vad_segments(
     return audio.select("audio_id", "bytes", "sample_rate").mapInPandas(
         go, schema=VAD_SCHEMA
     )
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        # 8 log-spaced band energies, mean over frames (the mel-style
+        # front half of an MFCC pipeline, minus the DCT)
+        T.StructField("band_energies", T.ArrayType(T.DoubleType())),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("spectral_rolloff_hz", T.DoubleType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+        T.StructField("spectral_flatness", T.DoubleType()),
+    ]
+)
+
+
+def spectral_features(
+    audio: DataFrame,
+    frame: int = 1024,
+    n_bands: int = 8,
+    rolloff: float = 0.85,
+) -> DataFrame:
+    """Frame-wise FFT features over raw PCM — the audio front-end a
+    curation pipeline gates on beyond loudness: dominant frequency
+    (tones/sine sweeps = synthetic junk), spectral flatness (white
+    noise ~1, speech/music << 1), centroid + rolloff (bandwidth: an
+    8 kHz-content file wrapped in a 48 kHz container), and banded
+    energies (the mel-style features a downstream classifier eats).
+
+    All numpy: non-overlapping `frame`-sample windows, rfft magnitude
+    spectrum, DC excluded. Per-waveform work is O(n log n) and the
+    Arrow batch bound keeps executor memory flat (the same contract as
+    pcm_stats). Deterministic: no dithering, no window function
+    (rectangular), so planted sine waves land on exact bins — the
+    tests assert closed-form values, same discipline as the image
+    codec operators."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = _decode_pcm(r.bytes).astype(np.float64)
+                sr = int(r.sample_rate)
+                n_fr = len(x) // frame
+                if n_fr == 0:
+                    rows.append((r.audio_id, 0, None, None, None, None, None))
+                    continue
+                fr = x[: n_fr * frame].reshape(n_fr, frame)
+                mag = np.abs(np.fft.rfft(fr, axis=1))[:, 1:]  # drop DC
+                freqs = np.fft.rfftfreq(frame, d=1.0 / sr)[1:]
+                power = mag * mag
+                spec = power.mean(axis=0)  # mean power spectrum
+                total = float(spec.sum())
+                if total <= 0.0:
+                    rows.append(
+                        (r.audio_id, int(n_fr), [0.0] * n_bands, 0.0, 0.0,
+                         0.0, 1.0)
+                    )
+                    continue
+                # 8 log-spaced band edges from ~40 Hz to Nyquist
+                edges = np.geomspace(40.0, sr / 2.0, n_bands + 1)
+                band = [
+                    float(spec[(freqs >= lo) & (freqs < hi)].sum() / total)
+                    for lo, hi in zip(edges[:-1], edges[1:])
+                ]
+                centroid = float((freqs * spec).sum() / total)
+                cum = np.cumsum(spec)
+                roll = float(freqs[int(np.searchsorted(cum, rolloff * total))])
+                dom = float(freqs[int(spec.argmax())])
+                # geometric / arithmetic mean of the power spectrum
+                flat = float(
+                    np.exp(np.log(spec + 1e-12).mean()) / (spec.mean() + 1e-12)
+                )
+                rows.append(
+                    (r.audio_id, int(n_fr), band, centroid, roll, dom, flat)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SPECTRAL_SCHEMA.fields]
+            )
+
+    return audio.select("audio_id", "bytes", "sample_rate").mapInPandas(
+        go, schema=SPECTRAL_SCHEMA
+    )

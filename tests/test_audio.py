@@ -100,3 +100,69 @@ def test_vad_segments_exact_boundaries(spark):
     # seg_rms of a pure constant-amplitude segment is the amplitude
     got = vad_segments(df).filter("audio_id = 'a'").first()
     assert abs(got.seg_rms - 5000.0) < 1e-9
+
+
+def test_spectral_features_planted_tones(spark):
+    """Bin-exact FFT features: a pure tone at an exact FFT bin lands
+    its full energy there (dominant == centroid == rolloff == f0, one
+    band holds ~everything, flatness ~0); white-ish noise is flat."""
+    from crawler_spark.operators.audio import spectral_features
+
+    sr, frame = 8000, 1024
+    # 500 Hz is NOT a bin; use bin-exact f0 = k * sr / frame
+    f0 = 32 * sr / frame  # = 250.0 Hz exactly (bin 32)
+    tone = _sine(f0, sr, 2.0, 10000)
+    rng_vals = (
+        np.random.default_rng(7)
+        .integers(-20000, 20000, sr * 2)
+        .astype("<i2")
+    )  # seeded white noise (deterministic)
+    two = _sine(f0, sr, 2.0, 10000) + _sine(8 * f0, sr, 2.0, 3000)
+    df = spark.createDataFrame(
+        [
+            ("tone", bytearray(tone.tobytes()), sr),
+            ("noise", bytearray(rng_vals.tobytes()), sr),
+            ("two", bytearray(two.astype("<i2").tobytes()), sr),
+        ],
+        "audio_id string, bytes binary, sample_rate int",
+    )
+    got = {
+        r["audio_id"]: r.asDict()
+        for r in spectral_features(df, frame=frame).collect()
+    }
+    t = got["tone"]
+    assert t["n_frames"] == (sr * 2) // frame
+    assert t["dominant_hz"] == pytest.approx(f0)
+    assert t["spectral_centroid_hz"] == pytest.approx(f0, rel=1e-6)
+    assert t["spectral_rolloff_hz"] == pytest.approx(f0)
+    assert t["spectral_flatness"] < 1e-6
+    assert max(t["band_energies"]) > 0.999  # all energy in one band
+    n = got["noise"]
+    assert n["spectral_flatness"] > 0.5  # near-flat spectrum
+    assert 0.3 * sr / 2 < n["spectral_centroid_hz"] < 0.7 * sr / 2
+    d = got["two"]  # dominant still the strong tone; harmonic pulls
+    assert d["dominant_hz"] == pytest.approx(f0)
+    assert d["spectral_centroid_hz"] > t["spectral_centroid_hz"]
+
+
+def test_spectral_features_degenerate(spark):
+    from crawler_spark.operators.audio import spectral_features
+
+    sr = 8000
+    short = _sine(440, sr, 0.05, 1000)  # 400 samples < one frame
+    silent = np.zeros(4096, "<i2")
+    df = spark.createDataFrame(
+        [
+            ("short", bytearray(short.tobytes()), sr),
+            ("silent", bytearray(silent.tobytes()), sr),
+        ],
+        "audio_id string, bytes binary, sample_rate int",
+    )
+    got = {
+        r["audio_id"]: r.asDict()
+        for r in spectral_features(df).collect()
+    }
+    assert got["short"]["n_frames"] == 0
+    assert got["short"]["band_energies"] is None
+    assert got["silent"]["spectral_flatness"] == 1.0
+    assert got["silent"]["dominant_hz"] == 0.0
