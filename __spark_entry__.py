@@ -7653,6 +7653,98 @@ def q_ed_join_stats(spark, sf_dir):
     )
 
 
+def q_train_linear_probe(spark, sf_dir):
+    """Distributed logistic-regression TRAINING (operators/corpus.py
+    train_linear_probe): 3 full-batch GD steps learn an is-English
+    probe over 16 hashed-unigram fraction features + bias — the learn
+    side of quality_classifier's frozen-weights inference. One
+    map-side-combinable aggregate per step, model broadcast back,
+    every float re-pinned to the 1e-9 grid and summed as DECIMAL so
+    the unrolled-CTE oracle replays the exact trajectory."""
+    from crawler_spark.operators.corpus import train_linear_probe
+
+    return train_linear_probe(_t(spark, sf_dir, "documents"), n_iter=3)
+
+
+def _probe_sql(n_iter: int = 3, lr: float = 0.5, nb: int = 16) -> str:
+    """DuckDB mirror of q_train_linear_probe: the same GD recurrence
+    unrolled as a CTE chain (link_rank's oracle pattern)."""
+    dig = (
+        "(instr('0123456789abcdef', "
+        "substring(md5('probe:' || tok), 1, 1)) - 1)"
+    )
+    ctes = [
+        f"""toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split(regexp_replace(lower(trim(text)),
+                          '\\s+', ' ', 'g'), ' ')) AS tok
+            FROM documents
+          ) WHERE length(tok) > 0
+        )""",
+        f"""tj AS (
+          SELECT doc_id, CAST({dig} % {nb} AS INT) AS j FROM toks
+        )""",
+        """counts AS (
+          SELECT doc_id, j, count(*) AS c FROM tj GROUP BY doc_id, j
+        )""",
+        """totals AS (
+          SELECT doc_id, count(*) AS n_toks FROM tj GROUP BY doc_id
+        )""",
+        f"""feats AS (
+          SELECT counts.doc_id, j, round(c * 1.0 / n_toks, 9) AS x
+          FROM counts JOIN totals USING (doc_id)
+          UNION ALL
+          SELECT doc_id, CAST({nb} AS INT) AS j, 1.0 AS x FROM totals
+        )""",
+        """labels AS (
+          SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y FROM documents
+        )""",
+        """nd AS (SELECT count(*) AS n FROM labels)""",
+        f"""w0 AS (
+          SELECT CAST(j AS INT) AS j, 0.0 AS w FROM range(0, {nb + 1}) t(j)
+        )""",
+    ]
+    for k in range(n_iter):
+        ctes.append(
+            f"""z{k} AS (
+              SELECT f.doc_id,
+                     round(CAST(sum(CAST(round(f.x * w.w, 9)
+                                         AS DECIMAL(28, 9))) AS DOUBLE),
+                           9) AS z
+              FROM feats f JOIN w{k} w USING (j) GROUP BY f.doc_id
+            )"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+              SELECT z{k}.doc_id,
+                     round(round(1.0 / (1.0 + exp(-z)), 9) - y, 9) AS r
+              FROM z{k} JOIN labels USING (doc_id)
+            )"""
+        )
+        ctes.append(
+            f"""g{k} AS (
+              SELECT f.j,
+                     round(CAST(sum(CAST(round(f.x * r.r, 9)
+                                         AS DECIMAL(28, 9))) AS DOUBLE)
+                           / (SELECT n FROM nd), 9) AS g
+              FROM feats f JOIN r{k} r USING (doc_id) GROUP BY f.j
+            )"""
+        )
+        ctes.append(
+            f"""w{k + 1} AS (
+              SELECT w{k}.j,
+                     round(w{k}.w - {lr} * coalesce(g.g, 0.0), 9) AS w
+              FROM w{k} LEFT JOIN g{k} g USING (j)
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT j, w AS weight FROM w{n_iter}"
+    )
+
+
 def q_host_scc(spark, sf_dir):
     """Full strongly-connected-component census of the host graph
     (operators/graph.py scc_decompose — FW-BW-Trim coloring, the
@@ -8053,6 +8145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_forecast": q_join_size_forecast,
         "recursive_reachability": q_recursive_reachability,
         "host_scc": q_host_scc,
+        "train_linear_probe": q_train_linear_probe,
         "variant_extract_stats": q_variant_extract_stats,
         "scd2_robots_history": q_scd2_robots_history,
         "session_windows": q_session_windows,
@@ -10201,6 +10294,7 @@ def oracle_sql() -> dict[str, str]:
             FROM bits GROUP BY bit_idx
         """,
         "recursive_reachability": _reach_sql("documents"),
+        "train_linear_probe": _probe_sql(),
         "host_scc": f"""
             WITH RECURSIVE e AS (
               SELECT DISTINCT src, dst FROM (

@@ -651,3 +651,114 @@ def bpe_train(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def train_linear_probe(
+    docs: DataFrame,
+    n_iter: int = 3,
+    lr: float = 0.5,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    label_expr: str = "cast(lang = 'en' as double)",
+) -> DataFrame:
+    """Distributed logistic-regression TRAINING (full-batch gradient
+    descent) for a language/quality probe over hashed-unigram features
+    — the learn side of `quality_classifier` / `embedding_classifier`
+    (which only run inference on frozen literal weights). At corpus
+    scale this is the standard shape: each GD step is one
+    map-side-combinable aggregate over the fact table; the model (17
+    rows: 16 hashed-bucket fractions + bias) is dimension-sized and
+    broadcast back. No MLlib, no Python loop over rows — the entire
+    step is native expressions.
+
+    Numeric discipline (the zipf_fit / lm_perplexity contract): every
+    per-row term is rounded to 9 decimals and summed as DECIMAL(28,9)
+    — order-independent, engine-exact; sigmoid/dot outputs re-pinned to
+    the 1e-9 grid after each float op, so the SQL oracle replays the
+    identical trajectory. lr should be dyadic (0.5) so the update
+    multiply is exact.
+
+    Features are computed ONCE and persisted; each iteration costs one
+    join against the 17-row weight table + two tiny aggregates.
+    Returns (j, weight) with j = bucket 0..n_buckets-1, bias at
+    j = n_buckets.
+    """
+    spark = docs.sparkSession
+    dig = (
+        "(instr('0123456789abcdef', "
+        "substring(md5(concat('probe:', tok)), 1, 1)) - 1)"
+    )
+    toks = _tokens(docs, text_col, "doc_id").withColumn(
+        "j", F.expr(f"cast({dig} % {n_buckets} as int)")
+    )
+    counts = toks.groupBy("doc_id", "j").agg(F.count("*").alias("c"))
+    totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    feats = (
+        counts.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "j",
+            F.round(F.col("c") / F.col("n_toks"), 9).alias("x"),
+        )
+        .unionByName(
+            totals.select(
+                "doc_id",
+                F.lit(n_buckets).alias("j"),
+                F.lit(1.0).alias("x"),  # bias term
+            )
+        )
+        .persist()
+    )
+    labels = docs.select(
+        "doc_id", F.expr(label_expr).alias("y")
+    ).persist()
+    n_docs = labels.count()  # also materializes both persists' parent
+    w = spark.range(n_buckets + 1).select(
+        F.col("id").cast("int").alias("j"), F.lit(0.0).alias("w")
+    )
+    for _ in range(n_iter):
+        z = (
+            feats.join(F.broadcast(w), "j")
+            .withColumn(
+                "term",
+                F.expr("cast(round(x * w, 9) as decimal(28, 9))"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.round(F.sum("term").cast("double"), 9).alias("z")
+            )
+        )
+        resid = z.join(labels, "doc_id").select(
+            "doc_id",
+            F.round(
+                F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 9)
+                - F.col("y"),
+                9,
+            ).alias("r"),
+        )
+        grad = (
+            feats.join(resid, "doc_id")
+            .withColumn(
+                "gterm",
+                F.expr("cast(round(x * r, 9) as decimal(28, 9))"),
+            )
+            .groupBy("j")
+            .agg(
+                F.round(
+                    F.sum("gterm").cast("double") / F.lit(float(n_docs)), 9
+                ).alias("g")
+            )
+        )
+        w = (
+            w.join(grad, "j", "left")
+            .select(
+                "j",
+                F.round(
+                    F.col("w") - F.lit(lr) * F.coalesce("g", F.lit(0.0)), 9
+                ).alias("w"),
+            )
+            .localCheckpoint()  # 17 rows; truncates the iteration chain
+        )
+    feats.unpersist()
+    labels.unpersist()
+    return w.select("j", F.col("w").alias("weight"))

@@ -233,3 +233,86 @@ def test_hard_negative_is_bucket_max(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_train_linear_probe_matches_python_gd(spark):
+    """The distributed GD trajectory equals a sequential numpy replay
+    with the same 1e-9 pinning, and the learned probe separates the
+    planted classes."""
+    import hashlib
+    import math
+
+    from crawler_spark.operators.corpus import train_linear_probe
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            text = f"the quick fox {i} jumps over the lazy dog"
+            lang = "en"
+        else:
+            text = f"der schnelle fuchs {i} springt uber den hund"
+            lang = "de"
+        rows.append((i, text, lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.j: r.weight
+        for r in train_linear_probe(docs, n_iter=3).collect()
+    }
+
+    # ---- sequential replay with identical rounding ----
+    # Spark's round() is HALF_UP on the exact binary double; python's
+    # built-in round() is HALF_EVEN — mirror Spark's mode explicitly
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(x):
+        # Decimal(repr(x)), not Decimal(x): Spark rounds the double's
+        # SHORTEST decimal repr (BigDecimal.valueOf = Double.toString),
+        # not its exact binary expansion
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("1.000000000"), ROUND_HALF_UP
+            )
+        )
+
+    def bucket(tok):
+        return int(hashlib.md5(f"probe:{tok}".encode()).hexdigest()[0], 16) % 16
+
+    feats, labels = {}, {}
+    for i, text, lang in rows:
+        toks = text.lower().strip().split()
+        x = {}
+        for t in toks:
+            x[bucket(t)] = x.get(bucket(t), 0) + 1
+        feats[i] = {j: r9(c / len(toks)) for j, c in x.items()}
+        feats[i][16] = 1.0
+        labels[i] = 1.0 if lang == "en" else 0.0
+    w = [0.0] * 17
+    for _ in range(3):
+        resid = {}
+        for i in feats:
+            z = r9(
+                float(
+                    sum(
+                        Decimal(str(r9(x * w[j])))
+                        for j, x in feats[i].items()
+                    )
+                )
+            )
+            p = r9(1.0 / (1.0 + math.exp(-z)))
+            resid[i] = r9(p - labels[i])
+        g = [Decimal(0)] * 17
+        for i in feats:
+            for j, x in feats[i].items():
+                g[j] += Decimal(str(r9(x * resid[i])))
+        w = [
+            r9(w[j] - 0.5 * r9(float(g[j]) / len(feats)))
+            for j in range(17)
+        ]
+    assert got == {j: w[j] for j in range(17)}
+    # the probe actually learned: en docs score above de docs
+    def score(i):
+        return sum(w[j] * x for j, x in feats[i].items())
+
+    en = [score(i) for i in feats if labels[i] == 1.0]
+    de = [score(i) for i in feats if labels[i] == 0.0]
+    assert min(en) > max(de)
