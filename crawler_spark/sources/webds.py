@@ -35,11 +35,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 # Python-DataSource worker processes import this module from the
@@ -211,3 +213,82 @@ class SynthWebDataSource(DataSource):
 
     def streamReader(self, schema):
         return SynthWebStreamReader(self.options)
+
+
+# ------------------------------------------------------------- WARC sink
+
+class _WarcCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_records: int):
+        self.path = path
+        self.n_records = n_records
+
+
+class WarcSinkWriter(DataSourceWriter):
+    """Per-task writer: serializes its partition's (uri, status, body)
+    rows as one concatenated WARC blob under a temp name; the driver's
+    commit() publishes all task files atomically via a manifest (the
+    two-phase protocol every exactly-once sink uses — a failed/
+    speculative task's file is simply never listed)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, rows):
+        import os
+        import uuid
+
+        recs = []
+        for r in rows:
+            recs.append(
+                f"WARC/1.0\nWARC-Target-URI: {r.uri}\n"
+                f"HTTP-Status: {r.status}\n\n{r.body}\n"
+            )
+        os.makedirs(os.path.join(self.path, "_temporary"), exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.warc"
+        tmp = os.path.join(self.path, "_temporary", name)
+        with open(tmp, "w") as f:
+            f.write("".join(recs))
+        return _WarcCommit(name, len(recs))
+
+    def commit(self, messages):
+        import json
+        import os
+
+        names = []
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            src = os.path.join(self.path, "_temporary", m.path)
+            dst = os.path.join(self.path, m.path)
+            os.replace(src, dst)
+            names.append(m.path)
+            total += m.n_records
+        man = os.path.join(self.path, "_MANIFEST.json")
+        with open(man + ".tmp", "w") as f:
+            json.dump({"files": sorted(names), "n_records": total}, f)
+        os.replace(man + ".tmp", man)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, "_temporary"), ignore_errors=True
+        )
+
+
+class WarcSinkDataSource(DataSource):
+    """`df.write.format("warcsink").option("path", d).save()` — crawl
+    results out as WARC blobs with an atomic manifest; readable back
+    via sources/warc.parse_records for the round trip."""
+
+    @classmethod
+    def name(cls):
+        return "warcsink"
+
+    def schema(self):
+        return "uri string, status int, body string"
+
+    def writer(self, schema, overwrite):
+        return WarcSinkWriter(self.options)

@@ -101,3 +101,44 @@ def test_warc_revisit_plan_hand_case(spark):
         }
     assert (got[0].n_response, got[0].n_revisit, got[0].bytes_saved) == (2, 1, 9)
     assert (got[1].n_response, got[1].n_revisit, got[1].bytes_saved) == (1, 1, 9)
+
+
+def test_warcsink_datasource_two_phase_commit(spark, tmp_path):
+    """df.write.format("warcsink") lands one WARC file per task plus an
+    atomic _MANIFEST.json; parse_records over the published files
+    reproduces the input rows exactly, and nothing is left under
+    _temporary after commit."""
+    import json
+    import os
+
+    from crawler_spark.sources.webds import WarcSinkDataSource
+
+    spark.dataSource.register(WarcSinkDataSource)
+    rows = [
+        (f"http://h{i % 5}.test/p/{i}", 200 + (i % 2) * 104, f"payload {i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "uri string, status int, body string")
+    out = str(tmp_path / "archive")
+    df.repartition(4).write.format("warcsink").option("path", out).mode(
+        "append"
+    ).save()
+
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["n_records"] == 60
+    assert sorted(os.listdir(os.path.join(out, "_temporary"))) == []
+    # every manifest-listed file exists; no unlisted .warc strays
+    published = sorted(
+        f for f in os.listdir(out) if f.endswith(".warc")
+    )
+    assert published == man["files"]
+
+    blobs = spark.createDataFrame(
+        [(open(os.path.join(out, f)).read(),) for f in man["files"]],
+        "blob string",
+    )
+    got = sorted(
+        (r["uri"], r["status"], r["body"])
+        for r in parse_records(blobs).collect()
+    )
+    assert got == sorted(rows)
