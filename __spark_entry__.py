@@ -3079,6 +3079,71 @@ def q_image_phash_neardup(spark, sf_dir):
     return verify_pairs_psnr(cand, images, min_psnr=30.0)
 
 
+def q_image_dct_neardup(spark, sf_dir):
+    """Frequency-domain near-dup: decode -> DCT pHash (32x32 2D DCT-II,
+    low-frequency 8x8, AC-median threshold) alongside the spatial
+    block-mean hash in one mapInPandas pass -> banded Hamming<=6 join
+    on the DCT signature. Input plants contrast-regraded twins
+    (round(px*1.2) / round(px*0.85)); both hash families are
+    affine-invariant pre-quantization, but they flip DIFFERENT bits
+    under uint8 re-quantization (near-zero AC coefficients vs
+    median-adjacent block means), so the returned rows carry BOTH
+    distances: the per-pair disagreement in both directions is exactly
+    the decorrelation that makes a >=2-of-k hash ensemble kill each
+    family's false negatives. No SQL oracle (binary codec + DCT in
+    Python); rows-only — brute-force parity and the exact invariance
+    proofs are pytest-asserted (tests/test_dcthash.py)."""
+    import numpy as np
+
+    from crawler_spark.functions.codecs import decode, encode
+    from crawler_spark.operators.dedup import hamming64_pairs
+    from crawler_spark.operators.multimodal import dct_hashes
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-1.test/p0/d0/img-{i}" for i in range(48)]
+    rows = [
+        (r["image_id"], r["bytes"], r["fmt"])
+        for r in (T1_SMOKE.payload(u) for u in urls)
+    ]
+    variants = []
+    for image_id, data, fmt in rows[:16]:
+        px = decode(data, fmt).astype(np.float64)
+        s = 1.2 if int(image_id[-1], 16) % 2 else 0.85
+        tw = np.clip(np.round(px * s), 0, 255).astype(np.uint8)
+        variants.append((image_id + "-c", encode(tw, "png"), "png"))
+    images = spark.createDataFrame(
+        rows + variants, "image_id string, bytes binary, fmt string"
+    )
+    sigs = dct_hashes(images).persist()
+    cand = hamming64_pairs(
+        sigs, id_col="image_id", sig_col="dct_phash", max_hamming=6, n_bands=8
+    )
+    blk = sigs.select("image_id", "phash")
+    return (
+        cand.join(
+            F.broadcast(blk).withColumnsRenamed(
+                {"image_id": "doc_a", "phash": "ph_a"}
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(blk).withColumnsRenamed(
+                {"image_id": "doc_b", "phash": "ph_b"}
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("hamming").alias("dct_hamming"),
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias(
+                "blockhash_hamming"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_image_colorhist(spark, sf_dir):
     """Intensity-histogram near-dup — the image signal orthogonal to
     pHash (phash keys on spatial frequency structure, the histogram on
@@ -8230,6 +8295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_impact": q_dedup_impact,
         "image_phash_neardup": q_image_phash_neardup,
+        "image_dct_neardup": q_image_dct_neardup,
         "image_colorhist": q_image_colorhist,
         "image_flip_dedup": q_image_flip_dedup,
         "image_dedup_cross_wave": q_image_dedup_cross_wave,

@@ -147,6 +147,8 @@ HEADLINE = [
     "recursive_reachability",
     "variant_extract_stats",
     "host_scc",
+    "warc_roundtrip",
+    "image_dct_neardup",
 ]
 
 BENCH_HOSTS = 50

@@ -178,3 +178,43 @@ def ahash64(px: np.ndarray) -> int:
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     means = px[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
     return _pack_bits64((means > means.mean()).flatten())
+
+
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    """Orthonormal 32-point DCT-II basis matrix (cached)."""
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        k = np.arange(n)[:, None]
+        m = np.arange(n)[None, :]
+        d = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+        d[0] *= np.sqrt(1.0 / n)
+        d[1:] *= np.sqrt(2.0 / n)
+        _DCT32 = d
+    return _DCT32
+
+
+def dct_phash64(px: np.ndarray) -> int:
+    """Classic frequency-domain pHash: NN-resample to 32x32, 2D DCT-II,
+    keep the low-frequency 8x8 corner, threshold the 63 AC coefficients
+    by their median (DC bit forced to 0) -> signed int64.
+
+    Distinct from the spatial block-mean ``phash64``: working in the
+    AC spectrum makes it exactly invariant to affine brightness changes
+    (px + c moves only the DC coefficient; px * s with s > 0 scales all
+    AC terms uniformly, so median comparisons are unchanged) — the
+    twin class a block-mean/median hash flips bits on. Deterministic,
+    pure numpy, no external DCT dependency."""
+    h, w = px.shape
+    ys = (np.arange(32) * h // 32).clip(0, h - 1)
+    xs = (np.arange(32) * w // 32).clip(0, w - 1)
+    g = px[np.ix_(ys, xs)].astype(np.float64)
+    d = _dct32()
+    spec = d @ g @ d.T
+    low = spec[:8, :8].flatten()
+    ac = low[1:]
+    bits = np.concatenate(([False], ac > np.median(ac)))
+    return _pack_bits64(bits)

@@ -923,3 +923,46 @@ def tile_hashes(images: DataFrame, tile: int = 16) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         go, schema=TILE_HASH_SCHEMA
     )
+
+
+DCT_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("dct_phash", T.LongType()),
+    ]
+)
+
+
+def dct_hashes(images: DataFrame) -> DataFrame:
+    """Spatial block-mean hash + frequency-domain DCT pHash per image in
+    ONE decode pass. The DCT hash (codecs.dct_phash64) is exactly
+    invariant to affine brightness/contrast edits pre-quantization, and
+    under uint8 re-quantization it flips a DIFFERENT bit population
+    than the block-mean hash (near-zero AC coefficients vs
+    median-adjacent block means) — the decorrelated second opinion a
+    >=2-of-k near-dup ensemble needs.
+
+    One Arrow-batched mapInPandas stage over (image_id, bytes, fmt);
+    both signatures are int64 so the downstream banded Hamming join and
+    bit_count(xor) agreement math stay native/codegen-able."""
+
+    from crawler_spark.functions.codecs import dct_phash64
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "phash": phash64(px),
+                        "dct_phash": dct_phash64(px),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DCT_HASH_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=DCT_HASH_SCHEMA
+    )
