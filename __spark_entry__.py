@@ -4402,6 +4402,22 @@ def q_simhash64_pairs(spark, sf_dir):
     return simhash64_hamming_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_cc_star_clusters(spark, sf_dir):
+    """Duplicate-cluster labels via large-star/small-star contraction
+    (Kiveris et al. SoCC'14) over the 64-bit SimHash Hamming<=3 pair
+    graph — the O(log diameter) scale path next to ``dedup_clusters``'s
+    one-hop min propagation (chained duplicates make diameters long;
+    star contraction's round count doesn't care). Same output contract:
+    (doc_id, cluster_id = component min)."""
+    from crawler_spark.operators.dedup import simhash64_hamming_pairs
+    from crawler_spark.operators.graph import cc_star
+
+    pairs = simhash64_hamming_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+    return cc_star(pairs).orderBy("doc_id")
+
+
 def q_scenario_generate(spark, sf_dir):
     """C12 + W2 composed: generate the prefix-reduction scenario list
     from a raw query string (kakao_api.py:131-145), then first validated
@@ -8285,6 +8301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
+        "cc_star_clusters": q_cc_star_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "shingle_containment": q_shingle_containment,
         "substring_overlap": q_substring_overlap,
@@ -13414,6 +13431,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN sig sb ON doc_b = sb.doc_id AND sa.band_id = sb.band_id
             GROUP BY doc_a, doc_b
             HAVING sum(bit_count(xor(sa.band_val, sb.band_val))) <= 3
+        """,
+        "cc_star_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            bands AS (
+              SELECT doc_id, b.band_id, md5(b.band_id || '|' || tok) AS h
+              FROM toks, unnest(generate_series(0, 3)) AS b(band_id)
+            ),
+            votes AS (
+              SELECT doc_id, band_id, t.bit,
+                     CASE WHEN substr(h, t.bit + 1, 1) >= '8'
+                          THEN 1 ELSE -1 END AS vote
+              FROM bands, unnest(generate_series(0, 15)) AS t(bit)
+            ),
+            per_bit AS (
+              SELECT doc_id, band_id, bit,
+                     CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS b
+              FROM votes GROUP BY doc_id, band_id, bit
+            ),
+            sig AS (
+              SELECT doc_id, band_id,
+                     CAST(sum(b * CAST(pow(2, bit) AS BIGINT)) AS BIGINT) AS band_val
+              FROM per_bit GROUP BY doc_id, band_id
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sig a JOIN sig b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM cand
+              JOIN sig sa ON doc_a = sa.doc_id
+              JOIN sig sb ON doc_b = sb.doc_id AND sa.band_id = sb.band_id
+              GROUP BY doc_a, doc_b
+              HAVING sum(bit_count(xor(sa.band_val, sb.band_val))) <= 3
+            ),
+            e AS (
+              SELECT doc_a AS s, doc_b AS t FROM pairs
+              UNION
+              SELECT doc_b AS s, doc_a AS t FROM pairs
+            ),
+            reach(s, t) AS (
+              SELECT s, t FROM e
+              UNION
+              SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+            )
+            SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+            FROM reach GROUP BY s ORDER BY doc_id
         """,
         "scenario_generate": """
             WITH base AS (

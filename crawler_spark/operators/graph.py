@@ -889,3 +889,106 @@ def scc_decompose(
     if assigned is None:
         return nodes.select("node", F.col("node").alias("scc_id")).limit(0)
     return assigned
+
+
+# ------------------------------------------ large-star / small-star CC
+
+
+def cc_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 16,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public): the scale path ``dedup_clusters``'s
+    docstring promises. Min-label propagation moves a component's
+    minimum ONE hop per round, so rounds = graph diameter — fine for
+    shallow near-dup clusters, ruinous for chained duplicates (doc A
+    near-dups B near-dups C ... — mirror chains and boilerplate
+    families produce exactly this). The star operations contract paths,
+    flattening the pointer forest in O(log d) rounds: a 64-hop chain
+    converges in ~6 alternations instead of 64 propagation rounds
+    (tests/test_graph.py pins both the label equality and the round
+    budget).
+
+    large-star(u): every neighbor v > u re-attaches to
+    m = min(Γ(u) ∪ {u}).  small-star(u): every neighbor v <= u and u
+    itself re-attach to m = min({v ∈ Γ(u): v <= u} ∪ {u}). Each is one
+    groupBy(u) + one join on u (co-partitioned with the groupBy — AQE
+    reuses the exchange) + distinct. Labels only decrease, so the
+    fixpoint check is a narrow count + hash-sum signature aggregate
+    (decimal(38) accumulator: no overflow at 10^10 edges), never a join
+    against the previous state. ``localCheckpoint`` per round keeps the
+    plan flat.
+
+    At convergence the edge set is a min-rooted star forest: every edge
+    reads (node, component-min). Output matches ``dedup_clusters``:
+    (doc_id, cluster_id) for every doc appearing in ``pairs``; roots
+    label themselves. ``stats['rounds']`` reports alternations used.
+    """
+    nodes = (
+        pairs.select(F.col(a_col).alias("id"))
+        .unionByName(pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+    )
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (r["n"], r["s"])
+
+    def _swap(df: DataFrame) -> DataFrame:
+        return df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+
+    def _star(df: DataFrame, large: bool) -> DataFrame:
+        nbr = df.unionByName(_swap(df))
+        sub = nbr if large else nbr.filter(F.col("v") <= F.col("u"))
+        mins = (
+            sub.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        )
+        if large:
+            out = (
+                nbr.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+        else:
+            out = (
+                sub.join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(mins.select("u", F.col("m").alias("v")))
+            )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    sig = _sig(e)
+    rounds = 0
+    for _ in range(max_iter):
+        e = _star(_star(e, large=True), large=False).localCheckpoint()
+        rounds += 1
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    parent = e.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        nodes.join(parent, nodes["id"] == parent["u"], "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+        )
+    )

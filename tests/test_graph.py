@@ -425,3 +425,80 @@ def test_salsa_matches_dense_numpy(spark):
     ranked = sorted(nodes, key=lambda m: -got[m][0])
     assert ranked[0] == 3
     assert got[2][0] > got[4][0] > 0
+
+
+# ------------------------------------------ large-star / small-star CC
+
+
+def _cc_truth(edges):
+    """Union-find ground truth: node -> component minimum."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_star_matches_min_propagation_and_truth(spark):
+    from crawler_spark.operators.dedup import dedup_clusters
+    from crawler_spark.operators.graph import cc_star
+
+    rng = np.random.default_rng(7)
+    n = 200
+    edges = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(0, n, size=(260, 2))
+            if a != b
+        }
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = _cc_truth(edges)
+    stats = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cc_star(pairs, stats=stats).collect()
+    }
+    assert got == want
+    # interface parity with the min-propagation operator on the same input
+    prop = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == prop
+    assert stats["rounds"] >= 1
+
+
+def test_cc_star_long_chain_converges_in_log_rounds(spark):
+    from crawler_spark.operators.graph import cc_star
+
+    # a 64-hop duplicate chain: min-propagation needs 64 rounds (one hop
+    # per round); star contraction must flatten it in O(log n)
+    edges = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    stats = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cc_star(pairs, max_iter=10, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(65)}
+    assert stats["rounds"] <= 8, stats
+
+
+def test_cc_star_disjoint_components_and_isolated_pair(spark):
+    from crawler_spark.operators.graph import cc_star
+
+    edges = [(10, 11), (11, 12), (30, 31), (50, 51), (51, 50)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in cc_star(pairs).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 30: 30, 31: 30, 50: 50, 51: 50}
