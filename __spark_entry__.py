@@ -4418,6 +4418,66 @@ def q_cc_star_clusters(spark, sf_dir):
     return cc_star(pairs).orderBy("doc_id")
 
 
+def q_trap_gate(spark, sf_dir):
+    """Spider-trap host report (Heritrix pathological-path + DUST
+    template-explosion signals, operators/traps.py): per-URL signals
+    are shuffle-free native expressions; the host report is two
+    map-side-combinable aggs joined on the host dimension. The synth
+    frontier plants one calendar-loop host (repeated segments) and one
+    parameter-mill host (single collapsed template) among clean hosts."""
+    from crawler_spark.operators.traps import host_trap_report
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("host-"), (F.col("doc_id") % 20).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.concat(
+            F.lit("http://host-"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".test"),
+            F.expr(
+                "CASE WHEN doc_id % 20 = 7 THEN "
+                "  '/cal/' || repeat('2024/', CAST(doc_id % 6 AS INT) + 1) || 'p' "
+                "WHEN doc_id % 20 = 13 THEN '/p/' || CAST(doc_id AS STRING) "
+                "ELSE '/' || source || '/' || "
+                "  translate(CAST(doc_id % 64 AS STRING), '0123456789', 'abcdefghij') "
+                "  || '/item/' || CAST(doc_id AS STRING) END"
+            ),
+        ).alias("url"),
+    )
+    rep = host_trap_report(urls, repeat_threshold=3, template_threshold=50)
+    return rep.select(
+        "host",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_templates").cast("long").alias("n_templates"),
+        F.col("max_urls_per_template").cast("long").alias("max_urls_per_template"),
+        F.col("max_seg_repeat").cast("long").alias("max_seg_repeat"),
+        "avg_path_depth",
+        "trap_suspect",
+    )
+
+
+def q_dup_line_gate(spark, sf_dir):
+    """The duplicate-LINE half of the Gopher repetition rules (dup-line
+    fraction + dup-line char fraction, thresholds 0.30/0.20): ZERO
+    shuffles — pseudo-lines and the sorted-adjacent duplicate fold are
+    pure array expressions, vs `repetition_suite`'s grouped-count
+    shuffle of (doc, gram) partials. The per-document gate a 10^10-doc
+    corpus pass wants map-side."""
+    from crawler_spark.functions.text import dup_line_signals
+
+    d = _t(spark, sf_dir, "documents")
+    s = dup_line_signals(F.col("text"), line_words=8)
+    return d.select(
+        "doc_id",
+        s["n_lines"].cast("int").alias("n_lines"),
+        s["dup_line_frac"].alias("dup_line_frac"),
+        s["dup_line_char_frac"].alias("dup_line_char_frac"),
+        s["pass_dup_lines"].alias("pass_dup_lines"),
+    )
+
+
 def q_scenario_generate(spark, sf_dir):
     """C12 + W2 composed: generate the prefix-reduction scenario list
     from a raw query string (kakao_api.py:131-145), then first validated
@@ -8302,6 +8362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": q_dedup_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
         "cc_star_clusters": q_cc_star_clusters,
+        "trap_gate": q_trap_gate,
+        "dup_line_gate": q_dup_line_gate,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "shingle_containment": q_shingle_containment,
         "substring_overlap": q_substring_overlap,
@@ -13486,6 +13548,110 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS doc_id, least(s, min(t)) AS cluster_id
             FROM reach GROUP BY s ORDER BY doc_id
+        """,
+        "trap_gate": """
+            WITH u AS (
+              SELECT doc_id,
+                     'host-' || (doc_id % 20) || '.test' AS host,
+                     CASE WHEN doc_id % 20 = 7 THEN
+                            '/cal/' || repeat('2024/', CAST(doc_id % 6 AS INT) + 1) || 'p'
+                          WHEN doc_id % 20 = 13 THEN '/p/' || doc_id
+                          ELSE '/' || source || '/' ||
+                               translate(CAST(doc_id % 64 AS VARCHAR),
+                                         '0123456789', 'abcdefghij')
+                               || '/item/' || doc_id END AS path
+              FROM documents
+            ),
+            segs AS (
+              SELECT doc_id, host,
+                     list_filter(string_split(path, '/'), x -> len(x) > 0) AS sg,
+                     regexp_replace(path, '[0-9]+', 'N', 'g') AS template
+              FROM u
+            ),
+            per_seg AS (
+              SELECT doc_id, seg, count(*) AS c
+              FROM (SELECT doc_id, unnest(sg) AS seg FROM segs)
+              GROUP BY doc_id, seg
+            ),
+            url_rep AS (
+              SELECT doc_id, max(c) AS max_rep FROM per_seg GROUP BY doc_id
+            ),
+            sig AS (
+              SELECT s.host, s.template, len(s.sg) AS depth,
+                     coalesce(r.max_rep, 0) AS max_rep
+              FROM segs s LEFT JOIN url_rep r USING (doc_id)
+            ),
+            tpl AS (
+              SELECT host, template, count(*) AS n
+              FROM sig GROUP BY host, template
+            ),
+            tph AS (
+              SELECT host, count(*) AS n_templates,
+                     max(n) AS max_urls_per_template
+              FROM tpl GROUP BY host
+            ),
+            hh AS (
+              SELECT host, count(*) AS n_urls,
+                     max(max_rep) AS max_seg_repeat,
+                     sum(depth) AS sd
+              FROM sig GROUP BY host
+            )
+            SELECT h.host,
+                   CAST(n_urls AS BIGINT) AS n_urls,
+                   CAST(n_templates AS BIGINT) AS n_templates,
+                   CAST(max_urls_per_template AS BIGINT) AS max_urls_per_template,
+                   CAST(max_seg_repeat AS BIGINT) AS max_seg_repeat,
+                   floor(CAST(sd AS DOUBLE) / n_urls * 1000000.0 + 0.5)
+                     / 1000000.0 AS avg_path_depth,
+                   (max_seg_repeat >= 3 OR max_urls_per_template >= 50)
+                     AS trap_suspect
+            FROM hh h JOIN tph t USING (host)
+        """,
+        "dup_line_gate": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                       x -> len(x) > 0) AS ws
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     array_to_string(ws[(i.i - 1) * 8 + 1 : (i.i - 1) * 8 + 8], ' ')
+                       AS line
+              FROM w,
+                   unnest(generate_series(1, CAST(ceil(len(ws) / 8.0) AS INT)))
+                     AS i(i)
+              WHERE len(ws) > 0
+            ),
+            lc AS (
+              SELECT doc_id, line, count(*) AS c, length(line) AS ch
+              FROM l GROUP BY doc_id, line
+            ),
+            la AS (
+              SELECT doc_id,
+                     sum(c) AS n_lines,
+                     sum(c - 1) AS dup_lines,
+                     sum((c - 1) * ch) AS dup_chars,
+                     sum(c * ch) AS tot_chars
+              FROM lc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_lines, 0) AS INT) AS n_lines,
+                   floor(CAST(coalesce(dup_lines, 0) AS DOUBLE)
+                         / greatest(coalesce(n_lines, 0), 1) * 1000000.0 + 0.5)
+                     / 1000000.0 AS dup_line_frac,
+                   floor(CAST(coalesce(dup_chars, 0) AS DOUBLE)
+                         / greatest(coalesce(tot_chars, 0), 1) * 1000000.0 + 0.5)
+                     / 1000000.0 AS dup_line_char_frac,
+                   (floor(CAST(coalesce(dup_lines, 0) AS DOUBLE)
+                          / greatest(coalesce(n_lines, 0), 1) * 1000000.0 + 0.5)
+                      / 1000000.0 <= 0.30
+                    AND
+                    floor(CAST(coalesce(dup_chars, 0) AS DOUBLE)
+                          / greatest(coalesce(tot_chars, 0), 1) * 1000000.0 + 0.5)
+                      / 1000000.0 <= 0.20) AS pass_dup_lines
+            FROM documents d LEFT JOIN la USING (doc_id)
         """,
         "scenario_generate": """
             WITH base AS (

@@ -127,3 +127,76 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
     text (the rolling-hash analog, portable to the SQL oracle)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")))
+
+
+def dup_mass(items: Column) -> dict[str, Column]:
+    """Sorted-adjacent duplicate accounting over a string array: how
+    many occurrences are repeats of an earlier identical item, and the
+    character mass those repeats carry. ``array_sort`` makes equal
+    items adjacent, so one comparison per element finds every repeat —
+    shuffle-free (no explode: per-document state stays one row, unlike
+    the grouped-count form in ``repetition_suite``, which shuffles
+    (doc, gram) partials)."""
+    srt = F.array_sort(items)
+    n = F.size(items)
+    idx = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+        F.expr("CAST(array() AS ARRAY<INT>)")
+    )
+    dups = F.filter(
+        idx, lambda i: F.element_at(srt, i) == F.element_at(srt, i - 1)
+    )
+    return {
+        "n_items": n,
+        "dup_items": F.size(dups),
+        "dup_chars": F.aggregate(
+            dups, F.lit(0), lambda a, i: a + F.length(F.element_at(srt, i))
+        ),
+        "total_chars": F.aggregate(
+            items, F.lit(0), lambda a, x: a + F.length(x)
+        ),
+    }
+
+
+def dup_line_signals(text: Column, line_words: int = 8) -> dict[str, Column]:
+    """The duplicate-LINE half of the Gopher repetition rules (Rae et
+    al. 2021 Table A1, public): fraction of lines that repeat an
+    earlier identical line, and the character fraction those repeats
+    carry (thresholds 0.30 / 0.20 in the paper). The synthetic corpus
+    has no newlines, so 'lines' are fixed-width pseudo-lines of
+    ``line_words`` tokens — the accounting is delimiter-agnostic (swap
+    the grouping for ``split(text, '\\n')`` on real pages).
+
+    Zero shuffles: pseudo-lines, the sorted-adjacent duplicate fold
+    (``dup_mass``) and both fractions are native array expressions."""
+    ws = F.filter(_tokens(text), lambda t: F.length(t) > 0)
+    nw = F.size(ws)
+    lw = F.lit(line_words)
+    n_lines = F.ceil(nw / lw).cast("int")
+    lines = F.when(
+        nw > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_lines, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.slice(ws, (i - F.lit(1)) * lw + F.lit(1), line_words)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    m = dup_mass(lines)
+    sc = F.lit(1000000.0)
+
+    # floor(x*1e6+0.5)/1e6 — deterministic cross-engine rounding
+    def _pin6(c: Column) -> Column:
+        return F.floor(c * sc + F.lit(0.5)) / sc
+
+    line_frac = _pin6(
+        m["dup_items"].cast("double") / F.greatest(m["n_items"], F.lit(1))
+    )
+    char_frac = _pin6(
+        m["dup_chars"].cast("double") / F.greatest(m["total_chars"], F.lit(1))
+    )
+    return {
+        "n_lines": m["n_items"],
+        "dup_line_frac": line_frac,
+        "dup_line_char_frac": char_frac,
+        "pass_dup_lines": (line_frac <= 0.30) & (char_frac <= 0.20),
+    }

@@ -1,0 +1,144 @@
+"""Spider-trap detection over frontier URLs.
+
+A crawler that follows links blindly walks into infinite URL spaces:
+calendar pages that link to next-month forever (``/cal/2024/2024/...``,
+repeated path segments), session-id / pagination parameter mills (one
+path template generating unbounded distinct URLs), and mirror loops.
+The reference crawler never meets these — it drives a fixed site list
+(reference: src/crawler/crawler.py seed regions) — but a web-scale
+frontier MUST gate them or the frontier fills with one host's garbage.
+
+Heritrix ships the same two detectors this module computes (public
+behavior: PathologicalPathDecideRule = repeated-segment runs,
+TooManyPathSegmentsDecideRule = depth cap); the template-explosion
+signal is the URL-normalization insight of the DUST line of work
+(Bar-Yossef et al., WWW'07): URLs differing only in digit runs are one
+logical resource family, so a family generating unboundedly many
+members marks a parameter mill.
+
+Dataflow shape (axes: 10^10-URL frontier):
+* per-URL signals are pure native array/regex expressions — zero
+  shuffles, whole-stage codegen, no Python;
+* the host report is two map-side-combinable aggregations (one keyed
+  by host, one by (host, template)) joined on the host dimension —
+  the (host, template) key is bounded by design (templates collapse
+  digit runs), so no skew beyond what the host agg already carries.
+
+The repeated-segment count uses a sorted-adjacent fold: ``array_sort``
+makes equal segments adjacent, one struct-fold pass counts the longest
+run — O(segments log segments) per row, still shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# path component of a URL: scheme://authority(path-until-?-or-#)
+_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+
+
+def _pin(col, k: int):
+    """floor(x*10^k + 0.5)/10^k — deterministic cross-engine rounding
+    (same IEEE ops in Spark and DuckDB; see operators/corpus._pin)."""
+    sc = float(10**k)
+    return F.floor(col * F.lit(sc) + F.lit(0.5)) / F.lit(sc)
+
+
+def _max_multiplicity(items: Column) -> Column:
+    """Largest multiplicity of any element in a string array, as one
+    sorted-adjacent fold (no explode — per-row state stays one row)."""
+    srt = F.array_sort(items)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(srt, zero, step)["best"]
+
+
+def trap_signals(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL trap signals, appended as columns:
+
+    * ``path_depth``   — number of non-empty path segments
+    * ``max_seg_repeat`` — largest multiplicity of any single segment
+      (3+ repeats of one segment is the pathological-path signature)
+    * ``path_template`` — the path with every digit run collapsed to
+      ``N`` (the DUST-style resource-family key)
+
+    Pure native expressions; no shuffle, no Python.
+    """
+    path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    segs = F.filter(F.split(path, "/"), lambda x: F.length(x) > 0)
+    return urls.withColumns(
+        {
+            "path_depth": F.size(segs).cast("int"),
+            "max_seg_repeat": _max_multiplicity(segs).cast("int"),
+            "path_template": F.regexp_replace(path, "[0-9]+", "N"),
+        }
+    )
+
+
+def host_trap_report(
+    urls: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    repeat_threshold: int = 3,
+    template_threshold: int = 50,
+) -> DataFrame:
+    """Per-host spider-trap report over a frontier slice:
+
+    (host, n_urls, n_templates, max_urls_per_template, max_seg_repeat,
+     avg_path_depth, trap_suspect)
+
+    ``trap_suspect`` fires when any URL repeats one path segment
+    ``repeat_threshold``+ times (calendar/mirror loop) OR one collapsed
+    path template has accumulated ``template_threshold``+ member URLs
+    (session-id / pagination parameter mill). The report is
+    host-dimension sized — broadcastable back onto the frontier as a
+    demotion/deny gate the same way the robots dimension joins in
+    (operators/politeness.robots_gate).
+    """
+    sig = trap_signals(urls, url_col=url_col).select(
+        F.col(host_col).alias("host"),
+        "path_depth",
+        "max_seg_repeat",
+        "path_template",
+    )
+    tpl = sig.groupBy("host", "path_template").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tph = tpl.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_templates"),
+        F.max("n").alias("max_urls_per_template"),
+    )
+    hh = sig.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.max("max_seg_repeat").cast("int").alias("max_seg_repeat"),
+        F.sum("path_depth").alias("_sum_depth"),
+    )
+    return (
+        hh.join(tph, "host")
+        .select(
+            "host",
+            "n_urls",
+            "n_templates",
+            "max_urls_per_template",
+            "max_seg_repeat",
+            _pin(F.col("_sum_depth").cast("double") / F.col("n_urls"), 6).alias(
+                "avg_path_depth"
+            ),
+            (
+                (F.col("max_seg_repeat") >= F.lit(repeat_threshold))
+                | (F.col("max_urls_per_template") >= F.lit(template_threshold))
+            ).alias("trap_suspect"),
+        )
+    )

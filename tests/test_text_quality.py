@@ -85,3 +85,48 @@ def test_ccnet_buckets_tertiles_match_python_mirror(spark, tmp_path):
     by_doc = {r["doc_id"]: r for r in rows}
     assert by_doc[len(texts) - 1]["ppl"] == max(ppls)
     assert by_doc[len(texts) - 1]["bucket"] == "tail"
+
+
+def test_dup_line_gate_hand_computed(spark, tmp_path):
+    # 8-word pseudo-lines. doc 0: 24 words = lines [A, B, A] -> one
+    # repeat of A. doc 1: 16 distinct words -> no repeats. doc 2: 7
+    # words -> a single (short) line, no repeats. doc 3: empty-ish.
+    A = "a b c d e f g h"
+    B = "p q r s t u v w"
+    texts = [
+        f"{A} {B} {A}",
+        "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2 x3 x4 x5 x6 x7 x8",
+        "one two three four five six seven",
+        "solo",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = {r["doc_id"]: r.asDict() for r in entry.q_dup_line_gate(spark, sf).collect()}
+    a_chars = len(A)
+    tot = 2 * len(A) + len(B)
+    assert rows[0]["n_lines"] == 3
+    assert rows[0]["dup_line_frac"] == round(1 / 3, 6)
+    assert abs(rows[0]["dup_line_char_frac"] - a_chars / tot) < 2e-6
+    assert rows[0]["pass_dup_lines"] is False  # 0.333 > 0.30
+    assert rows[1] == {
+        "doc_id": 1, "n_lines": 2, "dup_line_frac": 0.0,
+        "dup_line_char_frac": 0.0, "pass_dup_lines": True,
+    }
+    assert rows[2]["n_lines"] == 1 and rows[2]["pass_dup_lines"] is True
+    assert rows[3]["n_lines"] == 1 and rows[3]["dup_line_frac"] == 0.0
+
+
+def test_dup_mass_sorted_adjacent_fold(spark):
+    from crawler_spark.functions.text import dup_mass
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(["x", "y", "x", "x", "zz"],), ([],), (["solo"],)],
+        "items array<string>",
+    )
+    m = dup_mass(F.col("items"))
+    got = df.select(
+        m["n_items"].alias("n"), m["dup_items"].alias("d"),
+        m["dup_chars"].alias("dc"), m["total_chars"].alias("tc"),
+    ).collect()
+    # ['x','y','x','x','zz']: sorted -> x,x,x,y,zz; repeats = 2 x's (2 chars)
+    assert [tuple(r) for r in got] == [(5, 2, 2, 6), (0, 0, 0, 0), (1, 0, 0, 4)]
