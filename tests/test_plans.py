@@ -262,3 +262,20 @@ def test_refresh_allocation_uses_take_ordered(spark):
     plan = _plan(spark, "refresh_allocation")
     assert "TakeOrderedAndProject" in plan, plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dup_line_gate_is_shuffle_free(spark):
+    # the whole point of the sorted-adjacent fold: per-doc gate with NO
+    # exchange anywhere — a pure map-side corpus pass
+    plan = _plan(spark, "dup_line_gate")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trap_gate_two_host_aggs_no_python(spark):
+    plan = _plan(spark, "trap_gate")
+    # per-URL signals stay native (no Python eval), join on the host
+    # dimension only; partial aggregates combine map-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x2 keys
