@@ -3622,6 +3622,30 @@ def q_repetition_suite(spark, sf_dir):
     )
 
 
+def q_repetition_mapside(spark, sf_dir):
+    """ZERO-shuffle twin of `repetition_suite`: identical per-document
+    top-3/4-gram ratios and duplicated-5-gram char fraction, computed
+    from one row of array state (sorted-adjacent folds,
+    functions/text.repetition_signals_mapside) instead of exploding
+    (doc, gram) partials through a shuffle. Same oracle — the values
+    are defined to be equal; the bench compares the two plans."""
+    from crawler_spark.functions.text import repetition_signals_mapside
+
+    d = _t(spark, sf_dir, "documents")
+    s = repetition_signals_mapside(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            s["n_words"].alias("__nw"),
+            s["top3_ratio"].alias("top3_ratio"),
+            s["top4_ratio"].alias("top4_ratio"),
+            s["dup5_char_frac"].alias("dup5_char_frac"),
+        )
+        .filter(F.col("__nw") >= 3)
+        .drop("__nw")
+    )
+
+
 def q_sequence_packing(spark, sf_dir):
     """LLM training sequence packing: assign documents to fixed
     token-budget bins (budget 512) with greedy next-fit over a running
@@ -8364,6 +8388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star_clusters": q_cc_star_clusters,
         "trap_gate": q_trap_gate,
         "dup_line_gate": q_dup_line_gate,
+        "repetition_mapside": q_repetition_mapside,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "shingle_containment": q_shingle_containment,
         "substring_overlap": q_substring_overlap,
@@ -8474,7 +8499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     frontier = _FRONTIER_SQL
-    return {
+    sqls = {
         "frontier_schedule": f"""
             WITH f AS ({frontier})
             SELECT host, doc_id, priority, depth, sched_rank FROM (
@@ -14756,3 +14781,8 @@ def oracle_sql() -> dict[str, str]:
         # mime_sniff: intentionally no SQL oracle (engine-internal tables
         # / binary codec); driver records rows-only checks.
     }
+    # the map-side repetition gate computes per-document values DEFINED
+    # to equal the grouped-count suite's — one oracle serves both, so a
+    # divergence between the two plans is itself a correctness failure
+    sqls["repetition_mapside"] = sqls["repetition_suite"]
+    return sqls

@@ -200,3 +200,92 @@ def dup_line_signals(text: Column, line_words: int = 8) -> dict[str, Column]:
         "dup_line_char_frac": char_frac,
         "pass_dup_lines": (line_frac <= 0.30) & (char_frac <= 0.20),
     }
+
+
+def max_multiplicity(items: Column) -> Column:
+    """Largest multiplicity of any element in a string array, as one
+    sorted-adjacent struct fold — the shuffle-free alternative to
+    explode + groupBy + max(count). Shared by the spider-trap segment
+    detector (operators/traps.py) and the map-side repetition gate."""
+    srt = F.array_sort(items)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(srt, zero, step)["best"]
+
+
+def _word_grams(ws: Column, n: int) -> Column:
+    """Word n-grams over a token array; empty array below n tokens."""
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+def repetition_signals_mapside(text: Column) -> dict[str, Column]:
+    """Map-side twin of the `repetition_suite` query: top-3-gram and
+    top-4-gram occurrence ratios plus the duplicated-5-gram character
+    fraction (Gopher Table A1 signals), with ZERO shuffles — the
+    grouped-count form shuffles (doc, gram) partials for every gram in
+    the corpus; this computes identical values per document from one
+    row of array state (sorted-adjacent folds), so a 10^10-doc gate
+    runs as a pure scan. NULL where a document is too short to have
+    grams of that order (matching the grouped form's absent rows).
+
+    dup-char fraction counts ALL occurrences of any duplicated 5-gram
+    (c >= 2 contributes c*len, same as the suite's accounting)."""
+    ws = F.filter(_tokens(text), lambda t: F.length(t) > 0)
+    sc = F.lit(1000000.0)
+
+    def _pin6(c: Column) -> Column:
+        return F.floor(c * sc + F.lit(0.5)) / sc
+
+    def _top_ratio(n: int) -> Column:
+        g = _word_grams(ws, n)
+        return F.when(
+            F.size(ws) >= n,
+            _pin6(max_multiplicity(g).cast("double") / F.size(g)),
+        )
+
+    g5 = _word_grams(ws, 5)
+    s5 = F.array_sort(g5)
+    n5 = F.size(g5)
+    idx = F.when(n5 >= 1, F.sequence(F.lit(1), n5)).otherwise(
+        F.expr("CAST(array() AS ARRAY<INT>)")
+    )
+    # an occurrence i is part of a duplicated run iff it equals a
+    # sorted neighbor on either side (c>=2 groups contribute all c)
+    dup_occ = F.filter(
+        idx,
+        lambda i: (
+            (i > 1) & (F.element_at(s5, i) == F.element_at(s5, i - 1))
+        )
+        | (
+            (i < n5) & (F.element_at(s5, i) == F.element_at(s5, i + 1))
+        ),
+    )
+    dup_chars = F.aggregate(
+        dup_occ, F.lit(0), lambda a, i: a + F.length(F.element_at(s5, i))
+    )
+    tot_chars = F.aggregate(g5, F.lit(0), lambda a, x: a + F.length(x))
+    return {
+        "n_words": F.size(ws),
+        "top3_ratio": _top_ratio(3),
+        "top4_ratio": _top_ratio(4),
+        "dup5_char_frac": F.when(
+            n5 >= 1,
+            _pin6(dup_chars.cast("double") / F.greatest(tot_chars, F.lit(1))),
+        ),
+    }

@@ -31,8 +31,10 @@ run — O(segments log segments) per row, still shuffle-free.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from crawler_spark.functions.text import max_multiplicity
 
 # path component of a URL: scheme://authority(path-until-?-or-#)
 _PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
@@ -43,25 +45,6 @@ def _pin(col, k: int):
     (same IEEE ops in Spark and DuckDB; see operators/corpus._pin)."""
     sc = float(10**k)
     return F.floor(col * F.lit(sc) + F.lit(0.5)) / F.lit(sc)
-
-
-def _max_multiplicity(items: Column) -> Column:
-    """Largest multiplicity of any element in a string array, as one
-    sorted-adjacent fold (no explode — per-row state stays one row)."""
-    srt = F.array_sort(items)
-    zero = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-
-    def step(acc: Column, x: Column) -> Column:
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    return F.aggregate(srt, zero, step)["best"]
 
 
 def trap_signals(urls: DataFrame, url_col: str = "url") -> DataFrame:
@@ -81,7 +64,7 @@ def trap_signals(urls: DataFrame, url_col: str = "url") -> DataFrame:
     return urls.withColumns(
         {
             "path_depth": F.size(segs).cast("int"),
-            "max_seg_repeat": _max_multiplicity(segs).cast("int"),
+            "max_seg_repeat": max_multiplicity(segs).cast("int"),
             "path_template": F.regexp_replace(path, "[0-9]+", "N"),
         }
     )

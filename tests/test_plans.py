@@ -279,3 +279,10 @@ def test_trap_gate_two_host_aggs_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final x2 keys
+
+
+def test_repetition_mapside_is_shuffle_free(spark):
+    # the twin exists to delete the suite's (doc, gram) shuffle — pin it
+    plan = _plan(spark, "repetition_mapside")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
