@@ -149,6 +149,11 @@ HEADLINE = [
     "host_scc",
     "warc_roundtrip",
     "image_dct_neardup",
+    # trap/repetition/cc-star additions
+    "repetition_mapside",
+    "dup_line_gate",
+    "trap_gate",
+    "cc_star_clusters",
 ]
 
 BENCH_HOSTS = 50

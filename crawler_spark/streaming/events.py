@@ -274,6 +274,7 @@ def stream_stream_attribution(
     right: DataFrame,
     horizon: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with a time-bound: attribute each
     right-side event (purchase / fetch-result) to the same user's
@@ -286,8 +287,18 @@ def stream_stream_attribution(
     Spark would (correctly) refuse unbounded-state append joins.
 
     Returns (user_id, left_ts, right_ts, left_value, right_value);
-    inner join, so the result equals the batch join of the same inputs
-    — asserted in tests.
+    with the default inner join the result equals the batch join of the
+    same inputs — asserted in tests.
+
+    ``how="left_outer"`` is the unattributed-work detector (clicks that
+    never converted; scheduled URLs that never produced a result): an
+    unmatched left row is held in state until the RIGHT watermark
+    passes ``left_ts + horizon`` — only then can Spark prove no match
+    can still arrive — and is then emitted once with NULL right
+    columns. Emission is therefore watermark-driven (a later batch must
+    advance the clock); state stays bounded exactly as in the inner
+    form. The timing semantics are pinned in
+    test_stream_stream_left_outer_emits_after_watermark.
     """
     l = left.withWatermark("ts", watermark).select(
         F.col("user_id"),
@@ -305,6 +316,7 @@ def stream_stream_attribution(
             f"user_id = r_user_id AND right_ts >= left_ts "
             f"AND right_ts <= left_ts + INTERVAL {horizon}"
         ),
+        how,
     ).select("user_id", "left_ts", "right_ts", "left_value", "right_value")
 
 
@@ -315,6 +327,7 @@ def run_attribution_stream(
     right_type: str = "purchase",
     horizon: str = "30 minutes",
     name: str = "attribution_out",
+    how: str = "inner",
 ):
     """Drive the stream-stream join: two readStreams over the same
     parquet dir, filtered to the two event types, one file per
@@ -331,6 +344,7 @@ def run_attribution_stream(
         src().filter(F.col("event_type") == left_type),
         src().filter(F.col("event_type") == right_type),
         horizon=horizon,
+        how=how,
     )
     q = (
         out.writeStream.outputMode("append")

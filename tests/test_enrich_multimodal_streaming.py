@@ -355,3 +355,56 @@ def test_streaming_politeness_budget_across_batches(spark, tmp_path):
     assert rows["http://b.test/2"]["serve_slot"] == 3
     admitted = [r for r in rows.values() if r["decision"] == "admitted"]
     assert len(admitted) == 7
+
+
+def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched click is held in
+    state until the watermark provably closes its attribution window,
+    then emitted ONCE with NULL right columns; a click whose window is
+    still open when the stream drains is NOT emitted (no premature
+    outer rows). Matched rows are identical to the inner form."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from crawler_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_attribution_stream,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    b0 = [
+        (1, base, 10, "click", 1.0, None),
+        (2, base + dt.timedelta(minutes=10), 10, "purchase", 9.0, None),
+        (3, base, 20, "click", 3.0, None),  # orphan — window closes later
+    ]
+    # batch 1 advances the right watermark far past base+30min -> the
+    # orphan's window is provably closed by the NEXT batch
+    b1 = [
+        (4, base + 3 * h, 30, "click", 5.0, None),
+        (5, base + 3 * h + dt.timedelta(minutes=5), 30, "purchase", 6.0, None),
+    ]
+    # batch 2 triggers the eviction pass; its own click's window is
+    # still open when the stream drains -> must NOT be emitted
+    b2 = [(6, base + 6 * h, 40, "click", 7.0, None)]
+    d = tmp_path / "outer_stream"
+    d.mkdir()
+    for i, batch in enumerate((b0, b1, b2)):
+        staged = str(tmp_path / f"outer_stage{i}")
+        spark.createDataFrame(batch, EVENTS_SCHEMA).coalesce(1).write.parquet(staged)
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, str(d / f"b{i}.parquet"))
+    name = run_attribution_stream(spark, str(d), how="left_outer",
+                                  name="attribution_outer")
+    rows = {
+        (r["user_id"], r["left_ts"], r["right_ts"], r["right_value"])
+        for r in spark.table(name).collect()
+    }
+    assert (10, base, base + dt.timedelta(minutes=10), 9.0) in rows
+    assert (30, base + 3 * h, base + 3 * h + dt.timedelta(minutes=5), 6.0) in rows
+    # the orphan emitted exactly once, with NULL right side
+    assert (20, base, None, None) in rows
+    # the still-open click did not leak a premature outer row
+    assert all(u != 40 for u, *_ in rows)
+    assert len(rows) == 3
