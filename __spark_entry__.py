@@ -4502,6 +4502,81 @@ def q_dup_line_gate(spark, sf_dir):
     )
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Curation decision funnel: every corpus pipeline publishes this
+    table — gates applied in a FIXED order (gopher word battery ->
+    top-2-gram repetition <= 0.20 -> duplicate-line gate), each doc
+    charged to the FIRST gate that rejects it, per-stage reach /
+    rejection / survival. All three gates are map-side (zero-shuffle
+    array expressions); the only shuffle is the 4-row gate histogram,
+    and the cumulative window runs over that gate DIMENSION, never the
+    corpus."""
+    from crawler_spark.functions.text import (
+        _word_grams,
+        dup_line_signals,
+        gopher_stats,
+        max_multiplicity,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    g = gopher_stats(F.col("text"))
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    big = _word_grams(ws, 2)
+    top2 = F.when(
+        F.size(big) >= 1,
+        _pin(max_multiplicity(big).cast("double") / F.size(big), 6),
+    ).otherwise(F.lit(0.0))
+    dl = dup_line_signals(F.col("text"), line_words=8)
+    first_fail = (
+        F.when(~g["pass_gopher"], F.lit("gopher"))
+        .when(top2 > 0.20, F.lit("rep_top2"))
+        .when(~dl["pass_dup_lines"], F.lit("dup_lines"))
+        .otherwise(F.lit("pass"))
+    )
+    counts = (
+        d.select(first_fail.alias("gate"))
+        .groupBy("gate")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    gates = spark.createDataFrame(
+        [(1, "gopher"), (2, "rep_top2"), (3, "dup_lines"), (4, "pass")],
+        "stage int, gate string",
+    )
+    j = gates.join(counts, "gate", "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, -1)
+    out = j.select(
+        "stage",
+        "gate",
+        (
+            F.sum("n").over(w_all)
+            - F.coalesce(F.sum("n").over(w_prev), F.lit(0))
+        ).cast("long").alias("n_reached"),
+        F.when(F.col("gate") == "pass", F.lit(0))
+        .otherwise(F.col("n"))
+        .cast("long")
+        .alias("n_rejected"),
+    )
+    return out.select(
+        "stage",
+        "gate",
+        "n_reached",
+        "n_rejected",
+        _pin(
+            (F.col("n_reached") - F.col("n_rejected")).cast("double")
+            / F.greatest(F.col("n_reached"), F.lit(1)),
+            6,
+        ).alias("survival"),
+    ).orderBy("stage")
+
+
 def q_scenario_generate(spark, sf_dir):
     """C12 + W2 composed: generate the prefix-reduction scenario list
     from a raw query string (kakao_api.py:131-145), then first validated
@@ -8389,6 +8464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_gate": q_trap_gate,
         "dup_line_gate": q_dup_line_gate,
         "repetition_mapside": q_repetition_mapside,
+        "curation_funnel": q_curation_funnel,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "shingle_containment": q_shingle_containment,
         "substring_overlap": q_substring_overlap,
@@ -13677,6 +13753,98 @@ def oracle_sql() -> dict[str, str]:
                           / greatest(coalesce(tot_chars, 0), 1) * 1000000.0 + 0.5)
                       / 1000000.0 <= 0.20) AS pass_dup_lines
             FROM documents d LEFT JOIN la USING (doc_id)
+        """,
+        "curation_funnel": """
+            WITH base AS (
+              SELECT doc_id,
+                list_filter(
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  t -> len(t) > 0) AS toks
+              FROM documents
+            ),
+            gop AS (
+              SELECT doc_id,
+                (len(toks) >= 50 AND len(toks) <= 100000
+                 AND round(list_sum(list_transform(toks, t -> len(t))) * 1.0
+                           / greatest(len(toks), 1), 6) BETWEEN 3.0 AND 10.0
+                 AND round(len(list_distinct(toks)) * 1.0
+                           / greatest(len(toks), 1), 6) >= 0.2
+                 AND len(list_intersect(toks, ['the','and','of','to','in'])) >= 1
+                ) AS pass_gopher
+              FROM base
+            ),
+            bg AS (
+              SELECT doc_id, toks[i.i] || ' ' || toks[i.i + 1] AS gram
+              FROM base, unnest(generate_series(1, len(toks) - 1)) AS i(i)
+              WHERE len(toks) >= 2
+            ),
+            bgc AS (
+              SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram
+            ),
+            top2 AS (
+              SELECT doc_id,
+                floor(CAST(max(c) AS DOUBLE) / sum(c) * 1000000.0 + 0.5)
+                  / 1000000.0 AS r
+              FROM bgc GROUP BY doc_id
+            ),
+            l AS (
+              SELECT doc_id,
+                array_to_string(toks[(i.i - 1) * 8 + 1 : (i.i - 1) * 8 + 8], ' ')
+                  AS line
+              FROM base,
+                   unnest(generate_series(1, CAST(ceil(len(toks) / 8.0) AS INT)))
+                     AS i(i)
+              WHERE len(toks) > 0
+            ),
+            lc AS (
+              SELECT doc_id, line, count(*) AS c, length(line) AS ch
+              FROM l GROUP BY doc_id, line
+            ),
+            la AS (
+              SELECT doc_id,
+                (floor(CAST(sum(c - 1) AS DOUBLE) / greatest(sum(c), 1)
+                       * 1000000.0 + 0.5) / 1000000.0 <= 0.30
+                 AND
+                 floor(CAST(sum((c - 1) * ch) AS DOUBLE)
+                       / greatest(sum(c * ch), 1) * 1000000.0 + 0.5)
+                   / 1000000.0 <= 0.20) AS pass_dl
+              FROM lc GROUP BY doc_id
+            ),
+            f AS (
+              SELECT d.doc_id,
+                CASE WHEN NOT g.pass_gopher THEN 'gopher'
+                     WHEN coalesce(t.r, 0.0) > 0.20 THEN 'rep_top2'
+                     WHEN NOT coalesce(la.pass_dl, TRUE) THEN 'dup_lines'
+                     ELSE 'pass' END AS gate
+              FROM documents d
+              JOIN gop g USING (doc_id)
+              LEFT JOIN top2 t USING (doc_id)
+              LEFT JOIN la USING (doc_id)
+            ),
+            c AS (SELECT gate, count(*) AS n FROM f GROUP BY gate),
+            gates(stage, gate) AS (
+              VALUES (1, 'gopher'), (2, 'rep_top2'), (3, 'dup_lines'),
+                     (4, 'pass')
+            ),
+            j AS (
+              SELECT stage, gates.gate, coalesce(c.n, 0) AS n
+              FROM gates LEFT JOIN c ON gates.gate = c.gate
+            ),
+            k AS (
+              SELECT stage, gate,
+                CAST(sum(n) OVER ()
+                     - coalesce(sum(n) OVER (ORDER BY stage
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS n_reached,
+                CAST(CASE WHEN gate = 'pass' THEN 0 ELSE n END AS BIGINT)
+                  AS n_rejected
+              FROM j
+            )
+            SELECT stage, gate, n_reached, n_rejected,
+                   floor(CAST(n_reached - n_rejected AS DOUBLE)
+                         / greatest(n_reached, 1) * 1000000.0 + 0.5)
+                     / 1000000.0 AS survival
+            FROM k ORDER BY stage
         """,
         "scenario_generate": """
             WITH base AS (

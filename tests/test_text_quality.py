@@ -130,3 +130,25 @@ def test_dup_mass_sorted_adjacent_fold(spark):
     ).collect()
     # ['x','y','x','x','zz']: sorted -> x,x,x,y,zz; repeats = 2 x's (2 chars)
     assert [tuple(r) for r in got] == [(5, 2, 2, 6), (0, 0, 0, 0), (1, 0, 0, 4)]
+
+
+def test_curation_funnel_each_gate_fires(spark, tmp_path):
+    # one doc charged to each gate, in cascade order
+    fail_gopher = "too short"
+    # >=50 words, diverse, but one bigram ('foo bar') owns >20% of bigrams
+    fail_rep = ("foo bar " * 20 + " ".join(f"tail{i:02d}" for i in range(19))
+                + " the")
+    # 4 identical 8-word pseudo-lines (dup_line_frac 0.5) but bigram
+    # repetition stays under 0.20 and the gopher battery passes
+    line = " ".join(f"la{i}xx" for i in range(8))
+    fail_dl = " ".join([line] * 4) + " " + " ".join(
+        f"tailz{i:02d}" for i in range(23)) + " the"
+    ok = " ".join(f"fine{i:02d}" for i in range(59)) + " the"
+    sf = _write_docs(spark, tmp_path, [fail_gopher, fail_rep, fail_dl, ok])
+    rows = [tuple(r) for r in entry.q_curation_funnel(spark, sf).collect()]
+    assert rows == [
+        (1, "gopher", 4, 1, 0.75),
+        (2, "rep_top2", 3, 1, 0.666667),
+        (3, "dup_lines", 2, 1, 0.5),
+        (4, "pass", 1, 0, 1.0),
+    ], rows
