@@ -3629,20 +3629,13 @@ def q_repetition_mapside(spark, sf_dir):
     functions/text.repetition_signals_mapside) instead of exploding
     (doc, gram) partials through a shuffle. Same oracle — the values
     are defined to be equal; the bench compares the two plans."""
-    from crawler_spark.functions.text import repetition_signals_mapside
+    from crawler_spark.functions.text import repetition_gate_mapside
 
     d = _t(spark, sf_dir, "documents")
-    s = repetition_signals_mapside(F.col("text"))
     return (
-        d.select(
-            "doc_id",
-            s["n_words"].alias("__nw"),
-            s["top3_ratio"].alias("top3_ratio"),
-            s["top4_ratio"].alias("top4_ratio"),
-            s["dup5_char_frac"].alias("dup5_char_frac"),
-        )
-        .filter(F.col("__nw") >= 3)
-        .drop("__nw")
+        repetition_gate_mapside(d, "text", "doc_id")
+        .filter(F.col("n_words") >= 3)
+        .drop("n_words")
     )
 
 

@@ -133,28 +133,74 @@ def dup_mass(items: Column) -> dict[str, Column]:
     """Sorted-adjacent duplicate accounting over a string array: how
     many occurrences are repeats of an earlier identical item, and the
     character mass those repeats carry. ``array_sort`` makes equal
-    items adjacent, so one comparison per element finds every repeat —
-    shuffle-free (no explode: per-document state stays one row, unlike
-    the grouped-count form in ``repetition_suite``, which shuffles
-    (doc, gram) partials)."""
+    items adjacent; ONE fold over the sorted array counts every repeat
+    — shuffle-free (no explode: per-document state stays one row,
+    unlike the grouped-count form in ``repetition_suite``, which
+    shuffles (doc, gram) partials).
+
+    HOF discipline (applies to every helper in this file): array
+    expressions appear only as ``aggregate``/``zip_with`` ARGUMENTS,
+    never inside a lambda body — Spark does no CSE inside higher-order
+    functions, so a lambda that touches the array via ``element_at``
+    re-evaluates the whole split/sort expression PER ELEMENT (a
+    measured O(w²)+ blowup that serialized the bench). Assumes items
+    are non-empty strings (tokens/grams/lines are by construction)."""
     srt = F.array_sort(items)
-    n = F.size(items)
-    idx = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
-        F.expr("CAST(array() AS ARRAY<INT>)")
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("dupi"),
+        F.lit(0).alias("dupc"),
+        F.lit(0).alias("totc"),
     )
-    dups = F.filter(
-        idx, lambda i: F.element_at(srt, i) == F.element_at(srt, i - 1)
-    )
+
+    def step(a: Column, x: Column) -> Column:
+        is_dup = x == a["prev"]
+        return F.struct(
+            x.alias("prev"),
+            (a["dupi"] + F.when(is_dup, 1).otherwise(0)).alias("dupi"),
+            (a["dupc"] + F.when(is_dup, F.length(x)).otherwise(0)).alias(
+                "dupc"
+            ),
+            (a["totc"] + F.length(x)).alias("totc"),
+        )
+
+    m = F.aggregate(srt, zero, step)
     return {
-        "n_items": n,
-        "dup_items": F.size(dups),
-        "dup_chars": F.aggregate(
-            dups, F.lit(0), lambda a, i: a + F.length(F.element_at(srt, i))
-        ),
-        "total_chars": F.aggregate(
-            items, F.lit(0), lambda a, x: a + F.length(x)
-        ),
+        "n_items": F.size(items),
+        "dup_items": m["dupi"],
+        "dup_chars": m["dupc"],
+        "total_chars": m["totc"],
     }
+
+
+def _chunk_lines(ws: Column, line_words: int) -> Column:
+    """Fixed-width pseudo-lines (``line_words`` tokens joined by one
+    space) via ONE fold over the token array — no per-line slicing of
+    the (re-evaluated) token expression."""
+    zero = F.struct(
+        F.lit(0).alias("cnt"),
+        F.lit("").alias("cur"),
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("lines"),
+    )
+
+    def step(a: Column, x: Column) -> Column:
+        full = a["cnt"] == line_words
+        return F.struct(
+            F.when(full, F.lit(1)).otherwise(a["cnt"] + 1).alias("cnt"),
+            F.when(full | (a["cnt"] == 0), x)
+            .otherwise(F.concat(a["cur"], F.lit(" "), x))
+            .alias("cur"),
+            F.when(full, F.concat(a["lines"], F.array(a["cur"])))
+            .otherwise(a["lines"])
+            .alias("lines"),
+        )
+
+    def fin(a: Column) -> Column:
+        return F.when(
+            a["cnt"] > 0, F.concat(a["lines"], F.array(a["cur"]))
+        ).otherwise(a["lines"])
+
+    return F.aggregate(ws, zero, step, fin)
 
 
 def dup_line_signals(text: Column, line_words: int = 8) -> dict[str, Column]:
@@ -169,18 +215,7 @@ def dup_line_signals(text: Column, line_words: int = 8) -> dict[str, Column]:
     Zero shuffles: pseudo-lines, the sorted-adjacent duplicate fold
     (``dup_mass``) and both fractions are native array expressions."""
     ws = F.filter(_tokens(text), lambda t: F.length(t) > 0)
-    nw = F.size(ws)
-    lw = F.lit(line_words)
-    n_lines = F.ceil(nw / lw).cast("int")
-    lines = F.when(
-        nw > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_lines, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", F.slice(ws, (i - F.lit(1)) * lw + F.lit(1), line_words)
-            ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    lines = _chunk_lines(ws, line_words)
     m = dup_mass(lines)
     sc = F.lit(1000000.0)
 
@@ -202,12 +237,10 @@ def dup_line_signals(text: Column, line_words: int = 8) -> dict[str, Column]:
     }
 
 
-def max_multiplicity(items: Column) -> Column:
-    """Largest multiplicity of any element in a string array, as one
-    sorted-adjacent struct fold — the shuffle-free alternative to
-    explode + groupBy + max(count). Shared by the spider-trap segment
-    detector (operators/traps.py) and the map-side repetition gate."""
-    srt = F.array_sort(items)
+def _run_best(sorted_items: Column) -> Column:
+    """Longest equal-run length over an ALREADY-SORTED string array
+    (one fold; the input is referenced once, as the aggregate
+    argument)."""
     zero = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
@@ -220,18 +253,32 @@ def max_multiplicity(items: Column) -> Column:
             F.greatest(acc["best"], run).alias("best"),
         )
 
-    return F.aggregate(srt, zero, step)["best"]
+    return F.aggregate(sorted_items, zero, step)["best"]
+
+
+def max_multiplicity(items: Column) -> Column:
+    """Largest multiplicity of any element in a string array, as one
+    sorted-adjacent struct fold — the shuffle-free alternative to
+    explode + groupBy + max(count). Shared by the spider-trap segment
+    detector (operators/traps.py) and the map-side repetition gate."""
+    return _run_best(F.array_sort(items))
 
 
 def _word_grams(ws: Column, n: int) -> Column:
-    """Word n-grams over a token array; empty array below n tokens."""
-    return F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    """Word n-grams over a token array, built as a ``zip_with`` chain
+    of n shifted slices — the token expression is referenced only as
+    slice ARGUMENTS (n constant evaluations per row), never inside a
+    lambda (which would re-evaluate it per gram). Empty below n
+    tokens (all slices collapse to length 0)."""
+    m = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0))
+    g = F.slice(ws, 1, m)
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(ws, k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return g
 
 
 def repetition_signals_mapside(text: Column) -> dict[str, Column]:
@@ -247,45 +294,119 @@ def repetition_signals_mapside(text: Column) -> dict[str, Column]:
     dup-char fraction counts ALL occurrences of any duplicated 5-gram
     (c >= 2 contributes c*len, same as the suite's accounting)."""
     ws = F.filter(_tokens(text), lambda t: F.length(t) > 0)
-    sc = F.lit(1000000.0)
-
-    def _pin6(c: Column) -> Column:
-        return F.floor(c * sc + F.lit(0.5)) / sc
 
     def _top_ratio(n: int) -> Column:
         g = _word_grams(ws, n)
         return F.when(
             F.size(ws) >= n,
-            _pin6(max_multiplicity(g).cast("double") / F.size(g)),
+            _pin6(_run_best(F.array_sort(g)).cast("double") / F.size(g)),
         )
 
-    g5 = _word_grams(ws, 5)
-    s5 = F.array_sort(g5)
-    n5 = F.size(g5)
-    idx = F.when(n5 >= 1, F.sequence(F.lit(1), n5)).otherwise(
-        F.expr("CAST(array() AS ARRAY<INT>)")
-    )
-    # an occurrence i is part of a duplicated run iff it equals a
-    # sorted neighbor on either side (c>=2 groups contribute all c)
-    dup_occ = F.filter(
-        idx,
-        lambda i: (
-            (i > 1) & (F.element_at(s5, i) == F.element_at(s5, i - 1))
-        )
-        | (
-            (i < n5) & (F.element_at(s5, i) == F.element_at(s5, i + 1))
-        ),
-    )
-    dup_chars = F.aggregate(
-        dup_occ, F.lit(0), lambda a, i: a + F.length(F.element_at(s5, i))
-    )
-    tot_chars = F.aggregate(g5, F.lit(0), lambda a, x: a + F.length(x))
+    m5 = _dup_run_mass(F.array_sort(_word_grams(ws, 5)))
     return {
         "n_words": F.size(ws),
         "top3_ratio": _top_ratio(3),
         "top4_ratio": _top_ratio(4),
         "dup5_char_frac": F.when(
-            n5 >= 1,
-            _pin6(dup_chars.cast("double") / F.greatest(tot_chars, F.lit(1))),
+            F.size(ws) >= 5,
+            _pin6(
+                m5["dupc"].cast("double")
+                / F.greatest(m5["totc"], F.lit(1))
+            ),
         ),
     }
+
+
+def _pin6(c: Column) -> Column:
+    """floor(x*1e6+0.5)/1e6 — deterministic cross-engine rounding."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _dup_run_mass(sorted_items: Column) -> Column:
+    """(dupc, totc) struct over an ALREADY-SORTED string array: the
+    character mass carried by ALL occurrences of any item appearing
+    >= 2 times, plus the total occurrence char mass — one run-length
+    fold (runs are maximal equal groups on sorted input); the finish
+    lambda flushes the final run."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("dupc"),
+        F.lit(0).alias("totc"),
+    )
+
+    def step(a: Column, x: Column) -> Column:
+        same = x == a["prev"]
+        flush = F.when(
+            (~same) & (a["run"] >= 2), a["run"] * F.length(a["prev"])
+        ).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            (a["dupc"] + flush).alias("dupc"),
+            (a["totc"] + F.length(x)).alias("totc"),
+        )
+
+    def fin(a: Column) -> Column:
+        return F.struct(
+            (
+                a["dupc"]
+                + F.when(
+                    a["run"] >= 2, a["run"] * F.length(a["prev"])
+                ).otherwise(F.lit(0))
+            ).alias("dupc"),
+            a["totc"].alias("totc"),
+        )
+
+    return F.aggregate(sorted_items, zero, step, fin)
+
+
+def repetition_gate_mapside(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Projection-layered form of ``repetition_signals_mapside`` for
+    whole-table scans: each intermediate array (token split, sorted
+    gram arrays) is projected as a NAMED column before use, and
+    multi-referenced non-trivial aliases are not inlined by Catalyst's
+    CollapseProject — so per document the plan does ONE split, three
+    zip-chain gram builds, three sorts and three folds, instead of
+    re-deriving the token array under every consumer. Still zero
+    shuffles and zero Python. Output: (id, n_words, top3_ratio,
+    top4_ratio, dup5_char_frac), NULL where the doc is too short for
+    that gram order."""
+    ws = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    d1 = docs.select(F.col(id_col), ws.alias("__ws"))
+    w = F.col("__ws")
+    d2 = d1.select(
+        id_col,
+        "__ws",
+        F.array_sort(_word_grams(w, 3)).alias("__s3"),
+        F.array_sort(_word_grams(w, 4)).alias("__s4"),
+        F.array_sort(_word_grams(w, 5)).alias("__s5"),
+    )
+    d3 = d2.select(
+        id_col,
+        F.size(w).alias("__nw"),
+        F.size(F.col("__s3")).alias("__n3"),
+        F.size(F.col("__s4")).alias("__n4"),
+        _run_best(F.col("__s3")).alias("__b3"),
+        _run_best(F.col("__s4")).alias("__b4"),
+        _dup_run_mass(F.col("__s5")).alias("__m5"),
+    )
+    return d3.select(
+        F.col(id_col),
+        F.col("__nw").alias("n_words"),
+        F.when(
+            F.col("__n3") >= 1,
+            _pin6(F.col("__b3").cast("double") / F.col("__n3")),
+        ).alias("top3_ratio"),
+        F.when(
+            F.col("__n4") >= 1,
+            _pin6(F.col("__b4").cast("double") / F.col("__n4")),
+        ).alias("top4_ratio"),
+        F.when(
+            F.col("__nw") >= 5,
+            _pin6(
+                F.col("__m5")["dupc"].cast("double")
+                / F.greatest(F.col("__m5")["totc"], F.lit(1))
+            ),
+        ).alias("dup5_char_frac"),
+    )
