@@ -154,6 +154,9 @@ HEADLINE = [
     "dup_line_gate",
     "trap_gate",
     "cc_star_clusters",
+    # end-to-end compositions
+    "pair_pipeline",
+    "curation_funnel",
 ]
 
 BENCH_HOSTS = 50
