@@ -119,6 +119,15 @@ class OracleCrawler:
         path = "/" + e.url_canon.split("://", 1)[1].split("/", 1)[1] if "/" in e.url_canon.split("://", 1)[1] else "/"
         return any(path.startswith(p) for p in deny)
 
+    def reprioritize(self, host_priorities: dict[str, int] | None) -> None:
+        """Mid-crawl priority-map REPLACEMENT (mirror of
+        plans/rounds.reprioritize): every pending entry is re-keyed to
+        the new map, hosts absent from it falling back to priority 0 —
+        the same rule new discoveries get from ``_prio_of``."""
+        self.prio = dict(host_priorities or {})
+        for e in self.pending:
+            e.priority = self._prio_of(e.url_canon)
+
     def run_round(self, round_id: int, target_host_contains: str | None = None) -> int:
         def eff(e: _Entry) -> int:
             if not self.aging_every:

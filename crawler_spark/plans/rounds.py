@@ -831,6 +831,51 @@ def expire_urls(catalog: SnapshotCatalog, url_hashes: list[int]) -> int:
     return removed
 
 
+def reprioritize(
+    catalog: SnapshotCatalog, host_priorities: dict[str, int] | None
+) -> int:
+    """Mid-crawl frontier reprioritization: REPLACE the host-priority
+    map for every pending row (absent hosts fall back to priority 0,
+    the same rule ``_priority_col`` applies to new discoveries) — the
+    step that closes the rank-feedback loop: link_rank / opic output
+    -> ``rank_to_priorities`` -> this -> the next round schedules under
+    the new order.
+
+    Merge-on-read: ONLY pending rows whose priority actually changes
+    are appended to ``frontier_updates`` (O(changed), never a frontier
+    rewrite), tagged with this commit's round id so latest-per-key
+    resolution picks them up before the next round. Fetched / failed /
+    denied history rows are never touched. Callers must pass the SAME
+    map to subsequent ``run_round`` calls so new discoveries and the
+    re-keyed pending rows order consistently — the sequential oracle's
+    ``reprioritize`` mirrors exactly this contract
+    (tests/test_rounds_oracle.py proves schedule + seen parity across
+    a mid-crawl priority flip).
+
+    Returns the number of re-keyed rows."""
+    spark = catalog.spark
+    round_id = catalog.current_id() + 1
+    rows = (
+        read_frontier(catalog)
+        .filter(F.col("status") == "pending")
+        .withColumn("_new_priority", _priority_col(host_priorities))
+        .filter(F.col("_new_priority") != F.col("priority"))
+        .withColumn("priority", F.col("_new_priority"))
+        .drop("_new_priority")
+        .withColumn("round_id", F.lit(round_id))
+    )
+    delta = _frontier_select(rows).persist()
+    n = delta.count()
+    catalog.stage_append("frontier_updates", delta)
+    meta = catalog.meta()
+    new_meta = {}
+    if meta.get("frontier_rows") is not None:
+        new_meta["frontier_delta_rows"] = meta.get("frontier_delta_rows", 0) + n
+    catalog.commit(meta=new_meta or None)
+    delta.unpersist()
+    return n
+
+
 def requeue_urls(catalog: SnapshotCatalog, url_hashes: list[int]) -> int:
     """Direct recrawl: flip the given frontier rows back to pending (an
     O(keys) merge-on-read delta append — the frontier base is never

@@ -570,3 +570,64 @@ def test_ip_politeness_oracle_match(spark, tmp_path):
     plain.run()
     assert oracle.schedule != plain.schedule
     assert oracle.seen == plain.seen
+
+
+def test_reprioritize_mid_crawl_matches_oracle(spark, tmp_path):
+    """Rank-feedback loop: after two rounds under priority map A, the
+    map is REPLACED (reprioritize) — pending rows re-key via a
+    merge-on-read delta, new discoveries follow the new map — and the
+    remaining rounds' exact schedule + final seen set still match the
+    sequential oracle performing the same flip."""
+    from crawler_spark.plans.rounds import reprioritize
+
+    web = T2_CORRECTNESS
+    # map A favors high-numbered hosts; map B flips it and drops some
+    # hosts entirely (fallback-to-0 must agree between engine + oracle)
+    prio_a = {f"host-{i}.test": (9 - i) % 4 for i in range(10)}
+    prio_b = {f"host-{i}.test": i % 3 for i in range(7)}
+
+    catalog = SnapshotCatalog(str(tmp_path / "repri"), spark)
+    init_crawl(catalog, web, host_priorities=prio_a)
+    oracle = OracleCrawler(web, round_seconds=ROUND_S, host_priorities=prio_a)
+
+    round_id = 0
+    for _ in range(2):
+        round_id += 1
+        stats = run_round(
+            catalog, web, round_seconds=ROUND_S, host_priorities=prio_a
+        )
+        oracle.run_round(round_id)
+        assert stats["scheduled"] > 0
+    n_rekeyed = reprioritize(catalog, prio_b)
+    assert n_rekeyed > 0  # the flip touched real pending rows
+    oracle.reprioritize(prio_b)
+    for _ in range(30):
+        round_id += 1
+        stats = run_round(
+            catalog, web, round_seconds=ROUND_S, host_priorities=prio_b
+        )
+        oracle.run_round(round_id)
+        if stats["scheduled"] == 0:
+            break
+
+    # engine rounds advance by 2 per oracle round (reprioritize commits
+    # its own snapshot) — compare order-of-scheduling, not raw ids
+    eng = [u for _, u in _engine_schedule(catalog)]
+    want = [u for _, u in oracle.schedule]
+    assert eng == want
+    # and per-round grouping must still agree: round boundaries are the
+    # same partition of the sequence on both sides
+    from itertools import groupby
+
+    eng_rounds = [
+        [u for _, u in g]
+        for _, g in groupby(_engine_schedule(catalog), key=lambda t: t[0])
+    ]
+    want_rounds = [
+        [u for _, u in g] for _, g in groupby(oracle.schedule, key=lambda t: t[0])
+    ]
+    assert eng_rounds == want_rounds
+    engine_seen = {
+        r["url_canon"] for r in catalog.read("seen").select("url_canon").collect()
+    }
+    assert engine_seen == oracle.seen
