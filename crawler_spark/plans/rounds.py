@@ -876,6 +876,55 @@ def reprioritize(
     return n
 
 
+def refresh_requeue(
+    catalog: SnapshotCatalog, alloc: DataFrame, host_col: str = "host"
+) -> int:
+    """Close the Cho & Garcia-Molina refresh loop: spend
+    ``refresh_allocation``'s granted visits (``n_visits`` per host) on
+    each host's most-STALE fetched rows — smallest last-fetch round, ties by
+    the standard frontier order key — selected with the SAME salted
+    two-phase politeness window the scheduler uses (skew-proof: a
+    mega-host's fetched history never funnels through one partition).
+
+    The chosen rows re-enter pending as a merge-on-read delta with
+    attempts reset; priority / depth / discovery_seq / born_round are
+    preserved, so the next round schedules the refreshed URLs under the
+    normal ordering contract, and their re-fetch appends REVISIT rows
+    to the results table (the WARC revisit-record semantics) while the
+    seen-gate keeps their outlinks from re-entering the frontier.
+    Everything is DataFrame-native — the allocation may be 10^8 rows;
+    nothing is collected. Returns the number of rows requeued."""
+    round_id = catalog.current_id() + 1
+    visits = alloc.select(
+        F.col(host_col).alias("__h"),
+        F.col("n_visits").cast("int").alias("budget"),
+    )
+    fetched = read_frontier(catalog).filter(F.col("status") == "fetched")
+    cands = fetched.join(
+        F.broadcast(visits), fetched["host"] == F.col("__h")
+    ).drop("__h")
+    chosen = politeness_select(
+        cands,
+        order_cols=["round_id", "priority", "depth", "discovery_seq",
+                    "url_hash"],
+    ).drop("budget")
+    rows = (
+        chosen.withColumn("status", F.lit("pending"))
+        .withColumn("attempts", F.lit(0))
+        .withColumn("round_id", F.lit(round_id))
+    )
+    delta = _frontier_select(rows).persist()
+    n = delta.count()
+    catalog.stage_append("frontier_updates", delta)
+    meta = catalog.meta()
+    new_meta = {}
+    if meta.get("frontier_rows") is not None:
+        new_meta["frontier_delta_rows"] = meta.get("frontier_delta_rows", 0) + n
+    catalog.commit(meta=new_meta or None)
+    delta.unpersist()
+    return n
+
+
 def requeue_urls(catalog: SnapshotCatalog, url_hashes: list[int]) -> int:
     """Direct recrawl: flip the given frontier rows back to pending (an
     O(keys) merge-on-read delta append — the frontier base is never

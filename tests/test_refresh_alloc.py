@@ -71,3 +71,64 @@ def test_refresh_allocation_rejects_bad_fmax(spark):
     )
     with pytest.raises(ValueError):
         refresh_allocation(hosts, budget=1, f_max=11)
+
+
+def test_refresh_requeue_closes_the_loop(spark, tmp_path):
+    """allocation -> refresh_requeue -> next round refetches EXACTLY the
+    per-host most-stale fetched rows the grants cover, as revisit rows;
+    seen-gate keeps their outlinks from re-entering the frontier."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.politeness import refresh_allocation
+    from crawler_spark.plans.rounds import (
+        read_frontier,
+        refresh_requeue,
+        run_crawl,
+        run_round,
+    )
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    catalog, history = run_crawl(
+        spark, str(tmp_path / "refresh"), T1_SMOKE, round_seconds=8.0
+    )
+    n_results_before = catalog.read("results").count()
+    frontier_rows = read_frontier(catalog).collect()
+    assert all(r["status"] != "pending" for r in frontier_rows)
+
+    # deterministic host value/rate dimension; budget 4 visits, <=2/host
+    hosts = spark.createDataFrame(
+        [("host-0.test", 3, 5), ("host-1.test", 2, 4), ("host-2.test", 1, 1)],
+        "host string, lam int, val int",
+    )
+    alloc = refresh_allocation(hosts, budget=4, f_max=2)
+    grants = {r["host"]: r["n_visits"] for r in alloc.collect()}
+    assert sum(grants.values()) == 4
+
+    # expected: per granted host, its n most-stale fetched rows
+    expected = set()
+    for host, n in grants.items():
+        rows = sorted(
+            (r for r in frontier_rows if r["host"] == host and r["status"] == "fetched"),
+            key=lambda r: (r["round_id"], r["priority"], r["depth"],
+                           r["discovery_seq"], r["url_hash"]),
+        )[:n]
+        expected |= {r["url_canon"] for r in rows}
+
+    assert refresh_requeue(catalog, alloc) == len(expected)
+    stats = run_round(catalog, T1_SMOKE, round_seconds=8.0)
+    assert stats["scheduled"] == len(expected)
+    last_round = catalog.read("schedule_log").agg(F.max("round_id")).first()[0]
+    got = {
+        r["url_canon"]
+        for r in catalog.read("schedule_log")
+        .filter(F.col("round_id") == last_round)
+        .collect()
+    }
+    assert got == expected
+    # refetches appended revisit result rows; no new frontier growth
+    assert stats["new_links"] == 0
+    n_results_after = catalog.read("results").count()
+    leaf_expected = {
+        u for u in expected if T1_SMOKE.is_leaf(u)
+    }
+    assert n_results_after == n_results_before + len(leaf_expected)
