@@ -58,6 +58,7 @@ class OracleCrawler:
         max_pages_per_host: int | None = None,
         politeness_by: str = "host",
         n_ips: int = 4,
+        trap_max_seg_repeat: int | None = None,
     ):
         self.web = web
         self.round_seconds = round_seconds
@@ -85,6 +86,11 @@ class OracleCrawler:
         # (round - born_round) // aging_every)
         self.aging_every = aging_every
         self.failed_hosts_prev: set[str] = set()
+        # pathological-path trap gate mirror (run_round
+        # trap_max_seg_repeat): a pending URL repeating one path segment
+        # this many times is terminally trapped, never scheduled
+        self.trap_thr = trap_max_seg_repeat
+        self.trapped: list[str] = []
         self.robots = {r["host"]: r for r in web.robots_rows()}
         self.pending: list[_Entry] = []
         self.seen: set[str] = set()
@@ -147,6 +153,19 @@ class OracleCrawler:
             self.pending = [e for e in self.pending if target_host_contains in e.host]
         else:
             held = []
+        if self.trap_thr is not None:
+            from collections import Counter
+
+            kept: list[_Entry] = []
+            for e in self.pending:
+                rest = e.url_canon.split("://", 1)[1]
+                path = rest.split("/", 1)[1] if "/" in rest else ""
+                segs = [s for s in path.split("/") if s]
+                if segs and max(Counter(segs).values()) >= self.trap_thr:
+                    self.trapped.append(e.url_canon)
+                else:
+                    kept.append(e)
+            self.pending = kept
         # robots gate over the round's pending rows (engine applies the
         # broadcast join to the whole targeted pending set each round)
         alive: list[_Entry] = []

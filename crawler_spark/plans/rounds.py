@@ -217,9 +217,20 @@ def run_round(
     max_pages_per_host: int | None = None,
     politeness_by: str = "host",
     n_ips: int = 4,
+    trap_max_seg_repeat: int | None = None,
 ) -> dict:
     """Execute one crawl round; returns counters (crawling_stats analog,
     reference: src/crawler/base_crawler.py:38-47).
+
+    ``trap_max_seg_repeat`` arms the spider-trap gate (Heritrix
+    PathologicalPathDecideRule shape, operators/traps.py): a pending
+    URL whose path repeats any single segment that many times is marked
+    terminally ``trapped`` this round — never fetched, never
+    rescheduled — which is what lets a crawl of an infinite calendar
+    chain (/cal/2024/2024/...) DRAIN instead of looping until
+    max_rounds. The signal is a shuffle-free native expression over the
+    pending slice; the sequential oracle applies the identical rule, so
+    ordering/seen parity holds across the cut (test_rounds_oracle).
 
     ``politeness_by="ip"`` switches the admission window to the Mercator
     shared-IP refinement: virtual hosting maps many hostnames onto one
@@ -296,6 +307,20 @@ def run_round(
     pending = frontier.filter(F.col("status") == "pending")
     if target_host_contains:
         pending = pending.filter(F.col("host").contains(target_host_contains))
+
+    trapped = None
+    if trap_max_seg_repeat is not None:
+        from crawler_spark.operators.traps import trap_signals
+
+        sig = trap_signals(pending, url_col="url_canon")
+        trapped = (
+            sig.filter(F.col("max_seg_repeat") >= F.lit(trap_max_seg_repeat))
+            .drop("path_depth", "max_seg_repeat", "path_template")
+            .persist()
+        )
+        pending = sig.filter(
+            F.col("max_seg_repeat") < F.lit(trap_max_seg_repeat)
+        ).drop("path_depth", "max_seg_repeat", "path_template")
 
     allowed, denied = robots_gate(pending, robots, round_seconds)
     if adaptive and catalog.exists("host_outcomes"):
@@ -570,13 +595,19 @@ def run_round(
         "round_id", F.lit(round_id)
     )
     # merge-on-read: ONLY the touched rows are written — status changes
-    # (fetched/failed/retry-pending/denied) plus newly discovered pending
-    # rows. Unscheduled pending and historical rows are never rewritten.
+    # (fetched/failed/retry-pending/denied/trapped) plus newly discovered
+    # pending rows. Unscheduled pending and historical rows are never
+    # rewritten.
     delta_round = (
         _frontier_select(done)
         .unionByName(_frontier_select(denied_rows))
         .unionByName(_frontier_select(new_frontier))
     )
+    if trapped is not None:
+        trapped_rows = trapped.withColumn(
+            "status", F.lit("trapped")
+        ).withColumn("round_id", F.lit(round_id))
+        delta_round = delta_round.unionByName(_frontier_select(trapped_rows))
 
     schedule_log = scheduled.select(
         F.lit(round_id).alias("round_id"),
@@ -676,6 +707,8 @@ def run_round(
         "new_links": n_new,
         "denied": denied.count(),
     }
+    if trapped is not None:
+        stats["trapped"] = trapped.count()
     if stop_on_caption_contains is not None:
         # stop-on-found signal (reference: crawler.py:1149-1157): did any
         # result landed this round match the target? Cheap — a filter
@@ -700,6 +733,8 @@ def run_round(
     scheduled.unpersist()
     fetched.unpersist()
     denied.unpersist()
+    if trapped is not None:
+        trapped.unpersist()
     if n_links:
         unseen.unpersist()
     if seq_handle is not None:
@@ -728,6 +763,7 @@ def run_crawl(
     max_pages_per_host: int | None = None,
     politeness_by: str = "host",
     n_ips: int = 4,
+    trap_max_seg_repeat: int | None = None,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Full crawl loop: init + rounds until the frontier drains, or —
     with ``stop_on_caption_contains`` — until a round lands a matching
@@ -747,6 +783,7 @@ def run_crawl(
             host_priorities=host_priorities, adaptive=adaptive,
             aging_every=aging_every, max_pages_per_host=max_pages_per_host,
             politeness_by=politeness_by, n_ips=n_ips,
+            trap_max_seg_repeat=trap_max_seg_repeat,
         )
         history.append(stats)
         if stats.get("target_hits", 0) > 0:

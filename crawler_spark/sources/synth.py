@@ -55,6 +55,11 @@ class SynthWeb:
     # discovery_seq encoding could NOT represent (12 bits/level -> int64
     # overflow at depth >= 6); the dense counter must handle any depth.
     deep_levels: int = 0
+    # spider-trap mode: this host's root ALSO links into /cal/2024, and
+    # every /cal/... page links one level deeper (/cal/2024/2024/...)
+    # FOREVER — the classic calendar trap. An ungated crawl never
+    # drains on this host; the pathological-path gate must cut it.
+    trap_host: int | None = None
 
     # ---- structure ----------------------------------------------------
     def host(self, i: int) -> str:
@@ -100,6 +105,15 @@ class SynthWeb:
         base = f"http://{host}"
         d = len(segs)
         links: list[str] = []
+        host_idx_s = host.split("-")[1].split(".")[0] if "-" in host else ""
+        if (
+            self.trap_host is not None
+            and host_idx_s == str(self.trap_host)
+            and segs
+            and segs[0] == "cal"
+        ):
+            # the calendar trap: always exactly one link, one level deeper
+            return [f"{base}/{'/'.join(segs)}/2024"]
         if self.deep_levels:
             prefix = "/".join(segs)
             stem = f"{base}/{prefix}" if prefix else base
@@ -116,6 +130,8 @@ class SynthWeb:
                     links.append(f"{stem}/img-{m}")
             return links
         if d == 0:
+            if self.trap_host is not None and host_idx_s == str(self.trap_host):
+                links.append(f"{base}/cal/2024")
             n = self._fanout(f"{host}|p", 2, self.max_p)
             for j in range(n):
                 # document order == sibling index order (reference keeps
@@ -246,4 +262,9 @@ T3_DEEP = SynthWeb(n_hosts=16, deep_levels=8, max_img=2)
 # transient-failure web: ~1/5 of leaves fail their first attempt and
 # must be re-queued (T3 retry budget); fail_mod leaves stay permanent
 T4_FLAKY = SynthWeb(n_hosts=6, max_p=3, max_d=3, max_img=5, flaky_mod=5)
+# calendar-trap web: host-1's root links into an INFINITE /cal/2024/...
+# chain; an ungated crawl never drains on it (bounded only by
+# max_rounds), the pathological-path gate must cut it and still match
+# the oracle exactly
+T5_TRAP = SynthWeb(n_hosts=4, max_p=3, max_d=3, max_img=4, trap_host=1)
 BENCH = SynthWeb(n_hosts=50, max_p=6, max_d=8, max_img=25, mega_host=0, mega_mult=12)

@@ -631,3 +631,58 @@ def test_reprioritize_mid_crawl_matches_oracle(spark, tmp_path):
         r["url_canon"] for r in catalog.read("seen").select("url_canon").collect()
     }
     assert engine_seen == oracle.seen
+
+
+def test_trap_gate_drains_calendar_trap_and_matches_oracle(spark, tmp_path):
+    """T5_TRAP: host-1's root links into an infinite /cal/2024/... chain.
+    With the pathological-path gate armed (repeat >= 3) the crawl DRAINS,
+    the chain is cut at the first 3-repeat URL, and ordering/seen/trapped
+    all match the oracle applying the identical rule."""
+    from crawler_spark.sources.synth import T5_TRAP
+
+    catalog, history = run_crawl(
+        spark, str(tmp_path / "trap"), T5_TRAP, round_seconds=ROUND_S,
+        max_rounds=24, trap_max_seg_repeat=3,
+    )
+    assert history[-1]["scheduled"] == 0  # drained, not round-capped
+    assert sum(h.get("trapped", 0) for h in history) >= 1
+    oracle = OracleCrawler(T5_TRAP, round_seconds=ROUND_S, trap_max_seg_repeat=3)
+    oracle.run(max_rounds=24)
+    assert _engine_schedule(catalog) == oracle.schedule
+    engine_seen = {
+        r["url_canon"] for r in catalog.read("seen").select("url_canon").collect()
+    }
+    assert engine_seen == oracle.seen
+    # trapped rows recorded terminally with matching URLs
+    from crawler_spark.plans.rounds import read_frontier
+
+    engine_trapped = {
+        r["url_canon"]
+        for r in read_frontier(catalog).filter(F.col("status") == "trapped").collect()
+    }
+    assert engine_trapped == set(oracle.trapped)
+    assert engine_trapped  # the chain actually tripped the gate
+    # nothing scheduled ever repeated a segment 3+ times
+    for _, url in oracle.schedule:
+        segs = [s for s in url.split("://", 1)[1].split("/")[1:] if s]
+        if segs:
+            from collections import Counter
+
+            assert max(Counter(segs).values()) < 3, url
+
+
+def test_ungated_calendar_trap_never_drains(spark, tmp_path):
+    """The same web WITHOUT the gate keeps scheduling the chain every
+    round until max_rounds — the trap is real, not an artifact."""
+    from crawler_spark.sources.synth import T5_TRAP
+
+    catalog, history = run_crawl(
+        spark, str(tmp_path / "untrap"), T5_TRAP, round_seconds=ROUND_S,
+        max_rounds=12,
+    )
+    assert len(history) == 12
+    assert all(h["scheduled"] >= 1 for h in history)
+    # and the engine still matches the oracle even while looping
+    oracle = OracleCrawler(T5_TRAP, round_seconds=ROUND_S)
+    oracle.run(max_rounds=12)
+    assert _engine_schedule(catalog) == oracle.schedule
