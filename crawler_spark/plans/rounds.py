@@ -807,6 +807,7 @@ def resume_crawl(
     max_pages_per_host: int | None = None,
     politeness_by: str = "host",
     n_ips: int = 4,
+    trap_max_seg_repeat: int | None = None,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Resume from the latest committed snapshot (T2: save_crawling_state
     analog). Staged-but-uncommitted files from a crashed round are
@@ -824,6 +825,7 @@ def resume_crawl(
             host_priorities=host_priorities, adaptive=adaptive,
             max_pages_per_host=max_pages_per_host,
             politeness_by=politeness_by, n_ips=n_ips,
+            trap_max_seg_repeat=trap_max_seg_repeat,
         )
         history.append(stats)
         if stats["scheduled"] == 0:
