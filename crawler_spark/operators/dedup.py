@@ -857,6 +857,7 @@ def dedup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Connected components over candidate near-dup pairs: every doc that
     appears in a pair is labeled with the MINIMUM doc id reachable
@@ -878,7 +879,18 @@ def dedup_clusters(
     interface, fewer rounds.
 
     Output: (doc_id, cluster_id) for every doc appearing in ``pairs``.
+
+    ``algorithm="star"`` dispatches to large-star/small-star contraction
+    (``operators/graph.cc_star``) — same interface and output, O(log
+    diameter) rounds instead of one hop per round; pick it when
+    duplicate chains run long (test_graph pins the equivalence).
     """
+    if algorithm == "star":
+        from crawler_spark.operators.graph import cc_star
+
+        return cc_star(pairs, a_col=a_col, b_col=b_col, max_iter=max_iter)
+    if algorithm != "minlabel":
+        raise ValueError("algorithm must be 'minlabel' or 'star'")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(

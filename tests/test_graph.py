@@ -502,3 +502,19 @@ def test_cc_star_disjoint_components_and_isolated_pair(spark):
         r["doc_id"]: r["cluster_id"] for r in cc_star(pairs).collect()
     }
     assert got == {10: 10, 11: 10, 12: 10, 30: 30, 31: 30, 50: 50, 51: 50}
+
+
+def test_dedup_clusters_star_dispatch(spark):
+    from crawler_spark.operators.dedup import dedup_clusters
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, algorithm="star").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_clusters(pairs, algorithm="bogus")
