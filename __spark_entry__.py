@@ -6184,6 +6184,183 @@ def q_latency_percentiles(spark, sf_dir):
     )
 
 
+def q_hdr_latency_quantiles(spark, sf_dir):
+    """Mergeable quantile SKETCH twin of latency_percentiles: per-host
+    HDR-style log-linear histograms (operators/sketches.py hdr_buckets,
+    integer-exact bucket math — no float log in any grouping key), plus
+    a '__fleet__' row built by MERGING the per-host sketches (summing
+    bucket counts — no second pass over raw data). This is the 100 TB
+    plan: exact `percentile` holds one host's sorted latencies per
+    task; the sketch caps state at 64*16 rows per group however large n
+    gets, and rolls up host -> fleet for free. Midpoint estimates are
+    int64-over-2^5, exact in doubles; the per-host rows carry the exact
+    nearest-rank value (partitioned window — cheap per host) and the
+    observed rel. error in permille, bounded by 1000/(2*16) ~= 31 by
+    construction. Fleet rows skip the exact witness (a global exact
+    rank would need the single-partition sort this sketch exists to
+    avoid; exact_global_median covers that path separately)."""
+    from crawler_spark.operators.sketches import hdr_buckets, hdr_quantiles
+
+    d1 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1)"
+    d2 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)"
+    f = _frontier(spark, sf_dir)
+    lat = f.select(
+        "host",
+        "doc_id",
+        (
+            F.lit(50)
+            + F.expr(f"({d1} * 16 + {d2})") * F.lit(7)
+            + F.col("priority") * F.lit(100)
+        ).cast("long").alias("lat_ms"),
+    )
+    per_host = hdr_buckets(lat, "lat_ms", ["host"])
+    fleet = (
+        per_host.groupBy("e", "m")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("host", F.lit("__fleet__"))
+        .select("host", "e", "m", "cnt")
+    )
+    qs = hdr_quantiles(per_host.unionByName(fleet), ["host"])
+    wr = Window.partitionBy("host").orderBy("lat_ms", "doc_id")
+    ranked = lat.withColumn("rn", F.row_number().over(wr).cast("long")).select(
+        "host", F.col("lat_ms").alias("exact_ms"), "rn"
+    )
+    return qs.join(
+        ranked,
+        (qs["host"] == ranked["host"]) & (qs["rnk"] == ranked["rn"]),
+        "left",
+    ).select(
+        qs["host"],
+        "q_permille",
+        "n",
+        "rnk",
+        "est_mid",
+        "exact_ms",
+        F.floor(
+            F.abs(F.col("est_mid") - F.col("exact_ms"))
+            / F.col("exact_ms")
+            * F.lit(1000.0)
+        ).alias("rel_err_permille"),
+    )
+
+
+def q_snm_blocking_pairs(spark, sf_dir):
+    """Sorted-neighborhood dedup blocking (Hernandez & Stolfo '95) —
+    the blocking family the LSH suite lacks: near-dups whose PREFIXES
+    sort adjacently are caught by a rank-window candidate join even
+    when no shingle or band hashes them together. Blocking key = first
+    12 chars of the whitespace-collapsed lowercased text; global rank
+    via assign_dense_seq (range shuffle + broadcast offsets — no
+    single-partition window); window w=4 -> 3 candidate gaps per row
+    via an EQUI-join on rank+gap. Verification = distinct-unigram
+    Jaccard on candidates only, pinned at 6dp with the floor(x*1e6+.5)
+    rule (quotients of small ints can land exactly on round-half
+    boundaries; see SCALE.md cross-engine determinism)."""
+    from crawler_spark.operators.dedup import snm_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
+    )
+    keyed = norm.select("doc_id", F.substring("t", 1, 12).alias("k"))
+    cand = snm_candidate_pairs(keyed, "k", "doc_id", window=4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "gap"
+    )
+    toks = norm.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.col("t"), " "), lambda x: x != "")
+        ).alias("toks"),
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    jac = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "floor(size(array_intersect(toks_a, toks_b)) * 1000000.0"
+                " / size(array_union(toks_a, toks_b)) + 0.5) / 1000000.0"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return jac.select("doc_a", "doc_b", "gap", "jaccard")
+
+
+def q_ivm_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance for the round-metrics dashboards:
+    merge a BASE aggregate with a DELTA aggregate (one crawl round's
+    appended rows — what catalog.read_incremental hands a consumer) and
+    prove the merge equals the full recompute, per group. This is the
+    self-maintainability algebra every per-round rollup relies on at
+    10^10 rows: count/sum merge by +, min/max by pairwise least/greatest
+    (null-aware — a group absent from one side adopts the other), avg
+    derives from (sum, cnt). COUNT DISTINCT is deliberately absent: it
+    is NOT self-maintainable from partials (that's what the HLL register
+    tables are for — see hll_distinct). Sums run in DECIMAL(38,9) so
+    base+delta and the one-pass total are bit-identical regardless of
+    partial-aggregation order (SCALE.md determinism rule); the published
+    double is pinned once at the end. Delta = event_id % 10 = 7 (a
+    deterministic ~10% slice standing in for the latest snapshot
+    window)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,9)").alias("v"),
+    )
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    b = agg(ev.filter(F.col("event_id") % 10 != 7))
+    d = agg(ev.filter(F.col("event_id") % 10 == 7))
+    for c in ("c", "s", "mn", "mx"):
+        d = d.withColumnRenamed(c, f"d_{c}")
+    m = b.join(d, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce("c", F.lit(0)) + F.coalesce("d_c", F.lit(0))).alias("mc"),
+        (
+            F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,9)"))
+            + F.coalesce(F.col("d_s"), F.lit(0).cast("decimal(38,9)"))
+        ).alias("ms"),
+        F.when(F.col("mn").isNull(), F.col("d_mn"))
+        .when(F.col("d_mn").isNull(), F.col("mn"))
+        .when(F.col("mn") < F.col("d_mn"), F.col("mn"))
+        .otherwise(F.col("d_mn"))
+        .alias("mmn"),
+        F.when(F.col("mx").isNull(), F.col("d_mx"))
+        .when(F.col("d_mx").isNull(), F.col("mx"))
+        .when(F.col("mx") > F.col("d_mx"), F.col("mx"))
+        .otherwise(F.col("d_mx"))
+        .alias("mmx"),
+    )
+    full = agg(ev)
+    for c in ("c", "s", "mn", "mx"):
+        full = full.withColumnRenamed(c, f"f_{c}")
+    return m.join(full, "event_type").select(
+        "event_type",
+        F.col("mc").cast("long").alias("cnt"),
+        (F.col("mc") == F.col("f_c")).alias("cnt_ok"),
+        (F.col("ms") == F.col("f_s")).alias("sum_ok"),
+        (F.col("mmn") == F.col("f_mn")).alias("min_ok"),
+        (F.col("mmx") == F.col("f_mx")).alias("max_ok"),
+        F.expr("floor(cast(ms as double) * 1000000 + 0.5) / 1000000").alias(
+            "sum_v"
+        ),
+        F.expr(
+            "floor(cast(ms as double) / mc * 1000000 + 0.5) / 1000000"
+        ).alias("avg_v"),
+    )
+
+
 def q_html_extract(spark, sf_dir):
     """The parse stage of the fetch loop (reference: DOM queries inside
     the browser, crawler.py element waits): extract title, outlink
@@ -8327,6 +8504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "hll_distinct": q_hll_distinct,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
+        "hdr_latency_quantiles": q_hdr_latency_quantiles,
+        "snm_blocking_pairs": q_snm_blocking_pairs,
+        "ivm_incremental_agg": q_ivm_incremental_agg,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -14838,6 +15018,143 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(lat_ms, 0.99), 6) AS p99,
                    max(lat_ms) AS max_ms
             FROM lat GROUP BY host
+        """,
+        "hdr_latency_quantiles": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            lat AS (
+              SELECT host, doc_id,
+                     CAST(50 + ({_hexdig_sql("cast(doc_id AS varchar)", 1)} * 16
+                                + {_hexdig_sql("cast(doc_id AS varchar)", 2)}) * 7
+                             + priority * 100 AS BIGINT) AS lat_ms
+              FROM f
+            ),
+            bk AS (
+              SELECT host,
+                     CAST(length(bin(lat_ms)) - 1 AS INT) AS e,
+                     CAST(((lat_ms - (CAST(1 AS BIGINT) << (length(bin(lat_ms)) - 1))) * 16)
+                          // (CAST(1 AS BIGINT) << (length(bin(lat_ms)) - 1)) AS INT) AS m,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM lat WHERE lat_ms >= 1 GROUP BY 1, 2, 3
+            ),
+            sk AS (
+              SELECT host, e, m, cnt FROM bk
+              UNION ALL
+              SELECT '__fleet__' AS host, e, m, CAST(sum(cnt) AS BIGINT) AS cnt
+              FROM bk GROUP BY e, m
+            ),
+            cum AS (
+              SELECT host, e, m, cnt,
+                     CAST(sum(cnt) OVER (PARTITION BY host) AS BIGINT) AS n,
+                     CAST(sum(cnt) OVER (PARTITION BY host ORDER BY e, m
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM sk
+            ),
+            qq AS (SELECT unnest([500, 950, 990]) AS q_permille),
+            hit AS (
+              SELECT host, q_permille, n,
+                     CAST((q_permille * n + 999) // 1000 AS BIGINT) AS rnk,
+                     ((CAST(1 AS BIGINT) << e) * (32 + 2 * m + 1)) / 32.0 AS est_mid
+              FROM cum CROSS JOIN qq
+              WHERE cum >= (q_permille * n + 999) // 1000
+                AND cum - cnt < (q_permille * n + 999) // 1000
+            ),
+            rk AS (
+              SELECT host, lat_ms,
+                     CAST(row_number() OVER (PARTITION BY host
+                           ORDER BY lat_ms, doc_id) AS BIGINT) AS rn
+              FROM lat
+            )
+            SELECT h.host, h.q_permille, h.n, h.rnk, h.est_mid,
+                   r.lat_ms AS exact_ms,
+                   CAST(floor(abs(h.est_mid - r.lat_ms) / r.lat_ms * 1000.0)
+                        AS BIGINT) AS rel_err_permille
+            FROM hit h LEFT JOIN rk r ON h.host = r.host AND h.rnk = r.rn
+        """,
+        "snm_blocking_pairs": """
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents
+            ),
+            rk AS (
+              SELECT doc_id, substring(t, 1, 12) AS k,
+                     row_number() OVER (ORDER BY substring(t, 1, 12), doc_id)
+                       AS rn
+              FROM n
+            ),
+            cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(b.rn - a.rn AS INT) AS gap
+              FROM rk a JOIN rk b ON b.rn - a.rn >= 1 AND b.rn - a.rn <= 3
+            ),
+            toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM n
+              ) WHERE length(tok) > 0
+            ),
+            sizes AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+              FROM toks GROUP BY doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, c.gap, count(*) AS ni
+              FROM cand c
+              JOIN toks x ON x.doc_id = c.doc_a
+              JOIN toks y ON y.doc_id = c.doc_b AND y.tok = x.tok
+              GROUP BY 1, 2, 3
+            )
+            SELECT i.doc_a, i.doc_b, i.gap,
+                   floor(i.ni * 1000000.0 / (sa.nt + sb.nt - i.ni) + 0.5)
+                     / 1000000.0 AS jaccard
+            FROM inter i
+            JOIN sizes sa ON i.doc_a = sa.doc_id
+            JOIN sizes sb ON i.doc_b = sb.doc_id
+            WHERE floor(i.ni * 1000000.0 / (sa.nt + sb.nt - i.ni) + 0.5)
+                    / 1000000.0 >= 0.5
+        """,
+        "ivm_incremental_agg": """
+            WITH ev AS (
+              SELECT event_id, event_type, CAST(value AS DECIMAL(38,9)) AS v
+              FROM events
+            ),
+            b AS (
+              SELECT event_type, count(*) AS c, sum(v) AS s,
+                     min(v) AS mn, max(v) AS mx
+              FROM ev WHERE event_id % 10 <> 7 GROUP BY event_type
+            ),
+            d AS (
+              SELECT event_type, count(*) AS c, sum(v) AS s,
+                     min(v) AS mn, max(v) AS mx
+              FROM ev WHERE event_id % 10 = 7 GROUP BY event_type
+            ),
+            m AS (
+              SELECT coalesce(b.event_type, d.event_type) AS event_type,
+                     coalesce(b.c, 0) + coalesce(d.c, 0) AS mc,
+                     coalesce(b.s, 0) + coalesce(d.s, 0) AS ms,
+                     CASE WHEN b.mn IS NULL THEN d.mn
+                          WHEN d.mn IS NULL THEN b.mn
+                          WHEN b.mn < d.mn THEN b.mn ELSE d.mn END AS mmn,
+                     CASE WHEN b.mx IS NULL THEN d.mx
+                          WHEN d.mx IS NULL THEN b.mx
+                          WHEN b.mx > d.mx THEN b.mx ELSE d.mx END AS mmx
+              FROM b FULL OUTER JOIN d ON b.event_type = d.event_type
+            ),
+            f AS (
+              SELECT event_type, count(*) AS c, sum(v) AS s,
+                     min(v) AS mn, max(v) AS mx
+              FROM ev GROUP BY event_type
+            )
+            SELECT m.event_type,
+                   CAST(m.mc AS BIGINT) AS cnt,
+                   m.mc = f.c AS cnt_ok,
+                   m.ms = f.s AS sum_ok,
+                   m.mmn = f.mn AS min_ok,
+                   m.mmx = f.mx AS max_ok,
+                   floor(CAST(m.ms AS DOUBLE) * 1000000 + 0.5) / 1000000
+                     AS sum_v,
+                   floor(CAST(m.ms AS DOUBLE) / m.mc * 1000000 + 0.5)
+                     / 1000000 AS avg_v
+            FROM m JOIN f ON m.event_type = f.event_type
         """,
         "html_extract": """
             -- independent re-derivation from the raw text: stripped

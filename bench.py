@@ -157,6 +157,10 @@ HEADLINE = [
     # end-to-end compositions
     "pair_pipeline",
     "curation_funnel",
+    # quantile-sketch + SNM-blocking additions
+    "hdr_latency_quantiles",
+    "snm_blocking_pairs",
+    "ivm_incremental_agg",
 ]
 
 BENCH_HOSTS = 50

@@ -1830,3 +1830,57 @@ def weighted_jaccard_pairs(
         .filter(F.col("jw") >= threshold)
         .select("doc_a", "doc_b", "jw")
     )
+
+
+# ------------------------------------------- sorted-neighborhood (SNM)
+
+
+def snm_candidate_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD '95):
+    sort the corpus by a blocking key, slide a window of `window` rows,
+    and emit every pair that co-occurs in some window — O(n * window)
+    candidates instead of the O(n^2) cross join, catching near-dups
+    whose keys sort adjacently even when they hash apart (the failure
+    mode of exact-key blocking).
+
+    Spark-first shape: the global sort rank comes from
+    operators/sequence.assign_dense_seq (range-shuffle + per-partition
+    row_number + broadcast offsets — NO single-partition window), and
+    the "slide" is an explode of gap 1..window-1 followed by an
+    EQUI-join on rank+gap — a plain shuffle join on a dense unique
+    int64, perfectly balanced at any scale. Candidate verification
+    (similarity on the pair) is the caller's second stage, exactly like
+    the LSH families above.
+
+    Returns (id_a, key_a, id_b, key_b, gap) with rank(a) < rank(b).
+    The caller owns nothing: the range-partition persist handle is
+    released after the join materializes lazily via the returned plan —
+    we keep it pinned here because the two passes over the ranked input
+    (left and right side) must see the same partition layout.
+    """
+    from crawler_spark.operators.sequence import assign_dense_seq
+
+    ranked, _n, _handle = assign_dense_seq(
+        df.select(F.col(key_col).alias("k"), F.col(id_col).alias("i")),
+        ["k", "i"],
+        "_rnk",
+    )
+    left = ranked.withColumn(
+        "gap", F.explode(F.sequence(F.lit(1), F.lit(int(window) - 1)))
+    ).select(
+        (F.col("_rnk") + F.col("gap")).alias("_rnk"),
+        F.col("i").alias("id_a"),
+        F.col("k").alias("key_a"),
+        "gap",
+    )
+    right = ranked.select(
+        "_rnk", F.col("i").alias("id_b"), F.col("k").alias("key_b")
+    )
+    return left.join(right, "_rnk").select(
+        "id_a", "key_a", "id_b", "key_b", "gap"
+    )

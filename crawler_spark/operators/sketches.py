@@ -285,3 +285,83 @@ def countmin_join_size(
         F.col("join_size_exact").cast("long"),
         F.col("join_size_est").cast("long"),
     )
+
+
+# ------------------------------------ HDR log-linear quantile sketch
+
+HDR_SUB = 16  # mantissa sub-buckets per octave -> rel. error <= 1/(2*16)
+
+
+def hdr_buckets(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Mergeable log-linear quantile histogram (the HdrHistogram /
+    DDSketch log-bucket idea, Tene; Masson et al. VLDB'19) with
+    INTEGER-EXACT bucket math so any engine reproduces it bit-for-bit.
+
+    A positive integer value v lands in bucket (e, m):
+
+      e = floor(log2(v))           computed as length(bin(v)) - 1 —
+                                   pure string/integer ops, no float log
+                                   whose last ulp could flip the bucket
+      m = ((v - 2^e) * SUB) div 2^e   linear sub-bucket within the octave
+
+    Bucket width is 2^e/SUB, so a midpoint estimate carries relative
+    error <= 1/(2*SUB) by construction. Sketch state is at most
+    64*SUB rows per group REGARDLESS of n — the groupBy partial-
+    aggregates map-side, so shuffle volume is bounded by
+    groups x buckets, not by rows. Merging sketches = summing counts
+    per (e, m): per-host sketches roll up to a fleet sketch without
+    re-reading raw data (the property approx_percentile's t-digest
+    gives you opaquely; this one is SQL-portable and oracle-exact).
+
+    Values < 1 are dropped (callers measure positive latencies);
+    the caller owns any offset shift for zero/negative domains.
+    """
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("long")
+    based = (
+        df.filter(v >= 1)
+        .select(*gcols, v.alias("v"))
+        .withColumn("e", (F.length(F.bin(F.col("v"))) - F.lit(1)).cast("int"))
+        .withColumn(
+            "m",
+            F.expr(f"cast(((v - shiftleft(1L, e)) * {HDR_SUB}) div shiftleft(1L, e) as int)"),
+        )
+    )
+    return based.groupBy(*gcols, "e", "m").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hdr_quantiles(
+    buckets: DataFrame,
+    group_cols: list[str],
+    q_permille: tuple[int, ...] = (500, 950, 990),
+) -> DataFrame:
+    """Quantile extraction from an hdr_buckets sketch: nearest-rank
+    (rank = ceil(q*n) in integer arithmetic), located by a cumulative
+    window over the BUCKET dimension (<= 64*SUB rows per group — the
+    window never sees raw data). The estimate is the bucket midpoint
+    2^e * (2*SUB + 2m + 1) / (2*SUB): an int64 numerator over a
+    power-of-two denominator, hence exact in IEEE doubles — no rounding
+    pin needed. Output: group_cols, q_permille, n, rnk, est_mid.
+    """
+    wg = Window.partitionBy(*group_cols)
+    wc = wg.orderBy("e", "m").rowsBetween(Window.unboundedPreceding, 0)
+    qarr = F.array(*[F.lit(int(q)) for q in q_permille])
+    return (
+        buckets.withColumn("n", F.sum("cnt").over(wg))
+        .withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("q_permille", F.explode(qarr))
+        .withColumn("rnk", F.expr("(q_permille * n + 999) div 1000"))
+        .filter((F.col("cum") >= F.col("rnk")) & (F.col("cum") - F.col("cnt") < F.col("rnk")))
+        .select(
+            *group_cols,
+            "q_permille",
+            F.col("n").cast("long").alias("n"),
+            F.col("rnk").cast("long").alias("rnk"),
+            (
+                F.expr(f"shiftleft(1L, e) * ({2 * HDR_SUB} + 2 * m + 1)")
+                / F.lit(2.0 * HDR_SUB)
+            ).alias("est_mid"),
+        )
+    )

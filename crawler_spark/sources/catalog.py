@@ -102,6 +102,7 @@ class SnapshotCatalog:
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         self._staged: dict[str, list[str]] = {}
         self._staged_stats: dict[str, dict] = {}  # dir -> {file: {col: [lo, hi]}}
+        self._staged_deletes: dict[str, list[str]] = {}
         # stage_* may be called from concurrent driver threads (the round
         # driver overlaps its independent table writes to backfill idle
         # cores between job tails)
@@ -124,6 +125,22 @@ class SnapshotCatalog:
         if sid < 0:
             return {}
         return self._manifest(sid)["tables"]
+
+    def deletes(self, snapshot: int | None = None) -> dict[str, list[str]]:
+        """Equality-delete file dirs per table (Iceberg v2 merge-on-read
+        analog) — empty for snapshots written before deletes existed."""
+        sid = self.current_id() if snapshot is None else snapshot
+        if sid < 0:
+            return {}
+        return self._manifest(sid).get("deletes", {})
+
+    @staticmethod
+    def _dir_seq(d: str) -> int:
+        """Data sequence number of a staged dir — the snapshot id encoded
+        in its name (``s<id>-<uuid>``). Equality deletes apply to data
+        dirs with STRICTLY SMALLER sequence (Iceberg's rule: a delete
+        never hits rows committed at or after it)."""
+        return int(os.path.basename(d).split("-", 1)[0][1:])
 
     def meta(self, snapshot: int | None = None) -> dict:
         """Small scalar state carried with each snapshot (e.g. the global
@@ -164,17 +181,47 @@ class SnapshotCatalog:
         with self._lock:
             self._staged[table].insert(0, "__OVERWRITE__")
 
+    def stage_delete(self, table: str, keys_df: DataFrame) -> None:
+        """Merge-on-read equality delete (Iceberg v2 delete-file analog):
+        stage a key set whose matching rows disappear from reads at the
+        next commit — WITHOUT rewriting a single data file. ``keys_df``'s
+        columns name the equality columns; a data row is deleted when it
+        matches some key row on ALL of them. At 10^10 rows this is the
+        only sane delete: the write is O(|keys|), the read pays one
+        anti-join until ``compact()`` materializes the delete and drops
+        the delete files. Sequence semantics match Iceberg: the delete
+        applies only to data dirs committed STRICTLY BEFORE it, so
+        re-appending a deleted key later resurrects it (proven in
+        test_catalog_deletes)."""
+        d = os.path.join(
+            self.root,
+            table,
+            "deletes",
+            f"s{self.current_id() + 1}-{uuid.uuid4().hex[:8]}",
+        )
+        keys_df.write.mode("overwrite").parquet(d)
+        with self._lock:
+            self._staged_deletes.setdefault(table, []).append(d)
+
     def commit(self, meta: dict | None = None) -> int:
         """Atomically publish all staged writes as one snapshot.
 
         ``meta`` entries are merged over the parent snapshot's meta."""
         sid = self.current_id() + 1
         tables = {k: list(v) for k, v in self.tables().items()}
+        deletes = {k: list(v) for k, v in self.deletes().items()}
         for t, dirs in self._staged.items():
             if dirs and dirs[0] == "__OVERWRITE__":
                 tables[t] = dirs[1:]
+                # an overwrite replaces content wholesale: carried and
+                # same-commit staged deletes for it are void
+                deletes.pop(t, None)
+                self._staged_deletes.pop(t, None)
             else:
                 tables.setdefault(t, []).extend(dirs)
+        for t, dd in self._staged_deletes.items():
+            deletes.setdefault(t, []).extend(dd)
+        deletes = {t: v for t, v in deletes.items() if v}
         # carry file stats for every dir still referenced; staged dirs add
         # theirs, dirs dropped by overwrite/expiry fall out of the map
         prev_stats = {}
@@ -190,12 +237,14 @@ class SnapshotCatalog:
             "id": sid,
             "parent": sid - 1,
             "tables": tables,
+            "deletes": deletes,
             "meta": {**self.meta(), **(meta or {})},
             "stats": stats,
         }
         self._publish(man)
         self._staged = {}
         self._staged_stats = {}
+        self._staged_deletes = {}
         return sid
 
     def _publish(self, man: dict) -> None:
@@ -223,7 +272,7 @@ class SnapshotCatalog:
         10^10 rows). Pending staged writes are rejected: they were
         built against the state being abandoned and would silently
         graft onto the restored one."""
-        if self._staged:
+        if self._staged or self._staged_deletes:
             raise RuntimeError(
                 "staged writes pending; commit() or rollback_staged() "
                 "before rollback_to()"
@@ -236,6 +285,7 @@ class SnapshotCatalog:
                 "parent": sid - 1,
                 "rolled_back_to": snapshot,
                 "tables": man["tables"],
+                "deletes": man.get("deletes", {}),
                 "meta": man.get("meta", {}),
                 "stats": man.get("stats", {}),
             }
@@ -247,8 +297,12 @@ class SnapshotCatalog:
             for d in dirs:
                 if d != "__OVERWRITE__":
                     shutil.rmtree(d, ignore_errors=True)
+        for dirs in self._staged_deletes.values():
+            for d in dirs:
+                shutil.rmtree(d, ignore_errors=True)
         self._staged = {}
         self._staged_stats = {}
+        self._staged_deletes = {}
 
     # ---- reads ----------------------------------------------------------
     def exists(self, table: str, snapshot: int | None = None) -> bool:
@@ -263,7 +317,40 @@ class SnapshotCatalog:
         # rest — schema evolution is table-format table stakes). Real
         # Iceberg resolves this from manifest metadata without touching
         # footers; this layer pays the footer union instead.
-        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        dels = self.deletes(snapshot).get(table, [])
+        if not dels:
+            return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return self._read_with_deletes(dirs, dels)
+
+    def _read_with_deletes(
+        self, data_dirs: list[str], delete_dirs: list[str]
+    ) -> DataFrame:
+        """Merge-on-read: anti-join equality-delete keys into the scan,
+        honoring sequence numbers — a delete dir applies only to data
+        dirs with a strictly smaller sequence. Data dirs are grouped by
+        their applicable-delete set (at most |delete seqs|+1 groups, a
+        handful in practice since compaction clears deletes), each group
+        pays one anti-join, and the groups union back. The anti-join is
+        a plain shuffle join on the equality columns — AQE broadcasts it
+        when the key set is small; nothing here is driver-side."""
+        from functools import reduce
+
+        dseq = sorted({self._dir_seq(d) for d in delete_dirs})
+        groups: dict[tuple, list[str]] = {}
+        for dd in data_dirs:
+            s = self._dir_seq(dd)
+            appl = tuple(d for d in delete_dirs if self._dir_seq(d) > s)
+            groups.setdefault(appl, []).append(dd)
+        parts = []
+        for appl, dd in groups.items():
+            df = self.spark.read.option("mergeSchema", "true").parquet(*dd)
+            if appl:
+                keys = self.spark.read.parquet(*appl).dropDuplicates()
+                df = df.join(keys, on=list(keys.columns), how="left_anti")
+            parts.append(df)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
 
     def plan_scan(
         self,
@@ -324,7 +411,29 @@ class SnapshotCatalog:
         kept, _ = self.plan_scan(table, where, snapshot)
         if not kept:
             return self.read(table, snapshot).limit(0)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*kept)
+        dels = self.deletes(snapshot).get(table, [])
+        if dels:
+            # group surviving FILES by their dir's sequence and apply the
+            # same strictly-older delete rule as read()
+            by_dir: dict[str, list[str]] = {}
+            for f in kept:
+                by_dir.setdefault(os.path.dirname(f), []).append(f)
+            from functools import reduce
+
+            parts = []
+            for d, files in by_dir.items():
+                s = self._dir_seq(d)
+                appl = [x for x in dels if self._dir_seq(x) > s]
+                g = self.spark.read.option("mergeSchema", "true").parquet(*files)
+                if appl:
+                    keys = self.spark.read.parquet(*appl).dropDuplicates()
+                    g = g.join(keys, on=list(keys.columns), how="left_anti")
+                parts.append(g)
+            df = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
+        else:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*kept)
         for col, (lo, hi) in where.items():
             if lo is not None:
                 df = df.filter(F.col(col) >= lo)
@@ -353,6 +462,15 @@ class SnapshotCatalog:
             raise ValueError(
                 f"table {table!r} was overwritten/compacted between snapshots "
                 f"{from_snapshot} and {to_snapshot}: incremental read unsound"
+            )
+        if self.deletes(from_snapshot).get(table, []) != self.deletes(
+            to_snapshot
+        ).get(table, []):
+            raise ValueError(
+                f"table {table!r} acquired equality deletes between snapshots "
+                f"{from_snapshot} and {to_snapshot}: append-diff CDC would "
+                "miss the removals (Iceberg raises on non-append snapshots "
+                "the same way)"
             )
         delta = [d for d in new if d not in set(old)]
         if not delta:
@@ -418,14 +536,19 @@ class SnapshotCatalog:
         keep_dirs: set[str] = set()
         for s in snaps:
             if s not in doomed:
-                for dirs in self._manifest(s)["tables"].values():
+                m = self._manifest(s)
+                for dirs in m["tables"].values():
+                    keep_dirs.update(dirs)
+                for dirs in m.get("deletes", {}).values():
                     keep_dirs.update(dirs)
         removed = 0
         for s in doomed:
-            for dirs in self._manifest(s)["tables"].values():
-                for d in dirs:
-                    if d not in keep_dirs and os.path.exists(d):
-                        shutil.rmtree(d, ignore_errors=True)
-                        removed += 1
+            m = self._manifest(s)
+            for part in (m["tables"], m.get("deletes", {})):
+                for dirs in part.values():
+                    for d in dirs:
+                        if d not in keep_dirs and os.path.exists(d):
+                            shutil.rmtree(d, ignore_errors=True)
+                            removed += 1
             os.remove(os.path.join(self.root, "snapshots", f"{s}.json"))
         return removed

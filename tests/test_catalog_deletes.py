@@ -1,0 +1,103 @@
+"""Merge-on-read equality deletes (Iceberg v2 analog) on the snapshot
+catalog: delete files instead of data rewrites, sequence-number scoping
+(a delete never touches rows committed at or after it), time travel to
+pre-delete state, compaction as the materialize-and-clear step, and the
+CDC guard (incremental reads across a delete window are unsound and must
+refuse).
+"""
+
+import pytest
+
+from crawler_spark.sources.catalog import SnapshotCatalog
+
+
+def _keys(spark, vals):
+    return spark.createDataFrame([(int(v),) for v in vals], "k long")
+
+
+def _rows(spark, vals):
+    return spark.createDataFrame(
+        [(int(v), f"p{v}") for v in vals], "k long, payload string"
+    )
+
+
+def test_delete_hides_rows_and_time_travels(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    cat.stage_append("t", _rows(spark, range(10)))
+    s1 = cat.commit()
+    cat.stage_delete("t", _keys(spark, [2, 3, 7]))
+    s2 = cat.commit()
+    assert sorted(r["k"] for r in cat.read("t").collect()) == [0, 1, 4, 5, 6, 8, 9]
+    # pre-delete snapshot unaffected
+    assert cat.read("t", snapshot=s1).count() == 10
+    assert cat.read("t", snapshot=s2).count() == 7
+
+
+def test_delete_scopes_by_sequence_reappend_resurrects(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    cat.stage_append("t", _rows(spark, [1, 2, 3]))
+    cat.commit()
+    cat.stage_delete("t", _keys(spark, [2]))
+    cat.commit()
+    # re-append k=2 AFTER the delete: the old delete must not hit it
+    cat.stage_append("t", _rows(spark, [2]))
+    cat.commit()
+    ks = sorted(r["k"] for r in cat.read("t").collect())
+    assert ks == [1, 2, 3]
+    # and the resurrected row appears exactly once
+    assert cat.read("t").filter("k = 2").count() == 1
+
+
+def test_compact_materializes_and_clears_deletes(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    cat.stage_append("t", _rows(spark, range(8)))
+    cat.commit()
+    cat.stage_delete("t", _keys(spark, [0, 5]))
+    pre = cat.commit()
+    cat.compact("t", target_bytes=1 << 30)
+    assert cat.deletes().get("t", []) == []  # delete files gone
+    assert sorted(r["k"] for r in cat.read("t").collect()) == [1, 2, 3, 4, 6, 7]
+    # old layout (with live delete files) still time-travels
+    assert cat.read("t", snapshot=pre).count() == 6
+
+
+def test_incremental_read_refuses_delete_window(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    cat.stage_append("t", _rows(spark, range(4)))
+    s1 = cat.commit()
+    cat.stage_append("t", _rows(spark, range(4, 6)))
+    s2 = cat.commit()
+    # pure appends: fine
+    assert cat.read_incremental("t", s1, s2).count() == 2
+    cat.stage_delete("t", _keys(spark, [1]))
+    s3 = cat.commit()
+    with pytest.raises(ValueError, match="equality deletes"):
+        cat.read_incremental("t", s1, s3)
+    with pytest.raises(ValueError, match="equality deletes"):
+        cat.read_incremental("t", s2, s3)
+    # windows that end before the delete stay readable
+    assert cat.read_incremental("t", s1, s2).count() == 2
+
+
+def test_read_where_applies_deletes(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    cat.stage_append("t", _rows(spark, range(20)))
+    cat.commit()
+    cat.stage_delete("t", _keys(spark, [12, 13]))
+    cat.commit()
+    got = sorted(
+        r["k"] for r in cat.read_where("t", {"k": (10, 15)}).collect()
+    )
+    assert got == [10, 11, 14, 15]
+
+
+def test_overwrite_voids_deletes(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    cat.stage_append("t", _rows(spark, range(5)))
+    cat.commit()
+    cat.stage_delete("t", _keys(spark, [1]))
+    cat.commit()
+    cat.stage_overwrite("t", _rows(spark, [1, 2]))
+    cat.commit()
+    assert sorted(r["k"] for r in cat.read("t").collect()) == [1, 2]
+    assert cat.deletes().get("t", []) == []
