@@ -6361,6 +6361,104 @@ def q_ivm_incremental_agg(spark, sf_dir):
     )
 
 
+def q_host_two_hop_reach(spark, sf_dir):
+    """Two-hop reach per host (friend-of-friend expansion over the host
+    link graph): how many hosts are exactly two clicks away — the
+    crawl-planning signal for how fast a frontier fans out from a seed
+    set (pairs with seed_distance's exact BFS and discovery_curve's
+    round-by-round growth). One self-join of the edge list on the
+    middle vertex, distinct, minus self and minus direct edges. Scale:
+    the join is balanced while mid-vertex out-degree is bounded — a hub
+    middle makes the pair volume quadratic in its degree, so at web
+    scale the mid side gets a degree cap first (same DF-cap discipline
+    as hot shingles in the LSH family); the derived graph here has
+    bounded degree by construction. Integer keys end-to-end."""
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        docs.select(
+            (F.col("doc_id") % 40).cast("long").alias("src"),
+            F.expr(f"cast(({d6} * 16 + {d7}) % 40 as bigint)").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    two = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    reach = two.join(edges, ["src", "dst"], "left_anti")
+    return reach.groupBy("src").agg(F.count(F.lit(1)).alias("n_two_hop"))
+
+
+def q_audio_fingerprint_match(spark, sf_dir):
+    """Multimodal retrieval: Shazam-style landmark fingerprinting
+    (operators/audio.py audio_landmarks / landmark_match) — per-frame
+    spectral peak pairs packed into int64 hashes, probes matched by
+    hash equi-join + offset-vote histogram. 24 synthetic tracks (seeded
+    multi-tone + noise), 8 frame-aligned excerpts as probes; every
+    probe must recover its source track at the exact frame offset (16).
+    No SQL oracle (FFT over binary samples); rows-only — planted-match
+    recovery, foreign-probe rejection, and partitioning invariance are
+    pytest-covered (tests/test_audio_fp.py)."""
+    import numpy as np
+
+    from crawler_spark.operators.audio import audio_landmarks, landmark_match
+
+    sr = 8000
+    frame = 512
+    n_fr = 3 * sr // frame  # ~3 s
+
+    def wave(seed):
+        # frequency-hopping multi-tone (bin-exact at sr/frame): frames
+        # are pairwise distinct, so offset votes concentrate at the true
+        # alignment instead of smearing over a periodic signal
+        rng = np.random.default_rng(1000 + seed)
+        hops = rng.integers(8, 200, size=(n_fr, 3)) * (sr / frame)
+        tl = np.arange(frame) / sr
+        x = np.concatenate(
+            [
+                sum(
+                    (1500 + 300 * k) * np.sin(2 * np.pi * f * tl)
+                    for k, f in enumerate(hops[j])
+                )
+                for j in range(n_fr)
+            ]
+        )
+        x = x + rng.normal(0, 60, n_fr * frame)
+        return np.clip(np.rint(x), -32768, 32767).astype("<i2")
+
+    tracks = [(f"trk-{i}", bytearray(wave(i).tobytes())) for i in range(24)]
+    probes = [
+        (f"probe-{i}", bytearray(wave(i).tobytes()[2 * 8192 : 2 * 16384]))
+        for i in range(8)
+    ]
+    index = audio_landmarks(
+        spark.createDataFrame(tracks, "audio_id string, bytes binary")
+    )
+    probe = audio_landmarks(
+        spark.createDataFrame(probes, "audio_id string, bytes binary")
+    )
+    return landmark_match(index, probe).orderBy("probe_id")
+
+
+def q_compression_gate(spark, sf_dir):
+    """Deflate-ratio quality gate (operators/corpus.py compression_gate)
+    — the CCNet/Gopher-family repetition proxy: compressed/raw length of
+    the UTF-8 text flags template-farm repetition (ratio too low) and
+    high-entropy non-text (ratio too high). zlib is stdlib+level-pinned
+    (deterministic here) but not SQL-expressible, so this is rows-only;
+    test_compression mirrors the UDF with direct zlib calls row by
+    row. Pure map stage: no shuffle, text column only."""
+    from crawler_spark.operators.corpus import compression_gate
+
+    return compression_gate(_t(spark, sf_dir, "documents"))
+
+
 def q_html_extract(spark, sf_dir):
     """The parse stage of the fetch loop (reference: DOM queries inside
     the browser, crawler.py element waits): extract title, outlink
@@ -8507,6 +8605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_latency_quantiles": q_hdr_latency_quantiles,
         "snm_blocking_pairs": q_snm_blocking_pairs,
         "ivm_incremental_agg": q_ivm_incremental_agg,
+        "compression_gate": q_compression_gate,
+        "audio_fingerprint_match": q_audio_fingerprint_match,
+        "host_two_hop_reach": q_host_two_hop_reach,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -15155,6 +15256,31 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(m.ms AS DOUBLE) / m.mc * 1000000 + 0.5)
                      / 1000000 AS avg_v
             FROM m JOIN f ON m.event_type = f.event_type
+        """,
+        "host_two_hop_reach": f"""
+            WITH e AS (
+              SELECT DISTINCT CAST(doc_id % 40 AS BIGINT) AS src,
+                     CAST(({_hexdig_sql("cast(doc_id AS varchar)", 6)} * 16
+                           + {_hexdig_sql("cast(doc_id AS varchar)", 7)})
+                          % 40 AS BIGINT) AS dst
+              FROM documents
+              WHERE CAST(doc_id % 40 AS BIGINT)
+                    <> CAST(({_hexdig_sql("cast(doc_id AS varchar)", 6)} * 16
+                             + {_hexdig_sql("cast(doc_id AS varchar)", 7)})
+                            % 40 AS BIGINT)
+            ),
+            two AS (
+              SELECT DISTINCT a.src AS src, b.dst AS dst
+              FROM e a JOIN e b ON a.dst = b.src
+              WHERE a.src <> b.dst
+            ),
+            noadj AS (
+              SELECT t.src, t.dst
+              FROM two t LEFT JOIN e ON e.src = t.src AND e.dst = t.dst
+              WHERE e.src IS NULL
+            )
+            SELECT src, CAST(count(*) AS BIGINT) AS n_two_hop
+            FROM noadj GROUP BY src
         """,
         "html_extract": """
             -- independent re-derivation from the raw text: stripped

@@ -161,6 +161,9 @@ HEADLINE = [
     "hdr_latency_quantiles",
     "snm_blocking_pairs",
     "ivm_incremental_agg",
+    "compression_gate",
+    "audio_fingerprint_match",
+    "host_two_hop_reach",
 ]
 
 BENCH_HOSTS = 50

@@ -290,3 +290,124 @@ def spectral_features(
     return audio.select("audio_id", "bytes", "sample_rate").mapInPandas(
         go, schema=SPECTRAL_SCHEMA
     )
+
+
+# ------------------------------------------ landmark fingerprint (Wang '03)
+
+LANDMARK_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("t", T.IntegerType()),
+        T.StructField("h", T.LongType()),
+    ]
+)
+
+
+def audio_landmarks(
+    audio: DataFrame,
+    frame: int = 512,
+    peaks_per_frame: int = 3,
+    fan: int = 3,
+    max_dt: int = 16,
+) -> DataFrame:
+    """Shazam-style landmark fingerprints (Wang, ISMIR 2003 — public):
+    per-frame spectral peaks, each anchor peak paired with the next
+    ``fan`` peaks within ``max_dt`` frames; the (bin1, bin2, dt) triple
+    packs into one int64 hash. A clip's hashes are reproducible from any
+    frame-aligned excerpt, which is what makes the matcher below work on
+    offsets rather than whole-file equality.
+
+    Determinism: rectangular frame-aligned windows (bin-exact like
+    spectral_features), per-frame peaks by stable sort on (-magnitude,
+    bin), targets in (frame, bin) order — no randomness anywhere, so the
+    same bytes produce the same hash set on any partitioning.
+
+    Scale: one map stage (mapInPandas, bounded Arrow batches); output is
+    O(n_frames * peaks * fan) rows per clip — the index a 10^10-clip
+    corpus shuffles ONCE to build, then probes by hash equi-join.
+    """
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts, hs = [], [], []
+            for r in pdf.itertuples(index=False):
+                x = _decode_pcm(r.bytes).astype(np.float64)
+                n_fr = len(x) // frame
+                if n_fr == 0:
+                    continue
+                fr = x[: n_fr * frame].reshape(n_fr, frame)
+                mag = np.abs(np.fft.rfft(fr, axis=1))[:, 1:]  # drop DC
+                # stable argsort on -mag: equal magnitudes keep bin order
+                top = np.argsort(-mag, axis=1, kind="stable")[
+                    :, :peaks_per_frame
+                ]
+                peaks = [
+                    (int(t0), int(b))
+                    for t0 in range(n_fr)
+                    for b in sorted(top[t0])
+                ]
+                for i, (t1, b1) in enumerate(peaks):
+                    taken = 0
+                    for t2, b2 in peaks[i + 1 :]:
+                        if t2 == t1:
+                            continue
+                        if t2 - t1 > max_dt:
+                            break
+                        ids.append(r.audio_id)
+                        ts.append(t1)
+                        hs.append(
+                            (b1 * 4096 + b2) * (max_dt + 1) + (t2 - t1)
+                        )
+                        taken += 1
+                        if taken >= fan:
+                            break
+            yield pd.DataFrame(
+                {
+                    "audio_id": pd.Series(ids, dtype=object),
+                    "t": pd.Series(ts, dtype="int32"),
+                    "h": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return audio.select("audio_id", "bytes").mapInPandas(
+        go, schema=LANDMARK_SCHEMA
+    )
+
+
+def landmark_match(
+    index_lm: DataFrame, probe_lm: DataFrame, min_votes: int = 5
+) -> DataFrame:
+    """Match probe clips against a landmark index: equi-join on the
+    packed hash, then vote on the frame offset ``t_index - t_probe`` —
+    a true match piles votes on ONE offset, chance collisions scatter.
+    Top-1 (track, offset) per probe with deterministic tie-breaks,
+    gated at ``min_votes``.
+
+    Scale: the join key is the 22-bit-ish packed hash — high cardinality
+    and roughly uniform over real audio, so the shuffle is balanced;
+    pathological hot hashes (constant tones) would be DF-capped exactly
+    like hot shingles in the text LSH family. The vote aggregation is a
+    map-side-combinable count on (probe, track, offset).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    p = probe_lm.select(
+        F.col("audio_id").alias("probe_id"), F.col("t").alias("tp"), "h"
+    )
+    ix = index_lm.select(
+        F.col("audio_id").alias("track_id"), F.col("t").alias("ti"), "h"
+    )
+    votes = (
+        p.join(ix, "h")
+        .groupBy("probe_id", "track_id", (F.col("ti") - F.col("tp")).alias("offset"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("votes"), F.asc("track_id"), F.asc("offset")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("votes") >= min_votes))
+        .drop("rn")
+    )

@@ -762,3 +762,63 @@ def train_linear_probe(
     feats.unpersist()
     labels.unpersist()
     return w.select("j", F.col("w").alias("weight"))
+
+
+# ------------------------------------------ compression-ratio quality gate
+
+
+def compression_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_ratio: float = 0.25,
+    max_ratio: float = 0.95,
+) -> DataFrame:
+    """Deflate-ratio quality gate (the CCNet/Gopher-family repetition
+    proxy): compressed_len / raw_len of the UTF-8 text. Ultra-low ratios
+    mean machine-generated repetition (template farms, keyword stuffing
+    — the same pathology crawl_trap_score catches at the URL level);
+    ratios near 1 mean high-entropy non-text (base64 blobs, minified
+    bundles, binary mislabeled as text).
+
+    zlib is stdlib and level-pinned, so the measure is deterministic for
+    the environment; it still isn't SQL-expressible, so the shipped query
+    is rows-only and the pytest mirrors it with direct zlib calls.
+    Vectorized pandas UDF (one Arrow batch per call — the only Python
+    loop is over in-memory batch rows); everything downstream is native.
+    At 10^10 docs this is a pure map stage: no shuffle, prunes to the
+    text column only.
+    """
+    def _comp(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            enc = [
+                ("" if t is None else t).encode("utf-8") for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": [len(b) for b in enc],
+                    "comp_len": [len(zlib.compress(b, 6)) for b in enc],
+                }
+            )
+
+    c = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(_comp, "doc_id long, raw_len int, comp_len int")
+    ratio = F.floor(
+        F.col("comp_len").cast("double")
+        * F.lit(1e6)
+        / F.greatest(F.col("raw_len"), F.lit(1))
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return c.select(
+        "doc_id",
+        "raw_len",
+        "comp_len",
+        ratio.alias("ratio"),
+        ((ratio >= min_ratio) & (ratio <= max_ratio)).alias("pass_compression"),
+    )

@@ -478,12 +478,30 @@ def run_round(
         )
         .withColumn("round_id", F.lit(round_id))
     )
-    m = metrics.groupBy().agg(
+    # ONE driver action computes every round counter: the fetch totals,
+    # the denied/trapped branch sizes, and the stop-on-found hit count
+    # ride along as crossJoins of 1-row aggregates over already-persisted
+    # branches — replacing what used to be up to four separate .count()
+    # jobs per round (each a full task wave even against cache)
+    agg_m = metrics.groupBy().agg(
         F.sum("scheduled").alias("scheduled"),
         F.sum("results").alias("results"),
         F.sum("failed").alias("failed"),
         F.sum("links").alias("links"),
-    ).first()
+    ).crossJoin(denied.agg(F.count(F.lit(1)).alias("denied_n")))
+    if trapped is not None:
+        agg_m = agg_m.crossJoin(
+            trapped.agg(F.count(F.lit(1)).alias("trapped_n"))
+        )
+    if stop_on_caption_contains is not None:
+        # stop-on-found signal (reference: crawler.py:1149-1157): did any
+        # result landed this round match the target?
+        agg_m = agg_m.crossJoin(
+            results_new.filter(
+                F.col("caption").contains(stop_on_caption_contains)
+            ).agg(F.count(F.lit(1)).alias("target_hits_n"))
+        )
+    m = agg_m.first()
     n_links = int(m["links"] or 0)
 
     # ---- expand frontier: canonicalize links, first-discovery-wins dedup,
@@ -705,17 +723,12 @@ def run_round(
         "results": int(m["results"] or 0),
         "failed": int(m["failed"] or 0),
         "new_links": n_new,
-        "denied": denied.count(),
+        "denied": int(m["denied_n"]),
     }
     if trapped is not None:
-        stats["trapped"] = trapped.count()
+        stats["trapped"] = int(m["trapped_n"])
     if stop_on_caption_contains is not None:
-        # stop-on-found signal (reference: crawler.py:1149-1157): did any
-        # result landed this round match the target? Cheap — a filter
-        # count over the persisted fetch output.
-        stats["target_hits"] = results_new.filter(
-            F.col("caption").contains(stop_on_caption_contains)
-        ).count()
+        stats["target_hits"] = int(m["target_hits_n"])
 
     new_meta: dict = {}
     if next_seq is not None:

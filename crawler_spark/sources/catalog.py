@@ -292,6 +292,39 @@ class SnapshotCatalog:
         )
         return sid
 
+    # ---- named refs (Iceberg tag analog) ------------------------------
+    def tag(self, name: str, snapshot: int | None = None) -> int:
+        """Pin a snapshot under a human name (Iceberg tag analog):
+        ``tag("pre-migration")`` then ``read(t, snapshot=ref(...))``
+        forever after. Tagged snapshots are PROTECTED from
+        expire_snapshots — the property that makes a tag a retention
+        contract, not just a bookmark. One tiny file per tag; re-tagging
+        a name moves it."""
+        sid = self.current_id() if snapshot is None else snapshot
+        if sid < 0:
+            raise ValueError("nothing committed yet; no snapshot to tag")
+        self._manifest(sid)  # must exist (and not be expired)
+        d = os.path.join(self.root, "refs")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, name)
+        with open(p + ".tmp", "w") as f:
+            f.write(str(sid))
+        os.replace(p + ".tmp", p)
+        return sid
+
+    def ref(self, name: str) -> int:
+        with open(os.path.join(self.root, "refs", name)) as f:
+            return int(f.read().strip())
+
+    def refs(self) -> dict[str, int]:
+        d = os.path.join(self.root, "refs")
+        if not os.path.isdir(d):
+            return {}
+        return {n: self.ref(n) for n in sorted(os.listdir(d))}
+
+    def drop_tag(self, name: str) -> None:
+        os.remove(os.path.join(self.root, "refs", name))
+
     def rollback_staged(self) -> None:
         for dirs in self._staged.values():
             for d in dirs:
@@ -532,7 +565,8 @@ class SnapshotCatalog:
             for f in os.listdir(os.path.join(self.root, "snapshots"))
             if f.endswith(".json")
         )
-        doomed = [s for s in snaps if s <= cur - keep_last]
+        pinned = set(self.refs().values())
+        doomed = [s for s in snaps if s <= cur - keep_last and s not in pinned]
         keep_dirs: set[str] = set()
         for s in snaps:
             if s not in doomed:

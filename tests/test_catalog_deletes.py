@@ -101,3 +101,25 @@ def test_overwrite_voids_deletes(spark, tmp_path):
     cat.commit()
     assert sorted(r["k"] for r in cat.read("t").collect()) == [1, 2]
     assert cat.deletes().get("t", []) == []
+
+
+def test_tags_pin_snapshots_through_gc(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    for i in range(5):
+        cat.stage_overwrite("t", _rows(spark, range(i + 1)))
+        cat.commit()
+    cat.tag("golden", snapshot=1)
+    assert cat.ref("golden") == 1
+    cat.expire_snapshots(keep_last=2)
+    # tagged snapshot survives GC and still reads
+    assert cat.read("t", snapshot=cat.ref("golden")).count() == 2
+    # untagged old snapshot is gone
+    with pytest.raises(FileNotFoundError):
+        cat._manifest(0)
+    # dropping the tag releases it for the next GC
+    cat.drop_tag("golden")
+    cat.stage_overwrite("t", _rows(spark, range(9)))
+    cat.commit()
+    cat.expire_snapshots(keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        cat._manifest(1)
