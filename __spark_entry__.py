@@ -6361,6 +6361,57 @@ def q_ivm_incremental_agg(spark, sf_dir):
     )
 
 
+def q_jsonl_quarantine(spark, sf_dir):
+    """Dirty-JSON ingestion triage (the T4 late/dirty-data analog for
+    semi-structured payloads — the reference skips and counts malformed
+    rows, base_crawler.py:320-327; a JSONL crawl feed needs the same
+    split): PERMISSIVE from_json, then classify each row as ok /
+    badtype (valid JSON, field fails the schema's type — from_json
+    nulls just that field) / corrupt (unparseable — from_json nulls the
+    whole struct), with per-class counts and the extracted sum over the
+    rows that survived. Corruption is synthesized deterministically
+    (doc_id % 7 = 3 → truncated JSON, % 7 = 5 → wrong-typed field).
+    The oracle mirrors the classification with json_valid + TRY-style
+    extraction. At scale this is one map + one 3-group agg; the
+    quarantine branch would side-output to a table exactly like
+    fetch_failures."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    js = (
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.lit('{"a": '), F.col("doc_id"), F.lit(', "b": ')),
+        )
+        .when(F.col("doc_id") % 7 == 5, F.lit('{"a": "x", "b": "v"}'))
+        .otherwise(
+            F.concat(
+                F.lit('{"a": '),
+                F.col("doc_id"),
+                F.lit(', "b": "v'),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit('"}'),
+            )
+        )
+    )
+    p = docs.select(
+        "doc_id", F.from_json(js, "a bigint, b string").alias("p")
+    )
+    status = (
+        F.when(
+            F.col("p.a").isNull() & F.col("p.b").isNull(), F.lit("corrupt")
+        )
+        .when(F.col("p.a").isNull(), F.lit("badtype"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        p.select(status.alias("status"), F.col("p.a").alias("a"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a").alias("sum_a"),
+        )
+    )
+
+
 def q_host_two_hop_reach(spark, sf_dir):
     """Two-hop reach per host (friend-of-friend expansion over the host
     link graph): how many hosts are exactly two clicks away — the
@@ -8608,6 +8659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_gate": q_compression_gate,
         "audio_fingerprint_match": q_audio_fingerprint_match,
         "host_two_hop_reach": q_host_two_hop_reach,
+        "jsonl_quarantine": q_jsonl_quarantine,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -15281,6 +15333,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, CAST(count(*) AS BIGINT) AS n_two_hop
             FROM noadj GROUP BY src
+        """,
+        "jsonl_quarantine": """
+            WITH raw AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 7 = 3
+                         THEN '{"a": ' || doc_id || ', "b": '
+                       WHEN doc_id % 7 = 5
+                         THEN '{"a": "x", "b": "v"}'
+                       ELSE '{"a": ' || doc_id || ', "b": "v'
+                            || (doc_id % 5) || '"}'
+                     END AS js
+              FROM documents
+            ),
+            parsed AS (
+              SELECT doc_id,
+                     CASE WHEN json_valid(js)
+                          THEN TRY_CAST(json_extract_string(js, '$.a')
+                                        AS BIGINT)
+                     END AS a,
+                     CASE WHEN json_valid(js)
+                          THEN json_extract_string(js, '$.b')
+                     END AS b
+              FROM raw
+            ),
+            cls AS (
+              SELECT CASE
+                       WHEN a IS NULL AND b IS NULL THEN 'corrupt'
+                       WHEN a IS NULL THEN 'badtype'
+                       ELSE 'ok'
+                     END AS status,
+                     a
+              FROM parsed
+            )
+            SELECT status, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(a) AS BIGINT) AS sum_a
+            FROM cls GROUP BY status
         """,
         "html_extract": """
             -- independent re-derivation from the raw text: stripped

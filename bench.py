@@ -164,6 +164,7 @@ HEADLINE = [
     "compression_gate",
     "audio_fingerprint_match",
     "host_two_hop_reach",
+    "jsonl_quarantine",
 ]
 
 BENCH_HOSTS = 50
