@@ -6361,6 +6361,43 @@ def q_ivm_incremental_agg(spark, sf_dir):
     )
 
 
+def q_trailing_window_load(spark, sf_dir):
+    """Value-RANGE window frame (the one frame family the ROWS-based
+    trend queries don't exercise): per event type, trailing-3600-second
+    event count and value sum at every event — the fetch-load trace an
+    operator watches for burst detection. RANGE frames are the
+    tie-SAFE choice here: peers (equal timestamps) always share one
+    frame in every engine, where a ROWS frame would depend on tie
+    order. Partitioned by event_type so no window needs a global sort;
+    the sum runs in DECIMAL for order independence and is pinned once
+    at the end."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        # session TZ is pinned UTC (session.py), so unix seconds of an
+        # NTZ timestamp are well-defined; to_unix_timestamp truncates
+        # micros = the oracle's epoch_us // 1e6 floor
+        F.expr("to_unix_timestamp(ts)").alias("t"),
+        F.col("value").cast("decimal(38,9)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "t",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.expr(
+            "floor(cast(sum(v) over (partition by event_type order by t "
+            "range between 3600 preceding and current row) as double) "
+            "* 1000000 + 0.5) / 1000000"
+        ).alias("sum_trailing"),
+    )
+
+
 def q_jsonl_quarantine(spark, sf_dir):
     """Dirty-JSON ingestion triage (the T4 late/dirty-data analog for
     semi-structured payloads — the reference skips and counts malformed
@@ -8660,6 +8697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_match": q_audio_fingerprint_match,
         "host_two_hop_reach": q_host_two_hop_reach,
         "jsonl_quarantine": q_jsonl_quarantine,
+        "trailing_window_load": q_trailing_window_load,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -15370,6 +15408,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(a) AS BIGINT) AS sum_a
             FROM cls GROUP BY status
+        """,
+        "trailing_window_load": """
+            WITH ev AS (
+              SELECT event_id, event_type,
+                     -- integer floor of epoch seconds: matches Spark's
+                     -- cast(timestamp as long) truncation; CAST from
+                     -- epoch()'s double would ROUND and disagree
+                     epoch_us(ts) // 1000000 AS t,
+                     CAST(value AS DECIMAL(38,9)) AS v
+              FROM events
+            )
+            SELECT event_id, event_type, t,
+                   CAST(count(*) OVER (
+                     PARTITION BY event_type ORDER BY t
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_trailing,
+                   floor(CAST(sum(v) OVER (
+                     PARTITION BY event_type ORDER BY t
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS sum_trailing
+            FROM ev
         """,
         "html_extract": """
             -- independent re-derivation from the raw text: stripped

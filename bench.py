@@ -165,6 +165,7 @@ HEADLINE = [
     "audio_fingerprint_match",
     "host_two_hop_reach",
     "jsonl_quarantine",
+    "trailing_window_load",
 ]
 
 BENCH_HOSTS = 50
