@@ -6361,6 +6361,37 @@ def q_ivm_incremental_agg(spark, sf_dir):
     )
 
 
+def q_wds_export(spark, sf_dir):
+    """WebDataset export (sources/wds.py) — the terminal hop of the
+    image+caption pipeline: synthesize 64 image+caption pairs, assign 4
+    shards, write byte-deterministic tar shards with the two-phase
+    manifest commit, and return the published manifest (shard_id,
+    n_samples, sha256). The sha256 column is stable across runs and
+    partitionings (sorted members, zeroed tar metadata) — the property
+    shard_checksums relies on. No SQL oracle (tar framing); rows-only —
+    round trip, determinism, and manifest gating are pytest-covered
+    (tests/test_wds.py)."""
+    import shutil
+    import tempfile
+
+    from crawler_spark.sources.wds import write_webdataset
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(64)]
+    imgs = _synth_image_df(spark, urls, with_url=False)
+    pairs = imgs.select(
+        F.col("image_id").alias("sample_id"),
+        "bytes",
+        "fmt",
+        F.concat(F.lit("caption for "), F.col("image_id")).alias("caption"),
+        F.pmod(F.xxhash64("image_id"), F.lit(4)).cast("int").alias("shard_id"),
+    )
+    td = tempfile.mkdtemp(prefix="wds_export_")
+    try:
+        return write_webdataset(pairs, td)  # already driver-materialized
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def q_trailing_window_load(spark, sf_dir):
     """Value-RANGE window frame (the one frame family the ROWS-based
     trend queries don't exercise): per event type, trailing-3600-second
@@ -8698,6 +8729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_two_hop_reach": q_host_two_hop_reach,
         "jsonl_quarantine": q_jsonl_quarantine,
         "trailing_window_load": q_trailing_window_load,
+        "wds_export": q_wds_export,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,

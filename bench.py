@@ -166,6 +166,7 @@ HEADLINE = [
     "host_two_hop_reach",
     "jsonl_quarantine",
     "trailing_window_load",
+    "wds_export",
 ]
 
 BENCH_HOSTS = 50
