@@ -966,3 +966,46 @@ def dct_hashes(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         go, schema=DCT_HASH_SCHEMA
     )
+
+
+def decode_stats_arrow(images: DataFrame) -> DataFrame:
+    """`mapInArrow` twin of decode_stats: identical output, but the
+    binary column stays an Arrow buffer end-to-end — no pandas
+    object-dtype materialization of the payload bytes (for a binary-
+    heavy column that conversion is a per-row PyObject allocation +
+    memcpy; Arrow hands back zero-copy buffer slices). The python
+    decode itself still dominates per-image cost; this variant exists
+    because at 100 TB the conversion tax is pure overhead on every
+    image that flows through ANY python stage, and because parity is
+    cheap to prove (tests/test_multimodal_arrow.py: bit-identical
+    output on both paths)."""
+    import pyarrow as pa
+
+    def go(batches):
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            fmts = rb.column(2).to_pylist()
+            col = rb.column(1)
+            w, h, mean, std, ph = [], [], [], [], []
+            for i in range(rb.num_rows):
+                px = decode(col[i].as_py(), fmts[i])
+                w.append(px.shape[1])
+                h.append(px.shape[0])
+                mean.append(float(px.mean()))
+                std.append(float(px.std()))
+                ph.append(phash64(px))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.string()),
+                    pa.array(w, pa.int32()),
+                    pa.array(h, pa.int32()),
+                    pa.array(mean, pa.float64()),
+                    pa.array(std, pa.float64()),
+                    pa.array(ph, pa.int64()),
+                ],
+                names=[f.name for f in DECODE_STATS_SCHEMA.fields],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInArrow(
+        go, schema=DECODE_STATS_SCHEMA
+    )
