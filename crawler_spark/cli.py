@@ -140,6 +140,20 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_takedown(args) -> int:
+    """Compliance takedown: hide every stored payload from --target via
+    one merge-on-read equality delete (plans/rounds.takedown_host) —
+    the seen set keeps remembering the URLs so a resume never refetches
+    them."""
+    from crawler_spark.plans.rounds import takedown_host
+    from crawler_spark.sources.catalog import SnapshotCatalog
+
+    spark = _spark()
+    out = takedown_host(SnapshotCatalog(args.workdir, spark), args.target)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_map_test(args) -> int:
     """The reference's map_test mode (main.py:25-61): run the
     enrichment pipeline standalone on 4 fixture rows — primary dim hit,
@@ -175,7 +189,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--mode",
         required=True,
-        choices=["full_crawl", "single_region", "resume", "stats", "map_test"],
+        choices=[
+            "full_crawl", "single_region", "resume", "stats", "map_test",
+            "takedown",
+        ],
     )
     ap.add_argument("--workdir", help="catalog root (crawl state lives here)")
     ap.add_argument("--web", default="t2", choices=sorted(WEBS))
@@ -196,10 +213,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
-    if args.mode in ("full_crawl", "single_region", "resume", "stats") and not args.workdir:
+    if args.mode != "map_test" and not args.workdir:
         ap.error(f"--mode {args.mode} requires --workdir")
-    if args.mode == "single_region" and not args.target:
-        ap.error("--mode single_region requires --target")
+    if args.mode in ("single_region", "takedown") and not args.target:
+        ap.error(f"--mode {args.mode} requires --target")
 
     if args.mode == "full_crawl":
         return cmd_crawl(args)
@@ -209,6 +226,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_resume(args)
     if args.mode == "stats":
         return cmd_stats(args)
+    if args.mode == "takedown":
+        return cmd_takedown(args)
     return cmd_map_test(args)
 
 

@@ -1008,3 +1008,48 @@ def requeue_urls(catalog: SnapshotCatalog, url_hashes: list[int]) -> int:
     catalog.commit(meta=new_meta or None)
     delta.unpersist()
     return n
+
+
+def takedown_host(catalog: SnapshotCatalog, host: str) -> dict:
+    """Compliance takedown (retroactive robots change, DMCA, GDPR): drop
+    every stored payload from ``host`` WITHOUT touching the crawl's
+    memory of it.
+
+    The mechanics are the catalog's merge-on-read equality deletes
+    (sources/catalog.py stage_delete): ONE delete-key row per table
+    removes every matching row at read time — an O(1)-write operation
+    however many millions of rows the host contributed, with the
+    physical rewrite deferred to the next ``compact()``. Three
+    properties matter and are pinned by tests/test_takedown.py:
+
+    * results and fetch_failures for the host disappear from reads
+      (and from the §3.3 stats path / CLI stats mode) immediately;
+    * the SEEN set and frontier are deliberately untouched — takedown
+      means "stop storing", not "forget you crawled": a resumed crawl
+      must NOT refetch the host's URLs (the reference's dedup gate
+      keeps skipping them, database.py:126-136);
+    * pre-takedown snapshots still time-travel (auditability), and the
+      delete is itself a snapshot commit with a meta marker.
+
+    Rows the host contributes AFTER the takedown are NOT covered by the
+    old delete (sequence scoping) — by design: a host can be re-allowed
+    and recrawled (expire_urls) without resurrecting the purged rows.
+    Returns per-table counts of rows hidden by the delete.
+    """
+    spark = catalog.spark
+    key = spark.createDataFrame([(host,)], "host string")
+    out: dict = {"host": host}
+    for table in ("results", "fetch_failures"):
+        if not catalog.exists(table):
+            out[table] = 0
+            continue
+        n = (
+            catalog.read(table)
+            .filter(F.col("host") == host)
+            .count()
+        )
+        if n:
+            catalog.stage_delete(table, key)
+        out[table] = int(n)
+    catalog.commit(meta={"takedown_host": host})
+    return out
