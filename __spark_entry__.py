@@ -7840,6 +7840,18 @@ def q_lsh_dedup_eval(spark, sf_dir):
     return lsh_dedup_eval(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_snm_blocking_eval(spark, sf_dir):
+    """Blocking P/R of sorted-neighborhood candidates (prefix-12 key,
+    w=4) against exact 3-gram Jaccard >= 0.5 truth
+    (operators/evals.py snm_blocking_eval) — the shipping decision for
+    the SNM family, companion to lsh_dedup_eval: SNM recall depends on
+    whether this corpus's near-dups sort adjacently, and only the
+    corpus can answer."""
+    from crawler_spark.operators.evals import snm_blocking_eval
+
+    return snm_blocking_eval(_t(spark, sf_dir, "documents"))
+
+
 def q_host_fairness(spark, sf_dir):
     """Scheduling-fairness dashboard over per-host fetch counts (events
     as the fetch log, host = user_id % 23): Jain index, Gini, hottest
@@ -8730,6 +8742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_quarantine": q_jsonl_quarantine,
         "trailing_window_load": q_trailing_window_load,
         "wds_export": q_wds_export,
+        "snm_blocking_eval": q_snm_blocking_eval,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -15440,6 +15453,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(a) AS BIGINT) AS sum_a
             FROM cls GROUP BY status
+        """,
+        "snm_blocking_eval": """
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents
+            ),
+            rk AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY substring(t, 1, 12), doc_id)
+                       AS rn
+              FROM norm
+            ),
+            pred AS (
+              SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                              greatest(a.doc_id, b.doc_id) AS doc_b
+              FROM rk a JOIN rk b ON b.rn - a.rn >= 1 AND b.rn - a.rn <= 3
+            ),
+            words AS (
+              SELECT doc_id, string_split(t, ' ') AS ws FROM norm
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM words, unnest(generate_series(1, len(ws) - 2)) AS tt(i)
+              WHERE len(ws) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            truth AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6)
+                    >= 0.5
+            ),
+            j AS (
+              SELECT p.doc_a IS NOT NULL AS in_p, t.doc_a IS NOT NULL AS in_t
+              FROM pred p FULL OUTER JOIN truth t
+                ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+            )
+            SELECT
+              sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS n_pred,
+              sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS n_truth,
+              sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS n_hit,
+              round(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) * 1.0
+                / nullif(sum(CASE WHEN in_p THEN 1 ELSE 0 END), 0), 6)
+                AS precision,
+              round(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) * 1.0
+                / nullif(sum(CASE WHEN in_t THEN 1 ELSE 0 END), 0), 6)
+                AS recall,
+              round(2.0 * sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
+                / nullif(sum(CASE WHEN in_p THEN 1 ELSE 0 END)
+                         + sum(CASE WHEN in_t THEN 1 ELSE 0 END), 0), 6)
+                AS f1
+            FROM j
         """,
         "trailing_window_load": """
             WITH ev AS (

@@ -167,6 +167,7 @@ HEADLINE = [
     "jsonl_quarantine",
     "trailing_window_load",
     "wds_export",
+    "snm_blocking_eval",
 ]
 
 BENCH_HOSTS = 50

@@ -263,3 +263,70 @@ def ann_recall_eval(
             F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(k), 6
         ).alias("recall"),
     )
+
+
+def snm_blocking_eval(
+    docs: DataFrame,
+    key_chars: int = 12,
+    window: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Blocking recall/precision of sorted-neighborhood candidates
+    against exact n-gram Jaccard >= ``threshold`` truth — the companion
+    to lsh_dedup_eval for the SNM family: LSH recall depends on the
+    similarity S-curve, SNM recall depends on whether near-dups SORT
+    adjacently under the blocking key, and only the corpus decides
+    either. Candidate pairs are normalized to (min_id, max_id) so both
+    sides key identically. One row: n_pred, n_truth, n_hit, precision,
+    recall, f1. Same scale contract as lsh_dedup_eval: the eval join is
+    candidate-volume sized, never corpus-squared."""
+    from crawler_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        snm_candidate_pairs,
+    )
+
+    keyed = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            1,
+            key_chars,
+        ).alias("k"),
+    )
+    pred = (
+        snm_candidate_pairs(keyed, "k", "doc_id", window=window)
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("p", F.lit(1))
+    )
+    truth = ngram_jaccard_pairs(
+        docs, shingle_n=shingle_n, threshold=threshold
+    ).select("doc_a", "doc_b", F.lit(1).alias("t"))
+    j = pred.join(truth, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("p"), F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("n_truth"),
+        F.sum(
+            (F.col("p").isNotNull() & F.col("t").isNotNull()).cast("long")
+        ).alias("n_hit"),
+    ).select(
+        "n_pred",
+        "n_truth",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.nullif(F.col("n_pred"), F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), 6
+        ).alias("recall"),
+        F.round(
+            F.lit(2.0)
+            * F.col("n_hit")
+            / F.nullif(F.col("n_pred") + F.col("n_truth"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    )
