@@ -65,11 +65,26 @@ def _norm_pct(s: str) -> str:
 
 
 def normalize_url(url: str) -> str:
-    """Full RFC 3986 normalization. Pure function; also used by the oracle."""
+    """Full RFC 3986 normalization (+ RFC 3490 IDN host encoding). Pure
+    function; also used by the oracle, so engine and oracle share one
+    definition by construction."""
     url = url.strip()
     parts = urlsplit(url)
     scheme = parts.scheme.lower() or "http"
     host = (parts.hostname or "").lower().rstrip(".")
+    if not host.isascii():
+        # internationalized hostname -> punycode (stdlib IDNA codec);
+        # already-encoded xn-- labels pass through unchanged above. A
+        # label the codec rejects keeps its lowercase unicode form —
+        # canonicalization must stay total (dedup correctness only needs
+        # determinism; fetch-time DNS will reject what it rejects).
+        try:
+            host = ".".join(
+                lbl.encode("idna").decode("ascii") if not lbl.isascii() else lbl
+                for lbl in host.split(".")
+            )
+        except UnicodeError:
+            pass
     port = parts.port
     netloc = host
     if port is not None and _DEFAULT_PORTS.get(scheme) != port:

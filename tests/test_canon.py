@@ -187,3 +187,27 @@ def test_resolve_href_matches_stdlib_urljoin(spark):
         want = urljoin(r.base, r.href).split("#", 1)[0]
         assert r.nat == want, (r.base, r.href, r.nat, want)
         assert r.udf == want, (r.base, r.href, r.udf, want)
+
+
+def test_idn_host_punycode():
+    from crawler_spark.functions.canon import normalize_url
+
+    # IDN label -> punycode, case-folded first, path untouched
+    assert (
+        normalize_url("http://MÜNCHEN.example/Pfad")
+        == "http://xn--mnchen-3ya.example/Pfad"
+    )
+    # already-punycoded hosts pass through unchanged
+    assert (
+        normalize_url("http://xn--mnchen-3ya.example/")
+        == "http://xn--mnchen-3ya.example/"
+    )
+    # only the non-ASCII labels are encoded
+    assert (
+        normalize_url("https://商店.shop.example:443/a")
+        == "https://xn--czrs0t.shop.example/a"
+    )
+    # determinism: unicode form and its punycode form collapse together
+    assert normalize_url("http://münchen.example/") == normalize_url(
+        "http://xn--mnchen-3ya.example/"
+    )
