@@ -7840,6 +7840,64 @@ def q_lsh_dedup_eval(spark, sf_dir):
     return lsh_dedup_eval(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_image_dims_native(spark, sf_dir):
+    """Header-only image dimensions with ZERO Python
+    (operators/multimodal.py native_image_dims): PNG IHDR / qdct header
+    fields pulled by substring+hex+conv on the binary column — the
+    resolution-bucketing fast path that reads headers at scan speed
+    where decode_stats pays a per-image python decode. To make this
+    oracle-checkable despite binary payloads, the blobs are CONSTRUCTED
+    from documents rows with unhex (bit-identical in both engines),
+    then PARSED back by the production expressions; the same parser is
+    separately proven against real own-codec images in
+    tests/test_multimodal_arrow.py. Output: per-doc parsed dims + a
+    match flag against the constructing values (all true)."""
+    from crawler_spark.operators.multimodal import native_image_dims
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    spec = d.select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 64).cast("long").alias("w0"),
+        (F.lit(16) + (F.col("doc_id") * 7) % 64).cast("long").alias("h0"),
+        F.when(F.col("doc_id") % 2 == 0, "png").otherwise("qdct").alias("fmt"),
+    )
+    blobs = spec.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        "doc_id",
+        "fmt",
+        "w0",
+        "h0",
+        F.when(
+            F.col("fmt") == "png",
+            F.expr(
+                "unhex(concat('89504E470D0A1A0A', '0000000D', '49484452', "
+                "lpad(hex(w0), 8, '0'), lpad(hex(h0), 8, '0')))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "unhex(concat(lpad(hex(w0), 4, '0'), lpad(hex(h0), 4, '0'),"
+                " '04'))"
+            )
+        )
+        .alias("bytes"),
+    )
+    dims = native_image_dims(blobs)
+    return (
+        blobs.select("image_id", "doc_id", "fmt", "w0", "h0")
+        .join(dims, "image_id")
+        .select(
+            "doc_id",
+            "fmt",
+            "w",
+            "h",
+            ((F.col("w") == F.col("w0")) & (F.col("h") == F.col("h0"))).alias(
+                "ok"
+            ),
+        )
+    )
+
+
 def q_snm_blocking_eval(spark, sf_dir):
     """Blocking P/R of sorted-neighborhood candidates (prefix-12 key,
     w=4) against exact 3-gram Jaccard >= 0.5 truth
@@ -8743,6 +8801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_window_load": q_trailing_window_load,
         "wds_export": q_wds_export,
         "snm_blocking_eval": q_snm_blocking_eval,
+        "image_dims_native": q_image_dims_native,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -15453,6 +15512,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(a) AS BIGINT) AS sum_a
             FROM cls GROUP BY status
+        """,
+        "image_dims_native": """
+            WITH spec AS (
+              SELECT doc_id,
+                     CAST(16 + doc_id % 64 AS BIGINT) AS w0,
+                     CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS h0,
+                     CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'qdct' END
+                       AS fmt
+              FROM documents
+            ),
+            blobs AS (
+              SELECT doc_id, fmt, w0, h0,
+                     CASE WHEN fmt = 'png' THEN
+                       unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+                             || lpad(hex(w0), 8, '0') || lpad(hex(h0), 8, '0'))
+                     ELSE
+                       unhex(lpad(hex(w0), 4, '0') || lpad(hex(h0), 4, '0')
+                             || '04')
+                     END AS b
+              FROM spec
+            ),
+            dims AS (
+              -- DuckDB has no substring on BLOB: parse via the hex
+              -- string (byte k -> hex chars 2k-1..2k); values equal the
+              -- engine's binary-substring route by construction
+              SELECT doc_id, fmt, w0, h0,
+                     CASE WHEN fmt = 'png' THEN
+                       CAST(concat('0x', substring(hex(b), 33, 8)) AS BIGINT)
+                     ELSE
+                       CAST(concat('0x', substring(hex(b), 1, 4)) AS BIGINT)
+                     END AS w,
+                     CASE WHEN fmt = 'png' THEN
+                       CAST(concat('0x', substring(hex(b), 41, 8)) AS BIGINT)
+                     ELSE
+                       CAST(concat('0x', substring(hex(b), 5, 4)) AS BIGINT)
+                     END AS h
+              FROM blobs
+            )
+            SELECT doc_id, fmt, w, h, (w = w0 AND h = h0) AS ok FROM dims
         """,
         "snm_blocking_eval": """
             WITH norm AS (

@@ -168,6 +168,7 @@ HEADLINE = [
     "trailing_window_load",
     "wds_export",
     "snm_blocking_eval",
+    "image_dims_native",
 ]
 
 BENCH_HOSTS = 50

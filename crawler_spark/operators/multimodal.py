@@ -1009,3 +1009,29 @@ def decode_stats_arrow(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInArrow(
         go, schema=DECODE_STATS_SCHEMA
     )
+
+
+def native_image_dims(images: DataFrame) -> DataFrame:
+    """Header-only dimension extraction in PURE native expressions — no
+    decode, no Python, whole-stage codegen: PNG IHDR carries width/
+    height as big-endian uint32 at bytes 17-24; the qdct header as
+    uint16 at bytes 1-4. substring on the binary column + hex + conv is
+    all JVM-side, so at 10^10 images the dimension scan reads headers
+    at parquet-scan speed while `decode_stats` pays a python decode per
+    image — use this for resolution bucketing / AR filters and decode
+    only what survives. Parity with the decode path is pinned by
+    test_multimodal_arrow."""
+    is_png = F.col("fmt") == "png"
+    w = F.when(
+        is_png,
+        F.expr("cast(conv(hex(substring(bytes, 17, 4)), 16, 10) as bigint)"),
+    ).otherwise(
+        F.expr("cast(conv(hex(substring(bytes, 1, 2)), 16, 10) as bigint)")
+    )
+    h = F.when(
+        is_png,
+        F.expr("cast(conv(hex(substring(bytes, 21, 4)), 16, 10) as bigint)"),
+    ).otherwise(
+        F.expr("cast(conv(hex(substring(bytes, 3, 2)), 16, 10) as bigint)")
+    )
+    return images.select("image_id", w.alias("w"), h.alias("h"))

@@ -21,3 +21,19 @@ def test_arrow_path_bit_identical(spark):
     a = sorted(map(tuple, decode_stats(df).collect()))
     b = sorted(map(tuple, decode_stats_arrow(df.repartition(5)).collect()))
     assert a == b
+
+
+def test_native_dims_match_decode_on_real_images(spark):
+    from crawler_spark.operators.multimodal import native_image_dims
+
+    rows = []
+    for i in range(10):
+        rng = np.random.default_rng(100 + i)
+        px = rng.integers(0, 255, size=(20 + 3 * i, 40 + 5 * i), dtype=np.uint8)
+        fmt = "png" if i % 2 else "qdct"
+        enc = png_encode(px) if fmt == "png" else qdct_encode(px)
+        rows.append((f"r-{i}", bytearray(enc), fmt))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    nat = {r["image_id"]: (r["w"], r["h"]) for r in native_image_dims(df).collect()}
+    dec = {r["image_id"]: (r["w"], r["h"]) for r in decode_stats(df).collect()}
+    assert nat == dec
