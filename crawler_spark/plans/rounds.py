@@ -218,9 +218,20 @@ def run_round(
     politeness_by: str = "host",
     n_ips: int = 4,
     trap_max_seg_repeat: int | None = None,
+    store_links: bool = False,
 ) -> dict:
     """Execute one crawl round; returns counters (crawling_stats analog,
     reference: src/crawler/base_crawler.py:38-47).
+
+    ``store_links=True`` additionally persists the round's raw outlink
+    rows as the ``page_links`` table — (src page, dst canonical, sibling
+    index, round): the crawl-NATIVE link graph. Everything the graph
+    suite computes (link-rank, HITS, components, trap reports) can then
+    run over edges the crawl actually observed instead of a derived
+    fixture, and the rank output loops back in as ``host_priorities``
+    for the next wave (the OPIC feedback cycle). Off by default: it is
+    an extra canon pass + table write per round, O(links) like the
+    expansion itself.
 
     ``trap_max_seg_repeat`` arms the spider-trap gate (Heritrix
     PathologicalPathDecideRule shape, operators/traps.py): a pending
@@ -676,6 +687,26 @@ def run_round(
             .withColumn("round_id", F.lit(round_id))
         )
         writes.append(("host_served", host_served_delta, False))
+    if store_links:
+        page_links = with_url_cols(
+            fetched.filter(F.col("kind") == "link").select(
+                F.col("url_canon").alias("src_canon"),
+                F.col("url_hash").alias("src_hash"),
+                F.col("host").alias("src_host"),
+                F.col("link_raw").alias("url"),
+                "link_seq",
+            )
+        ).select(
+            "src_canon",
+            "src_hash",
+            "src_host",
+            F.col("url_canon").alias("dst_canon"),
+            F.col("url_hash").alias("dst_hash"),
+            F.col("host").alias("dst_host"),
+            "link_seq",
+            F.lit(round_id).alias("round_id"),
+        )
+        writes.append(("page_links", page_links, False))
     writes += [
         ("fetch_failures", failures_new, False),
         # one row per fetch partition -> single small file per round
@@ -777,6 +808,7 @@ def run_crawl(
     politeness_by: str = "host",
     n_ips: int = 4,
     trap_max_seg_repeat: int | None = None,
+    store_links: bool = False,
 ) -> tuple[SnapshotCatalog, list[dict]]:
     """Full crawl loop: init + rounds until the frontier drains, or —
     with ``stop_on_caption_contains`` — until a round lands a matching
@@ -797,6 +829,7 @@ def run_crawl(
             aging_every=aging_every, max_pages_per_host=max_pages_per_host,
             politeness_by=politeness_by, n_ips=n_ips,
             trap_max_seg_repeat=trap_max_seg_repeat,
+            store_links=store_links,
         )
         history.append(stats)
         if stats.get("target_hits", 0) > 0:
