@@ -7840,6 +7840,32 @@ def q_lsh_dedup_eval(spark, sf_dir):
     return lsh_dedup_eval(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_grouping_sets_mix(spark, sf_dir):
+    """Explicit GROUPING SETS over NON-hierarchical, non-lattice sets —
+    the grouping-family member cube/rollup can't express: detail by
+    (returnflag, linestatus), an INDEPENDENT subtotal by shipmode, and
+    the grand total, in ONE pass (Spark expands the sets map-side; one
+    shuffle total, vs three separate aggregations + union). Issued
+    through spark.sql to exercise the SQL entry path; gid derived from
+    per-column GROUPING() bits (portable — DuckDB has no grouping_id).
+    DECIMAL sum pinned once at the end per the determinism rule."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, ship_month,
+               CAST(grouping(l_returnflag) * 4 + grouping(l_linestatus) * 2
+                    + grouping(ship_month) AS BIGINT) AS gid,
+               count(*) AS n,
+               floor(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS sum_qty
+        FROM (SELECT *, date_format(l_shipdate, 'yyyy-MM') AS ship_month
+              FROM li_gs)
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (ship_month), ())
+        """
+    )
+
+
 def q_image_dims_native(spark, sf_dir):
     """Header-only image dimensions with ZERO Python
     (operators/multimodal.py native_image_dims): PNG IHDR / qdct header
@@ -8802,6 +8828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_export": q_wds_export,
         "snm_blocking_eval": q_snm_blocking_eval,
         "image_dims_native": q_image_dims_native,
+        "grouping_sets_mix": q_grouping_sets_mix,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -15512,6 +15539,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(a) AS BIGINT) AS sum_a
             FROM cls GROUP BY status
+        """,
+        "grouping_sets_mix": """
+            SELECT l_returnflag, l_linestatus, ship_month,
+                   CAST(grouping(l_returnflag) * 4
+                        + grouping(l_linestatus) * 2
+                        + grouping(ship_month) AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n,
+                   floor(CAST(sum(CAST(l_quantity AS DECIMAL(38,9)))
+                              AS DOUBLE) * 1000000 + 0.5) / 1000000
+                     AS sum_qty
+            FROM (SELECT *, strftime(l_shipdate, '%Y-%m') AS ship_month
+                  FROM lineitem)
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (ship_month), ())
         """,
         "image_dims_native": """
             WITH spec AS (

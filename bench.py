@@ -169,6 +169,7 @@ HEADLINE = [
     "wds_export",
     "snm_blocking_eval",
     "image_dims_native",
+    "grouping_sets_mix",
 ]
 
 BENCH_HOSTS = 50
