@@ -1764,6 +1764,36 @@ def q_event_type_pivot(spark, sf_dir):
     )
 
 
+def q_event_unpivot_roundtrip(spark, sf_dir):
+    """UNPIVOT (wide -> long, the stack() verb — event_type_pivot's
+    inverse and the one relational reshape the suite didn't exercise):
+    pivot per-user counts to 5 typed columns, then stack them back to
+    (user_id, event_type, n) and drop the zero fill. The ORACLE is the
+    direct long-form GROUP BY — so the hash match proves
+    unpivot(pivot(x)) == x exactly, a lossless-reshape guarantee, not a
+    tautology. stack() is a generator expression (one pass, codegen);
+    nothing here shuffles beyond the original count."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    stack_args = ", ".join(f"'{t}', {t}" for t in types)
+    return (
+        wide.select(
+            "user_id",
+            F.expr(
+                f"stack({len(types)}, {stack_args}) as (event_type, n)"
+            ),
+        )
+        .filter(F.col("n") > 0)
+        .select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+    )
+
+
 def q_running_revenue(spark, sf_dir):
     """Running cumulative revenue per order-priority class: window sum
     over an ordered frame, partitioned by priority — never a global
@@ -8829,6 +8859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_blocking_eval": q_snm_blocking_eval,
         "image_dims_native": q_image_dims_native,
         "grouping_sets_mix": q_grouping_sets_mix,
+        "event_unpivot_roundtrip": q_event_unpivot_roundtrip,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -15539,6 +15570,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(a) AS BIGINT) AS sum_a
             FROM cls GROUP BY status
+        """,
+        "event_unpivot_roundtrip": """
+            -- the direct long form: hash equality proves the Spark
+            -- side's pivot -> stack round trip is lossless
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY user_id, event_type
         """,
         "grouping_sets_mix": """
             SELECT l_returnflag, l_linestatus, ship_month,

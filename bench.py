@@ -170,6 +170,7 @@ HEADLINE = [
     "snm_blocking_eval",
     "image_dims_native",
     "grouping_sets_mix",
+    "event_unpivot_roundtrip",
 ]
 
 BENCH_HOSTS = 50
