@@ -1764,6 +1764,49 @@ def q_event_type_pivot(spark, sf_dir):
     )
 
 
+def q_dense_daily_revenue(spark, sf_dir):
+    """Calendar densification (sequence() + explode): per order
+    priority, EVERY day between the global min and max order date gets
+    a row — zero-revenue days included — the gap-filling every
+    time-series dashboard needs before moving averages or anomaly
+    windows make sense (a 7-day mean over a sparse table silently
+    shortens its denominator). The day spine is generated (one
+    sequence per priority, exploded), then LEFT-joined to the daily
+    sums; at 10^10 rows the spine is |priorities| x days — dimension-
+    sized however big the fact table is, so the join broadcasts.
+    DECIMAL sums, pinned once; day emitted as a date string."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,9)")).alias("rev")
+    )
+    bounds = o.agg(
+        F.date_trunc("DAY", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("DAY", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = (
+        o.select("o_orderpriority")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "o_orderpriority",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    return spine.join(daily, ["o_orderpriority", "day"], "left").select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.expr(
+            "floor(cast(coalesce(rev, 0) as double) * 100 + 0.5) / 100"
+        ).alias("revenue"),
+        F.col("rev").isNull().alias("gap_filled"),
+    )
+
+
 def q_event_unpivot_roundtrip(spark, sf_dir):
     """UNPIVOT (wide -> long, the stack() verb — event_type_pivot's
     inverse and the one relational reshape the suite didn't exercise):
@@ -8860,6 +8903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dims_native": q_image_dims_native,
         "grouping_sets_mix": q_grouping_sets_mix,
         "event_unpivot_roundtrip": q_event_unpivot_roundtrip,
+        "dense_daily_revenue": q_dense_daily_revenue,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -15570,6 +15614,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(a) AS BIGINT) AS sum_a
             FROM cls GROUP BY status
+        """,
+        "dense_daily_revenue": """
+            WITH daily AS (
+              SELECT o_orderpriority,
+                     date_trunc('day', o_orderdate) AS day,
+                     sum(CAST(o_totalprice AS DECIMAL(38,9))) AS rev
+              FROM orders GROUP BY 1, 2
+            ),
+            bounds AS (
+              SELECT date_trunc('day', min(o_orderdate)) AS lo,
+                     date_trunc('day', max(o_orderdate)) AS hi
+              FROM orders
+            ),
+            spine AS (
+              SELECT p.o_orderpriority, g.day
+              FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+              CROSS JOIN bounds b,
+              LATERAL (
+                SELECT unnest(generate_series(b.lo, b.hi,
+                                              INTERVAL 1 DAY)) AS day
+              ) g
+            )
+            SELECT s.o_orderpriority,
+                   strftime(s.day, '%Y-%m-%d') AS day,
+                   floor(CAST(coalesce(d.rev, 0) AS DOUBLE) * 100 + 0.5)
+                     / 100 AS revenue,
+                   d.rev IS NULL AS gap_filled
+            FROM spine s
+            LEFT JOIN daily d
+              ON s.o_orderpriority = d.o_orderpriority AND s.day = d.day
         """,
         "event_unpivot_roundtrip": """
             -- the direct long form: hash equality proves the Spark

@@ -171,6 +171,7 @@ HEADLINE = [
     "image_dims_native",
     "grouping_sets_mix",
     "event_unpivot_roundtrip",
+    "dense_daily_revenue",
 ]
 
 BENCH_HOSTS = 50
