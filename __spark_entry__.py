@@ -1764,6 +1764,28 @@ def q_event_type_pivot(spark, sf_dir):
     )
 
 
+def q_explode_outer_audit(spark, sf_dir):
+    """NULL-preserving explode (posexplode_outer — the generator verb
+    the suite's many inner explodes never exercise): rows whose array
+    is EMPTY must survive as one (null pos, null tok) row, because an
+    inner explode silently drops them — the classic audit bug where
+    'docs with zero extracted tokens' vanish from per-doc coverage
+    reports instead of showing up as gaps. Every 10th-ish doc gets an
+    empty array deterministically so both branches carry rows; output
+    is (doc_id, pos, tok)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "),
+        lambda x: x != "",
+    )
+    arr = F.when(F.col("doc_id") % 10 < 7, F.slice(toks, 1, 3)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return d.select(
+        "doc_id", F.posexplode_outer(arr).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
 def q_dense_daily_revenue(spark, sf_dir):
     """Calendar densification (sequence() + explode): per order
     priority, EVERY day between the global min and max order date gets
@@ -8904,6 +8926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_mix": q_grouping_sets_mix,
         "event_unpivot_roundtrip": q_event_unpivot_roundtrip,
         "dense_daily_revenue": q_dense_daily_revenue,
+        "explode_outer_audit": q_explode_outer_audit,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -15614,6 +15637,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(a) AS BIGINT) AS sum_a
             FROM cls GROUP BY status
+        """,
+        "explode_outer_audit": """
+            WITH arrs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 7 THEN
+                       list_slice(list_filter(
+                         string_split(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g'), ' '),
+                         x -> x <> ''), 1, 3)
+                     ELSE [] END AS l
+              FROM documents
+            )
+            SELECT a.doc_id,
+                   CAST(t.i - 1 AS BIGINT) AS pos,
+                   a.l[t.i] AS tok
+            FROM arrs a
+            LEFT JOIN LATERAL (
+              SELECT unnest(generate_series(1, len(a.l))) AS i
+            ) t ON true
         """,
         "dense_daily_revenue": """
             WITH daily AS (

@@ -172,6 +172,7 @@ HEADLINE = [
     "grouping_sets_mix",
     "event_unpivot_roundtrip",
     "dense_daily_revenue",
+    "explode_outer_audit",
 ]
 
 BENCH_HOSTS = 50
