@@ -1764,6 +1764,55 @@ def q_event_type_pivot(spark, sf_dir):
     )
 
 
+def q_locf_daily_revenue(spark, sf_dir):
+    """Forward fill (LOCF — last observation carried forward) over the
+    densified day spine: gap days inherit the most recent observed
+    value via last(col, ignoreNulls=True) over an unbounded-preceding
+    ROWS frame — the telemetry-standard companion to
+    dense_daily_revenue's zero fill (a crawl-rate dashboard wants
+    'rate unchanged since last observation', not 'rate zero').
+    Partitioned by priority, ordered by day (unique per partition, so
+    the frame is deterministic); days before the first observation
+    stay NULL and are flagged. DECIMAL sums, pinned once."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,9)")).alias("rev"))
+    bounds = o.agg(
+        F.date_trunc("DAY", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("DAY", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = (
+        o.select("o_orderpriority")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "o_orderpriority",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
+                "day"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = spine.join(daily, ["o_orderpriority", "day"], "left")
+    filled = F.last("rev", ignorenulls=True).over(w)
+    return joined.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.expr(
+            "floor(cast(last(rev, true) over (partition by o_orderpriority "
+            "order by day rows between unbounded preceding and current row) "
+            "as double) * 100 + 0.5) / 100"
+        ).alias("revenue_locf"),
+        (F.col("rev").isNull() & filled.isNotNull()).alias("carried"),
+    )
+
+
 def q_explode_outer_audit(spark, sf_dir):
     """NULL-preserving explode (posexplode_outer — the generator verb
     the suite's many inner explodes never exercise): rows whose array
@@ -8927,6 +8976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_unpivot_roundtrip": q_event_unpivot_roundtrip,
         "dense_daily_revenue": q_dense_daily_revenue,
         "explode_outer_audit": q_explode_outer_audit,
+        "locf_daily_revenue": q_locf_daily_revenue,
         "min_cost_supplier": q_min_cost_supplier,
         "ship_delay_priority": q_ship_delay_priority,
         "supplier_part_variety": q_supplier_part_variety,
@@ -15637,6 +15687,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(a) AS BIGINT) AS sum_a
             FROM cls GROUP BY status
+        """,
+        "locf_daily_revenue": """
+            WITH daily AS (
+              SELECT o_orderpriority,
+                     date_trunc('day', o_orderdate) AS day,
+                     sum(CAST(o_totalprice AS DECIMAL(38,9))) AS rev
+              FROM orders GROUP BY 1, 2
+            ),
+            bounds AS (
+              SELECT date_trunc('day', min(o_orderdate)) AS lo,
+                     date_trunc('day', max(o_orderdate)) AS hi
+              FROM orders
+            ),
+            spine AS (
+              SELECT p.o_orderpriority, g.day
+              FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+              CROSS JOIN bounds b,
+              LATERAL (
+                SELECT unnest(generate_series(b.lo, b.hi,
+                                              INTERVAL 1 DAY)) AS day
+              ) g
+            ),
+            j AS (
+              SELECT s.o_orderpriority, s.day, d.rev
+              FROM spine s
+              LEFT JOIN daily d
+                ON s.o_orderpriority = d.o_orderpriority AND s.day = d.day
+            ),
+            f AS (
+              SELECT o_orderpriority, day, rev,
+                     last_value(rev IGNORE NULLS) OVER (
+                       PARTITION BY o_orderpriority ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS locf
+              FROM j
+            )
+            SELECT o_orderpriority,
+                   strftime(day, '%Y-%m-%d') AS day,
+                   floor(CAST(locf AS DOUBLE) * 100 + 0.5) / 100
+                     AS revenue_locf,
+                   (rev IS NULL AND locf IS NOT NULL) AS carried
+            FROM f
         """,
         "explode_outer_audit": """
             WITH arrs AS (

@@ -173,6 +173,7 @@ HEADLINE = [
     "event_unpivot_roundtrip",
     "dense_daily_revenue",
     "explode_outer_audit",
+    "locf_daily_revenue",
 ]
 
 BENCH_HOSTS = 50
