@@ -6425,8 +6425,9 @@ def q_snm_blocking_pairs(spark, sf_dir):
         .withColumn(
             "jaccard",
             F.expr(
-                "floor(size(array_intersect(toks_a, toks_b)) * 1000000.0"
-                " / size(array_union(toks_a, toks_b)) + 0.5) / 1000000.0"
+                "floor(cast(size(array_intersect(toks_a, toks_b)) as double)"
+                " * 1000000 / size(array_union(toks_a, toks_b)) + 0.5)"
+                " / 1000000"
             ),
         )
         .filter(F.col("jaccard") >= 0.5)
@@ -8572,36 +8573,44 @@ def _probe_sql(n_iter: int = 3, lr: float = 0.5, nb: int = 16) -> str:
           SELECT CAST(j AS INT) AS j, 0.0 AS w FROM range(0, {nb + 1}) t(j)
         )""",
     ]
+    # pin9(x) = floor(x*1e9 + 0.5)/1e9 — the floor rule, NOT round():
+    # engines disagree at exact half boundaries. Link = HARD sigmoid
+    # clamp(0.5 + z/4, 0, 1): dyadic ops only, so both engines compute
+    # the bit-identical double (libm/JVM exp() differ by 1 ulp).
+    def p9(e: str) -> str:
+        return f"CAST(floor(({e}) * 1e9 + 0.5) AS DOUBLE) / 1e9"
+
     for k in range(n_iter):
         ctes.append(
             f"""z{k} AS (
               SELECT f.doc_id,
-                     round(CAST(sum(CAST(round(f.x * w.w, 9)
-                                         AS DECIMAL(28, 9))) AS DOUBLE),
-                           9) AS z
+                     {p9(f"CAST(sum(CAST({p9('f.x * w.w')} AS DECIMAL(28, 9))) AS DOUBLE)")} AS z
               FROM feats f JOIN w{k} w USING (j) GROUP BY f.doc_id
             )"""
+        )
+        sig = p9(
+            "least(CAST(1.0 AS DOUBLE), "
+            "greatest(CAST(0.0 AS DOUBLE), "
+            "CAST(0.5 AS DOUBLE) + z / CAST(4.0 AS DOUBLE)))"
         )
         ctes.append(
             f"""r{k} AS (
               SELECT z{k}.doc_id,
-                     round(round(1.0 / (1.0 + exp(-z)), 9) - y, 9) AS r
+                     {p9(f"{sig} - y")} AS r
               FROM z{k} JOIN labels USING (doc_id)
             )"""
         )
         ctes.append(
             f"""g{k} AS (
               SELECT f.j,
-                     round(CAST(sum(CAST(round(f.x * r.r, 9)
-                                         AS DECIMAL(28, 9))) AS DOUBLE)
-                           / (SELECT n FROM nd), 9) AS g
+                     {p9(f"CAST(sum(CAST({p9('f.x * r.r')} AS DECIMAL(28, 9))) AS DOUBLE) / (SELECT n FROM nd)")} AS g
               FROM feats f JOIN r{k} r USING (doc_id) GROUP BY f.j
             )"""
         )
         ctes.append(
             f"""w{k + 1} AS (
               SELECT w{k}.j,
-                     round(w{k}.w - {lr} * coalesce(g.g, 0.0), 9) AS w
+                     {p9(f"w{k}.w - {lr} * coalesce(g.g, 0.0)")} AS w
               FROM w{k} LEFT JOIN g{k} g USING (j)
             )"""
         )

@@ -672,10 +672,15 @@ def train_linear_probe(
     step is native expressions.
 
     Numeric discipline (the zipf_fit / lm_perplexity contract): every
-    per-row term is rounded to 9 decimals and summed as DECIMAL(28,9)
-    — order-independent, engine-exact; sigmoid/dot outputs re-pinned to
-    the 1e-9 grid after each float op, so the SQL oracle replays the
-    identical trajectory. lr should be dyadic (0.5) so the update
+    per-row term is pinned to the 1e-9 grid with the floor(x*1e9+0.5)
+    rule (NOT round() — engines disagree at exact half boundaries) and
+    summed as DECIMAL(28,9) — order-independent, engine-exact. The link
+    function is the HARD sigmoid clamp(0.5 + z/4, 0, 1) (Collobert '04;
+    the standard quantized-net surrogate), not 1/(1+exp(-z)): libm/JVM
+    exp() differ by 1 ulp on some inputs, and a 1-ulp difference that
+    lands on a grid half boundary diverges the whole trajectory — hard
+    sigmoid is dyadic arithmetic only, so both engines compute the
+    bit-identical double. lr should be dyadic (0.5) so the update
     multiply is exact.
 
     Features are computed ONCE and persisted; each iteration costs one
@@ -716,36 +721,37 @@ def train_linear_probe(
     w = spark.range(n_buckets + 1).select(
         F.col("id").cast("int").alias("j"), F.lit(0.0).alias("w")
     )
+    def pin9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("double") / F.lit(1e9)
+
     for _ in range(n_iter):
         z = (
             feats.join(F.broadcast(w), "j")
             .withColumn(
                 "term",
-                F.expr("cast(round(x * w, 9) as decimal(28, 9))"),
+                pin9(F.col("x") * F.col("w")).cast("decimal(28, 9)"),
             )
             .groupBy("doc_id")
-            .agg(
-                F.round(F.sum("term").cast("double"), 9).alias("z")
-            )
+            .agg(pin9(F.sum("term").cast("double")).alias("z"))
+        )
+        sig = F.least(
+            F.lit(1.0),
+            F.greatest(F.lit(0.0), F.lit(0.5) + F.col("z") / F.lit(4.0)),
         )
         resid = z.join(labels, "doc_id").select(
             "doc_id",
-            F.round(
-                F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 9)
-                - F.col("y"),
-                9,
-            ).alias("r"),
+            pin9(pin9(sig) - F.col("y")).alias("r"),
         )
         grad = (
             feats.join(resid, "doc_id")
             .withColumn(
                 "gterm",
-                F.expr("cast(round(x * r, 9) as decimal(28, 9))"),
+                pin9(F.col("x") * F.col("r")).cast("decimal(28, 9)"),
             )
             .groupBy("j")
             .agg(
-                F.round(
-                    F.sum("gterm").cast("double") / F.lit(float(n_docs)), 9
+                pin9(
+                    F.sum("gterm").cast("double") / F.lit(float(n_docs))
                 ).alias("g")
             )
         )
@@ -753,8 +759,8 @@ def train_linear_probe(
             w.join(grad, "j", "left")
             .select(
                 "j",
-                F.round(
-                    F.col("w") - F.lit(lr) * F.coalesce("g", F.lit(0.0)), 9
+                pin9(
+                    F.col("w") - F.lit(lr) * F.coalesce("g", F.lit(0.0))
                 ).alias("w"),
             )
             .localCheckpoint()  # 17 rows; truncates the iteration chain

@@ -1858,18 +1858,29 @@ def snm_candidate_pairs(
     the LSH families above.
 
     Returns (id_a, key_a, id_b, key_b, gap) with rank(a) < rank(b).
-    The caller owns nothing: the range-partition persist handle is
-    released after the join materializes lazily via the returned plan —
-    we keep it pinned here because the two passes over the ranked input
-    (left and right side) must see the same partition layout.
+    The caller owns nothing: the ranked input is localCheckpoint-ed
+    (eager) so both passes over it (left and right side of the gap
+    join) read the same frozen rows, and assign_dense_seq's
+    range-partition persist handle is released here immediately — the
+    checkpoint blocks themselves are reclaimed by Spark's
+    ContextCleaner once the returned plan is garbage-collected, so no
+    state outlives the caller's use of the result.
     """
     from crawler_spark.operators.sequence import assign_dense_seq
 
+    if int(window) < 2:
+        raise ValueError(
+            f"snm_candidate_pairs needs window >= 2, got {window}: a "
+            "1-row window has no neighbor gaps (and F.sequence(1, 0) "
+            "would silently step -1 and emit gap-0 self-pairs)"
+        )
     ranked, _n, _handle = assign_dense_seq(
         df.select(F.col(key_col).alias("k"), F.col(id_col).alias("i")),
         ["k", "i"],
         "_rnk",
     )
+    ranked = ranked.localCheckpoint(eager=True)
+    _handle.unpersist()
     left = ranked.withColumn(
         "gap", F.explode(F.sequence(F.lit(1), F.lit(int(window) - 1)))
     ).select(

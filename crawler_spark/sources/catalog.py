@@ -377,13 +377,31 @@ class SnapshotCatalog:
         parts = []
         for appl, dd in groups.items():
             df = self.spark.read.option("mergeSchema", "true").parquet(*dd)
-            if appl:
-                keys = self.spark.read.parquet(*appl).dropDuplicates()
-                df = df.join(keys, on=list(keys.columns), how="left_anti")
-            parts.append(df)
+            parts.append(self._apply_eq_deletes(df, list(appl)))
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
+
+    def _apply_eq_deletes(
+        self, df: DataFrame, delete_dirs: list[str]
+    ) -> DataFrame:
+        """Apply equality-delete dirs to ``df``, one anti-join per
+        distinct equality-column set — Iceberg semantics: each delete
+        file deletes on ITS OWN key columns, so delete files keyed on
+        e.g. (host) and (url_hash) must not be schema-merged into one
+        frame (the union would null-pad and the single anti-join would
+        match nothing / the wrong rows). Dirs sharing a column set are
+        still read together (one scan, one shuffle per key set)."""
+        if not delete_dirs:
+            return df
+        by_cols: dict[tuple, list[str]] = {}
+        for d in delete_dirs:
+            cols = tuple(sorted(self.spark.read.parquet(d).columns))
+            by_cols.setdefault(cols, []).append(d)
+        for cols, dd in sorted(by_cols.items()):
+            keys = self.spark.read.parquet(*dd).dropDuplicates()
+            df = df.join(keys, on=list(cols), how="left_anti")
+        return df
 
     def plan_scan(
         self,
@@ -458,10 +476,7 @@ class SnapshotCatalog:
                 s = self._dir_seq(d)
                 appl = [x for x in dels if self._dir_seq(x) > s]
                 g = self.spark.read.option("mergeSchema", "true").parquet(*files)
-                if appl:
-                    keys = self.spark.read.parquet(*appl).dropDuplicates()
-                    g = g.join(keys, on=list(keys.columns), how="left_anti")
-                parts.append(g)
+                parts.append(self._apply_eq_deletes(g, appl))
             df = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
             )

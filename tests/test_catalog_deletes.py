@@ -123,3 +123,20 @@ def test_tags_pin_snapshots_through_gc(spark, tmp_path):
     cat.expire_snapshots(keep_last=2)
     with pytest.raises(FileNotFoundError):
         cat._manifest(1)
+
+
+def test_mixed_keyset_deletes_apply_independently(spark, tmp_path):
+    """Two delete files with DIFFERENT equality-column sets in the same
+    read window must each anti-join on their own key set (Iceberg
+    semantics) — schema-merging them into one frame would null-pad and
+    delete the wrong rows (or none)."""
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    cat.stage_append("t", _rows(spark, range(6)))
+    cat.commit()
+    cat.stage_delete("t", _keys(spark, [1]))  # keyed on k
+    cat.commit()
+    cat.stage_delete(  # keyed on payload
+        "t", spark.createDataFrame([("p4",)], "payload string")
+    )
+    cat.commit()
+    assert sorted(r["k"] for r in cat.read("t").collect()) == [0, 2, 3, 5]

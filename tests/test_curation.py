@@ -259,20 +259,14 @@ def test_train_linear_probe_matches_python_gd(spark):
         for r in train_linear_probe(docs, n_iter=3).collect()
     }
 
-    # ---- sequential replay with identical rounding ----
-    # Spark's round() is HALF_UP on the exact binary double; python's
-    # built-in round() is HALF_EVEN — mirror Spark's mode explicitly
-    from decimal import ROUND_HALF_UP, Decimal
+    # ---- sequential replay with identical pinning ----
+    # the operator pins with the floor(x*1e9+0.5)/1e9 rule (pure double
+    # arithmetic — deterministic across engines, unlike round() at half
+    # boundaries) and uses the HARD sigmoid clamp(0.5+z/4, 0, 1)
+    from decimal import Decimal
 
     def r9(x):
-        # Decimal(repr(x)), not Decimal(x): Spark rounds the double's
-        # SHORTEST decimal repr (BigDecimal.valueOf = Double.toString),
-        # not its exact binary expansion
-        return float(
-            Decimal(repr(float(x))).quantize(
-                Decimal("1.000000000"), ROUND_HALF_UP
-            )
-        )
+        return math.floor(float(x) * 1e9 + 0.5) / 1e9
 
     def bucket(tok):
         return int(hashlib.md5(f"probe:{tok}".encode()).hexdigest()[0], 16) % 16
@@ -298,7 +292,7 @@ def test_train_linear_probe_matches_python_gd(spark):
                     )
                 )
             )
-            p = r9(1.0 / (1.0 + math.exp(-z)))
+            p = r9(min(1.0, max(0.0, 0.5 + z / 4.0)))
             resid[i] = r9(p - labels[i])
         g = [Decimal(0)] * 17
         for i in feats:

@@ -60,3 +60,15 @@ def test_rank_order_is_key_then_id(spark, keyed):
         for r in snm_candidate_pairs(df, "k", "doc_id", 2).collect()
     }
     assert (5, 6) in got and (6, 5) not in got
+
+
+def test_window_below_two_rejected(spark):
+    """window=1 has no neighbor gaps; F.sequence(1, 0) would step -1 and
+    emit gap-0 self-pairs, so the operator must refuse instead."""
+    import pytest
+
+    from crawler_spark.operators.dedup import snm_candidate_pairs
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, i int")
+    with pytest.raises(ValueError, match="window >= 2"):
+        snm_candidate_pairs(df, "k", "i", window=1)

@@ -2,7 +2,13 @@
 on Spark and oracle_sql()[name] on DuckDB at the same sf, compare
 row-count / column names / order-insensitive values.
 
-Usage: python tools/driver_check.py [sf_dir] [only_query ...]
+Usage: python tools/driver_check.py [--tolerant] [sf_dir] [only_query ...]
+
+Comparison is EXACT by default — the driver's gate hashes stringified
+values, so a 1e-17 double drift or a DECIMAL-typed column fails there;
+a tolerant local check would mask it (it did once: snm_blocking_pairs'
+DECIMAL jaccard). --tolerant restores the 1e-9 epsilon for debugging
+only.
 """
 
 from __future__ import annotations
@@ -34,7 +40,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+def values_equal(
+    a: pd.DataFrame, b: pd.DataFrame, tol: float = 0.0
+) -> tuple[bool, str]:
     if list(a.columns) != list(b.columns):
         return False, f"cols {list(a.columns)} vs {list(b.columns)}"
     if len(a) != len(b):
@@ -44,7 +52,7 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         try:
             af = av.astype(float)
             bf = bv.astype(float)
-            ok = ((af == bf) | (abs(af - bf) <= 1e-9) | (af.isna() & bf.isna())).all()
+            ok = ((af == bf) | (abs(af - bf) <= tol) | (af.isna() & bf.isna())).all()
         except (ValueError, TypeError):
             ok = (av.astype(str) == bv.astype(str)).all()
         if not ok:
@@ -55,8 +63,13 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    tol = 0.0
+    if "--tolerant" in argv:
+        argv.remove("--tolerant")
+        tol = 1e-9
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark(app="driver_check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -87,7 +100,7 @@ def main():
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
             continue
-        ok, msg = values_equal(normalize(sdf), normalize(odf))
+        ok, msg = values_equal(normalize(sdf), normalize(odf), tol)
         if ok:
             print(f"PASS {name}: {len(sdf)} rows")
             n_pass += 1
