@@ -8915,6 +8915,220 @@ def q_variant_extract_stats(spark, sf_dir):
     )
 
 
+def q_kmv_vocab_sketch(spark, sf_dir):
+    """Per-source KMV distinct-vocabulary estimate (Bar-Yossef '02 /
+    Beyer SIGMOD'07, operators/sketches.py kmv_sketch): the k=64
+    smallest 60-bit token hashes per source; est = (k-1)/u_k. The
+    k-smallest runs as the salted two-phase window (no single-task
+    group), and — unlike the HLL registers next door — this sketch
+    composes under union AND intersection (kmv_set_algebra). Exact
+    distinct co-computed as the sandbox witness (dropped at scale)."""
+    from crawler_spark.operators.corpus import _tokens
+    from crawler_spark.operators.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(d, "text", "doc_id").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    sk = kmv_sketch(toks, "concat('kmv:', tok)", ["source"], k=KMV_K)
+    est = kmv_estimate(sk, ["source"], k=KMV_K)
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return est.join(exact, "source").select(
+        "source",
+        "n_kept",
+        p6("theta").alias("theta6"),
+        p6("est_distinct").alias("est6"),
+        "exact_distinct",
+        p6("abs(est_distinct - exact_distinct) / exact_distinct").alias(
+            "rel_err6"
+        ),
+    )
+
+
+def q_kmv_set_algebra(spark, sf_dir):
+    """Theta-sketch set algebra across every source pair: estimated
+    |A ∪ B|, |A ∩ B| and Jaccard of the two sources' vocabularies from
+    their k-row KMV sketches ALONE — the overlap question HLL registers
+    cannot answer (no register intersection exists). Pair stage is
+    O(sources^2 * k) on dimension-sized sketches; the raw tokens are
+    touched once, by the sketch build. Exact set sizes co-computed as
+    the sandbox witness."""
+    from crawler_spark.operators.corpus import _tokens
+    from crawler_spark.operators.sketches import (
+        KMV_K,
+        kmv_set_algebra,
+        kmv_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(d, "text", "doc_id").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    sk = kmv_sketch(toks, "concat('kmv:', tok)", ["source"], k=KMV_K)
+    alg = kmv_set_algebra(sk, "source", k=KMV_K)
+    st = toks.select("source", "tok").distinct()
+    ex = (
+        st.select(F.col("source").alias("set_a"), "tok")
+        .join(st.select(F.col("source").alias("set_b"), "tok"), "tok")
+        .filter(F.col("set_a") < F.col("set_b"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n"))
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return (
+        alg.join(ex, ["set_a", "set_b"], "left")
+        .join(
+            sizes.select(F.col("source").alias("set_a"), F.col("n").alias("na")),
+            "set_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("set_b"), F.col("n").alias("nb")),
+            "set_b",
+        )
+        .select(
+            "set_a",
+            "set_b",
+            p6("est_union").alias("est_union6"),
+            p6("est_inter").alias("est_inter6"),
+            p6("est_jaccard").alias("est_jacc6"),
+            (F.col("na") + F.col("nb") - F.coalesce("exact_inter", F.lit(0)))
+            .cast("long")
+            .alias("exact_union"),
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias("exact_inter"),
+        )
+    )
+
+
+def _kmv_sql(which: str, k: int = 64) -> str:
+    """DuckDB mirrors of the KMV queries. The engine's salted two-phase
+    k-smallest reduces to a single per-group row_number here (phase 1
+    keeps a strict superset of the global k smallest, so the outputs
+    are identical); hash/u/estimator arithmetic is mirrored term by
+    term. p6 = the floor(x*1e6+0.5)/1e6 pin."""
+
+    def p6(e: str) -> str:
+        return f"CAST(floor(({e}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+
+    km1 = f"CAST({k - 1} AS DOUBLE)"
+    prefix = f"""WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(trim(text)),
+                      '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    st AS (
+      SELECT DISTINCT d.source, t.tok
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    hs AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substring(md5('kmv:' || tok), 1, 15) AS BIGINT) AS h
+      FROM st
+    ),
+    rk AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+      FROM hs
+    ),
+    sk AS (
+      SELECT source, rnk, h,
+             CAST(h AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS u
+      FROM rk WHERE rnk <= {k}
+    )"""
+    if which == "vocab":
+        return f"""{prefix},
+    est AS (
+      SELECT source, count(*) AS n_kept, max(u) AS theta,
+             CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                  ELSE {km1} / max(u) END AS est_distinct
+      FROM sk GROUP BY source
+    ),
+    ex AS (
+      SELECT source, count(DISTINCT tok) AS exact_distinct
+      FROM st GROUP BY source
+    )
+    SELECT source, n_kept, {p6('theta')} AS theta6,
+           {p6('est_distinct')} AS est6, exact_distinct,
+           {p6('abs(est_distinct - exact_distinct) / exact_distinct')}
+             AS rel_err6
+    FROM est JOIN ex USING (source)"""
+    return f"""{prefix},
+    stats AS (
+      SELECT source, count(*) AS cnt, max(u) AS mx,
+             CASE WHEN count(*) < {k} THEN CAST(1.0 AS DOUBLE)
+                  ELSE max(u) END AS theta
+      FROM sk GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS set_a, b.source AS set_b
+      FROM stats a, stats b WHERE a.source < b.source
+    ),
+    merged AS (
+      SELECT DISTINCT set_a, set_b, h, u FROM (
+        SELECT p.set_a, p.set_b, s.h, s.u
+        FROM pairs p JOIN sk s ON s.source = p.set_a
+        UNION ALL
+        SELECT p.set_a, p.set_b, s.h, s.u
+        FROM pairs p JOIN sk s ON s.source = p.set_b
+      )
+    ),
+    mr AS (
+      SELECT set_a, set_b, h, u,
+             row_number() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rnk
+      FROM merged
+    ),
+    ue AS (
+      SELECT set_a, set_b,
+             CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                  ELSE {km1} / max(u) END AS est_union
+      FROM mr WHERE rnk <= {k} GROUP BY set_a, set_b
+    ),
+    ie AS (
+      SELECT sa.source AS set_a, sb.source AS set_b,
+             least(ta.theta, tb.theta) AS theta, count(*) AS icnt
+      FROM sk sa
+      JOIN sk sb ON sa.h = sb.h AND sa.source < sb.source
+      JOIN stats ta ON ta.source = sa.source
+      JOIN stats tb ON tb.source = sb.source
+      WHERE sa.u < least(ta.theta, tb.theta)
+      GROUP BY 1, 2, 3
+    ),
+    iee AS (SELECT set_a, set_b, icnt / theta AS est_inter FROM ie),
+    exi AS (
+      SELECT a.source AS set_a, b.source AS set_b, count(*) AS exact_inter
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source)
+    SELECT p.set_a, p.set_b,
+           {p6('ue.est_union')} AS est_union6,
+           {p6('coalesce(iee.est_inter, 0.0)')} AS est_inter6,
+           {p6('coalesce(iee.est_inter, 0.0) / ue.est_union')} AS est_jacc6,
+           CAST(na.n + nb.n - coalesce(exi.exact_inter, 0) AS BIGINT)
+             AS exact_union,
+           CAST(coalesce(exi.exact_inter, 0) AS BIGINT) AS exact_inter
+    FROM pairs p
+    JOIN ue USING (set_a, set_b)
+    LEFT JOIN iee USING (set_a, set_b)
+    LEFT JOIN exi USING (set_a, set_b)
+    JOIN sizes na ON na.source = p.set_a
+    JOIN sizes nb ON nb.source = p.set_b"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -8969,6 +9183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customers": q_idle_customers,
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "hll_distinct": q_hll_distinct,
+        "kmv_vocab_sketch": q_kmv_vocab_sketch,
+        "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
         "hdr_latency_quantiles": q_hdr_latency_quantiles,
         "snm_blocking_pairs": q_snm_blocking_pairs,
@@ -9931,6 +10147,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, count(*) AS n FROM pairs
             GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
         """,
+        "kmv_vocab_sketch": _kmv_sql("vocab"),
+        "kmv_set_algebra": _kmv_sql("algebra"),
         "hll_distinct": """
             WITH t AS (
               SELECT tok FROM (

@@ -365,3 +365,172 @@ def hdr_quantiles(
             ).alias("est_mid"),
         )
     )
+
+
+# --------------------------------------------- KMV / theta set algebra
+
+KMV_K = 64  # expected rel. error ~ 1/sqrt(k-1) = 12.6%; sketch = 64 rows
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_expr: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+    n_salts: int = 32,
+) -> DataFrame:
+    """K-Minimum-Values sketch (Bar-Yossef et al. RANDOM'02; Beyer et
+    al. SIGMOD'07) per group: the k smallest 60-bit hash values of the
+    group's distinct keys. Unlike HLL registers (hll_registers_by),
+    KMV sketches support SET ALGEBRA — union AND intersection
+    cardinalities (`kmv_set_algebra`), which no register sketch can
+    intersect. This is the vocabulary-overlap / audience-overlap
+    primitive: |tokens(src A) ∩ tokens(src B)| across 10^10 docs from
+    two k-row summaries.
+
+    Shape: one distinct on (group, h) — the only O(n) shuffle — then
+    the k-smallest per group via the salted two-phase window
+    (politeness.py's pattern): rank within (group, pmod(h, n_salts))
+    keep <= k, then rank the surviving <= n_salts*k rows per group.
+    A single giant group never funnels through one task.
+
+    Output: (group_cols..., rnk 1..k, h, u) with u = h / 2^60 in
+    [0, 1). Hash collisions collapse in hash space (standard KMV
+    semantics); ordering is total because h is distinct within a group.
+    """
+    hashed = (
+        df.select(*group_cols, F.expr(key_expr).alias("_k"))
+        .withColumn("h", _h60("_k"))
+        .select(*group_cols, "h")
+        .distinct()
+    )
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("h")
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("_salt", F.pmod("h", F.lit(n_salts)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(
+            *group_cols,
+            "rnk",
+            "h",
+            (F.col("h") / F.lit(float(1 << 60))).alias("u"),
+        )
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """Distinct-count estimate per group from a `kmv_sketch`:
+    (k-1)/u_k (the unbiased KMV estimator), falling back to the exact
+    kept count when the group has fewer than k distinct hashes (then
+    the sketch IS the distinct set). Returns (group_cols..., n_kept,
+    theta, est_distinct)."""
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(F.count("*").alias("n_kept"), F.max("u").alias("theta"))
+        .select(
+            *group_cols,
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "theta",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.col("theta"))
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_set_algebra(
+    sketch: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Theta-sketch set algebra over every pair of groups in a
+    `kmv_sketch` table: estimated |A ∪ B|, |A ∩ B|, and Jaccard from
+    the two k-row sketches alone — O(groups^2 * k) work on
+    dimension-sized inputs, never touching the raw keys again.
+
+    Union: the k smallest of the merged hash sets -> (k-1)/u_k.
+    Intersection (theta-sketch rule, Dasgupta et al. / DataSketches):
+    theta = min(theta_A, theta_B) with theta_X = 1 when X kept fewer
+    than k (its sketch is exhaustive); matched hashes below theta form
+    the intersection sample; est = |sample| / theta.
+
+    Output per pair (a < b): (set_a, set_b, est_union, est_inter,
+    est_jaccard) — doubles, unpinned (callers pin for display).
+    """
+    g = F.col(group_col)
+    stats = (
+        sketch.groupBy(group_col)
+        .agg(F.count("*").alias("cnt"), F.max("u").alias("mx"))
+        .withColumn(
+            "theta",
+            F.when(F.col("cnt") < k, F.lit(1.0)).otherwise(F.col("mx")),
+        )
+    )
+    a = sketch.select(
+        g.alias("set_a"), F.col("h").alias("ha"), F.col("u").alias("ua")
+    )
+    b = sketch.select(
+        g.alias("set_b"), F.col("h").alias("hb"), F.col("u").alias("ub")
+    )
+    # union sketch per pair: k smallest distinct h of A ∪ B
+    pairs = (
+        stats.select(F.col(group_col).alias("set_a"))
+        .crossJoin(stats.select(F.col(group_col).alias("set_b")))
+        .filter(F.col("set_a") < F.col("set_b"))
+    )
+    merged = (
+        pairs.join(a, "set_a")
+        .select("set_a", "set_b", F.col("ha").alias("h"), F.col("ua").alias("u"))
+        .unionByName(
+            pairs.join(b, "set_b").select(
+                "set_a", "set_b", F.col("hb").alias("h"), F.col("ub").alias("u")
+            )
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("set_a", "set_b").orderBy("h")
+    union_est = (
+        merged.withColumn("rnk", F.row_number().over(wu))
+        .filter(F.col("rnk") <= k)
+        .groupBy("set_a", "set_b")
+        .agg(F.count("*").alias("ucnt"), F.max("u").alias("utheta"))
+        .select(
+            "set_a",
+            "set_b",
+            F.when(F.col("ucnt") < k, F.col("ucnt").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.col("utheta"))
+            .alias("est_union"),
+        )
+    )
+    ta = stats.select(F.col(group_col).alias("set_a"), F.col("theta").alias("tha"))
+    tb = stats.select(F.col(group_col).alias("set_b"), F.col("theta").alias("thb"))
+    inter_est = (
+        a.join(b, F.col("ha") == F.col("hb"))
+        .filter(F.col("set_a") < F.col("set_b"))
+        .join(ta, "set_a")
+        .join(tb, "set_b")
+        .withColumn("theta", F.least("tha", "thb"))
+        .filter(F.col("ua") < F.col("theta"))
+        .groupBy("set_a", "set_b", "theta")
+        .agg(F.count("*").alias("icnt"))
+        .select(
+            "set_a",
+            "set_b",
+            (F.col("icnt") / F.col("theta")).alias("est_inter"),
+        )
+    )
+    return (
+        union_est.join(inter_est, ["set_a", "set_b"], "left")
+        .select(
+            "set_a",
+            "set_b",
+            "est_union",
+            F.coalesce("est_inter", F.lit(0.0)).alias("est_inter"),
+            (
+                F.coalesce("est_inter", F.lit(0.0)) / F.col("est_union")
+            ).alias("est_jaccard"),
+        )
+    )

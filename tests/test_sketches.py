@@ -152,3 +152,44 @@ def test_ams_f2_matches_pure_python_and_concentrates(spark):
     assert (r.f2_exact, r.f2_est_2x, r.k) == (f2, est2x, 16)
     # estimate concentrates: median-of-16 within 3x on this stream
     assert f2 / 3 <= est2x / 2 <= 3 * f2
+
+
+def test_kmv_estimate_error_and_small_set_exactness(spark):
+    """KMV distinct estimate lands within ~4/sqrt(k-1) of truth for a
+    large set; a set smaller than k is returned EXACTLY (the sketch is
+    then the whole distinct set). Estimates are partitioning-invariant
+    (k-smallest is a total order on distinct hashes)."""
+    from crawler_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_set_algebra,
+        kmv_sketch,
+    )
+
+    k = 64
+    rows = [(f"big", f"key{i}") for i in range(5000)] + [
+        ("small", f"key{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    for parts in (1, 7):
+        sk = kmv_sketch(df.repartition(parts), "key", ["grp"], k=k)
+        est = {r["grp"]: r for r in kmv_estimate(sk, ["grp"], k=k).collect()}
+        assert est["small"]["est_distinct"] == 40.0  # exact below k
+        assert abs(est["big"]["est_distinct"] - 5000) / 5000 < 4 / (k - 1) ** 0.5
+
+
+def test_kmv_set_algebra_brackets_exact_overlap(spark):
+    """Union/intersection/Jaccard estimates from sketches alone bracket
+    the planted truth: A = 0..2999, B = 2000..4999 (overlap 1000,
+    union 5000, jaccard 0.2)."""
+    from crawler_spark.operators.sketches import kmv_set_algebra, kmv_sketch
+
+    rows = [("A", f"k{i}") for i in range(3000)] + [
+        ("B", f"k{i}") for i in range(2000, 5000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    sk = kmv_sketch(df, "key", ["grp"], k=64)
+    r = kmv_set_algebra(sk, "grp", k=64).collect()[0]
+    assert r["set_a"] == "A" and r["set_b"] == "B"
+    assert abs(r["est_union"] - 5000) / 5000 < 0.5
+    assert abs(r["est_inter"] - 1000) / 1000 < 0.6
+    assert 0.05 < r["est_jaccard"] < 0.5
