@@ -9011,6 +9011,159 @@ def q_kmv_set_algebra(spark, sf_dir):
     )
 
 
+def q_edh_histogram(spark, sf_dir):
+    """Equi-depth histogram of order totals (operators/stats.py) — the
+    optimizer-statistics primitive behind every selectivity estimate:
+    16 buckets of ~1/16 of a deterministic 10% key-sampled draw, so
+    skewed values can't starve fences the way equi-width buckets do.
+    Stats come from a bounded sample BY DESIGN (Spark ANALYZE /
+    Postgres do the same); the full table is never sorted."""
+    from crawler_spark.operators.stats import equi_depth_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    h = equi_depth_histogram(
+        o, "o_totalprice", "o_orderkey", n_buckets=16, sample_permille=100
+    )
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return h.select(
+        "bucket",
+        p6("lo").alias("lo6"),
+        p6("hi").alias("hi6"),
+        "n_rows",
+        p6("est_frac").alias("est_frac6"),
+    )
+
+
+def q_edh_selectivity_audit(spark, sf_dir):
+    """Range-selectivity estimates from the 16-bucket equi-depth
+    histogram vs the true fractions — the audit a cost model ships
+    with. Worst-case error is ~1/B + sample noise regardless of value
+    skew (SIGMOD'84); the estimate itself never touches the fact
+    table, only the B-row histogram joined to a broadcast predicate
+    dimension."""
+    from crawler_spark.operators.stats import (
+        equi_depth_histogram,
+        range_selectivity,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    hist = equi_depth_histogram(
+        o, "o_totalprice", "o_orderkey", n_buckets=16, sample_permille=100
+    )
+    preds = spark.createDataFrame(
+        [
+            (1, 0.0, 50000.0),
+            (2, 50000.0, 150000.0),
+            (3, 150000.0, 300000.0),
+            (4, 300000.0, 600000.0),
+            (5, 100000.0, 110000.0),
+        ],
+        "pred_id int, p_lo double, p_hi double",
+    )
+    est = range_selectivity(hist, preds)
+    n = o.count()
+    actual = (
+        F.broadcast(preds)
+        .crossJoin(o.select("o_totalprice"))
+        .filter(
+            (F.col("o_totalprice") >= F.col("p_lo"))
+            & (F.col("o_totalprice") <= F.col("p_hi"))
+        )
+        .groupBy("pred_id")
+        .agg((F.count("*") / F.lit(float(n))).alias("actual_sel"))
+    )
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return (
+        est.join(actual, "pred_id", "left")
+        .select(
+            "pred_id",
+            "p_lo",
+            "p_hi",
+            p6("est_sel").alias("est_sel6"),
+            p6("coalesce(actual_sel, 0.0)").alias("actual_sel6"),
+            p6("abs(est_sel - coalesce(actual_sel, 0.0))").alias("abs_err6"),
+        )
+    )
+
+
+def _edh_sql(which: str, nb: int = 16, permille: int = 100) -> str:
+    """DuckDB mirrors of the equi-depth histogram queries: identical
+    md5-Bernoulli sample, ntile fences, interpolation arithmetic and
+    decimal-summed terms."""
+
+    def p6(e: str) -> str:
+        return f"CAST(floor(({e}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+
+    prefix = f"""WITH s AS (
+      SELECT o_totalprice AS v, o_orderkey AS k FROM orders
+      WHERE CAST('0x' || substring(md5('edh:' || CAST(o_orderkey AS VARCHAR)),
+                 1, 15) AS BIGINT) % 1000 < {permille}
+    ),
+    nt AS (
+      SELECT v, ntile({nb}) OVER (ORDER BY v, k) AS bucket FROM s
+    ),
+    bb AS (
+      SELECT bucket, min(v) AS lo, max(v) AS hi, count(*) AS n_rows
+      FROM nt GROUP BY bucket
+    ),
+    hist AS (
+      SELECT bucket, lo, hi, n_rows,
+             CAST(n_rows AS DOUBLE) / (SELECT CAST(sum(n_rows) AS DOUBLE) FROM bb)
+               AS est_frac
+      FROM bb
+    )"""
+    if which == "hist":
+        return f"""{prefix}
+    SELECT bucket, {p6('lo')} AS lo6, {p6('hi')} AS hi6,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           {p6('est_frac')} AS est_frac6
+    FROM hist"""
+    return f"""{prefix},
+    preds AS (
+      SELECT * FROM (VALUES
+        (1, CAST(0.0 AS DOUBLE), CAST(50000.0 AS DOUBLE)),
+        (2, CAST(50000.0 AS DOUBLE), CAST(150000.0 AS DOUBLE)),
+        (3, CAST(150000.0 AS DOUBLE), CAST(300000.0 AS DOUBLE)),
+        (4, CAST(300000.0 AS DOUBLE), CAST(600000.0 AS DOUBLE)),
+        (5, CAST(100000.0 AS DOUBLE), CAST(110000.0 AS DOUBLE))
+      ) AS t(pred_id, p_lo, p_hi)
+    ),
+    terms AS (
+      SELECT pred_id, p_lo, p_hi,
+             CAST(CAST(floor(est_frac * least(CAST(1.0 AS DOUBLE),
+                    CASE WHEN hi > lo
+                         THEN greatest(CAST(0.0 AS DOUBLE),
+                              (least(p_hi, hi) - greatest(p_lo, lo))
+                              / (hi - lo))
+                         ELSE CAST(lo >= p_lo AND lo <= p_hi AS DOUBLE)
+                    END) * 1e9 + 0.5) AS DOUBLE) / 1e9
+                  AS DECIMAL(28, 9)) AS term
+      FROM preds, hist
+    ),
+    est AS (
+      SELECT pred_id, p_lo, p_hi,
+             CAST(sum(term) AS DOUBLE) AS est_sel
+      FROM terms GROUP BY pred_id, p_lo, p_hi
+    ),
+    act AS (
+      SELECT p.pred_id,
+             CAST(count(*) AS DOUBLE)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM orders) AS actual_sel
+      FROM preds p JOIN orders o
+        ON o.o_totalprice >= p.p_lo AND o.o_totalprice <= p.p_hi
+      GROUP BY p.pred_id
+    )
+    SELECT e.pred_id, e.p_lo, e.p_hi,
+           {p6('e.est_sel')} AS est_sel6,
+           {p6('coalesce(a.actual_sel, 0.0)')} AS actual_sel6,
+           {p6('abs(e.est_sel - coalesce(a.actual_sel, 0.0))')} AS abs_err6
+    FROM est e LEFT JOIN act a ON a.pred_id = e.pred_id"""
+
+
 def _kmv_sql(which: str, k: int = 64) -> str:
     """DuckDB mirrors of the KMV queries. The engine's salted two-phase
     k-smallest reduces to a single per-group row_number here (phase 1
@@ -9184,6 +9337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "hll_distinct": q_hll_distinct,
         "kmv_vocab_sketch": q_kmv_vocab_sketch,
+        "edh_histogram": q_edh_histogram,
+        "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
         "hdr_latency_quantiles": q_hdr_latency_quantiles,
@@ -10148,6 +10303,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
         """,
         "kmv_vocab_sketch": _kmv_sql("vocab"),
+        "edh_histogram": _edh_sql("hist"),
+        "edh_selectivity_audit": _edh_sql("audit"),
         "kmv_set_algebra": _kmv_sql("algebra"),
         "hll_distinct": """
             WITH t AS (
