@@ -9090,6 +9090,98 @@ def q_edh_selectivity_audit(spark, sf_dir):
     )
 
 
+def q_join_order_costs(spark, sf_dir):
+    """System R join ordering (Selinger SIGMOD'79) over the filtered
+    chain customer('BUILDING') -> orders -> lineitem(qty < 5): both
+    left-deep orders costed with |R⋈S| = |R||S|/max(ndv) from exact
+    per-table scalars (swap in KMV/HLL ndv at 10^10 rows), ranked by
+    total intermediate rows, with the true intermediate sizes as
+    witness — the selective customer filter must make (C*O)*L win.
+    The only driver-side data are per-table (n, ndv) scalars."""
+    from crawler_spark.operators.stats import system_r_chain_costs
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("orderkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 5).select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    costs = system_r_chain_costs([("C", c, "custkey"), ("O", o, "orderkey"), ("L", l, None)])
+    act = spark.createDataFrame(
+        [
+            ("(C*O)*L", c.join(o, "custkey").count()),
+            ("(O*L)*C", o.join(l, "orderkey").count()),
+        ],
+        "plan string, actual_inter long",
+    )
+    p6 = lambda c_: F.expr(
+        f"cast(floor(({c_}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return costs.join(act, "plan").select(
+        "plan",
+        p6("est_inter").alias("est_inter6"),
+        p6("est_cost").alias("est_cost6"),
+        F.col("rank").cast("long").alias("rank"),
+        "actual_inter",
+    )
+
+
+def _join_order_sql() -> str:
+    """DuckDB mirror of q_join_order_costs: same exact scalars, same
+    double multiply-then-divide order, same ranking tie-break."""
+    return """WITH c AS (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    o AS (SELECT o_custkey AS custkey, o_orderkey AS orderkey FROM orders),
+    l AS (SELECT l_orderkey AS orderkey FROM lineitem WHERE l_quantity < 5),
+    s AS (
+      SELECT (SELECT count(*) FROM c) AS n_a,
+             (SELECT count(*) FROM o) AS n_b,
+             (SELECT count(*) FROM l) AS n_c,
+             (SELECT count(DISTINCT custkey) FROM c) AS ndv_a_ka,
+             (SELECT count(DISTINCT custkey) FROM o) AS ndv_b_ka,
+             (SELECT count(DISTINCT orderkey) FROM o) AS ndv_b_kb,
+             (SELECT count(DISTINCT orderkey) FROM l) AS ndv_c_kb
+    ),
+    est AS (
+      SELECT CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               / CAST(greatest(ndv_a_ka, ndv_b_ka, 1) AS DOUBLE) AS est_ab,
+             CAST(n_b AS DOUBLE) * CAST(n_c AS DOUBLE)
+               / CAST(greatest(ndv_b_kb, ndv_c_kb, 1) AS DOUBLE) AS est_bc,
+             n_a, n_c, ndv_a_ka, ndv_b_ka, ndv_b_kb, ndv_c_kb
+      FROM s
+    ),
+    plans AS (
+      SELECT '(C*O)*L' AS plan, est_ab AS est_inter,
+             est_ab + est_ab * CAST(n_c AS DOUBLE)
+               / CAST(greatest(ndv_b_kb, ndv_c_kb, 1) AS DOUBLE) AS est_cost
+      FROM est
+      UNION ALL
+      SELECT '(O*L)*C', est_bc,
+             est_bc + est_bc * CAST(n_a AS DOUBLE)
+               / CAST(greatest(ndv_a_ka, ndv_b_ka, 1) AS DOUBLE)
+      FROM est
+    ),
+    act AS (
+      SELECT '(C*O)*L' AS plan,
+             (SELECT count(*) FROM c JOIN o USING (custkey)) AS actual_inter
+      UNION ALL
+      SELECT '(O*L)*C',
+             (SELECT count(*) FROM o JOIN l USING (orderkey))
+    )
+    SELECT p.plan,
+           CAST(floor(p.est_inter * 1e6 + 0.5) AS DOUBLE) / 1e6 AS est_inter6,
+           CAST(floor(p.est_cost * 1e6 + 0.5) AS DOUBLE) / 1e6 AS est_cost6,
+           row_number() OVER (ORDER BY p.est_cost, p.plan) AS rank,
+           CAST(a.actual_inter AS BIGINT) AS actual_inter
+    FROM plans p JOIN act a ON a.plan = p.plan"""
+
+
 def _edh_sql(which: str, nb: int = 16, permille: int = 100) -> str:
     """DuckDB mirrors of the equi-depth histogram queries: identical
     md5-Bernoulli sample, ntile fences, interpolation arithmetic and
@@ -9338,6 +9430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "kmv_vocab_sketch": q_kmv_vocab_sketch,
         "edh_histogram": q_edh_histogram,
+        "join_order_costs": q_join_order_costs,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -10304,6 +10397,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmv_vocab_sketch": _kmv_sql("vocab"),
         "edh_histogram": _edh_sql("hist"),
+        "join_order_costs": _join_order_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),
         "kmv_set_algebra": _kmv_sql("algebra"),
         "hll_distinct": """

@@ -113,3 +113,68 @@ def range_selectivity(
         .groupBy("pred_id", "p_lo", "p_hi")
         .agg(F.sum("term").cast("double").alias("est_sel"))
     )
+
+
+def system_r_chain_costs(
+    tables: list[tuple[str, DataFrame, str | None]],
+) -> "DataFrame":
+    """Cost-based join ordering for a CHAIN of equi-joins (System R /
+    Selinger et al. SIGMOD'79): estimate every left-deep order's
+    intermediate cardinalities with |R ⋈ S| = |R|·|S| / max(ndv_R(key),
+    ndv_S(key)) and rank by total intermediate rows — the decision that
+    separates a plan that shuffles 10^8 rows from one that shuffles
+    10^12 at 100 TB.
+
+    ``tables`` = [(name, df, key_to_next), ...]; key_to_next joins
+    table i to table i+1 (None for the last). A chain of n tables has
+    n-1 adjacent joins; left-deep orders that avoid cross products are
+    the prefixes extending left or right from any starting edge — for
+    n=3: (T0⋈T1)⋈T2 and (T1⋈T2)⋈T0.
+
+    Row counts and ndv are computed exactly here (one tiny agg per
+    table — the inputs are already filtered); at 10^10 rows swap the
+    ndv terms for `kmv_estimate`/HLL without touching the formula.
+    Output: (plan, est_inter, est_cost, rank) per order, one row per
+    order, est_cost = the System R sum of intermediate sizes.
+
+    Driver-side arithmetic is over PER-TABLE SCALARS (n, ndv) — the
+    only collect is n_tables aggregate rows, never data.
+    """
+    from pyspark.sql import functions as FF
+
+    if len(tables) != 3:
+        raise ValueError("demo supports chains of exactly 3 tables")
+    (na, a, ka), (nb, b, kb), (nc, c, _) = tables
+    spark = a.sparkSession
+    stats = {}
+    for name, df, key_next in ((na, a, ka), (nb, b, kb), (nc, c, None)):
+        aggs = [FF.count("*").alias("n")]
+        if key_next is not None:
+            aggs.append(FF.countDistinct(key_next).alias("ndv_next"))
+        stats[name] = df.agg(*aggs).first()
+    # key ndv on the RIGHT side of each edge
+    ndv_b_ka = b.agg(FF.countDistinct(ka).alias("x")).first()["x"]
+    ndv_c_kb = c.agg(FF.countDistinct(kb).alias("x")).first()["x"]
+    n_a, n_b, n_c = (int(stats[x]["n"]) for x in (na, nb, nc))
+    ndv_a_ka = int(stats[na]["ndv_next"])
+    ndv_b_kb = int(stats[nb]["ndv_next"])
+    # explicit float() at each step so the arithmetic is the same
+    # double multiply-then-divide sequence the SQL oracle performs
+    # (int-exact ratios would round differently past 2^53)
+    est_ab = float(n_a) * float(n_b) / float(max(ndv_a_ka, int(ndv_b_ka), 1))
+    est_bc = float(n_b) * float(n_c) / float(max(ndv_b_kb, int(ndv_c_kb), 1))
+    # second joins: the AB intermediate keeps B's kb ndv bound; BC keeps
+    # B's ka bound (containment assumption)
+    plans = [
+        (f"({na}*{nb})*{nc}", est_ab,
+         est_ab * float(n_c) / float(max(ndv_b_kb, int(ndv_c_kb), 1))),
+        (f"({nb}*{nc})*{na}", est_bc,
+         est_bc * float(n_a) / float(max(ndv_a_ka, int(ndv_b_ka), 1))),
+    ]
+    rows = [
+        (p, float(e1), float(e1 + e2))
+        for p, e1, e2 in plans
+    ]
+    out = spark.createDataFrame(rows, "plan string, est_inter double, est_cost double")
+    w = Window.orderBy("est_cost", "plan")
+    return out.withColumn("rank", F.row_number().over(w))

@@ -62,3 +62,56 @@ def test_zero_width_bucket_is_impulse(spark):
     # uniform-within-bucket model, not a bug
     assert est[1] > 0.9 - 1.0 / 10 - 0.01
     assert est[2] < 0.10  # none of them leak into a disjoint range
+
+
+def test_join_order_ranking_follows_selectivity(spark):
+    """System R chain costing prefers joining the SELECTIVE side first:
+    with a tiny A, (A*B)*C must rank 1; with a tiny C, (B*C)*A must."""
+    from crawler_spark.operators.stats import system_r_chain_costs
+
+    def mk(n, key_mod, kname):
+        return spark.range(n).select(
+            (F.col("id") % key_mod).alias(kname), F.col("id").alias(f"pay{kname}")
+        )
+
+    # A tiny (10 rows), B big bridges k1->k2, C big
+    a = mk(10, 1000, "k1")
+    b = spark.range(5000).select(
+        (F.col("id") % 1000).alias("k1"), (F.col("id") % 500).alias("k2")
+    )
+    c_big = mk(5000, 500, "k2")
+    r = {
+        x["plan"]: x["rank"]
+        for x in system_r_chain_costs(
+            [("A", a, "k1"), ("B", b, "k2"), ("C", c_big, None)]
+        ).collect()
+    }
+    assert r["(A*B)*C"] == 1
+    # symmetric: C tiny
+    a_big = mk(5000, 1000, "k1")
+    c_tiny = mk(10, 500, "k2")
+    r2 = {
+        x["plan"]: x["rank"]
+        for x in system_r_chain_costs(
+            [("A", a_big, "k1"), ("B", b, "k2"), ("C", c_tiny, None)]
+        ).collect()
+    }
+    assert r2["(B*C)*A"] == 1
+
+
+def test_join_cost_formula_matches_hand_calc(spark):
+    from crawler_spark.operators.stats import system_r_chain_costs
+
+    a = spark.createDataFrame([(1,), (2,), (2,)], "k1 long")
+    b = spark.createDataFrame([(1, 7), (2, 8), (3, 8)], "k1 long, k2 long")
+    c = spark.createDataFrame([(7,), (8,), (8,), (9,)], "k2 long")
+    rows = {
+        r["plan"]: r
+        for r in system_r_chain_costs(
+            [("A", a, "k1"), ("B", b, "k2"), ("C", c, None)]
+        ).collect()
+    }
+    # |A|=3 |B|=3 ndv_a(k1)=2 ndv_b(k1)=3 -> est_ab = 9/3 = 3
+    assert rows["(A*B)*C"]["est_inter"] == 3.0
+    # est cost adds 3 * |C| / max(ndv_b(k2)=2, ndv_c(k2)=3) = 3*4/3
+    assert abs(rows["(A*B)*C"]["est_cost"] - (3.0 + 4.0)) < 1e-12
