@@ -9131,6 +9131,74 @@ def q_join_order_costs(spark, sf_dir):
     )
 
 
+def q_anchor_text_index(spark, sf_dir):
+    """Anchor-text index build (Brin & Page '98 §2.2; operators/rank.py
+    anchor_text_index): per target host, the top-3 anchor terms by
+    authority-weighted link score — the off-page relevance signal that
+    also describes UNFETCHED frontier targets. Deterministic synthetic
+    link graph over documents (trap_gate's idiom); authority is a
+    broadcast 20-row host dimension; the only O(edges) stage is one
+    map-side-combinable groupBy."""
+    from crawler_spark.operators.rank import anchor_text_index
+
+    d = _t(spark, sf_dir, "documents")
+    dig = "(instr('0123456789abcdef', substring(md5(concat('anch:', cast(doc_id as string))), 1, 1)) - 1)"
+    edges = d.select(
+        F.expr("concat('h', cast(doc_id % 20 as string))").alias("src"),
+        F.expr("concat('h', cast((doc_id * 7 + 3) % 20 as string))").alias("dst"),
+        F.expr(f"concat('kw', cast({dig} % 8 as string))").alias("term"),
+    ).filter(F.col("src") != F.col("dst"))
+    auth = spark.range(20).select(
+        F.expr("concat('h', cast(id as string))").alias("src"),
+        (F.lit(1.0) / (F.lit(1.0) + (F.col("id") % 7).cast("double"))).alias(
+            "auth"
+        ),
+    )
+    return anchor_text_index(edges, auth, k=3)
+
+
+def _anchor_sql(k: int = 3) -> str:
+    """DuckDB mirror of q_anchor_text_index: identical synthetic graph,
+    authority dimension, 1e-9-pinned decimal-summed scores, top-k."""
+    dig = (
+        "(instr('0123456789abcdef', substring(md5('anch:' || "
+        "CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    )
+    return f"""WITH e AS (
+      SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst,
+             'kw' || CAST({dig} % 8 AS VARCHAR) AS term
+      FROM documents
+    ),
+    ef AS (SELECT * FROM e WHERE src <> dst),
+    auth AS (
+      SELECT 'h' || CAST(i AS VARCHAR) AS src,
+             CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+               + CAST(i % 7 AS DOUBLE)) AS auth
+      FROM range(0, 20) t(i)
+    ),
+    agg AS (
+      SELECT ef.dst, ef.term,
+             count(*) AS n_links,
+             count(DISTINCT ef.src) AS n_src,
+             CAST(sum(CAST(CAST(floor(coalesce(a.auth, 0.0) * 1e9 + 0.5)
+                                AS DOUBLE) / 1e9
+                           AS DECIMAL(28, 9))) AS DOUBLE) AS score
+      FROM ef LEFT JOIN auth a ON a.src = ef.src
+      GROUP BY ef.dst, ef.term
+    ),
+    rk AS (
+      SELECT dst, term, n_links, n_src, score,
+             row_number() OVER (PARTITION BY dst
+                                ORDER BY score DESC, term) AS rnk
+      FROM agg
+    )
+    SELECT dst, term, CAST(n_links AS BIGINT) AS n_links,
+           CAST(n_src AS BIGINT) AS n_src, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= {k}"""
+
+
 def _join_order_sql() -> str:
     """DuckDB mirror of q_join_order_costs: same exact scalars, same
     double multiply-then-divide order, same ranking tie-break."""
@@ -9431,6 +9499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_vocab_sketch": q_kmv_vocab_sketch,
         "edh_histogram": q_edh_histogram,
         "join_order_costs": q_join_order_costs,
+        "anchor_text_index": q_anchor_text_index,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -10398,6 +10467,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_vocab_sketch": _kmv_sql("vocab"),
         "edh_histogram": _edh_sql("hist"),
         "join_order_costs": _join_order_sql(),
+        "anchor_text_index": _anchor_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),
         "kmv_set_algebra": _kmv_sql("algebra"),
         "hll_distinct": """

@@ -25,7 +25,7 @@ PageRank example) — documented, mirrored by the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -415,3 +415,71 @@ def rank_to_priorities(
             F.col(score_col) >= F.col(f"c{i}"), F.lit(i)
         ).otherwise(prio)
     return out.select(F.col(key_col), prio.cast("int").alias("priority"))
+
+
+def anchor_text_index(
+    edges: DataFrame,
+    authority: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    term_col: str = "term",
+    auth_col: str = "auth",
+) -> DataFrame:
+    """Target-side anchor-text index — the oldest off-page relevance
+    signal in web search (Brin & Page '98 §2.2: anchors describe the
+    TARGET better than its own text describes itself, and they exist
+    for pages the crawler has not fetched yet). Per (target, term):
+    link count, distinct linking sources, and an authority-weighted
+    score = sum of the linking sources' authority (so one spam farm
+    repeating an anchor 10^6 times scores below three trusted hosts
+    saying it once); the top-k terms per target survive.
+
+    Shape: one groupBy (dst, term) with map-side partial agg — the
+    O(edges) stage; authority is a broadcast host dimension; the top-k
+    is a window over the (dst, term) AGGREGATE (|dst| * terms rows,
+    never the edge multiset). Weighted sums are 1e-9-pinned and
+    decimal-accumulated, order-independent (SCALE.md determinism).
+
+    Output: (dst, term, n_links, n_src, score, rnk) with rnk 1..k by
+    (score desc, term) per dst.
+    """
+    term = F.floor(
+        F.coalesce(F.col(auth_col), F.lit(0.0)) * F.lit(1e9) + F.lit(0.5)
+    ).cast("double") / F.lit(1e9)
+    agg = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(term_col).alias("term"),
+        )
+        .join(
+            F.broadcast(
+                authority.select(
+                    F.col(src_col).alias("src"), F.col(auth_col).alias(auth_col)
+                )
+            ),
+            "src",
+            "left",
+        )
+        .withColumn("w", term.cast("decimal(28, 9)"))
+        .groupBy("dst", "term")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("src").alias("n_src"),
+            F.sum("w").cast("double").alias("score"),
+        )
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("score"), "term")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "dst",
+            "term",
+            F.col("n_links").cast("long").alias("n_links"),
+            F.col("n_src").cast("long").alias("n_src"),
+            "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

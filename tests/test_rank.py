@@ -200,3 +200,28 @@ def test_trust_rank_starves_link_farm_that_pagerank_rewards(spark):
     assert pr[12] == max(pr.values())  # the farm wins raw PageRank
     assert tr[12] == 0.0  # but earns zero trust
     assert tr[0] > 0 and tr[1] > 0
+
+
+def test_anchor_text_authority_beats_repetition(spark):
+    """One low-authority source repeating an anchor many times must
+    score below a few high-authority sources using a different term;
+    missing-authority sources count zero; top-k per dst is stable."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.rank import anchor_text_index
+
+    edges = spark.createDataFrame(
+        [("spam", "t", "buy")] * 50
+        + [("good1", "t", "news"), ("good2", "t", "news"), ("good3", "t", "news")]
+        + [("ghost", "t", "junk")],  # no authority row -> weight 0
+        "src string, dst string, term string",
+    )
+    auth = spark.createDataFrame(
+        [("spam", 0.01), ("good1", 1.0), ("good2", 1.0), ("good3", 0.9)],
+        "src string, auth double",
+    )
+    rows = {r["term"]: r for r in anchor_text_index(edges, auth, k=3).collect()}
+    assert rows["news"]["rnk"] == 1 and rows["news"]["n_src"] == 3
+    assert rows["buy"]["rnk"] == 2 and rows["buy"]["n_links"] == 50
+    assert abs(rows["buy"]["score"] - 0.5) < 1e-9
+    assert rows["junk"]["score"] == 0.0
