@@ -3454,6 +3454,76 @@ def q_image_flip_dedup(spark, sf_dir):
     )
 
 
+def q_image_rot_dedup(spark, sf_dir):
+    """Full-dihedral image dedup: 90°/270° rotations and transposes
+    swap the aspect ratio, so even the flip-canonical hash scatters
+    them — codecs.dihedral_min_phash64 folds the whole 8-element D4
+    orbit into one signature in the same decode pass
+    (multimodal.dihedral_canonical_sigs). Banded Hamming<=3 over
+    ``d4_phash`` recalls every planted rot90/rot270/transpose twin at
+    distance 0; flip- and plain-hash distances ride along to attribute
+    each catch. No SQL oracle (binary codec); rows-only — exactness is
+    pytest-asserted (tests/test_flipsig.py)."""
+    import numpy as np
+
+    from crawler_spark.functions.codecs import decode, encode
+    from crawler_spark.operators.dedup import hamming64_pairs
+    from crawler_spark.operators.multimodal import dihedral_canonical_sigs
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/rimg-{i}" for i in range(36)]
+    rows = [
+        (r["image_id"], r["bytes"], r["fmt"])
+        for r in (T1_SMOKE.payload(u) for u in urls)
+    ]
+    variants = []
+    for j, (image_id, data, fmt) in enumerate(rows[:12]):
+        px = decode(data, fmt)
+        rot = (
+            np.rot90(px) if j % 3 == 0
+            else np.rot90(px, 3) if j % 3 == 1
+            else px.T
+        )
+        variants.append((image_id + "-r", encode(rot.copy(), "png"), "png"))
+    images = spark.createDataFrame(
+        rows + variants, "image_id string, bytes binary, fmt string"
+    )
+    sigs = dihedral_canonical_sigs(images)
+    cand = hamming64_pairs(
+        sigs, id_col="image_id", sig_col="d4_phash", max_hamming=3, n_bands=8
+    )
+    other = sigs.select("image_id", "phash", "flip_phash")
+    return (
+        cand.join(
+            other.select(
+                F.col("image_id").alias("doc_a"),
+                F.col("phash").alias("pa"),
+                F.col("flip_phash").alias("fa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            other.select(
+                F.col("image_id").alias("doc_b"),
+                F.col("phash").alias("pb"),
+                F.col("flip_phash").alias("fb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("hamming").alias("d4_hamming"),
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias(
+                "flip_hamming"
+            ),
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias(
+                "plain_hamming"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis (documents)
 # --------------------------------------------------------------------------
@@ -9500,6 +9570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edh_histogram": q_edh_histogram,
         "join_order_costs": q_join_order_costs,
         "anchor_text_index": q_anchor_text_index,
+        "image_rot_dedup": q_image_rot_dedup,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,

@@ -148,6 +148,19 @@ def flip_min_phash64(px: np.ndarray) -> int:
     )
 
 
+def dihedral_min_phash64(px: np.ndarray) -> int:
+    """Full D4-canonical perceptual hash: min of phash64 over all 8
+    dihedral orientations — the 4 axis-preserving ones of ``px`` plus
+    the 4 of its transpose (which are exactly rot90, rot270, transpose
+    and anti-transpose). Extends `flip_min_phash64` to the
+    aspect-TRANSPOSING rotations it deliberately skips: a 90°-rotated
+    re-upload (portrait/landscape flips from phone captures are the
+    common benign case) canonicalizes to the same signature. Same
+    deterministic signed-int64 min pick; transpose is a numpy view, so
+    the extra cost is 4 more 32x32 DCTs, not a pixel copy."""
+    return min(flip_min_phash64(px), flip_min_phash64(px.T))
+
+
 def _pack_bits64(bits: "np.ndarray") -> int:
     """64 bools -> signed int64 (two's complement), MSB first."""
     v = 0

@@ -796,6 +796,53 @@ def flip_canonical_sigs(images: DataFrame) -> DataFrame:
     )
 
 
+D4_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("flip_phash", T.LongType()),
+        T.StructField("d4_phash", T.LongType()),
+    ]
+)
+
+
+def dihedral_canonical_sigs(images: DataFrame) -> DataFrame:
+    """Plain + flip-canonical + full-D4-canonical pHash per image in a
+    single decode pass (codecs.dihedral_min_phash64). The d4 column
+    additionally folds the aspect-transposing 90°/270° rotations into
+    one signature, so a banded-Hamming pass keyed on it recalls
+    portrait/landscape re-uploads the flip canonical scatters; carrying
+    all three columns lets the dedup report attribute each catch to
+    orientation class. Same Arrow-batched mapInPandas shape as
+    flip_canonical_sigs — one decode, three hashes, no shuffle."""
+
+    from crawler_spark.functions.codecs import (
+        dihedral_min_phash64,
+        flip_min_phash64,
+    )
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "phash": phash64(px),
+                        "flip_phash": flip_min_phash64(px),
+                        "d4_phash": dihedral_min_phash64(px),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in D4_SIG_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=D4_SIG_SCHEMA
+    )
+
+
 BORDER_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

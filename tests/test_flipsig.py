@@ -118,3 +118,52 @@ def test_hamming64_join_matches_bruteforce(spark):
     # every +1-brightness probe finds its own catalog source
     for pi in ph:
         assert (pi, pi[: -len("-b")]) in got
+
+
+def test_dihedral_min_phash_invariant_under_full_d4():
+    from crawler_spark.functions.codecs import dihedral_min_phash64
+
+    for image_id, px in _pixels():
+        base = dihedral_min_phash64(px)
+        orbit = [
+            px[:, ::-1], px[::-1, :], px[::-1, ::-1],
+            px.T, np.rot90(px), np.rot90(px, 2), np.rot90(px, 3),
+            px.T[::-1, ::-1],
+        ]
+        for t in orbit:
+            assert dihedral_min_phash64(np.ascontiguousarray(t)) == base, image_id
+
+
+def test_d4_sigs_recall_rot90_twins_flip_hash_misses(spark):
+    """90°-rotated re-uploads land at d4 Hamming 0 and are recalled by
+    the banded join; the flip-canonical hash (which only folds
+    axis-preserving orientations) scatters them to large distances."""
+    from crawler_spark.operators.multimodal import dihedral_canonical_sigs
+
+    rows = []
+    for image_id, px in _pixels(10):
+        rows.append((image_id, encode(px.copy(), "png"), "png"))
+        rows.append(
+            (image_id + "-r", encode(np.rot90(px).copy(), "png"), "png")
+        )
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    sigs = dihedral_canonical_sigs(images).collect()
+    by_id = {r["image_id"]: r for r in sigs}
+    flip_misses = 0
+    for image_id, px in _pixels(10):
+        a, b = by_id[image_id], by_id[image_id + "-r"]
+        assert a["d4_phash"] == b["d4_phash"], image_id
+        if bin((a["flip_phash"] ^ b["flip_phash"]) & (2**64 - 1)).count("1") > 3:
+            flip_misses += 1
+    assert flip_misses >= 7  # flip canonical demonstrably insufficient
+    got = {
+        tuple(sorted((r["doc_a"], r["doc_b"])))
+        for r in hamming64_pairs(
+            dihedral_canonical_sigs(images),
+            id_col="image_id", sig_col="d4_phash", max_hamming=3, n_bands=8,
+        ).collect()
+    }
+    for image_id, _ in _pixels(10):
+        assert tuple(sorted((image_id, image_id + "-r"))) in got
