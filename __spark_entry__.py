@@ -9227,6 +9227,142 @@ def q_anchor_text_index(spark, sf_dir):
     return anchor_text_index(edges, auth, k=3)
 
 
+def q_latency_mad_outliers(spark, sf_dir):
+    """Robust per-type outlier gate (operators/robust.py mad_outliers,
+    Iglewicz & Hoaglin '93): modified z from lower-median order
+    statistics — planted 500-unit spikes (event_id % 997 == 0) must
+    flag while the mean/stddev a naive gate uses would be dragged by
+    those same spikes. Emits only the flagged rows."""
+    from crawler_spark.operators.robust import mad_outliers
+
+    e = _t(spark, sf_dir, "events")
+    lat = e.select(
+        "event_type",
+        "event_id",
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 997 == 0, F.lit(500.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("lat"),
+    )
+    out = mad_outliers(lat, "event_type", "event_id", "lat", z_thresh=3.5)
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return out.filter(F.col("is_outlier")).select(
+        "event_type", "event_id", p6("lat").alias("lat6"), "z6"
+    )
+
+
+def q_host_latency_trend(spark, sf_dir):
+    """Theil-Sen robust trend per event type (operators/robust.py):
+    median-of-pairwise-slopes over an md5-sampled series (bounded
+    pair count by construction) — the "is this host slowing down"
+    estimator that survives retry/timeout pollution OLS cannot. x is
+    hours since the corpus anchor in exact microseconds."""
+    from crawler_spark.operators.robust import theil_sen_trend
+
+    e = _t(spark, sf_dir, "events")
+    samp = e.filter(
+        F.expr(
+            "pmod(cast(conv(substring(md5(concat('ts:', cast(event_id as "
+            "string))), 1, 15), 16, 10) as bigint), 1000) < 10"
+        )
+    ).select(
+        "event_type",
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000))
+            / F.lit(3.6e9)
+        ).alias("xh"),
+        "value",
+    )
+    t = theil_sen_trend(samp, "event_type", "xh", "value")
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return t.select(
+        "event_type",
+        "n_points",
+        "n_pairs",
+        p6("coalesce(slope, 0.0)").alias("slope6"),
+    )
+
+
+def _mad_sql() -> str:
+    """DuckDB mirror of q_latency_mad_outliers: same planted spikes,
+    lower-median order statistics, modified-z arithmetic."""
+    return """WITH lat AS (
+      SELECT event_type AS g, event_id AS i,
+             value + CASE WHEN event_id % 997 = 0 THEN CAST(500.0 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS x
+      FROM events
+    ),
+    rk AS (
+      SELECT g, i, x,
+             row_number() OVER (PARTITION BY g ORDER BY x, i) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM lat
+    ),
+    med AS (SELECT g, x AS med FROM rk WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT lat.g, lat.i, lat.x, med.med, abs(lat.x - med.med) AS d
+      FROM lat JOIN med USING (g)
+    ),
+    rk2 AS (
+      SELECT g, d,
+             row_number() OVER (PARTITION BY g ORDER BY d, i) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM dev
+    ),
+    mad AS (SELECT g, d AS mad FROM rk2 WHERE rn = (n + 1) // 2),
+    z AS (
+      SELECT dev.g, dev.i, dev.x,
+             CASE WHEN mad.mad > 0
+                  THEN CAST(0.6745 AS DOUBLE) * (dev.x - dev.med) / mad.mad
+                  ELSE CAST(0.0 AS DOUBLE) END AS zv
+      FROM dev JOIN mad USING (g)
+    )
+    SELECT g AS event_type, i AS event_id,
+           CAST(floor(x * 1e6 + 0.5) AS DOUBLE) / 1e6 AS lat6,
+           CAST(floor(zv * 1e6 + 0.5) AS DOUBLE) / 1e6 AS z6
+    FROM z WHERE abs(zv) > 3.5"""
+
+
+def _theil_sen_sql() -> str:
+    """DuckDB mirror of q_host_latency_trend: identical md5 sample,
+    pinned pairwise slopes, lower-median order statistic."""
+    return """WITH samp AS (
+      SELECT event_type AS g,
+             (epoch_us(ts) - 1704067200000000) / CAST(3.6e9 AS DOUBLE) AS xh,
+             value AS y
+      FROM events
+      WHERE CAST('0x' || substring(md5('ts:' || CAST(event_id AS VARCHAR)),
+                 1, 15) AS BIGINT) % 1000 < 10
+    ),
+    pairs AS (
+      SELECT a.g, a.xh AS xa, a.y AS ya, b.xh AS xb, b.y AS yb,
+             CAST(floor((b.y - a.y) / (b.xh - a.xh) * 1e9 + 0.5) AS DOUBLE)
+               / 1e9 AS s
+      FROM samp a JOIN samp b ON a.g = b.g AND a.xh < b.xh
+    ),
+    rk AS (
+      SELECT g, s,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY s, xa, xb, ya, yb) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM pairs
+    ),
+    med AS (SELECT g, s AS slope, n AS n_pairs FROM rk WHERE rn = (n + 1) // 2),
+    npts AS (SELECT g, count(*) AS n_points FROM samp GROUP BY g)
+    SELECT npts.g AS event_type,
+           CAST(npts.n_points AS BIGINT) AS n_points,
+           CAST(coalesce(med.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(floor(coalesce(med.slope, 0.0) * 1e6 + 0.5) AS DOUBLE) / 1e6
+             AS slope6
+    FROM npts LEFT JOIN med USING (g)"""
+
+
 def _anchor_sql(k: int = 3) -> str:
     """DuckDB mirror of q_anchor_text_index: identical synthetic graph,
     authority dimension, 1e-9-pinned decimal-summed scores, top-k."""
@@ -9571,6 +9707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_order_costs": q_join_order_costs,
         "anchor_text_index": q_anchor_text_index,
         "image_rot_dedup": q_image_rot_dedup,
+        "latency_mad_outliers": q_latency_mad_outliers,
+        "host_latency_trend": q_host_latency_trend,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -10539,6 +10677,8 @@ def oracle_sql() -> dict[str, str]:
         "edh_histogram": _edh_sql("hist"),
         "join_order_costs": _join_order_sql(),
         "anchor_text_index": _anchor_sql(),
+        "latency_mad_outliers": _mad_sql(),
+        "host_latency_trend": _theil_sen_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),
         "kmv_set_algebra": _kmv_sql("algebra"),
         "hll_distinct": """

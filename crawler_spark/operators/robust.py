@@ -1,0 +1,150 @@
+"""Robust statistics for crawl-ops series — outlier gating and trend
+estimation that survive the heavy-tailed, spike-ridden distributions
+fetch metrics actually have (mean/stddev-based gates are ruined by the
+very outliers they are meant to catch; one stuck host drags a fleet
+z-score arbitrarily).
+
+* `mad_outliers` — the Iglewicz & Hoaglin (1993) modified z-score:
+  z = 0.6745 (x - median) / MAD, flag |z| > 3.5. Median and MAD have a
+  50% breakdown point vs 0% for mean/stddev.
+* `theil_sen_trend` — Theil ('50) / Sen ('68) slope: the median of all
+  pairwise slopes, robust to ~29% corrupted points vs 0% for OLS (the
+  zipf_fit/ols family next door); the right "is this host slowing
+  down" estimator when retries and timeouts pollute the series.
+
+Engine-portability discipline: every "median" here is the LOWER-MEDIAN
+ORDER STATISTIC (rank (n+1) div 2 in a total order with explicit
+tie-breaks) — selecting an element, not interpolating between two,
+sidesteps the percentile-interpolation differences between engines the
+same way exact_rank_select does. Slopes are 1e-9-pinned before
+ranking so equal-by-grid slopes order identically everywhere.
+
+Scale shape: both operators window PER GROUP over bounded series (a
+host's metric retention window, not the corpus); Theil-Sen's pairwise
+stage is O(m^2) per group and is fed a deterministic md5 sample by the
+callers — the textbook mitigation, keeping m in the hundreds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lower_median(
+    df: DataFrame, group_col: str, value_col: str, order_cols: list[str]
+) -> DataFrame:
+    """Per-group lower-median order statistic of ``value_col`` under
+    the total order ``order_cols``: the row with row_number equal to
+    (n+1) div 2. Returns (group_col, med)."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    wn = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select(F.col(group_col), F.col(value_col).alias("med"))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Modified-z outlier flags per group (Iglewicz & Hoaglin '93):
+    z = 0.6745 (x - med) / MAD with med/MAD as lower-median order
+    statistics; |z| > z_thresh flags. A group whose MAD is 0 (over
+    half the series identical — common for quantized latencies) flags
+    nothing (z undefined -> 0), matching the reference treatment.
+
+    Returns every input row as (group, id, value, z6, is_outlier) with
+    z6 pinned at 1e-6. Two per-group windows over the bounded series;
+    the medians join back as a broadcast group dimension.
+    """
+    vals = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("i"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    med = _lower_median(vals, "g", "x", ["x", "i"])
+    dev = vals.join(F.broadcast(med), "g").withColumn(
+        "d", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = _lower_median(dev.select("g", "i", "d"), "g", "d", ["d", "i"]).select(
+        "g", F.col("med").alias("mad")
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad"),
+    ).otherwise(F.lit(0.0))
+    p6 = F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6)
+    return (
+        dev.join(F.broadcast(mad), "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("i").alias(id_col),
+            F.col("x").alias(value_col),
+            p6.alias("z6"),
+            (F.abs(z) > z_thresh).alias("is_outlier"),
+        )
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen slope per group: the lower-median of all pairwise
+    slopes (y_b - y_a)/(x_b - x_a) over x_a < x_b (equal-x pairs are
+    excluded — vertical slopes are undefined). Slopes are 1e-9-pinned
+    before ranking; the median's total order is (slope, x_a, x_b, y_a, y_b) so
+    the selected element is engine-identical. Callers pre-sample the
+    series (md5 draw) to keep the per-group pair count bounded.
+
+    Returns (group, n_points, n_pairs, slope) — slope NULL for groups
+    with < 2 distinct x.
+    """
+    pts = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("double").alias("px"),
+        F.col(y_col).cast("double").alias("py"),
+    )
+    a = pts.select("g", F.col("px").alias("xa"), F.col("py").alias("ya"))
+    b = pts.select("g", F.col("px").alias("xb"), F.col("py").alias("yb"))
+    slopes = (
+        a.join(b, "g")
+        .filter(F.col("xa") < F.col("xb"))
+        .withColumn(
+            "s",
+            F.floor(
+                (F.col("yb") - F.col("ya"))
+                / (F.col("xb") - F.col("xa"))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1e9),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("s", "xa", "xb", "ya", "yb")
+    wn = Window.partitionBy("g")
+    med = (
+        slopes.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select("g", F.col("s").alias("slope"), F.col("_n").alias("n_pairs"))
+    )
+    npts = pts.groupBy("g").agg(F.count("*").alias("n_points"))
+    return (
+        npts.join(med, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            "slope",
+        )
+    )
