@@ -9289,6 +9289,80 @@ def q_host_latency_trend(spark, sf_dir):
     )
 
 
+def q_unimax_allocation(spark, sf_dir):
+    """UniMax-style token-budget allocation (Chung et al. '23;
+    operators/corpus.py waterfill_allocation): spread a 1.5x-corpus
+    budget uniformly across languages but cap each at 2 epochs of its
+    available docs — low-resource languages saturate at their cap and
+    their surplus water-fills the rest, in closed form (sorted
+    threshold, one window over the LANGUAGE dimension). The only
+    driver scalar is the corpus count."""
+    from crawler_spark.operators.corpus import waterfill_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    groups = d.groupBy(F.col("lang").alias("key")).agg(
+        (F.lit(2.0) * F.count("*").cast("double")).alias("cap"),
+        F.lit(1.0).alias("w"),
+    )
+    out = waterfill_allocation(groups, budget=1.5 * n)
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return out.select(
+        F.col("key").alias("lang"),
+        p6("cap").alias("cap6"),
+        p6("ratio").alias("ratio6"),
+        p6("alloc").alias("alloc6"),
+        "saturated",
+    )
+
+
+def _unimax_sql() -> str:
+    """DuckDB mirror of q_unimax_allocation: pinned caps/weights,
+    DECIMAL prefix sums in the same (ratio, key) order, identical
+    water-level arithmetic."""
+    p9 = "CAST(floor(({e}) * 1e9 + 0.5) AS DOUBLE) / 1e9"
+    return f"""WITH counts AS (
+      SELECT lang AS key, count(*) AS n FROM documents GROUP BY lang
+    ),
+    bud AS (
+      SELECT CAST(1.5 AS DOUBLE)
+             * (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS b
+    ),
+    r AS (
+      SELECT key,
+             {p9.format(e="CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE)")} AS cap,
+             {p9.format(e="CAST(1.0 AS DOUBLE)")} AS w
+      FROM counts
+    ),
+    rr AS (SELECT key, cap, w, cap / w AS ratio FROM r),
+    staged AS (
+      SELECT key, cap, w, ratio,
+             CAST(sum(CAST(cap AS DECIMAL(28, 9)))
+                  OVER (ORDER BY ratio, key
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_cap,
+             CAST(sum(CAST(w AS DECIMAL(28, 9)))
+                  OVER (ORDER BY ratio, key
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_w,
+             CAST(sum(CAST(w AS DECIMAL(28, 9))) OVER () AS DOUBLE) AS tot_w
+      FROM rr
+    ),
+    lam2 AS (
+      SELECT max(least(((SELECT b FROM bud) - (cum_cap - cap))
+                         / (tot_w - (cum_w - w)),
+                       ratio)) AS lam
+      FROM staged
+    )
+    SELECT key AS lang,
+           CAST(floor(cap * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cap6,
+           CAST(floor(ratio * 1e6 + 0.5) AS DOUBLE) / 1e6 AS ratio6,
+           CAST(floor(least(cap, (SELECT lam FROM lam2) * w) * 1e6 + 0.5)
+                AS DOUBLE) / 1e6 AS alloc6,
+           ratio <= (SELECT lam FROM lam2) AS saturated
+    FROM staged"""
+
+
 def _mad_sql() -> str:
     """DuckDB mirror of q_latency_mad_outliers: same planted spikes,
     lower-median order statistics, modified-z arithmetic."""
@@ -9709,6 +9783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_rot_dedup": q_image_rot_dedup,
         "latency_mad_outliers": q_latency_mad_outliers,
         "host_latency_trend": q_host_latency_trend,
+        "unimax_allocation": q_unimax_allocation,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -10679,6 +10754,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_index": _anchor_sql(),
         "latency_mad_outliers": _mad_sql(),
         "host_latency_trend": _theil_sen_sql(),
+        "unimax_allocation": _unimax_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),
         "kmv_set_algebra": _kmv_sql("algebra"),
         "hll_distinct": """

@@ -828,3 +828,82 @@ def compression_gate(
         ratio.alias("ratio"),
         ((ratio >= min_ratio) & (ratio <= max_ratio)).alias("pass_compression"),
     )
+
+
+# ------------------------------------------ water-filling budget allocation
+
+
+def waterfill_allocation(
+    groups: DataFrame,
+    budget: float,
+    key_col: str = "key",
+    cap_col: str = "cap",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted water-filling: allocate ``budget`` across groups as
+    A_i = min(cap_i, lambda * w_i), with the water level lambda chosen
+    so the allocations exactly exhaust the budget (or every cap binds).
+    This is the UniMax-family allocation (Chung et al. '23): spread a
+    token budget proportionally but never draw more than a group's cap
+    (epochs x available tokens) — the groups the proportional share
+    would over-draw saturate, and their surplus redistributes to the
+    rest at a higher water level.
+
+    Closed form, not iteration: sort groups by cap_i/w_i ascending;
+    in the segment where exactly the first k caps bind, lambda_k =
+    (budget - sum_{i<=k} cap_i) / sum_{i>k} w_i; the correct k is the
+    unique one with cap_k/w_k <= lambda_k < cap_{k+1}/w_{k+1} (k may
+    be 0 or all). One window pass over the GROUP DIMENSION (languages,
+    sources — dimension-sized by definition), never the corpus.
+
+    Returns (key, cap, w, ratio, alloc, saturated). Allocations are
+    exact doubles of the closed form; callers pin for display. If
+    budget >= sum(cap), every group saturates at its cap.
+    """
+    from pyspark.sql import Window
+
+    def pin9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("double") / F.lit(1e9)
+
+    # cap/w pinned to the 1e-9 grid and ACCUMULATED AS DECIMAL: window
+    # cumulative float sums have engine-internal association order, so
+    # prefix sums must be exact to stay oracle-identical
+    r = groups.select(
+        F.col(key_col).alias("key"),
+        pin9(F.col(cap_col).cast("double")).alias("cap"),
+        pin9(F.col(weight_col).cast("double")).alias("w"),
+    ).withColumn("ratio", F.col("cap") / F.col("w"))
+    wo = Window.orderBy("ratio", "key")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    capd = F.col("cap").cast("decimal(28, 9)")
+    wd = F.col("w").cast("decimal(28, 9)")
+    staged = (
+        r.withColumn("cum_cap", F.sum(capd).over(wcum).cast("double"))
+        .withColumn("cum_w", F.sum(wd).over(wcum).cast("double"))
+        .withColumn("tot_w", F.sum(wd).over(wall).cast("double"))
+        .withColumn(
+            "lam_here",
+            (F.lit(float(budget)) - (F.col("cum_cap") - F.col("cap")))
+            / (F.col("tot_w") - (F.col("cum_w") - F.col("w"))),
+        )
+    )
+    # the water level is the max over groups of min(lam_here, ratio):
+    # for saturated groups min() = ratio (<= lambda), for the first
+    # unsaturated group lam_here IS lambda — a single scalar aggregate
+    lam_row = staged.agg(
+        F.max(F.least(F.col("lam_here"), F.col("ratio"))).alias("lam")
+    )
+    return (
+        staged.crossJoin(F.broadcast(lam_row))
+        .select(
+            "key",
+            "cap",
+            "w",
+            "ratio",
+            F.least(F.col("cap"), F.col("lam") * F.col("w")).alias("alloc"),
+            (F.col("ratio") <= F.col("lam")).alias("saturated"),
+        )
+    )

@@ -310,3 +310,28 @@ def test_train_linear_probe_matches_python_gd(spark):
     en = [score(i) for i in feats if labels[i] == 1.0]
     de = [score(i) for i in feats if labels[i] == 0.0]
     assert min(en) > max(de)
+
+
+def test_waterfill_allocation_exhausts_budget_and_caps(spark):
+    """Water level: saturated groups take exactly their cap, the rest
+    share the remainder proportionally to weight; total == budget.
+    budget >= sum(caps) degenerates to everyone-at-cap."""
+    from crawler_spark.operators.corpus import waterfill_allocation
+
+    g = spark.createDataFrame(
+        [("a", 100.0, 1.0), ("b", 1000.0, 2.0), ("c", 50.0, 1.0), ("d", 400.0, 1.0)],
+        "key string, cap double, w double",
+    )
+    rows = {r["key"]: r for r in waterfill_allocation(g, 800.0).collect()}
+    # ratios: c=50 a=100 d=400 b=500; lambda in (100, 400]:
+    # 50 + 100 + lam*(2+1) = 800 -> lam = 216.66..; d,b unsaturated
+    assert rows["c"]["alloc"] == 50.0 and rows["c"]["saturated"]
+    assert rows["a"]["alloc"] == 100.0 and rows["a"]["saturated"]
+    assert not rows["b"]["saturated"] and not rows["d"]["saturated"]
+    total = sum(r["alloc"] for r in rows.values())
+    assert abs(total - 800.0) < 1e-6
+    assert abs(rows["b"]["alloc"] / rows["d"]["alloc"] - 2.0) < 1e-9
+    # budget beyond all caps: everyone saturates at cap
+    rows2 = {r["key"]: r for r in waterfill_allocation(g, 1e9).collect()}
+    assert all(r["saturated"] for r in rows2.values())
+    assert sum(r["alloc"] for r in rows2.values()) == 1550.0
