@@ -15011,24 +15011,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
               ) WHERE length(tok) > 0
             ),
-            bands AS (
-              SELECT doc_id, b.band_id, md5(b.band_id || '|' || tok) AS h
-              FROM toks, unnest(generate_series(0, 3)) AS b(band_id)
-            ),
+            hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
             votes AS (
-              SELECT doc_id, band_id, t.bit,
-                     CASE WHEN substr(h, t.bit + 1, 1) >= '8'
+              SELECT doc_id, t.k,
+                     CASE WHEN (((instr('0123456789abcdef',
+                                        substr(h, (t.k // 4) + 1, 1)) - 1)
+                                 >> (t.k % 4)) & 1) = 1
                           THEN 1 ELSE -1 END AS vote
-              FROM bands, unnest(generate_series(0, 15)) AS t(bit)
+              FROM hs, unnest(generate_series(0, 63)) AS t(k)
             ),
             per_bit AS (
-              SELECT doc_id, band_id, bit,
+              SELECT doc_id, k,
                      CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS b
-              FROM votes GROUP BY doc_id, band_id, bit
+              FROM votes GROUP BY doc_id, k
             )
-            SELECT doc_id, CAST(band_id AS INT) AS band_id,
-                   CAST(sum(b * CAST(pow(2, bit) AS BIGINT)) AS BIGINT) AS band_val
-            FROM per_bit GROUP BY doc_id, band_id
+            SELECT doc_id, CAST(k // 16 AS INT) AS band_id,
+                   CAST(sum(b * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT)
+                     AS band_val
+            FROM per_bit GROUP BY doc_id, k // 16
         """,
         "simhash64_pairs": """
             WITH toks AS (
@@ -15038,25 +15038,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
               ) WHERE length(tok) > 0
             ),
-            bands AS (
-              SELECT doc_id, b.band_id, md5(b.band_id || '|' || tok) AS h
-              FROM toks, unnest(generate_series(0, 3)) AS b(band_id)
-            ),
+            hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
             votes AS (
-              SELECT doc_id, band_id, t.bit,
-                     CASE WHEN substr(h, t.bit + 1, 1) >= '8'
+              SELECT doc_id, t.k,
+                     CASE WHEN (((instr('0123456789abcdef',
+                                        substr(h, (t.k // 4) + 1, 1)) - 1)
+                                 >> (t.k % 4)) & 1) = 1
                           THEN 1 ELSE -1 END AS vote
-              FROM bands, unnest(generate_series(0, 15)) AS t(bit)
+              FROM hs, unnest(generate_series(0, 63)) AS t(k)
             ),
             per_bit AS (
-              SELECT doc_id, band_id, bit,
+              SELECT doc_id, k,
                      CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS b
-              FROM votes GROUP BY doc_id, band_id, bit
+              FROM votes GROUP BY doc_id, k
             ),
             sig AS (
-              SELECT doc_id, band_id,
-                     CAST(sum(b * CAST(pow(2, bit) AS BIGINT)) AS BIGINT) AS band_val
-              FROM per_bit GROUP BY doc_id, band_id
+              SELECT doc_id, CAST(k // 16 AS INT) AS band_id,
+                     CAST(sum(b * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT)
+                       AS band_val
+              FROM per_bit GROUP BY doc_id, k // 16
             ),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -15081,25 +15081,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
               ) WHERE length(tok) > 0
             ),
-            bands AS (
-              SELECT doc_id, b.band_id, md5(b.band_id || '|' || tok) AS h
-              FROM toks, unnest(generate_series(0, 3)) AS b(band_id)
-            ),
+            hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
             votes AS (
-              SELECT doc_id, band_id, t.bit,
-                     CASE WHEN substr(h, t.bit + 1, 1) >= '8'
+              SELECT doc_id, t.k,
+                     CASE WHEN (((instr('0123456789abcdef',
+                                        substr(h, (t.k // 4) + 1, 1)) - 1)
+                                 >> (t.k % 4)) & 1) = 1
                           THEN 1 ELSE -1 END AS vote
-              FROM bands, unnest(generate_series(0, 15)) AS t(bit)
+              FROM hs, unnest(generate_series(0, 63)) AS t(k)
             ),
             per_bit AS (
-              SELECT doc_id, band_id, bit,
+              SELECT doc_id, k,
                      CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS b
-              FROM votes GROUP BY doc_id, band_id, bit
+              FROM votes GROUP BY doc_id, k
             ),
             sig AS (
-              SELECT doc_id, band_id,
-                     CAST(sum(b * CAST(pow(2, bit) AS BIGINT)) AS BIGINT) AS band_val
-              FROM per_bit GROUP BY doc_id, band_id
+              SELECT doc_id, CAST(k // 16 AS INT) AS band_id,
+                     CAST(sum(b * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT)
+                       AS band_val
+              FROM per_bit GROUP BY doc_id, k // 16
             ),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

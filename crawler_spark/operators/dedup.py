@@ -179,9 +179,17 @@ def simhash64_band_signatures(
     values) collides massively at 10^10 docs; 64 bits with banded
     Hamming<=k joins is the standard fix (Manku et al., WWW'07).
 
-    Band b's bit i is the majority vote over the doc's distinct tokens of
-    bit i of md5(b || '|' || token) (independent hash per band; each md5
-    hex digit's top bit is a fair coin — portable to any SQL oracle).
+    Global bit k (k = 16*band + i, i little-endian within the band) is
+    the majority vote over the doc's distinct tokens of bit (k mod 4)
+    of hex digit (k div 4) of ONE md5(token) — the classic
+    one-hash-per-token SimHash (Charikar '02 as deployed by Manku
+    WWW'07): md5's 128 bits are independent fair coins, so slicing 64
+    of them gives the same guarantee as 4 independent per-band hashes
+    at a quarter of the hashing cost and with NO band explode — the
+    vote aggregation reads one row per (doc, token), with all 64 bit
+    votes as parallel agg columns in a single map-side-combinable
+    groupBy(doc_id).
+
     Output: (doc_id, band_id, band_val) — one 16-bit int per band, so
     banded joins need no bit-slicing downstream.
     """
@@ -192,30 +200,41 @@ def simhash64_band_signatures(
         )
         .filter(F.length("tok") > 0)
         .distinct()
+        .withColumn("h", F.md5("tok"))
     )
-    bands = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
-        "tok",
-    ).withColumn(
-        "h", F.md5(F.concat(F.col("band_id").cast("string"), F.lit("|"), F.col("tok")))
-    )
-    # all ``band_bits`` vote sums as parallel agg columns in one pass —
-    # the band explode (n_bands x) stays because each band hashes
-    # independently, but the per-bit explode (band_bits x on top) would
-    # multiply aggregation input 16x for zero information gain
+    n_bits = n_bands * band_bits
+    # one digit-value expression per hex digit, 4 vote columns each —
+    # whole-stage codegen evaluates the shared substring/instr once
+    digits = [
+        F.expr(
+            f"instr('0123456789abcdef', substring(h, {d + 1}, 1)) - 1"
+        )
+        for d in range((n_bits + 3) // 4)
+    ]
     votes = [
         F.sum(
-            F.when(F.substring("h", i + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"_v{i}")
-        for i in range(band_bits)
+            (F.shiftright(digits[k // 4], k % 4) % 2 * 2 - 1).cast("int")
+        ).alias(f"_v{k}")
+        for k in range(n_bits)
     ]
-    per_band = bands.groupBy("doc_id", "band_id").agg(*votes)
-    val = None
-    for i in range(band_bits):
-        term = (F.col(f"_v{i}") > 0).cast("long") * F.lit(1 << i)
-        val = term if val is None else val + term
-    return per_band.select("doc_id", "band_id", val.alias("band_val"))
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    band_vals = []
+    for b in range(n_bands):
+        val = None
+        for i in range(band_bits):
+            term = (F.col(f"_v{16 * b + i}") > 0).cast("long") * F.lit(1 << i)
+            val = term if val is None else val + term
+        band_vals.append(val.alias(f"_band{b}"))
+    wide = per_doc.select("doc_id", *band_vals)
+    # unpivot the n_bands columns back to the (doc_id, band_id,
+    # band_val) contract — n_bands rows per doc, built map-side
+    stack = ", ".join(
+        f"{b}, _band{b}" for b in range(n_bands)
+    )
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack}) AS (band_id, band_val)"),
+    ).select("doc_id", F.col("band_id").cast("int").alias("band_id"), "band_val")
 
 
 def simhash64_hamming_pairs(
@@ -234,7 +253,13 @@ def simhash64_hamming_pairs(
     finds it without any O(n^2) comparison. Candidates then verify the
     true 64-bit Hamming distance via per-band xor + bit_count.
     """
-    sig = simhash64_band_signatures(docs, text_col, id_col, n_bands, band_bits)
+    # the signature build (distinct-token explode x n_bands md5 votes)
+    # dominates this operator's cost; localCheckpoint materializes it
+    # ONCE for the three consumers below (band join's two sides + the
+    # verify) instead of re-running the vote pipeline per subtree
+    sig = simhash64_band_signatures(
+        docs, text_col, id_col, n_bands, band_bits
+    ).localCheckpoint(eager=True)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
@@ -246,20 +271,36 @@ def simhash64_hamming_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), "band_id", F.col("band_val").alias("va")
+    # verify against a WIDE one-row-per-doc signature (n_bands columns):
+    # halves the verify-join fan-out (1 row per side instead of n_bands)
+    # and removes the per-pair groupBy shuffle entirely — the Hamming
+    # distance is a map-side xor/bit_count fold over the band columns
+    wide = sig.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("band_id") == i, F.col("band_val"))
+            ).alias(f"_b{i}")
+            for i in range(n_bands)
+        ]
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), "band_id", F.col("band_val").alias("vb")
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"_b{i}").alias(f"_a{i}") for i in range(n_bands)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"_b{i}").alias(f"_c{i}") for i in range(n_bands)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_c{i}")))
+        for i in range(n_bands)
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "band_id"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))).alias("hamming")
-        )
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
