@@ -8572,10 +8572,12 @@ def q_ed_join_pairs(spark, sf_dir):
     # q=10: this corpus draws from a ~30-word pool, so char-TRIgrams
     # are all hot (vocab ~460, min df 133 at sf0.1) and the prefix
     # join blows up; 10-grams push the vocabulary to ~57k so prefix
-    # keys are selective again (measured 2x faster than the best
-    # q=3,m config). On real web text q=3..5 with small m is the
-    # usual setting; q and m are exposed for exactly this tuning.
-    return ed_join_pairs(_t(spark, sf_dir, "documents"), q=10, k=12, m=1)
+    # keys are selective again. m=16 count refinement: requiring 16
+    # shared prefix grams (vs 1) cuts candidates 204k -> 72k and wall
+    # time 2x at sf0.1, provably lossless (generalized prefix lemma).
+    # On real web text q=3..5 with small m is the usual setting; q and
+    # m are exposed for exactly this tuning.
+    return ed_join_pairs(_t(spark, sf_dir, "documents"), q=10, k=12, m=16)
 
 
 def q_ed_join_stats(spark, sf_dir):
@@ -8587,7 +8589,7 @@ def q_ed_join_stats(spark, sf_dir):
     from crawler_spark.operators.dedup import ed_join_pairs
 
     return ed_join_pairs(
-        _t(spark, sf_dir, "documents"), q=10, k=12, m=1, with_stats=True
+        _t(spark, sf_dir, "documents"), q=10, k=12, m=16, with_stats=True
     )
 
 
@@ -11610,7 +11612,7 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY f.df, g.gram) AS pos,
                        count(*) OVER (PARTITION BY g.doc_id) AS n_grams
                 FROM gr g JOIN dfreq f USING (gram)
-              ) WHERE pos <= 121
+              ) WHERE pos <= 136
             ),
             shorts AS (
               SELECT doc_id, n_chars,
@@ -11631,7 +11633,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY a.doc_id, b.doc_id,
                          a.n_grams, b.n_grams
                 HAVING count(*) >= greatest(
-                  1, least(1, a.n_grams - 120, b.n_grams - 120))
+                  1, least(16, a.n_grams - 120, b.n_grams - 120))
                 UNION ALL
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM shorts a JOIN probe b
