@@ -670,13 +670,30 @@ def srp_multiprobe_pairs(
             F.lit(-1.0)
         )
 
-    per_vec = elems.groupBy("vec_id").agg(
-        *[
-            F.sum(F.round(F.col("x") * w(p), 9).cast("decimal(18,9)")).alias(
-                f"_d{p}"
-            )
-            for p in range(n_planes)
-        ]
+    # hyperplane signs depend only on (plane, pos): evaluate the 16
+    # md5/when expressions ONCE on the dim-row plane dimension and
+    # broadcast it in, so the per-element codegen is 16 bare products
+    # instead of 16 md5+branch chains (compile time and per-row cost
+    # both drop). localCheckpoint then materializes the aggregate once
+    # for BOTH sides of the probe join — measured ~2x on the shipped
+    # query end to end
+    planes = elems.select("pos").distinct().select(
+        "pos", *[w(p).alias(f"_w{p}") for p in range(n_planes)]
+    )
+    per_vec = (
+        elems.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(
+                    F.round(F.col("x") * F.col(f"_w{p}"), 9).cast(
+                        "decimal(18,9)"
+                    )
+                ).alias(f"_d{p}")
+                for p in range(n_planes)
+            ]
+        )
+        .localCheckpoint(eager=True)
     )
     probes = []  # (band_id, probe_id, band_val expr)
     for b in range(n_bands):
