@@ -9365,6 +9365,83 @@ def _unimax_sql() -> str:
     FROM staged"""
 
 
+def q_cusum_regime_shifts(spark, sf_dir):
+    """Two-sided CUSUM changepoint alarms per event type (Page '54;
+    operators/robust.py cusum_alarms) over the clamped event-value
+    series with planted +40 regime segments — the sustained-small-drift
+    detector a pointwise threshold misses. Entirely native: the
+    recursion is the prefix-sum-minus-running-min closed form, decimal
+    prefix sums, whole-stage codegen. Emits alarm rows only."""
+    from crawler_spark.operators.robust import cusum_alarms
+
+    e = _t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        "event_id",
+        (
+            F.least(F.col("value"), F.lit(150.0))
+            + F.when(F.col("event_id") % 4000 >= 2000, F.lit(40.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("x"),
+    )
+    out = cusum_alarms(
+        x, "event_type", "event_id", "x", target=70.0, slack=20.0, h=800.0
+    )
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return out.filter(F.col("alarm")).select(
+        "event_type", "event_id", p6("x").alias("x6"), "s_pos6", "s_neg6"
+    )
+
+
+def _cusum_sql() -> str:
+    """DuckDB mirror of q_cusum_regime_shifts: same planted regimes,
+    pinned decimal prefix sums, running extremum clamped with the
+    empty-prefix zero."""
+    return """WITH x AS (
+      SELECT event_type AS g, event_id AS o,
+             least(value, CAST(150.0 AS DOUBLE))
+             + CASE WHEN event_id % 4000 >= 2000 THEN CAST(40.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS x
+      FROM events
+    ),
+    terms AS (
+      SELECT g, o, x,
+             CAST(CAST(floor((x - 70.0 - 20.0) * 1e9 + 0.5) AS DOUBLE) / 1e9
+                  AS DECIMAL(28, 9)) AS up,
+             CAST(CAST(floor((x - 70.0 + 20.0) * 1e9 + 0.5) AS DOUBLE) / 1e9
+                  AS DECIMAL(28, 9)) AS dn
+      FROM x
+    ),
+    pre AS (
+      SELECT g, o, x,
+             CAST(sum(up) OVER w AS DOUBLE) AS cu,
+             CAST(sum(dn) OVER w AS DOUBLE) AS cd
+      FROM terms
+      WINDOW w AS (PARTITION BY g ORDER BY o ROWS UNBOUNDED PRECEDING)
+    ),
+    ext AS (
+      SELECT g, o, x, cu, cd,
+             least(CAST(0.0 AS DOUBLE), min(cu) OVER w) AS mu,
+             greatest(CAST(0.0 AS DOUBLE), max(cd) OVER w) AS md
+      FROM pre
+      WINDOW w AS (PARTITION BY g ORDER BY o ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+      SELECT g, o, x,
+             greatest(CAST(0.0 AS DOUBLE), cu - mu) AS s_pos,
+             greatest(CAST(0.0 AS DOUBLE), md - cd) AS s_neg
+      FROM ext
+    )
+    SELECT g AS event_type, o AS event_id,
+           CAST(floor(x * 1e6 + 0.5) AS DOUBLE) / 1e6 AS x6,
+           CAST(floor(s_pos * 1e6 + 0.5) AS DOUBLE) / 1e6 AS s_pos6,
+           CAST(floor(s_neg * 1e6 + 0.5) AS DOUBLE) / 1e6 AS s_neg6
+    FROM s WHERE s_pos > 800.0 OR s_neg > 800.0"""
+
+
 def _mad_sql() -> str:
     """DuckDB mirror of q_latency_mad_outliers: same planted spikes,
     lower-median order statistics, modified-z arithmetic."""
@@ -9786,6 +9863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_mad_outliers": q_latency_mad_outliers,
         "host_latency_trend": q_host_latency_trend,
         "unimax_allocation": q_unimax_allocation,
+        "cusum_regime_shifts": q_cusum_regime_shifts,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -10757,6 +10835,7 @@ def oracle_sql() -> dict[str, str]:
         "latency_mad_outliers": _mad_sql(),
         "host_latency_trend": _theil_sen_sql(),
         "unimax_allocation": _unimax_sql(),
+        "cusum_regime_shifts": _cusum_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),
         "kmv_set_algebra": _kmv_sql("algebra"),
         "hll_distinct": """

@@ -148,3 +148,75 @@ def theil_sen_trend(
             "slope",
         )
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detector (Page '54) per group — the
+    classic "this host's latency regime SHIFTED" alarm that a plain
+    threshold misses (small sustained drifts) and EWMA smears.
+
+      S+_t = max(0, S+_{t-1} + (x_t - target - slack))
+      S-_t = max(0, S-_{t-1} - (x_t - target + slack))
+
+    alarm when either exceeds ``h``. The recursion looks sequential,
+    but Page's statistic has a closed window form: with C_t the prefix
+    sum of (x_t - target - slack), S+_t = C_t - min_{0<=j<=t} C_j (C_0 = 0) — a
+    cumulative sum and a running min, both plain per-group windows, so
+    the whole detector is native (no stateful UDF, whole-stage
+    codegen). Prefix sums accumulate 1e-9-pinned DECIMAL terms; the
+    running min then compares exact values, so alarm sets are
+    engine-identical.
+
+    Returns every row: (group, order, value, s_pos, s_neg, alarm) with
+    the statistics pinned at 1e-6. At 10^10 rows the windows are per
+    group over the metric retention span — the same bound every
+    trailing-window query here relies on.
+    """
+    pin9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast(  # noqa: E731
+        "double"
+    ) / F.lit(1e9)
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    up = pin9(F.col("x") - F.lit(float(target)) - F.lit(float(slack)))
+    dn = pin9(F.col("x") - F.lit(float(target)) + F.lit(float(slack)))
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = (
+        rows.withColumn(
+            "cu", F.sum(up.cast("decimal(28,9)")).over(wc).cast("double")
+        )
+        .withColumn(
+            "cd", F.sum(dn.cast("decimal(28,9)")).over(wc).cast("double")
+        )
+        # the prefix extremum must include the EMPTY prefix (C_0 = 0):
+        # S_0 = 0 seeds the recursion, so clamp with 0
+        .withColumn("mu", F.least(F.lit(0.0), F.min("cu").over(wc)))
+        .withColumn("md", F.greatest(F.lit(0.0), F.max("cd").over(wc)))
+    )
+    s_pos = F.greatest(F.lit(0.0), F.col("cu") - F.col("mu"))
+    s_neg = F.greatest(F.lit(0.0), F.col("md") - F.col("cd"))
+    p6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "double"
+    ) / F.lit(1e6)
+    return staged.select(
+        F.col("g").alias(group_col),
+        F.col("o").alias(order_col),
+        F.col("x").alias(value_col),
+        p6(s_pos).alias("s_pos6"),
+        p6(s_neg).alias("s_neg6"),
+        ((s_pos > h) | (s_neg > h)).alias("alarm"),
+    )

@@ -61,3 +61,44 @@ def test_theil_sen_degenerate_groups(spark):
     rows = {r["g"]: r for r in theil_sen_trend(df, "g", "x", "y").collect()}
     assert rows["a"]["slope"] is None and rows["a"]["n_pairs"] == 0
     assert rows["b"]["slope"] is None and rows["b"]["n_pairs"] == 0
+
+
+def test_cusum_matches_sequential_recursion_and_alarms_on_shift(spark):
+    """The window closed form equals Page's sequential recursion
+    exactly (pinned arithmetic), stays quiet on in-control data, and
+    alarms after a sustained small shift a 3.5-sigma threshold would
+    never see."""
+    import math
+
+    from crawler_spark.operators.robust import cusum_alarms
+
+    # in-control around 10, then a +0.8 shift from t=30 (within
+    # single-point 3.5-sigma noise, but sustained)
+    vals = [10.0 + ((i * 7) % 5 - 2) * 0.3 for i in range(30)]
+    vals += [10.8 + ((i * 7) % 5 - 2) * 0.3 for i in range(30, 60)]
+    rows = [("h", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, o long, x double")
+    out = {
+        r["o"]: r
+        for r in cusum_alarms(
+            df, "g", "o", "x", target=10.0, slack=0.3, h=5.0
+        ).collect()
+    }
+    # sequential mirror with identical pinning
+    def p9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    sp = sn = 0.0
+    for i, v in enumerate(vals):
+        sp = max(0.0, sp + p9(v - 10.0 - 0.3))
+        sn = max(0.0, sn - p9(v - 10.0 + 0.3))
+        got = out[i]
+        assert abs(got["s_pos6"] - math.floor(sp * 1e6 + 0.5) / 1e6) < 2e-6, i
+        assert abs(got["s_neg6"] - math.floor(sn * 1e6 + 0.5) / 1e6) < 2e-6, i
+    assert not any(out[i]["alarm"] for i in range(30))  # quiet in control
+    assert any(out[i]["alarm"] for i in range(30, 60))  # shift caught
+    # a 3.5-sigma pointwise gate never fires on the shifted points
+    import statistics
+
+    mu, sd = statistics.mean(vals[:30]), statistics.pstdev(vals[:30])
+    assert all(abs(v - mu) / sd < 3.5 for v in vals[30:])
