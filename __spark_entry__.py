@@ -9410,6 +9410,157 @@ def q_cusum_regime_shifts(spark, sf_dir):
     )
 
 
+FS_FIELDS = [  # (field, m = P(agree|match), u = P(agree|non-match))
+    ("same_lang", 0.90, 0.25),
+    ("same_source", 0.60, 0.05),
+    ("len_close", 0.85, 0.30),
+    ("jac50", 0.90, 0.02),
+]
+
+
+def q_fs_match_decisions(spark, sf_dir):
+    """Fellegi-Sunter record linkage (JASA '69; operators/dedup.py
+    fs_match_scores) over SNM blocking candidates: four agreement
+    fields (language, source, length band, unigram-Jaccard >= 0.5)
+    score ln(m/u) / ln((1-m)/(1-u)) with literal m/u, and the
+    two-threshold rule splits match / possible / non-match — the
+    decision layer between cheap blocking and expensive review.
+    Zero-shuffle past the candidate join; weights are pinned literals
+    so both engines add identical doubles."""
+    from crawler_spark.operators.dedup import fs_match_scores, snm_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
+    )
+    keyed = norm.select("doc_id", F.substring("t", 1, 12).alias("k"))
+    cand = snm_candidate_pairs(keyed, "k", "doc_id", window=4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    toks = norm.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.col("t"), " "), lambda x: x != "")
+        ).alias("toks"),
+    )
+    side = lambda suf: norm.select(  # noqa: E731
+        F.col("doc_id").alias(f"doc_{suf}"),
+        F.col("lang").alias(f"lang_{suf}"),
+        F.col("source").alias(f"source_{suf}"),
+        F.col("n_chars").alias(f"nc_{suf}"),
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    feat = (
+        cand.join(side("a"), "doc_a")
+        .join(side("b"), "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+            (F.col("source_a") == F.col("source_b")).alias("same_source"),
+            (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20).alias("len_close"),
+            (
+                F.expr(
+                    "floor(cast(size(array_intersect(toks_a, toks_b)) as double)"
+                    " * 1000000 / size(array_union(toks_a, toks_b)) + 0.5)"
+                    " / 1000000"
+                )
+                >= 0.5
+            ).alias("jac50"),
+        )
+    )
+    return fs_match_scores(feat, FS_FIELDS, upper=4.0, lower=0.0).select(
+        "doc_a",
+        "doc_b",
+        "same_lang",
+        "same_source",
+        "len_close",
+        "jac50",
+        "score",
+        "decision",
+    )
+
+
+def _fs_sql() -> str:
+    """DuckDB mirror of q_fs_match_decisions: the snm_blocking_pairs
+    candidate construction, the same agreement predicates, and the
+    IDENTICAL pinned literal weights (computed once in Python — no
+    cross-engine ln at all)."""
+    import math
+
+    cases = []
+    for col, m, u in FS_FIELDS:
+        aw = math.floor(math.log(m / u) * 1e9 + 0.5) / 1e9
+        dw = math.floor(math.log((1 - m) / (1 - u)) * 1e9 + 0.5) / 1e9
+        cases.append(
+            f"CASE WHEN {col} THEN CAST({aw!r} AS DOUBLE)"
+            f" ELSE CAST({dw!r} AS DOUBLE) END"
+        )
+    plus = "\n                     + ".join(cases)
+    return f"""WITH n AS (
+      SELECT doc_id, lang, source, n_chars,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    rk AS (
+      SELECT doc_id, substring(t, 1, 12) AS k,
+             row_number() OVER (ORDER BY substring(t, 1, 12), doc_id) AS rn
+      FROM n
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rk a JOIN rk b ON b.rn - a.rn >= 1 AND b.rn - a.rn <= 3
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM n
+      ) WHERE length(tok) > 0
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ni
+      FROM cand c
+      JOIN toks x ON x.doc_id = c.doc_a
+      JOIN toks y ON y.doc_id = c.doc_b AND y.tok = x.tok
+      GROUP BY 1, 2
+    ),
+    feat AS (
+      SELECT c.doc_a, c.doc_b,
+             na.lang = nb.lang AS same_lang,
+             na.source = nb.source AS same_source,
+             abs(na.n_chars - nb.n_chars) <= 20 AS len_close,
+             coalesce(
+               floor(CAST(coalesce(i.ni, 0) AS DOUBLE) * 1000000
+                     / (sa.nt + sb.nt - coalesce(i.ni, 0)) + 0.5) / 1000000
+               >= 0.5, FALSE) AS jac50
+      FROM cand c
+      JOIN n na ON na.doc_id = c.doc_a
+      JOIN n nb ON nb.doc_id = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    ),
+    scored AS (
+      SELECT *,
+             CAST(floor(({plus}) * 1e9 + 0.5) AS DOUBLE) / 1e9 AS score
+      FROM feat
+    )
+    SELECT doc_a, doc_b, same_lang, same_source, len_close, jac50, score,
+           CASE WHEN score >= 4.0 THEN 'match'
+                WHEN score < 0.0 THEN 'non_match'
+                ELSE 'possible' END AS decision
+    FROM scored"""
+
+
 def _cusum_sql() -> str:
     """DuckDB mirror of q_cusum_regime_shifts: same planted regimes,
     pinned decimal prefix sums, running extremum clamped with the
@@ -9878,6 +10029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_latency_trend": q_host_latency_trend,
         "unimax_allocation": q_unimax_allocation,
         "cusum_regime_shifts": q_cusum_regime_shifts,
+        "fs_match_decisions": q_fs_match_decisions,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -10903,6 +11055,7 @@ def oracle_sql() -> dict[str, str]:
         "host_latency_trend": _theil_sen_sql(),
         "unimax_allocation": _unimax_sql(),
         "cusum_regime_shifts": _cusum_sql(),
+        "fs_match_decisions": _fs_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),
         "kmv_set_algebra": _kmv_sql("algebra"),
         "hll_distinct": """

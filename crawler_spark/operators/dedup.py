@@ -1953,3 +1953,50 @@ def snm_candidate_pairs(
     return left.join(right, "_rnk").select(
         "id_a", "key_a", "id_b", "key_b", "gap"
     )
+
+
+def fs_match_scores(
+    pairs: DataFrame,
+    fields: list[tuple[str, float, float]],
+    upper: float = 4.0,
+    lower: float = 0.0,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969) — the
+    decision layer that turns blocking candidates (SNM / LSH) into
+    match verdicts: each field contributes ln(m/u) when it AGREES and
+    ln((1-m)/(1-u)) when it disagrees (m = P(agree | match), u =
+    P(agree | non-match)), the log-likelihood-ratio score sums the
+    contributions, and the two-threshold rule classifies match /
+    possible / non-match (the "possible" band is what goes to manual
+    or expensive review — exactly the role the exact-verify stage
+    plays in the LSH families here).
+
+    ``pairs`` must carry one BOOLEAN column per field; ``fields`` =
+    [(col, m, u), ...] with literal m/u (estimated offline — EM or
+    labeled samples; literals keep the operator deterministic and the
+    oracle exact). Weights are pinned to the 1e-9 grid and summed in
+    fixed order — a pure map stage over the candidate set, no shuffle.
+
+    Returns the input plus (score, decision).
+    """
+    import math
+
+    pin9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast(  # noqa: E731
+        "double"
+    ) / F.lit(1e9)
+    terms = []
+    for col, m, u in fields:
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(f"need 0 < u < m < 1 for field {col!r}")
+        agree_w = math.floor(math.log(m / u) * 1e9 + 0.5) / 1e9
+        dis_w = math.floor(math.log((1 - m) / (1 - u)) * 1e9 + 0.5) / 1e9
+        terms.append(
+            F.when(F.col(col), F.lit(agree_w)).otherwise(F.lit(dis_w))
+        )
+    score = sum(terms[1:], terms[0])
+    return pairs.withColumn("score", pin9(score)).withColumn(
+        "decision",
+        F.when(F.col("score") >= upper, F.lit("match"))
+        .when(F.col("score") < lower, F.lit("non_match"))
+        .otherwise(F.lit("possible")),
+    )

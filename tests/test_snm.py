@@ -72,3 +72,36 @@ def test_window_below_two_rejected(spark):
     df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, i int")
     with pytest.raises(ValueError, match="window >= 2"):
         snm_candidate_pairs(df, "k", "i", window=1)
+
+
+def test_fs_scores_match_hand_weights_and_decisions(spark):
+    """Fellegi-Sunter weights equal the hand-computed log-likelihood
+    ratios; the two-threshold rule assigns all three decisions; and an
+    invalid m/u ordering is rejected."""
+    import math
+
+    import pytest
+
+    from crawler_spark.operators.dedup import fs_match_scores
+
+    pairs = spark.createDataFrame(
+        [(1, 2, True, True), (1, 3, True, False), (1, 4, False, False)],
+        "a long, b long, f1 boolean, f2 boolean",
+    )
+    fields = [("f1", 0.9, 0.1), ("f2", 0.8, 0.05)]
+    out = {(r["a"], r["b"]): r for r in fs_match_scores(
+        pairs, fields, upper=3.0, lower=0.0
+    ).collect()}
+
+    def p9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    w1a, w1d = p9(math.log(9.0)), p9(math.log(0.1 / 0.9))
+    w2a, w2d = p9(math.log(16.0)), p9(math.log(0.2 / 0.95))
+    assert out[(1, 2)]["score"] == p9(w1a + w2a)
+    assert out[(1, 2)]["decision"] == "match"
+    assert out[(1, 3)]["score"] == p9(w1a + w2d)
+    assert out[(1, 3)]["decision"] == "possible"
+    assert out[(1, 4)]["decision"] == "non_match"
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fs_match_scores(pairs, [("f1", 0.1, 0.9)])
