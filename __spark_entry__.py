@@ -9410,6 +9410,44 @@ def q_cusum_regime_shifts(spark, sf_dir):
     )
 
 
+def q_chunk_windows(spark, sf_dir):
+    """Sliding-window LM chunking (operators/corpus.py chunk_windows):
+    128-token windows, stride 96 (32-token overlap) — cuts LONG docs
+    to training budget where sequence_packing packs short ones. Pure
+    per-row array expressions, windows exploded (~n/stride rows per
+    doc), text carried as md5."""
+    from crawler_spark.operators.corpus import chunk_windows
+
+    return chunk_windows(
+        _t(spark, sf_dir, "documents"), window=128, stride=96
+    )
+
+
+def _chunk_sql(window: int = 128, stride: int = 96) -> str:
+    """DuckDB mirror of q_chunk_windows: same tokenization, same
+    window starts, same slice/join/md5."""
+    return f"""WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0) AS tk
+      FROM documents
+    ),
+    dd AS (SELECT doc_id, tk, len(tk) AS n FROM d WHERE len(tk) > 0),
+    w AS (
+      SELECT doc_id, n, tk,
+             CAST(u.gs AS BIGINT) AS start_tok,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u.gs) - 1
+                  AS BIGINT) AS chunk_id
+      FROM dd, unnest(generate_series(0, n - 1, {stride})) AS u(gs)
+    )
+    SELECT doc_id, chunk_id, start_tok,
+           CAST(least({window}, n - start_tok) AS BIGINT) AS n_toks,
+           md5(array_to_string(list_slice(tk, start_tok + 1,
+                                          start_tok + {window}), ' '))
+             AS chunk_md5
+    FROM w"""
+
+
 FS_FIELDS = [  # (field, m = P(agree|match), u = P(agree|non-match))
     ("same_lang", 0.90, 0.25),
     ("same_source", 0.60, 0.05),
@@ -10030,6 +10068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_allocation": q_unimax_allocation,
         "cusum_regime_shifts": q_cusum_regime_shifts,
         "fs_match_decisions": q_fs_match_decisions,
+        "chunk_windows": q_chunk_windows,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -11056,6 +11095,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_allocation": _unimax_sql(),
         "cusum_regime_shifts": _cusum_sql(),
         "fs_match_decisions": _fs_sql(),
+        "chunk_windows": _chunk_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),
         "kmv_set_algebra": _kmv_sql("algebra"),
         "hll_distinct": """

@@ -907,3 +907,58 @@ def waterfill_allocation(
             (F.col("ratio") <= F.col("lam")).alias("saturated"),
         )
     )
+
+
+# --------------------------------------------- training-window chunking
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking for pretraining: split each document
+    into token windows of ``window`` tokens advancing by ``stride``
+    (overlap = window - stride keeps context across cuts — the
+    standard LM data prep next to `sequence_packing`'s bin packing:
+    packing fills fixed budgets with WHOLE short docs; chunking cuts
+    LONG docs down to budget). Pure per-row array expressions
+    (split/sequence/slice) — zero shuffle, no explode of tokens (the
+    explode is per WINDOW, ~n/stride rows per doc).
+
+    Returns (doc_id, chunk_id, start_tok, n_toks, chunk_md5) — the
+    window text is carried as its md5 so the frame stays narrow; a
+    trainer materializes text by re-slicing at shard-write time.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), "\\s+"),
+        lambda x: x != "",
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__tk")).filter(
+        F.size("__tk") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__tk") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        d.select("doc_id", F.size("__tk").alias("__n"), "__tk",
+                 F.posexplode(starts).alias("chunk_id", "start_tok"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(
+                F.lit(window), F.col("__n") - F.col("start_tok")
+            ).cast("long").alias("n_toks"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("__tk"), F.col("start_tok") + 1, window),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )

@@ -335,3 +335,30 @@ def test_waterfill_allocation_exhausts_budget_and_caps(spark):
     rows2 = {r["key"]: r for r in waterfill_allocation(g, 1e9).collect()}
     assert all(r["saturated"] for r in rows2.values())
     assert sum(r["alloc"] for r in rows2.values()) == 1550.0
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    """Windows cover every token, consecutive windows overlap by
+    window-stride, the tail chunk is the remainder, and window/stride
+    must be positive."""
+    from crawler_spark.operators.corpus import chunk_windows
+
+    text = " ".join(f"t{i}" for i in range(300))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_windows(df, window=128, stride=96).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["start_tok"] for r in rows] == [0, 96, 192, 288]
+    assert [r["n_toks"] for r in rows] == [128, 128, 108, 12]
+    # chunk hashes match direct slices
+    import hashlib
+
+    toks = text.split()
+    for r in rows:
+        seg = " ".join(toks[r["start_tok"]:r["start_tok"] + 128])
+        assert r["chunk_md5"] == hashlib.md5(seg.encode()).hexdigest()
+    import pytest
+
+    with pytest.raises(ValueError, match="window and stride"):
+        chunk_windows(df, window=0, stride=96)
