@@ -7597,6 +7597,61 @@ def q_dispatch_timeline(spark, sf_dir):
 
 
 
+def q_politeness_compliance_audit(spark, sf_dir):
+    """Per-host politeness COMPLIANCE audit over the dispatch timeline
+    — the proof a crawl operator actually owes a webmaster: minimum
+    observed inter-fetch gap vs the host's crawl-delay, violation
+    count, verdict. A buggy-fetcher fault is planted (hosts ending in
+    3 halve their gap from the 3rd dispatch) and the audit must flag
+    exactly those hosts. All offsets/gaps are dyadic doubles — exact
+    cross-engine with no pinning. One window (lag per host) + one
+    grouped agg; bounded by the 64 s admission window."""
+    f = _frontier(spark, sf_dir)
+    dims = spark.range(20).select(
+        F.concat(F.lit("host-"), F.col("id").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        (0.25 * (1 + F.col("id") % 4)).alias("delay_s"),
+    )
+    w = Window.partitionBy("host").orderBy("priority", "depth", "discovery_seq")
+    t = (
+        f.join(F.broadcast(dims), "host")
+        .withColumn("k", F.row_number().over(w).cast("long"))
+        .withColumn("offset_s", (F.col("k") - 1) * F.col("delay_s"))
+        .filter(F.col("offset_s") < 64.0)
+        .withColumn(
+            "off2",
+            F.when(
+                F.col("host").endswith("3.test") & (F.col("k") > 2),
+                F.col("offset_s") - F.col("delay_s") * 0.5,
+            ).otherwise(F.col("offset_s")),
+        )
+    )
+    wg = Window.partitionBy("host").orderBy("k")
+    g = t.withColumn("gap", F.col("off2") - F.lag("off2").over(wg))
+    return (
+        g.groupBy("host", "delay_s")
+        .agg(
+            F.count("*").cast("long").alias("n_dispatch"),
+            F.min("gap").alias("min_gap"),
+            F.sum(
+                (F.col("gap") < F.col("delay_s")).cast("long")
+            ).alias("n_violations"),
+        )
+        .withColumn(
+            "compliant", F.coalesce(F.col("n_violations"), F.lit(0)) == 0
+        )
+        .select(
+            "host", "delay_s", "n_dispatch",
+            F.coalesce("min_gap", F.col("delay_s")).alias("min_gap"),
+            F.coalesce("n_violations", F.lit(0)).cast("long").alias(
+                "n_violations"
+            ),
+            "compliant",
+        )
+    )
+
+
 def q_rank_drift(spark, sf_dir):
     """Wave-over-wave link-rank drift: PageRank over wave A's edges
     (even doc_ids) vs wave B's (odd), full-outer joined per host with
@@ -10069,6 +10124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_regime_shifts": q_cusum_regime_shifts,
         "fs_match_decisions": q_fs_match_decisions,
         "chunk_windows": q_chunk_windows,
+        "politeness_compliance_audit": q_politeness_compliance_audit,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -11755,6 +11811,43 @@ def oracle_sql() -> dict[str, str]:
             e4 AS (SELECT a, b FROM e3
                    WHERE a IN (SELECT a FROM k4) AND b IN (SELECT a FROM k4))
             SELECT a AS host_id, count(*) AS degree FROM e4 GROUP BY a
+        """,
+        "politeness_compliance_audit": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            dims AS (
+              SELECT 'host-' || i || '.test' AS host,
+                     0.25 * (1 + i % 4) AS delay_s
+              FROM range(20) t(i)
+            ),
+            r AS (
+              SELECT f.host, d.delay_s,
+                     CAST(row_number() OVER (
+                       PARTITION BY f.host
+                       ORDER BY f.priority, f.depth, f.discovery_seq
+                     ) AS BIGINT) AS k
+              FROM f JOIN dims d ON f.host = d.host
+            ),
+            t AS (
+              SELECT host, delay_s, k,
+                     CASE WHEN host LIKE '%3.test' AND k > 2
+                          THEN (k - 1) * delay_s - delay_s * 0.5
+                          ELSE (k - 1) * delay_s END AS off2
+              FROM r WHERE (k - 1) * delay_s < 64.0
+            ),
+            g AS (
+              SELECT host, delay_s, k,
+                     off2 - lag(off2) OVER (PARTITION BY host ORDER BY k)
+                       AS gap
+              FROM t
+            )
+            SELECT host, delay_s,
+                   CAST(count(*) AS BIGINT) AS n_dispatch,
+                   coalesce(min(gap), any_value(delay_s)) AS min_gap,
+                   CAST(coalesce(sum(CASE WHEN gap < delay_s THEN 1 END), 0)
+                        AS BIGINT) AS n_violations,
+                   coalesce(sum(CASE WHEN gap < delay_s THEN 1 END), 0) = 0
+                     AS compliant
+            FROM g GROUP BY host, delay_s
         """,
         "dispatch_timeline": f"""
             WITH f AS ({_FRONTIER_SQL}),
