@@ -9503,6 +9503,27 @@ def _chunk_sql(window: int = 128, stride: int = 96) -> str:
     FROM w"""
 
 
+def q_dgim_error_window(spark, sf_dir):
+    """DGIM sliding-window error-rate counter per event type
+    (Datar-Gionis-Indyk-Motwani SODA'02; operators/sketches.py
+    dgim_counts): estimated count of high-value events among the last
+    1000 per type from O(log^2 N) state — the per-host trailing error
+    counter a fetcher fleet keeps where exact ring buffers don't fit.
+    Sequential bucket fold -> applyInPandas grouped map (the
+    legitimate Python seam; groups parallelize, state is tiny). No
+    SQL oracle by nature (rows-only); invariants pinned in
+    tests/test_sketches.py, exact witness co-emitted."""
+    from crawler_spark.operators.sketches import dgim_counts
+
+    return dgim_counts(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        "event_id",
+        "value > 100.0",
+        window_n=1000,
+    )
+
+
 FS_FIELDS = [  # (field, m = P(agree|match), u = P(agree|non-match))
     ("same_lang", 0.90, 0.25),
     ("same_source", 0.60, 0.05),
@@ -10125,6 +10146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_match_decisions": q_fs_match_decisions,
         "chunk_windows": q_chunk_windows,
         "politeness_compliance_audit": q_politeness_compliance_audit,
+        "dgim_error_window": q_dgim_error_window,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,

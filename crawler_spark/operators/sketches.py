@@ -534,3 +534,99 @@ def kmv_set_algebra(
             ).alias("est_jaccard"),
         )
     )
+
+
+# ------------------------------------------ DGIM sliding-window counting
+
+
+def dgim_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    bit_expr: str,
+    window_n: int,
+) -> DataFrame:
+    """DGIM sliding-window bit counting (Datar, Gionis, Indyk, Motwani
+    SODA'02): per group, estimate how many of the LAST ``window_n``
+    events satisfied ``bit_expr`` using O(log^2 N) state — the "error
+    rate over the last million fetches per host" counter a fetcher
+    fleet keeps where an exact ring buffer of 10^6 timestamps per host
+    would not fit. Buckets hold power-of-two counts of 1s, at most two
+    per size; when a third appears the two older merge; estimate =
+    full buckets + half the oldest overlapping bucket, with relative
+    error <= 50% by construction (the oldest bucket contributes at
+    most half its size in uncertainty).
+
+    The recursion is inherently sequential per group, so this is an
+    ``applyInPandas`` grouped map — the legitimate Python seam: state
+    is O(log^2 N) per group, each group's series arrives as one Arrow
+    batch, and groups parallelize across the cluster. Deterministic
+    (no sampling), so results are stable across partitionings; there
+    is no SQL oracle by nature (bucket merging is a fold) — exactness
+    is pinned by the pytest mirror and the in-operator exact witness.
+
+    Returns per group: (group_cols..., n_events, est_ones, exact_ones,
+    n_buckets) with exact_ones computed from the same tail for the
+    sandbox witness (dropped at scale — it is the thing DGIM avoids
+    storing).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_fields = [df.schema[c] for c in group_cols]
+    schema = T.StructType(
+        list(out_fields)
+        + [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("est_ones", T.LongType()),
+            T.StructField("exact_ones", T.LongType()),
+            T.StructField("n_buckets", T.IntegerType()),
+        ]
+    )
+    src = df.select(
+        *group_cols,
+        F.col(order_col).alias("_o"),
+        F.expr(bit_expr).cast("int").alias("_b"),
+    )
+
+    def go(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_o")
+        buckets: list[tuple[int, int]] = []  # (end_time, size), newest first
+        t = 0
+        bits = []
+        for b in pdf["_b"]:
+            t += 1
+            bits.append(int(b))
+            if b:
+                buckets.insert(0, (t, 1))
+                # enforce <= 2 buckets per size, merging oldest pair
+                i = 0
+                while i + 2 < len(buckets):
+                    if buckets[i][1] == buckets[i + 1][1] == buckets[i + 2][1]:
+                        # merge the two OLDER ones (i+1, i+2)
+                        merged = (buckets[i + 1][0], buckets[i + 1][1] * 2)
+                        buckets[i + 1 : i + 3] = [merged]
+                    else:
+                        i += 1
+            # expire buckets whose end fell out of the window
+            while buckets and buckets[-1][0] <= t - window_n:
+                buckets.pop()
+        est = 0
+        for j, (_, sz) in enumerate(buckets):
+            est += sz if j < len(buckets) - 1 else (sz + 1) // 2
+        exact = sum(bits[-window_n:])
+        head = {c: pdf.iloc[0][c] for c in group_cols}
+        return pd.DataFrame(
+            [
+                {
+                    **head,
+                    "n_events": len(bits),
+                    "est_ones": int(est),
+                    "exact_ones": int(exact),
+                    "n_buckets": len(buckets),
+                }
+            ]
+        )
+
+    return src.groupBy(*group_cols).applyInPandas(go, schema=schema)

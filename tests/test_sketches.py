@@ -193,3 +193,74 @@ def test_kmv_set_algebra_brackets_exact_overlap(spark):
     assert abs(r["est_union"] - 5000) / 5000 < 0.5
     assert abs(r["est_inter"] - 1000) / 1000 < 0.6
     assert 0.05 < r["est_jaccard"] < 0.5
+
+
+def test_kmv_sketch_merges_across_waves(spark):
+    """KMV is a mergeable summary: re-k-min of the UNION of two waves'
+    sketches equals the sketch of the combined corpus — the property
+    that lets a daily crawl maintain per-source vocabulary sketches
+    incrementally without rescanning history."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.sketches import kmv_sketch
+
+    k = 32
+    wave1 = [("s", f"k{i}") for i in range(0, 800)]
+    wave2 = [("s", f"k{i}") for i in range(500, 1500)]
+    d1 = spark.createDataFrame(wave1, "grp string, key string")
+    d2 = spark.createDataFrame(wave2, "grp string, key string")
+    full = kmv_sketch(d1.union(d2), "key", ["grp"], k=k)
+    s1 = kmv_sketch(d1, "key", ["grp"], k=k)
+    s2 = kmv_sketch(d2, "key", ["grp"], k=k)
+    merged = (
+        s1.select("grp", "h", "u")
+        .unionByName(s2.select("grp", "h", "u"))
+        .distinct()
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("grp").orderBy("h")),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+    a = {(r["rnk"], r["h"]) for r in full.collect()}
+    b = {(r["rnk"], r["h"]) for r in merged.collect()}
+    assert a == b
+
+
+def test_dgim_error_bound_state_size_and_partition_invariance(spark):
+    """DGIM invariants: estimate within 50% of the true trailing-window
+    count, state O(log^2 N) buckets, and identical output for any input
+    partitioning (the fold is per-group, order-keyed)."""
+    from crawler_spark.operators.sketches import dgim_counts
+
+    # deterministic bursty bit stream per host
+    rows = []
+    for g in ("a", "b"):
+        for i in range(5000):
+            bit = 1 if (i * 2654435761 + (7 if g == "a" else 13)) % 97 < 31 else 0
+            rows.append((g, i, bit))
+    df = spark.createDataFrame(rows, "g string, o long, b int")
+    for parts in (1, 8):
+        out = {
+            r["g"]: r
+            for r in dgim_counts(
+                df.repartition(parts), ["g"], "o", "b = 1", window_n=1000
+            ).collect()
+        }
+        for g in ("a", "b"):
+            r = out[g]
+            assert r["n_events"] == 5000
+            assert r["exact_ones"] > 0
+            err = abs(r["est_ones"] - r["exact_ones"]) / r["exact_ones"]
+            assert err <= 0.5, (g, r)
+            # 2 buckets per size, sizes <= window -> O(log^2) state
+            import math
+
+            assert r["n_buckets"] <= 2 * (int(math.log2(1000)) + 2)
+        if parts == 1:
+            first = {g: (out[g]["est_ones"], out[g]["n_buckets"]) for g in out}
+        else:
+            assert first == {
+                g: (out[g]["est_ones"], out[g]["n_buckets"]) for g in out
+            }
