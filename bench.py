@@ -174,6 +174,22 @@ HEADLINE = [
     "dense_daily_revenue",
     "explode_outer_audit",
     "locf_daily_revenue",
+    # round-3 additions
+    "kmv_vocab_sketch",
+    "kmv_set_algebra",
+    "edh_histogram",
+    "edh_selectivity_audit",
+    "join_order_costs",
+    "anchor_text_index",
+    "image_rot_dedup",
+    "latency_mad_outliers",
+    "host_latency_trend",
+    "unimax_allocation",
+    "cusum_regime_shifts",
+    "fs_match_decisions",
+    "chunk_windows",
+    "politeness_compliance_audit",
+    "dgim_error_window",
 ]
 
 BENCH_HOSTS = 50
