@@ -9465,6 +9465,160 @@ def q_cusum_regime_shifts(spark, sf_dir):
     )
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (SIGIR'09;
+    operators/evals.py rrf_fuse): for each query document (doc_id %
+    100 == 0), a LEXICAL ranking (unigram Jaccard, top-20) and a
+    VECTOR ranking (embedding cosine, top-20) fuse by 1/(60+rank) —
+    rank-only, so the incomparable raw scores never need calibration.
+    Both rankings and the fusion are dimension-shaped joins; the
+    corpus is scanned once per modality."""
+    from crawler_spark.operators.evals import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                         r"\s+", " "), " "),
+                lambda x: x != "",
+            )
+        ).alias("tk"),
+    )
+    qt = toks.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("tk").alias("qtk")
+    )
+    jac = (
+        toks.crossJoin(F.broadcast(qt))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "floor(cast(size(array_intersect(tk, qtk)) as double)"
+                " * 1000000 / size(array_union(tk, qtk)) + 0.5) / 1000000"
+            ).alias("s"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("s"), "doc_id")
+    text_rank = (
+        jac.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 20)
+        .select("query_id", "doc_id", "rnk")
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qe = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    def _nrm(a):
+        return F.sqrt(_dot(a, a))
+
+    cos = (
+        e.crossJoin(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (_nrm(F.col("v")) * _nrm(F.col("qv"))),
+                6,
+            ).alias("s"),
+        )
+    )
+    vec_rank = (
+        cos.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 20)
+        .select("query_id", "doc_id", "rnk")
+    )
+    fused = rrf_fuse(text_rank.unionByName(vec_rank), k_const=60, top_k=10)
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return fused.select(
+        "query_id", "doc_id", "n_lists", p6("rrf").alias("rrf6"), "fused_rank"
+    )
+
+
+def _rrf_sql() -> str:
+    """DuckDB mirror of q_rrf_fusion: identical tokenization, pinned
+    Jaccard, round-6 cosine, both top-20 rankings, and the pinned
+    decimal-summed 1/(60+rank) fusion."""
+    return """WITH tk AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> length(x) > 0)) AS tk
+      FROM documents
+    ),
+    qt AS (
+      SELECT doc_id AS query_id, tk AS qtk FROM tk WHERE doc_id % 100 = 0
+    ),
+    jac AS (
+      SELECT q.query_id, t.doc_id,
+             floor(CAST(len(list_intersect(t.tk, q.qtk)) AS DOUBLE) * 1000000
+                   / len(list_distinct(list_concat(t.tk, q.qtk))) + 0.5)
+               / 1000000 AS s
+      FROM tk t, qt q WHERE t.doc_id <> q.query_id
+    ),
+    tr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id) AS rnk
+      FROM jac
+    ),
+    trk AS (SELECT query_id, doc_id, rnk FROM tr WHERE rnk <= 20),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    qe AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+    ),
+    cos AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             round(list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS s
+      FROM e, qe q WHERE e.vec_id <> q.query_id
+    ),
+    vr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id) AS rnk
+      FROM cos
+    ),
+    vrk AS (SELECT query_id, doc_id, rnk FROM vr WHERE rnk <= 20),
+    u AS (SELECT * FROM trk UNION ALL SELECT * FROM vrk),
+    agg AS (
+      SELECT query_id, doc_id,
+             CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(sum(CAST(CAST(floor(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rnk) * 1e9 + 0.5)
+                                AS DOUBLE) / 1e9 AS DECIMAL(28,9)))
+                  AS DOUBLE) AS rrf
+      FROM u GROUP BY query_id, doc_id
+    ),
+    fr AS (
+      SELECT query_id, doc_id, n_lists, rrf,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, doc_id) AS BIGINT)
+               AS fused_rank
+      FROM agg
+    )
+    SELECT query_id, doc_id, n_lists,
+           CAST(floor(rrf * 1e6 + 0.5) AS DOUBLE) / 1e6 AS rrf6,
+           fused_rank
+    FROM fr WHERE fused_rank <= 10"""
+
+
 def q_chunk_windows(spark, sf_dir):
     """Sliding-window LM chunking (operators/corpus.py chunk_windows):
     128-token windows, stride 96 (32-token overlap) — cuts LONG docs
@@ -10145,6 +10299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_regime_shifts": q_cusum_regime_shifts,
         "fs_match_decisions": q_fs_match_decisions,
         "chunk_windows": q_chunk_windows,
+        "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
         "dgim_error_window": q_dgim_error_window,
         "edh_selectivity_audit": q_edh_selectivity_audit,
@@ -11174,6 +11329,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_regime_shifts": _cusum_sql(),
         "fs_match_decisions": _fs_sql(),
         "chunk_windows": _chunk_sql(),
+        "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),
         "kmv_set_algebra": _kmv_sql("algebra"),
         "hll_distinct": """

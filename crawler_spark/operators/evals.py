@@ -330,3 +330,49 @@ def snm_blocking_eval(
             6,
         ).alias("f1"),
     )
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    k_const: int = 60,
+    top_k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09):
+    fuse per-query rankings from heterogeneous retrievers (BM25-style
+    lexical, embedding cosine, ...) by summing 1/(k + rank) per list a
+    document appears in — rank-only fusion, so incomparable raw scores
+    (cosine in [-1,1] vs unbounded tf-idf) never need calibration,
+    and k=60 damps any single list's head. The standard first-stage
+    combiner in hybrid search.
+
+    ``rankings``: (query_col, id_col, rank_col) with one row per
+    (query, doc, list); the list identity itself is irrelevant to the
+    score. Contributions are 1e-9-pinned and decimal-summed (order
+    independent); ties break on id. Everything is dimension-shaped:
+    per query only the union of top lists is touched, never the corpus.
+
+    Returns (query_col, id_col, n_lists, rrf, fused_rank) truncated to
+    ``top_k`` per query.
+    """
+    from pyspark.sql import Window
+
+    contrib = F.floor(
+        F.lit(1.0) / (F.lit(float(k_const)) + F.col(rank_col)) * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("double") / F.lit(1e9)
+    agg = (
+        rankings.withColumn("_c", contrib.cast("decimal(28,9)"))
+        .groupBy(query_col, id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lists"),
+            F.sum("_c").cast("double").alias("rrf"),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf"), id_col)
+    return (
+        agg.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= top_k)
+    )

@@ -200,3 +200,29 @@ def test_bpe_train_matches_python_mirror_fuzz(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_rrf_fusion_properties(spark):
+    """RRF: a doc in BOTH lists outranks docs with one slightly-better
+    single-list rank (the consensus property); scores are exact pinned
+    sums of 1/(k+rank); ties break on id."""
+    from crawler_spark.operators.evals import rrf_fuse
+
+    rows = [
+        # query 1: doc 10 is rank 3 in both lists; doc 20 is rank 1 in
+        # one list only -> 2/(60+3) = 0.0317 > 1/61 = 0.0164
+        (1, 10, 3), (1, 20, 1), (1, 30, 2),
+        (1, 10, 3), (1, 40, 1),
+    ]
+    df = spark.createDataFrame(rows, "query_id long, doc_id long, rnk long")
+    out = {r["doc_id"]: r for r in rrf_fuse(df, k_const=60, top_k=10).collect()}
+    assert out[10]["n_lists"] == 2
+    assert out[10]["fused_rank"] == 1  # consensus beats single-list head
+    import math
+
+    def p9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    assert out[10]["rrf"] == p9(1 / 63) + p9(1 / 63)
+    # ties: docs 20 and 40 both have 1/(60+1); lower id first
+    assert out[20]["fused_rank"] < out[40]["fused_rank"]
