@@ -190,6 +190,7 @@ HEADLINE = [
     "chunk_windows",
     "politeness_compliance_audit",
     "dgim_error_window",
+    "rrf_fusion",
 ]
 
 BENCH_HOSTS = 50
