@@ -770,6 +770,75 @@ def q_host_triangles(spark, sf_dir):
     )
 
 
+def q_host_clustering_coeff(spark, sf_dir):
+    """Per-host local clustering coefficient (Watts & Strogatz '98):
+    lcc(v) = 2*t(v) / (d(v)(d(v)-1)) over the same oriented-edge
+    triangle enumeration as host_triangles — the organic-neighborhood
+    vs link-farm separator at node granularity (farms have high degree
+    and near-zero closure). Triangle corners explode from the ONE
+    3-way self-join (never re-enumerated per node); degrees are a
+    map-side agg over the symmetrized edge list; exact integer ratios
+    pinned at 1e-6. Global mean LCC rides along per row."""
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        (F.col("doc_id") % 20).alias("u"),
+        F.expr(f"(16 * {d6} + {d7}) % 20").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    edges = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    lcc_expr = (
+        "case when d >= 2 then cast(2 * t as double) / (d * (d - 1)) "
+        "else cast(0.0 as double) end"
+    )
+    per = (
+        deg.join(tcnt, "n", "left")
+        .select(
+            "n",
+            "d",
+            F.coalesce("t", F.lit(0)).cast("long").alias("t"),
+        )
+        .withColumn("lcc", F.expr(lcc_expr))
+    )
+    mean = per.agg(
+        p6(
+            "cast(sum(cast(floor(lcc * 1e9 + 0.5) as decimal(28,9))) "
+            "as double) / 1e9 / count(*)"
+        ).alias("mean_lcc6")
+    )
+    return per.crossJoin(F.broadcast(mean)).select(
+        F.col("n").alias("host_id"),
+        F.col("d").alias("degree"),
+        F.col("t").alias("n_triangles"),
+        p6("lcc").alias("lcc6"),
+        "mean_lcc6",
+    )
+
+
 def q_recrawl_schedule(spark, sf_dir):
     """Freshness-driven recrawl planning: every URL gets a refetch
     interval from its change-rate band (news 6h / active 24h / static
@@ -7652,6 +7721,40 @@ def q_politeness_compliance_audit(spark, sf_dir):
     )
 
 
+def q_wfq_dispatch_order(spark, sf_dir):
+    """Weighted fair queueing dispatch (SIGCOMM'89; operators/
+    politeness.py wfq_schedule): virtual finish time = per-host prefix
+    byte cost / weight, fleet dispatches ascending — any schedule
+    prefix serves hosts proportionally to weight, which round-robin
+    politeness cannot do without starvation. Dyadic weights + integer
+    sizes keep every finish time an exact double; first 64 dispatches
+    via TakeOrdered."""
+    from crawler_spark.operators.politeness import wfq_schedule
+
+    f = _frontier(spark, sf_dir)
+    jobs = f.select(
+        "host",
+        "priority",
+        "depth",
+        "discovery_seq",
+        (500 + F.col("doc_id") % 1500).cast("long").alias("size"),
+    )
+    weights = spark.range(20).select(
+        F.concat(F.lit("host-"), F.col("id").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        (0.25 * (1 + F.col("id") % 4)).alias("w"),
+    )
+    return wfq_schedule(
+        jobs,
+        weights,
+        host_col="host",
+        size_col="size",
+        order_cols=["priority", "depth", "discovery_seq"],
+        top_n=64,
+    )
+
+
 def q_rank_drift(spark, sf_dir):
     """Wave-over-wave link-rank drift: PageRank over wave A's edges
     (even doc_ids) vs wave B's (odd), full-outer joined per host with
@@ -10253,6 +10356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_histogram": q_depth_histogram,
         "recrawl_schedule": q_recrawl_schedule,
         "host_triangles": q_host_triangles,
+        "host_clustering_coeff": q_host_clustering_coeff,
         "dataset_split": q_dataset_split,
         "host_reciprocity": q_host_reciprocity,
         "host_degree_histogram": q_host_degree_histogram,
@@ -10302,6 +10406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
         "dgim_error_window": q_dgim_error_window,
+        "wfq_dispatch_order": q_wfq_dispatch_order,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -10740,6 +10845,57 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM recip) AS n_reciprocal,
                    round((SELECT count(*) FROM recip) * 1.0
                          / (SELECT count(*) FROM edges), 6) AS reciprocity
+        """,
+        "host_clustering_coeff": f"""
+            WITH raw AS (
+              SELECT doc_id % 20 AS u,
+                     (16 * {_hexdig_sql("cast(doc_id AS varchar)", 6)}
+                      + {_hexdig_sql("cast(doc_id AS varchar)", 7)}) % 20 AS v
+              FROM documents
+            ),
+            edges AS (
+              SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+              FROM raw WHERE u != v
+            ),
+            deg AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS n FROM edges UNION ALL SELECT b FROM edges
+              ) GROUP BY n
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM edges e1
+              JOIN edges e2 ON e1.b = e2.a
+              JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tc AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+                SELECT x AS n FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY n
+            ),
+            per AS (
+              SELECT deg.n, deg.d,
+                     CAST(coalesce(tc.t, 0) AS BIGINT) AS t,
+                     CASE WHEN deg.d >= 2
+                          THEN CAST(2 * coalesce(tc.t, 0) AS DOUBLE)
+                               / (deg.d * (deg.d - 1))
+                          ELSE CAST(0.0 AS DOUBLE) END AS lcc
+              FROM deg LEFT JOIN tc ON tc.n = deg.n
+            ),
+            m AS (
+              SELECT CAST(floor(
+                       CAST(sum(CAST(floor(lcc * 1e9 + 0.5)
+                                     AS DECIMAL(28, 9))) AS DOUBLE)
+                       / 1e9 / count(*) * 1e6 + 0.5) AS DOUBLE) / 1e6
+                       AS mean_lcc6
+              FROM per
+            )
+            SELECT n AS host_id, d AS degree, t AS n_triangles,
+                   CAST(floor(lcc * 1e6 + 0.5) AS DOUBLE) / 1e6 AS lcc6,
+                   (SELECT mean_lcc6 FROM m) AS mean_lcc6
+            FROM per
         """,
         "host_triangles": f"""
             WITH raw AS (
@@ -12026,6 +12182,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(CASE WHEN gap < delay_s THEN 1 END), 0) = 0
                      AS compliant
             FROM g GROUP BY host, delay_s
+        """,
+        "wfq_dispatch_order": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            wt AS (
+              SELECT 'host-' || i || '.test' AS host,
+                     0.25 * (1 + i % 4) AS w
+              FROM range(20) t(i)
+            ),
+            j AS (
+              SELECT f.host, f.priority, f.depth, f.discovery_seq,
+                     CAST(500 + f.doc_id % 1500 AS BIGINT) AS size, wt.w
+              FROM f JOIN wt ON f.host = wt.host
+            ),
+            t AS (
+              SELECT host,
+                     CAST(row_number() OVER wh AS BIGINT) AS k,
+                     size,
+                     sum(CAST(size AS DOUBLE)) OVER (
+                       PARTITION BY host
+                       ORDER BY priority, depth, discovery_seq
+                       ROWS UNBOUNDED PRECEDING) / w AS vfinish
+              FROM j
+              WINDOW wh AS (PARTITION BY host
+                            ORDER BY priority, depth, discovery_seq)
+            ),
+            top AS (
+              SELECT * FROM t ORDER BY vfinish, host, k LIMIT 64
+            )
+            SELECT host, k, size, vfinish,
+                   CAST(row_number() OVER (ORDER BY vfinish, host, k)
+                        AS BIGINT) AS dispatch_rank
+            FROM top
         """,
         "dispatch_timeline": f"""
             WITH f AS ({_FRONTIER_SQL}),

@@ -191,6 +191,8 @@ HEADLINE = [
     "politeness_compliance_audit",
     "dgim_error_window",
     "rrf_fusion",
+    "host_clustering_coeff",
+    "wfq_dispatch_order",
 ]
 
 BENCH_HOSTS = 50

@@ -406,3 +406,49 @@ def aimd_trajectory(
         F.col("_s.dec").alias("n_decrease"),
         F.col("_s.peak").alias("peak_rate"),
     )
+
+
+def wfq_schedule(
+    jobs: DataFrame,
+    weights: DataFrame,
+    host_col: str = "host",
+    size_col: str = "size",
+    order_cols: list[str] | None = None,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Weighted fair queueing dispatch order (Demers, Keshav & Shenker
+    SIGCOMM'89) over a batch frontier: host h's k-th job finishes at
+    virtual time F = (cumulative size through k) / weight_h, and the
+    fleet dispatches in ascending F — so over ANY prefix of the
+    schedule each host's share of dispatches is proportional to its
+    weight (the property round-robin politeness lacks: it can't give a
+    high-value host 3x the slots without starving the rest; WFQ can,
+    provably). With all jobs present at t=0 the classic virtual-clock
+    recursion collapses to a per-host prefix sum — one window — and
+    the global order is (F, host, k): TakeOrdered when ``top_n`` is
+    set, never a global sort.
+
+    ``weights``: (host_col, w) — a broadcast dimension; dyadic weights
+    keep every finish time an exact double. Sizes are integers (bytes,
+    cost units). Returns (host, k, size, vfinish[, dispatch_rank]).
+    """
+    w = Window.partitionBy(host_col).orderBy(*(order_cols or [size_col]))
+    t = (
+        jobs.join(F.broadcast(weights), host_col)
+        .withColumn("k", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "vfinish",
+            F.sum(F.col(size_col).cast("double")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            / F.col("w"),
+        )
+    )
+    out = t.select(host_col, "k", F.col(size_col).alias("size"), "vfinish")
+    if top_n is None:
+        return out
+    ranked = out.orderBy("vfinish", host_col, "k").limit(top_n)
+    wr = Window.orderBy("vfinish", host_col, "k")
+    return ranked.withColumn(
+        "dispatch_rank", F.row_number().over(wr).cast("long")
+    )

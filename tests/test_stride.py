@@ -57,3 +57,36 @@ def test_stride_default_weight_is_one(spark):
         for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()
     }
     assert counts["a"] == 5 and counts["b"] == 5  # absent host weighs 1
+
+
+def test_wfq_prefix_shares_track_weights(spark):
+    """WFQ's defining property: over any schedule prefix, each host's
+    dispatch count is proportional to its weight (within rounding) —
+    a 4x-weight host gets ~4x the slots of a 1x host, with nobody
+    starved. Equal-size jobs isolate the weighting."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.politeness import wfq_schedule
+
+    jobs = spark.createDataFrame(
+        [(f"h{h}", i, 100) for h in range(4) for i in range(200)],
+        "host string, seq long, size long",
+    )
+    weights = spark.createDataFrame(
+        [("h0", 1.0), ("h1", 2.0), ("h2", 4.0), ("h3", 1.0)],
+        "host string, w double",
+    )
+    out = wfq_schedule(
+        jobs, weights, order_cols=["seq"], top_n=160
+    ).collect()
+    counts = {}
+    for r in sorted(out, key=lambda r: r["dispatch_rank"]):
+        counts[r["host"]] = counts.get(r["host"], 0) + 1
+    # weights 1:2:4:1 over 160 slots -> expected 20:40:80:20
+    assert abs(counts["h2"] - 80) <= 2, counts
+    assert abs(counts["h1"] - 40) <= 2, counts
+    assert abs(counts["h0"] - 20) <= 2 and abs(counts["h3"] - 20) <= 2, counts
+    # and within a host dispatches preserve per-host order
+    ks = [r["k"] for r in sorted(out, key=lambda r: r["dispatch_rank"])
+          if r["host"] == "h2"]
+    assert ks == sorted(ks)
