@@ -7496,6 +7496,33 @@ def q_seed_distance(spark, sf_dir):
     )
 
 
+def q_seed_attribution(spark, sf_dir):
+    """Per-host seed LINEAGE (operators/graph.py seed_attribution):
+    which seed each reachable host descends from and at what hop —
+    the attribution half of seed_distance, i.e. the blame/billing
+    question per-URL lineage answers at graph granularity. Frontier
+    carries the seed label; same-wave ties resolve to the smallest
+    seed (provably equal to min-seed-over-shortest-walks, which the
+    recursive-CTE oracle computes directly)."""
+    from crawler_spark.operators.graph import seed_attribution
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % 20
+    e1 = docs.filter(F.col("doc_id") % 4 == 0).select(
+        h.alias("src"), ((h + 10) % 20).alias("dst")
+    )
+    e2 = docs.filter(F.col("doc_id") % 16 == 1).select(
+        h.alias("src"), ((h + 5) % 20).alias("dst")
+    )
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst")).distinct()
+    seeds = spark.range(2).select(F.col("id").alias("node"))
+    return seed_attribution(edges, seeds, max_hops=8, directed=False).select(
+        F.col("node").alias("host_id"),
+        F.col("seed").cast("long").alias("seed"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
 def q_stride_schedule(spark, sf_dir):
     """Weighted-fair frontier admission (stride/WFQ, Waldspurger &
     Weihl OSDI'94): host h's k-th URL gets integer virtual finish
@@ -10407,6 +10434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_compliance_audit": q_politeness_compliance_audit,
         "dgim_error_window": q_dgim_error_window,
         "wfq_dispatch_order": q_wfq_dispatch_order,
+        "seed_attribution": q_seed_attribution,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -12067,6 +12095,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
                    round(sum(nbytes) / 8388608.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, shard_id
+        """,
+        "seed_attribution": """
+            WITH RECURSIVE e0 AS (
+              SELECT doc_id % 20 AS a, (doc_id % 20 + 10) % 20 AS b
+              FROM documents WHERE doc_id % 4 = 0
+              UNION
+              SELECT doc_id % 20, (doc_id % 20 + 5) % 20
+              FROM documents WHERE doc_id % 16 = 1
+            ),
+            ed AS (SELECT DISTINCT a, b FROM e0 WHERE a != b),
+            e AS (
+              SELECT a AS s, b AS t FROM ed
+              UNION
+              SELECT b AS s, a AS t FROM ed
+            ),
+            walk(node, seed, d) AS (
+              SELECT CAST(v.node AS BIGINT), CAST(v.seed AS BIGINT), v.d
+              FROM (VALUES (0, 0, 0), (1, 1, 0)) v(node, seed, d)
+              UNION
+              SELECT e.t, w.seed, w.d + 1 FROM walk w JOIN e ON w.node = e.s
+              WHERE w.d < 8
+            ),
+            md AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
+            SELECT w.node AS host_id,
+                   CAST(min(w.seed) AS BIGINT) AS seed,
+                   CAST(any_value(md.dist) AS INTEGER) AS dist
+            FROM walk w JOIN md ON md.node = w.node AND md.dist = w.d
+            GROUP BY w.node
         """,
         "seed_distance": """
             WITH RECURSIVE e0 AS (

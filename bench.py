@@ -193,6 +193,7 @@ HEADLINE = [
     "rrf_fusion",
     "host_clustering_coeff",
     "wfq_dispatch_order",
+    "seed_attribution",
 ]
 
 BENCH_HOSTS = 50

@@ -992,3 +992,55 @@ def cc_star(
             F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
         )
     )
+
+
+def seed_attribution(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    directed: bool = True,
+) -> DataFrame:
+    """Per-node seed LINEAGE: which seed each reachable node descends
+    from, and at what hop — the attribution half of `bfs_distances`
+    ("how far" -> "from which seed"). The crawl-audit question this
+    answers is the north rule's per-URL lineage at graph granularity:
+    blame a spam cluster on the seed that admitted it, or bill
+    discovered hosts to the campaign that seeded them.
+
+    Same level-synchronous O(E) dataflow as bfs_distances, but the
+    frontier CARRIES the seed label; a node reached by two seeds in
+    the same wave resolves deterministically to the SMALLEST seed
+    label (min over candidates — first-wins under (hop, seed) order,
+    matching the sequential oracle's tie rule). Returns (node, seed,
+    dist); seeds attribute to themselves at dist 0.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.filter(F.col("a") != F.col("b")).distinct().persist()
+    attr = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("seed", F.col("node"))
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = attr.select("node", "seed")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["a"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("seed").alias("seed"))
+            .join(attr.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        attr = attr.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node", "seed")
+    e.unpersist()
+    return attr

@@ -518,3 +518,47 @@ def test_dedup_clusters_star_dispatch(spark):
 
     with _pytest.raises(ValueError):
         dedup_clusters(pairs, algorithm="bogus")
+
+
+def test_seed_attribution_matches_python_mirror(spark):
+    """Attribution equals a sequential multi-source BFS mirror with the
+    (hop, seed) first-wins tie rule on a graph where two seeds compete
+    for the same component; unreached nodes are absent."""
+    from crawler_spark.operators.graph import seed_attribution
+
+    edges = [
+        (0, 2), (2, 3), (3, 4),      # seed 0's chain
+        (1, 4), (4, 5),              # seed 1 reaches 4 in one hop
+        (1, 6), (6, 2),              # seed 1 also reaches 2 at hop 2 (loses)
+        (8, 9),                      # disconnected
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    got = {
+        r["node"]: (r["seed"], r["dist"])
+        for r in seed_attribution(df, seeds, max_hops=8, directed=True).collect()
+    }
+    # sequential mirror
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    attr = {0: (0, 0), 1: (1, 0)}
+    frontier = {0: 0, 1: 1}
+    hop = 0
+    while frontier:
+        hop += 1
+        nxt = {}
+        for node, seed in frontier.items():
+            for b in adj.get(node, []):
+                if b in attr:
+                    continue
+                nxt[b] = min(nxt.get(b, seed), seed)
+        for b, seed in nxt.items():
+            attr[b] = (seed, hop)
+        frontier = nxt
+    assert got == attr
+    assert 8 not in got and 9 not in got
+    assert got[2] == (0, 1)   # seed 0 wins node 2 (hop 1 beats hop 2)
+    assert got[4] == (1, 1)   # seed 1 wins node 4 (hop 1 beats hop 3)
