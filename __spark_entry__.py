@@ -7496,6 +7496,35 @@ def q_seed_distance(spark, sf_dir):
     )
 
 
+def q_fk_readability(spark, sf_dir):
+    """Flesch-Kincaid grade per document (functions/text.py fk_grade):
+    the classic readability score from native regexp counts (vowel
+    groups ≈ syllables, [.!?]+ runs ≈ sentences) — zero shuffle,
+    codegen, integer-ratio doubles pinned at 1e-6 for display. Bias of
+    the syllable heuristic is corpus-constant, so the RANKING a
+    quality gate consumes is preserved."""
+    from crawler_spark.functions.text import fk_grade
+
+    d = _t(spark, sf_dir, "documents")
+    s = fk_grade(F.col("text"))
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return d.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        s["n_sentences"].alias("n_sentences"),
+        s["n_syllables"].alias("n_syllables"),
+    ).filter(F.col("n_words") > 0).withColumn(
+        "grade6",
+        p6(
+            "0.39 * (cast(n_words as double) / cast(n_sentences as double))"
+            " + 11.8 * (cast(n_syllables as double) / cast(n_words as double))"
+            " - 15.59"
+        ),
+    )
+
+
 def q_seed_attribution(spark, sf_dir):
     """Per-host seed LINEAGE (operators/graph.py seed_attribution):
     which seed each reachable host descends from and at what hop —
@@ -10435,6 +10464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dgim_error_window": q_dgim_error_window,
         "wfq_dispatch_order": q_wfq_dispatch_order,
         "seed_attribution": q_seed_attribution,
+        "fk_readability": q_fk_readability,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -12095,6 +12125,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
                    round(sum(nbytes) / 8388608.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, shard_id
+        """,
+        "fk_readability": """
+            WITH d AS (
+              SELECT doc_id, lower(trim(text)) AS t FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(t, '\s+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_words,
+                     CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+                          AS BIGINT) AS n_sentences,
+                     CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT)
+                       AS n_syllables
+              FROM d
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CAST(floor((0.39 * (CAST(n_words AS DOUBLE)
+                                       / CAST(n_sentences AS DOUBLE))
+                               + 11.8 * (CAST(n_syllables AS DOUBLE)
+                                         / CAST(n_words AS DOUBLE))
+                               - 15.59) * 1e6 + 0.5) AS DOUBLE) / 1e6
+                     AS grade6
+            FROM c WHERE n_words > 0
         """,
         "seed_attribution": """
             WITH RECURSIVE e0 AS (

@@ -194,6 +194,7 @@ HEADLINE = [
     "host_clustering_coeff",
     "wfq_dispatch_order",
     "seed_attribution",
+    "fk_readability",
 ]
 
 BENCH_HOSTS = 50

@@ -410,3 +410,31 @@ def repetition_gate_mapside(docs, text_col: str = "text", id_col: str = "doc_id"
             ),
         ).alias("dup5_char_frac"),
     )
+
+
+def fk_grade(text):
+    """Flesch-Kincaid grade level (Kincaid et al. '75), the classic
+    readability score: 0.39*(words/sentences) + 11.8*(syllables/words)
+    - 15.59, with syllables approximated by vowel-group runs
+    ([aeiouy]+ — the standard cheap heuristic; systematic bias is
+    constant across a corpus so RANKING is preserved, which is what a
+    quality gate consumes) and sentences by [.!?]+ runs (min 1).
+    Pure native regexp counts — zero shuffle, codegen — and plain
+    integer-ratio doubles, so the score is engine-exact unpinned;
+    callers pin for display. Returns a struct (n_words, n_sentences,
+    n_syllables, grade)."""
+    t = F.lower(F.trim(text))
+    words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    sents = F.greatest(F.regexp_count(t, F.lit("[.!?]+")), F.lit(1))
+    sylls = F.regexp_count(t, F.lit("[aeiouy]+"))
+    grade = (
+        F.lit(0.39) * (words.cast("double") / sents.cast("double"))
+        + F.lit(11.8) * (sylls.cast("double") / words.cast("double"))
+        - F.lit(15.59)
+    )
+    return F.struct(
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+        grade.alias("grade"),
+    )
