@@ -1423,8 +1423,11 @@ def q_char_entropy_gate(spark, sf_dir):
     character distribution — near-zero = repeated-char junk, near
     ln(alphabet) = random junk / mojibake; the cheap complement to the
     Gopher word-level battery. Symbol counts come from a FIXED
-    alphabet (letters/digits/space/basic punctuation, everything else
-    pooled into one OTHER symbol) via length-of-replace, so the whole
+    alphabet (here space + a-z, matching this corpus; everything else
+    pools into one OTHER symbol) via length-of-replace, so the whole
+    gate is deployment-parameterized: a non-Latin corpus MUST widen
+    the alphabet (or route on lang_id first) or its text pools into
+    OTHER and reads as low-entropy. Being
     gate is a zero-shuffle map stage; each -p*ln(p) term is pinned to
     the 1e-9 grid and summed in fixed expression order, identical on
     both engines."""
@@ -9673,14 +9676,6 @@ def q_rrf_fusion(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
 
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-        )
-
-    def _nrm(a):
-        return F.sqrt(_dot(a, a))
-
     cos = (
         e.crossJoin(F.broadcast(qe))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -9688,8 +9683,11 @@ def q_rrf_fusion(spark, sf_dir):
             "query_id",
             F.col("vec_id").alias("doc_id"),
             F.round(
-                _dot(F.col("v"), F.col("qv"))
-                / (_nrm(F.col("v")) * _nrm(F.col("qv"))),
+                _dot_d(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(_dot_d(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot_d(F.col("qv"), F.col("qv")))
+                ),
                 6,
             ).alias("s"),
         )
@@ -9807,6 +9805,7 @@ def _chunk_sql(window: int = 128, stride: int = 96) -> str:
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u.gs) - 1
                   AS BIGINT) AS chunk_id
       FROM dd, unnest(generate_series(0, n - 1, {stride})) AS u(gs)
+      WHERE u.gs = 0 OR u.gs + {window - stride} < n
     )
     SELECT doc_id, chunk_id, start_tok,
            CAST(least({window}, n - start_tok) AS BIGINT) AS n_toks,
@@ -9893,13 +9892,15 @@ def q_fs_match_decisions(spark, sf_dir):
             (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
             (F.col("source_a") == F.col("source_b")).alias("same_source"),
             (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20).alias("len_close"),
-            (
+            F.coalesce(
                 F.expr(
                     "floor(cast(size(array_intersect(toks_a, toks_b)) as double)"
                     " * 1000000 / size(array_union(toks_a, toks_b)) + 0.5)"
                     " / 1000000"
                 )
-                >= 0.5
+                >= 0.5,
+                F.lit(False),  # zero-token doc: 0/0 is NULL; the oracle
+                # coalesces to FALSE — match it (disagreement weight)
             ).alias("jac50"),
         )
     )

@@ -721,8 +721,7 @@ def train_linear_probe(
     w = spark.range(n_buckets + 1).select(
         F.col("id").cast("int").alias("j"), F.lit(0.0).alias("w")
     )
-    def pin9(c):
-        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("double") / F.lit(1e9)
+    from crawler_spark.functions.num import pin9
 
     for _ in range(n_iter):
         z = (
@@ -862,8 +861,7 @@ def waterfill_allocation(
     """
     from pyspark.sql import Window
 
-    def pin9(c):
-        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("double") / F.lit(1e9)
+    from crawler_spark.functions.num import pin9
 
     # cap/w pinned to the 1e-9 grid and ACCUMULATED AS DECIMAL: window
     # cumulative float sums have engine-internal association order, so
@@ -947,6 +945,14 @@ def chunk_windows(
     return (
         d.select("doc_id", F.size("__tk").alias("__n"), "__tk",
                  F.posexplode(starts).alias("chunk_id", "start_tok"))
+        # drop tail starts whose window is a strict SUFFIX of the
+        # previous one (prev window already reached the end): shipping
+        # those re-duplicates the doc tail — the very thing the dedup
+        # pipeline exists to remove
+        .filter(
+            (F.col("start_tok") == 0)
+            | (F.col("start_tok") + F.lit(window - stride) < F.col("__n"))
+        )
         .select(
             "doc_id",
             F.col("chunk_id").cast("long").alias("chunk_id"),

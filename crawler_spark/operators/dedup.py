@@ -222,7 +222,9 @@ def simhash64_band_signatures(
     for b in range(n_bands):
         val = None
         for i in range(band_bits):
-            term = (F.col(f"_v{16 * b + i}") > 0).cast("long") * F.lit(1 << i)
+            term = (
+                F.col(f"_v{band_bits * b + i}") > 0
+            ).cast("long") * F.lit(1 << i)
             val = term if val is None else val + term
         band_vals.append(val.alias(f"_band{b}"))
     wide = per_doc.select("doc_id", *band_vals)
@@ -1981,9 +1983,8 @@ def fs_match_scores(
     """
     import math
 
-    pin9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast(  # noqa: E731
-        "double"
-    ) / F.lit(1e9)
+    from crawler_spark.functions.num import pin9
+
     terms = []
     for col, m, u in fields:
         if not (0.0 < u < m < 1.0):

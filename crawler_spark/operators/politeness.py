@@ -433,8 +433,12 @@ def wfq_schedule(
     cost units). Returns (host, k, size, vfinish[, dispatch_rank]).
     """
     w = Window.partitionBy(host_col).orderBy(*(order_cols or [size_col]))
+    # LEFT join + default weight 1: a host missing from the weights
+    # dimension must still be served (the stride scheduler's contract)
+    # — an inner join would silently starve it
     t = (
-        jobs.join(F.broadcast(weights), host_col)
+        jobs.join(F.broadcast(weights), host_col, "left")
+        .withColumn("w", F.coalesce(F.col("w"), F.lit(1.0)))
         .withColumn("k", F.row_number().over(w).cast("long"))
         .withColumn(
             "vfinish",

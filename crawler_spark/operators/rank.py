@@ -444,9 +444,9 @@ def anchor_text_index(
     Output: (dst, term, n_links, n_src, score, rnk) with rnk 1..k by
     (score desc, term) per dst.
     """
-    term = F.floor(
-        F.coalesce(F.col(auth_col), F.lit(0.0)) * F.lit(1e9) + F.lit(0.5)
-    ).cast("double") / F.lit(1e9)
+    from crawler_spark.functions.num import pin9
+
+    term = pin9(F.coalesce(F.col(auth_col), F.lit(0.0)))
     agg = (
         edges.select(
             F.col(src_col).alias("src"),

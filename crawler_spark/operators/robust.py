@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.num import pin6, pin9
+
 
 def _lower_median(
     df: DataFrame, group_col: str, value_col: str, order_cols: list[str]
@@ -80,7 +82,7 @@ def mad_outliers(
         F.col("mad") > 0,
         F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad"),
     ).otherwise(F.lit(0.0))
-    p6 = F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6)
+    p6 = pin6(z)
     return (
         dev.join(F.broadcast(mad), "g")
         .select(
@@ -121,13 +123,7 @@ def theil_sen_trend(
         .filter(F.col("xa") < F.col("xb"))
         .withColumn(
             "s",
-            F.floor(
-                (F.col("yb") - F.col("ya"))
-                / (F.col("xb") - F.col("xa"))
-                * F.lit(1e9)
-                + F.lit(0.5)
-            ).cast("double")
-            / F.lit(1e9),
+            pin9((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))),
         )
     )
     w = Window.partitionBy("g").orderBy("s", "xa", "xb", "ya", "yb")
@@ -180,9 +176,6 @@ def cusum_alarms(
     group over the metric retention span — the same bound every
     trailing-window query here relies on.
     """
-    pin9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast(  # noqa: E731
-        "double"
-    ) / F.lit(1e9)
     rows = df.select(
         F.col(group_col).alias("g"),
         F.col(order_col).alias("o"),
@@ -209,14 +202,11 @@ def cusum_alarms(
     )
     s_pos = F.greatest(F.lit(0.0), F.col("cu") - F.col("mu"))
     s_neg = F.greatest(F.lit(0.0), F.col("md") - F.col("cd"))
-    p6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
-        "double"
-    ) / F.lit(1e6)
     return staged.select(
         F.col("g").alias(group_col),
         F.col("o").alias(order_col),
         F.col("x").alias(value_col),
-        p6(s_pos).alias("s_pos6"),
-        p6(s_neg).alias("s_neg6"),
+        pin6(s_pos).alias("s_pos6"),
+        pin6(s_neg).alias("s_neg6"),
         ((s_pos > h) | (s_neg > h)).alias("alarm"),
     )

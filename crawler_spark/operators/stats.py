@@ -104,9 +104,9 @@ def range_selectivity(
     # per-bucket terms pinned to the 1e-9 grid and summed as DECIMAL so
     # the estimate is independent of partial-aggregation order (SCALE.md
     # determinism rule) and bit-equal on the oracle
-    term = F.floor(
-        F.col("est_frac") * F.col("ovl") * F.lit(1e9) + F.lit(0.5)
-    ).cast("double") / F.lit(1e9)
+    from crawler_spark.functions.num import pin9
+
+    term = pin9(F.col("est_frac") * F.col("ovl"))
     return (
         j.withColumn("ovl", F.least(F.lit(1.0), ovl))
         .withColumn("term", term.cast("decimal(28, 9)"))

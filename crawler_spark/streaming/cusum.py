@@ -4,7 +4,8 @@ operators/robust.cusum_alarms.
 The batch form exploits the prefix-sum closed form; a continuous
 monitor can't (the prefix grows forever), so this is the O(1)-state
 recursion itself on ``applyInPandasWithState``: per host, state =
-(s_pos, s_neg, last_seq), each micro-batch's rows fold in event order,
+(s_pos, s_neg, high-water seq), each micro-batch's rows fold in event
+order (late rows fold on arrival — contributed, never dropped),
 and a threshold crossing EMITS one alarm row and resets the statistic
 (the operational form: after paging the operator the detector re-arms;
 the batch query instead reports the statistic everywhere). State never
@@ -19,10 +20,10 @@ replay from checkpoint reproduces the identical alarm set.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+from crawler_spark.functions.num import pin9f as _p9
 
 METRIC_SCHEMA = T.StructType(
     [
@@ -51,10 +52,6 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _p9(v: float) -> float:
-    return math.floor(v * 1e9 + 0.5) / 1e9
-
-
 def streaming_cusum(
     metrics: DataFrame,
     target: float,
@@ -72,11 +69,15 @@ def streaming_cusum(
         sp, sn, last = (state.get if state.exists else (0.0, 0.0, -1))
         out = []
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("seq")
+        # no dedup guard needed: state-store commits are transactional
+        # with the micro-batch, so a failure replay re-runs the WHOLE
+        # batch against the pre-batch state (each row folds exactly
+        # once). Rows arriving in a later batch with smaller seq are
+        # LATE DATA — they still fold (in their batch's seq order)
+        # rather than being silently dropped.
         for seq, x in zip(rows["seq"], rows["x"]):
             seq, x = int(seq), float(x)
-            if seq <= last:
-                continue  # replayed duplicate — transitions already taken
-            last = seq
+            last = max(last, seq)
             sp = max(0.0, sp + _p9(x - target - slack))
             sn = max(0.0, sn - _p9(x - target + slack))
             if sp > h:

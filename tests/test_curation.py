@@ -349,8 +349,10 @@ def test_chunk_windows_cover_and_overlap(spark):
         chunk_windows(df, window=128, stride=96).collect(),
         key=lambda r: r["chunk_id"],
     )
-    assert [r["start_tok"] for r in rows] == [0, 96, 192, 288]
-    assert [r["n_toks"] for r in rows] == [128, 128, 108, 12]
+    # start 288 is dropped: window 192..319 already reached the end, so
+    # a 288-start chunk would be a strict suffix duplicate
+    assert [r["start_tok"] for r in rows] == [0, 96, 192]
+    assert [r["n_toks"] for r in rows] == [128, 128, 108]
     # chunk hashes match direct slices
     import hashlib
 

@@ -638,3 +638,32 @@ def test_weighted_jaccard_counts_multiplicity(spark):
         for r in weighted_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert kept == {(1, 3), (4, 5)}
+
+
+def test_simhash64_nondefault_band_geometry(spark):
+    """8x8 banding must produce valid 8-bit band values from the right
+    bit ranges (regression: the packer hardcoded 16-bit bands) and an
+    exact-duplicate pair still lands at Hamming 0."""
+    from crawler_spark.operators.dedup import (
+        simhash64_band_signatures,
+        simhash64_hamming_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    sig = simhash64_band_signatures(docs, n_bands=8, band_bits=8).collect()
+    assert {r["band_id"] for r in sig} == set(range(8))
+    assert all(0 <= r["band_val"] < 256 for r in sig)
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], {})[r["band_id"]] = r["band_val"]
+    assert by_doc[1] == by_doc[2]  # identical text -> identical bands
+    pairs = simhash64_hamming_pairs(
+        docs, max_hamming=3, n_bands=8, band_bits=8
+    ).collect()
+    assert any(
+        {p["doc_a"], p["doc_b"]} == {1, 2} and p["hamming"] == 0 for p in pairs
+    )

@@ -55,3 +55,29 @@ def test_streaming_cusum_carries_state_and_rearms(spark, tmp_path):
     assert len(expect_a) == 2  # crossed, re-armed, crossed again
     assert expect_a[0][1] >= 14  # first alarm lands in batch 2's rows
     assert not [g for g in got if g[0] == "B"]
+
+
+def test_streaming_cusum_folds_late_rows(spark, tmp_path):
+    """Rows arriving in a later batch with smaller seq are late data:
+    they still fold into the statistic rather than being dropped —
+    enough late evidence alone must trigger the alarm."""
+    import glob
+    import shutil
+
+    from crawler_spark.streaming.cusum import METRIC_SCHEMA, run_cusum_stream
+
+    batch1 = [("A", i, 12.0) for i in range(100, 104)]
+    batch2 = [("A", i, 12.0) for i in range(0, 4)]  # late, same drift
+    d = tmp_path / "cusum_late"
+    d.mkdir()
+    for i, batch in enumerate([batch1, batch2]):
+        staged = str(tmp_path / f"lstage{i}")
+        spark.createDataFrame(batch, METRIC_SCHEMA).coalesce(1).write.parquet(staged)
+        shutil.copy(glob.glob(f"{staged}/part-*.parquet")[0], d / f"b{i}.parquet")
+    # drift 1.5/step after slack: 8 rows x 1.5 = 12 > h=10 only if the
+    # late batch's rows contributed
+    name = run_cusum_stream(
+        spark, str(d), target=10.0, slack=0.5, h=10.0, name="cusum_late_out"
+    )
+    rows = spark.table(name).collect()
+    assert len(rows) == 1 and rows[0]["side"] == "up"

@@ -90,3 +90,21 @@ def test_wfq_prefix_shares_track_weights(spark):
     ks = [r["k"] for r in sorted(out, key=lambda r: r["dispatch_rank"])
           if r["host"] == "h2"]
     assert ks == sorted(ks)
+
+
+def test_wfq_default_weight_for_unlisted_host(spark):
+    """A host missing from the weights dimension is served at weight 1
+    (stride's contract) — never silently dropped."""
+    from crawler_spark.operators.politeness import wfq_schedule
+
+    jobs = spark.createDataFrame(
+        [("known", i, 100) for i in range(5)]
+        + [("unlisted", i, 100) for i in range(5)],
+        "host string, seq long, size long",
+    )
+    weights = spark.createDataFrame([("known", 1.0)], "host string, w double")
+    out = wfq_schedule(jobs, weights, order_cols=["seq"]).collect()
+    hosts = {r["host"] for r in out}
+    assert hosts == {"known", "unlisted"}
+    vf = {(r["host"], r["k"]): r["vfinish"] for r in out}
+    assert vf[("unlisted", 1)] == vf[("known", 1)] == 100.0
