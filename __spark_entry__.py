@@ -7499,6 +7499,49 @@ def q_seed_distance(spark, sf_dir):
     )
 
 
+def q_trailing_distinct_hll(spark, sf_dir):
+    """Trailing-7-day distinct users per day from MERGEABLE per-day HLL
+    sketches (operators/sketches.py trailing_distinct_hll): register
+    max over a value-RANGE window IS HLL union, so each day's estimate
+    equals a sketch built on the window's union — the sliding-window
+    distinct no exact method affords at 10^10 events/day. Facts are
+    scanned once; everything after is (days x 256)-dimension work.
+    Exact witness co-computed."""
+    from crawler_spark.operators.sketches import trailing_distinct_hll
+
+    e = _t(spark, sf_dir, "events").select(
+        F.expr(
+            "cast(floor(unix_micros(cast(ts as timestamp)) / 86400000000)"
+            " as int)"
+        ).alias("day"),
+        "user_id",
+    )
+    est = trailing_distinct_hll(e, "day", "cast(user_id as string)", 7)
+    du = e.select("day", "user_id").distinct()
+    days = e.select("day").distinct()
+    ex = (
+        days.select(F.col("day").alias("d"))
+        .join(
+            du,
+            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .select(F.col("d").alias("day"), "exact_distinct")
+    )
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return est.join(ex, "day").select(
+        "day",
+        "hll_estimate",
+        "exact_distinct",
+        p6("abs(hll_estimate - exact_distinct) / exact_distinct").alias(
+            "rel_err6"
+        ),
+    )
+
+
 def q_fk_readability(spark, sf_dir):
     """Flesch-Kincaid grade per document (functions/text.py fk_grade):
     the classic readability score from native regexp counts (vowel
@@ -10466,6 +10509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wfq_dispatch_order": q_wfq_dispatch_order,
         "seed_attribution": q_seed_attribution,
         "fk_readability": q_fk_readability,
+        "trailing_distinct_hll": q_trailing_distinct_hll,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -12126,6 +12170,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
                    round(sum(nbytes) / 8388608.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, shard_id
+        """,
+        "trailing_distinct_hll": """
+            WITH e AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000) AS INT) AS day,
+                     user_id
+              FROM events
+            ),
+            hw AS (
+              SELECT day, h % 256 AS idx, h >> 8 AS w FROM (
+                SELECT day,
+                       CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                            1, 15) AS BIGINT) AS h
+                FROM e
+              )
+            ),
+            reg AS (
+              SELECT day, idx,
+                     max(CASE WHEN w = 0 THEN 53
+                              ELSE length(bin(w & -w)) END) AS rho_max
+              FROM hw GROUP BY day, idx
+            ),
+            days AS (SELECT DISTINCT day FROM e),
+            grid AS (
+              SELECT d.day, CAST(t.i AS INT) AS idx
+              FROM days d, range(0, 256) t(i)
+            ),
+            j AS (
+              SELECT g.day, g.idx, r.rho_max
+              FROM grid g LEFT JOIN reg r
+                ON r.day = g.day AND r.idx = g.idx
+            ),
+            m AS (
+              SELECT day, idx,
+                     max(rho_max) OVER (PARTITION BY idx ORDER BY day
+                                        RANGE BETWEEN 6 PRECEDING
+                                        AND CURRENT ROW) AS rho_t
+              FROM j
+            ),
+            mm AS (SELECT day, idx, rho_t FROM m WHERE rho_t IS NOT NULL),
+            dd AS (
+              SELECT day,
+                     sum(CAST(1 AS BIGINT) << (53 - rho_t))
+                     + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
+                       AS denom_scaled
+              FROM mm GROUP BY day
+            ),
+            est AS (
+              SELECT day,
+                     round(47072.71267120224 * pow(CAST(2 AS DOUBLE), 53)
+                           / denom_scaled, 3) AS hll_estimate
+              FROM dd
+            ),
+            du AS (SELECT DISTINCT day, user_id FROM e),
+            ex AS (
+              SELECT d.day, count(DISTINCT u.user_id) AS exact_distinct
+              FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+              GROUP BY d.day
+            )
+            SELECT est.day, est.hll_estimate,
+                   CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+                   CAST(floor(abs(est.hll_estimate - ex.exact_distinct)
+                              / ex.exact_distinct * 1e6 + 0.5) AS DOUBLE)
+                     / 1e6 AS rel_err6
+            FROM est JOIN ex ON ex.day = est.day
         """,
         "fk_readability": """
             WITH d AS (

@@ -195,6 +195,7 @@ HEADLINE = [
     "wfq_dispatch_order",
     "seed_attribution",
     "fk_readability",
+    "trailing_distinct_hll",
 ]
 
 BENCH_HOSTS = 50

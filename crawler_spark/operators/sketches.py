@@ -630,3 +630,53 @@ def dgim_counts(
         )
 
     return src.groupBy(*group_cols).applyInPandas(go, schema=schema)
+
+
+def trailing_distinct_hll(
+    df: DataFrame,
+    day_col: str,
+    key_expr: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-N-day distinct counts from MERGEABLE per-day HLL
+    sketches: build one register set per day (the only pass over the
+    facts), then merge each day's trailing window by taking the
+    per-register max over a RANGE frame — the sliding-window distinct
+    a 10^10-event stream cannot answer exactly without keeping every
+    (day, key) pair hot. Register merge = max is exactly HLL union, so
+    the trailing estimate equals the sketch built directly on the
+    window's union (mergeability, tested for KMV and HLL alike).
+
+    Dataflow: facts -> per-(day, idx) registers (shuffle carries <=
+    m rows/day after partial agg); a (day x m) DIMENSION grid
+    left-joins the registers so absent registers still ride the
+    window; one range-frame window per register index; the estimator
+    reuses `hll_estimate_by`. Day gaps are safe — the frame is
+    value-ranged, not row-counted.
+
+    ``day_col`` must be an integer day number. Returns (day,
+    hll_estimate) — one row per day present in ``df``.
+    """
+    spark = df.sparkSession
+    regs = hll_registers_by(
+        df.select(F.col(day_col).alias("_day"), F.expr("*")), ["_day"], key_expr
+    )
+    days = regs.select("_day").distinct()
+    grid = days.crossJoin(
+        F.broadcast(
+            spark.range(HLL_M).select(F.col("id").cast("int").alias("idx"))
+        )
+    )
+    j = grid.join(regs, ["_day", "idx"], "left")
+    w = (
+        Window.partitionBy("idx")
+        .orderBy("_day")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    merged = j.withColumn("rho_t", F.max("rho_max").over(w)).filter(
+        F.col("rho_t").isNotNull()
+    )
+    return hll_estimate_by(
+        merged.select("_day", "idx", F.col("rho_t").alias("rho_max")),
+        ["_day"],
+    ).select(F.col("_day").alias("day"), "hll_estimate")

@@ -264,3 +264,31 @@ def test_dgim_error_bound_state_size_and_partition_invariance(spark):
             assert first == {
                 g: (out[g]["est_ones"], out[g]["n_buckets"]) for g in out
             }
+
+
+def test_trailing_hll_equals_direct_union_sketch(spark):
+    """Mergeability, the property the window merge relies on: each
+    day's trailing estimate equals the estimate of a sketch built
+    DIRECTLY on the trailing window's union of keys."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+        trailing_distinct_hll,
+    )
+
+    rows = [(d, f"u{(d * 37 + i) % 500}") for d in range(10) for i in range(120)]
+    df = spark.createDataFrame(rows, "day int, k string")
+    got = {
+        r["day"]: r["hll_estimate"]
+        for r in trailing_distinct_hll(df, "day", "k", window_days=3).collect()
+    }
+    for d in range(10):
+        win = df.filter((F.col("day") >= d - 2) & (F.col("day") <= d)).select(
+            F.lit(d).alias("day"), "k"
+        )
+        direct = hll_estimate_by(
+            hll_registers_by(win, ["day"], "k"), ["day"]
+        ).collect()[0]["hll_estimate"]
+        assert got[d] == direct, d
