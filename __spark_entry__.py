@@ -7499,6 +7499,32 @@ def q_seed_distance(spark, sf_dir):
     )
 
 
+def q_decayed_host_activity(spark, sf_dir):
+    """Recency-weighted host activity (operators/metrics.py
+    decayed_counts): each event contributes 2^(-age_days), so "active
+    lately" outranks "active once, long ago" — the frontier-priority
+    prior plain counts and cliff-edge windows both get wrong. Exact by
+    BIT BUDGET, not pinning: dyadic weights spanning <= 30 bits plus a
+    53-bit mantissa make the float sum exact under any association
+    order. One map-side groupBy; rank over the host dimension."""
+    from crawler_spark.operators.metrics import decayed_counts
+
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("concat('h', cast(user_id % 40 as string))").alias("host"),
+        F.expr(
+            "cast(floor(unix_micros(cast(ts as timestamp)) / 86400000000)"
+            " as int)"
+        ).alias("day"),
+    )
+    out = decayed_counts(e, "host", "day", half_life_days=1, max_age_days=30)
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return out.select(
+        "host", "n_events", p6("decayed").alias("decayed6"), "rank"
+    )
+
+
 def q_trailing_distinct_hll(spark, sf_dir):
     """Trailing-7-day distinct users per day from MERGEABLE per-day HLL
     sketches (operators/sketches.py trailing_distinct_hll): register
@@ -10510,6 +10536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_attribution": q_seed_attribution,
         "fk_readability": q_fk_readability,
         "trailing_distinct_hll": q_trailing_distinct_hll,
+        "decayed_host_activity": q_decayed_host_activity,
         "edh_selectivity_audit": q_edh_selectivity_audit,
         "kmv_set_algebra": q_kmv_set_algebra,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -12170,6 +12197,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
                    round(sum(nbytes) / 8388608.0, 6) AS fill_ratio
             FROM r GROUP BY bucket, shard_id
+        """,
+        "decayed_host_activity": """
+            WITH e AS (
+              SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+                     CAST(floor(epoch_us(ts) / 86400000000) AS INT) AS day
+              FROM events
+            ),
+            mx AS (SELECT max(day) AS m FROM e),
+            agg AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_events,
+                     sum(pow(CAST(2.0 AS DOUBLE),
+                             -CAST(least((SELECT m FROM mx) - day, 30)
+                                   AS DOUBLE))) AS decayed
+              FROM e GROUP BY host
+            ),
+            r AS (
+              SELECT host, n_events, decayed,
+                     CAST(row_number() OVER (ORDER BY decayed DESC, host)
+                          AS BIGINT) AS rank
+              FROM agg
+            )
+            SELECT host, n_events,
+                   CAST(floor(decayed * 1e6 + 0.5) AS DOUBLE) / 1e6
+                     AS decayed6,
+                   rank
+            FROM r
         """,
         "trailing_distinct_hll": """
             WITH e AS (

@@ -196,6 +196,7 @@ HEADLINE = [
     "seed_attribution",
     "fk_readability",
     "trailing_distinct_hll",
+    "decayed_host_activity",
 ]
 
 BENCH_HOSTS = 50

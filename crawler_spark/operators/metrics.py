@@ -85,3 +85,51 @@ def round_summary(metrics: DataFrame) -> DataFrame:
         )
         .orderBy("round_id")
     )
+
+
+def decayed_counts(
+    df,
+    group_col: str,
+    day_col: str,
+    half_life_days: int = 1,
+    max_age_days: int = 30,
+):
+    """Recency-weighted activity counts: each event contributes
+    2^(-age/half_life) and the per-group sum ranks "active lately"
+    above "active once, long ago" — the frontier-priority prior that
+    plain counts (forever-memory) and fixed windows (cliff-edge) both
+    get wrong.
+
+    EXACTNESS BY BIT BUDGET, not pinning: with integer ages and
+    half_life 1, every weight is a dyadic 2^-k (IEEE-exact in any
+    engine); ages quantize to whole half-lives (floor) and cap at ``max_age_days`` (=30) so weights span 30
+    bits, and a group of up to 2^23 events keeps every partial sum
+    inside the 53-bit mantissa — the float aggregation is then exact
+    under ANY association order, so no decimal accumulator is needed.
+    (Raise max_age and the event bound shrinks bit-for-bit; the
+    docstring is the budget.) One map-side-combinable groupBy; the
+    reference day is the corpus max, a broadcast scalar.
+
+    Returns (group, n_events, decayed, rank) ranked by decayed desc.
+    """
+    from pyspark.sql import Window
+
+    mx = df.agg(F.max(F.col(day_col)).alias("_mx"))
+    # age quantizes to WHOLE half-lives (floor div) so the exponent is
+    # always an integer and the weight always an exact dyadic
+    age_hl = F.expr(f"(_mx - {day_col}) div {int(half_life_days)}")
+    w = F.pow(
+        F.lit(2.0),
+        -F.least(age_hl, F.lit(max_age_days)).cast("double"),
+    )
+    agg = (
+        df.crossJoin(F.broadcast(mx))
+        .withColumn("_w", w)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("_w").alias("decayed"),
+        )
+    )
+    wr = Window.orderBy(F.desc("decayed"), group_col)
+    return agg.withColumn("rank", F.row_number().over(wr).cast("long"))

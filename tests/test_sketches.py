@@ -292,3 +292,31 @@ def test_trailing_hll_equals_direct_union_sketch(spark):
             hll_registers_by(win, ["day"], "k"), ["day"]
         ).collect()[0]["hll_estimate"]
         assert got[d] == direct, d
+
+
+def test_decayed_counts_exact_and_recency_ordering(spark):
+    """Decayed counts equal the hand-computed dyadic sums exactly
+    (float aggregation exact by bit budget) and rank a recently-active
+    group above a historically-heavier but stale one; partitioning
+    doesn't change a single bit."""
+    from crawler_spark.operators.metrics import decayed_counts
+
+    rows = (
+        [("stale", 0) for _ in range(100)]       # 100 events, 10 days old
+        + [("fresh", 10) for _ in range(5)]      # 5 events today
+        + [("mid", 8) for _ in range(20)]        # 20 events, 2 days old
+    )
+    df = spark.createDataFrame(rows, "g string, day int")
+    for parts in (1, 7):
+        out = {
+            r["g"]: r
+            for r in decayed_counts(
+                df.repartition(parts), "g", "day"
+            ).collect()
+        }
+        assert out["stale"]["decayed"] == 100 * 2.0 ** -10
+        assert out["fresh"]["decayed"] == 5.0
+        assert out["mid"]["decayed"] == 20 * 2.0 ** -2
+        # mid = 5.0 and fresh = 5.0 tie exactly; lexicographic break
+        assert out["fresh"]["rank"] == 1 and out["mid"]["rank"] == 2
+        assert out["stale"]["rank"] == 3    # heaviest history, lowest recency
