@@ -6591,6 +6591,100 @@ def q_snm_blocking_pairs(spark, sf_dir):
     return jac.select("doc_a", "doc_b", "gap", "jaccard")
 
 
+def q_psi_feature_drift(spark, sf_dir):
+    """Population Stability Index (the standard model-ops drift gate;
+    operators/stats.py psi_bins) on the order-value distribution: the
+    parity split of one corpus must score stable (PSI < 0.1) while a
+    value-biased wave (URGENT-priority orders only) scores drifted —
+    both from B-row count tables, Laplace-smoothed so empty bins never
+    blow up. Fixed literal bin edges keep binning deterministic."""
+    from crawler_spark.operators.stats import psi_bins
+
+    o = _t(spark, sf_dir, "orders")
+    binned = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("int"),
+            F.lit(11),
+        ).alias("bin"),
+    )
+    a = binned.filter(F.col("o_orderkey") % 2 == 0)
+    b = binned.filter(F.col("o_orderkey") % 2 == 1)
+    drift = binned.filter(F.col("o_orderpriority") == "1-URGENT")
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+
+    def emit(tag, df):
+        return df.select(
+            F.lit(tag).alias("cmp"),
+            "bin",
+            "n_a",
+            "n_b",
+            p6("pa").alias("pa6"),
+            p6("pb").alias("pb6"),
+            p6("contrib").alias("contrib6"),
+            p6("psi").alias("psi6"),
+        )
+
+    return emit("parity", psi_bins(a, b, "bin", 12)).unionByName(
+        emit("priority_biased", psi_bins(a, drift, "bin", 12))
+    )
+
+
+def q_ivm_incremental_join(spark, sf_dir):
+    """Incremental view maintenance for JOINS — the delta rule
+    Δ(R ⋈ S) = ΔR ⋈ S_old ∪ R_old ⋈ ΔS ∪ ΔR ⋈ ΔS — completing the IVM
+    algebra next to ivm_incremental_agg's aggregate merges: when a
+    crawl round appends to BOTH sides of a materialized join (new
+    orders AND new lineitems), the view updates from the three delta
+    joins (each bounded by a delta's size at 10^10 rows) instead of a
+    full re-join. Proof shape: per join key, |base| + |delta terms| ==
+    |full recompute|, emitted as per-key counts with a match flag; a
+    single FALSE anywhere fails the oracle hash."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    o_old = o.filter(F.col("o_orderkey") % 13 != 7)
+    o_new = o.filter(F.col("o_orderkey") % 13 == 7)
+    l_old = l.filter(F.col("l_linenumber") % 5 != 3)
+    l_new = l.filter(F.col("l_linenumber") % 5 == 3)
+    ok = F.col("o_orderkey") == F.col("l_orderkey")
+
+    def cnt(df, name):
+        return df.groupBy(
+            F.col("o_orderkey").alias("k")
+        ).agg(F.count("*").alias(name))
+
+    base = cnt(o_old.join(l_old, ok), "n_base")
+    d1 = cnt(o_new.join(l_old, ok), "n_dr_s")
+    d2 = cnt(o_old.join(l_new, ok), "n_r_ds")
+    d3 = cnt(o_new.join(l_new, ok), "n_dr_ds")
+    full = cnt(o.join(l, ok), "n_full")
+    merged = (
+        full.join(base, "k", "left")
+        .join(d1, "k", "left")
+        .join(d2, "k", "left")
+        .join(d3, "k", "left")
+        .select(
+            "k",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ("n_base", "n_dr_s", "n_r_ds", "n_dr_ds", "n_full")
+            ],
+        )
+        .withColumn(
+            "delta_rule_holds",
+            F.col("n_base")
+            + F.col("n_dr_s")
+            + F.col("n_r_ds")
+            + F.col("n_dr_ds")
+            == F.col("n_full"),
+        )
+    )
+    return merged
+
+
 def q_ivm_incremental_agg(spark, sf_dir):
     """Incremental view maintenance for the round-metrics dashboards:
     merge a BASE aggregate with a DELTA aggregate (one crawl round's
@@ -10543,6 +10637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_latency_quantiles": q_hdr_latency_quantiles,
         "snm_blocking_pairs": q_snm_blocking_pairs,
         "ivm_incremental_agg": q_ivm_incremental_agg,
+        "ivm_incremental_join": q_ivm_incremental_join,
+        "psi_feature_drift": q_psi_feature_drift,
         "compression_gate": q_compression_gate,
         "audio_fingerprint_match": q_audio_fingerprint_match,
         "host_two_hop_reach": q_host_two_hop_reach,
@@ -17487,6 +17583,154 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON i.doc_b = sb.doc_id
             WHERE floor(i.ni * 1000000.0 / (sa.nt + sb.nt - i.ni) + 0.5)
                     / 1000000.0 >= 0.5
+        """,
+        "psi_feature_drift": """
+            WITH binned AS (
+              SELECT o_orderkey, o_orderpriority,
+                     least(CAST(floor(o_totalprice / 50000.0) AS INT), 11)
+                       AS bin
+              FROM orders
+            ),
+            bins AS (SELECT CAST(i AS INT) AS bin FROM range(0, 12) t(i)),
+            parity_ca AS (
+              SELECT bin, count(*) AS n_a FROM binned WHERE o_orderkey % 2 = 0
+              GROUP BY bin
+            ),
+            parity_cb AS (
+              SELECT bin, count(*) AS n_b FROM binned WHERE o_orderkey % 2 = 1
+              GROUP BY bin
+            ),
+            parity_j AS (
+              SELECT b.bin,
+                     CAST(coalesce(ca.n_a, 0) AS BIGINT) AS n_a,
+                     CAST(coalesce(cb.n_b, 0) AS BIGINT) AS n_b
+              FROM bins b
+              LEFT JOIN parity_ca ca ON ca.bin = b.bin
+              LEFT JOIN parity_cb cb ON cb.bin = b.bin
+            ),
+            parity_t AS (
+              SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM parity_j
+            ),
+            parity_p AS (
+              SELECT bin, n_a, n_b,
+                     (n_a + CAST(0.5 AS DOUBLE))
+                       / ((SELECT ta FROM parity_t) + CAST(6.0 AS DOUBLE))
+                       AS pa,
+                     (n_b + CAST(0.5 AS DOUBLE))
+                       / ((SELECT tb FROM parity_t) + CAST(6.0 AS DOUBLE))
+                       AS pb
+              FROM parity_j
+            ),
+            parity_c AS (
+              SELECT bin, n_a, n_b, pa, pb,
+                     CAST(floor((pa - pb) * ln(pa / pb) * 1e9 + 0.5)
+                          AS DOUBLE) / 1e9 AS contrib
+              FROM parity_p
+            ),
+            parity_f AS (
+              SELECT 'parity' AS cmp,
+                     bin, n_a, n_b,
+                     CAST(floor(pa * 1e6 + 0.5) AS DOUBLE) / 1e6 AS pa6,
+                     CAST(floor(pb * 1e6 + 0.5) AS DOUBLE) / 1e6 AS pb6,
+                     CAST(floor(contrib * 1e6 + 0.5) AS DOUBLE) / 1e6
+                       AS contrib6,
+                     CAST(floor(CAST(sum(CAST(contrib AS DECIMAL(28, 9)))
+                                     OVER () AS DOUBLE) * 1e6 + 0.5)
+                          AS DOUBLE) / 1e6 AS psi6
+              FROM parity_c
+            ),
+            pr_ca AS (
+              SELECT bin, count(*) AS n_a FROM binned WHERE o_orderkey % 2 = 0
+              GROUP BY bin
+            ),
+            pr_cb AS (
+              SELECT bin, count(*) AS n_b FROM binned WHERE o_orderpriority = '1-URGENT'
+              GROUP BY bin
+            ),
+            pr_j AS (
+              SELECT b.bin,
+                     CAST(coalesce(ca.n_a, 0) AS BIGINT) AS n_a,
+                     CAST(coalesce(cb.n_b, 0) AS BIGINT) AS n_b
+              FROM bins b
+              LEFT JOIN pr_ca ca ON ca.bin = b.bin
+              LEFT JOIN pr_cb cb ON cb.bin = b.bin
+            ),
+            pr_t AS (
+              SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM pr_j
+            ),
+            pr_p AS (
+              SELECT bin, n_a, n_b,
+                     (n_a + CAST(0.5 AS DOUBLE))
+                       / ((SELECT ta FROM pr_t) + CAST(6.0 AS DOUBLE))
+                       AS pa,
+                     (n_b + CAST(0.5 AS DOUBLE))
+                       / ((SELECT tb FROM pr_t) + CAST(6.0 AS DOUBLE))
+                       AS pb
+              FROM pr_j
+            ),
+            pr_c AS (
+              SELECT bin, n_a, n_b, pa, pb,
+                     CAST(floor((pa - pb) * ln(pa / pb) * 1e9 + 0.5)
+                          AS DOUBLE) / 1e9 AS contrib
+              FROM pr_p
+            ),
+            pr_f AS (
+              SELECT 'priority_biased' AS cmp,
+                     bin, n_a, n_b,
+                     CAST(floor(pa * 1e6 + 0.5) AS DOUBLE) / 1e6 AS pa6,
+                     CAST(floor(pb * 1e6 + 0.5) AS DOUBLE) / 1e6 AS pb6,
+                     CAST(floor(contrib * 1e6 + 0.5) AS DOUBLE) / 1e6
+                       AS contrib6,
+                     CAST(floor(CAST(sum(CAST(contrib AS DECIMAL(28, 9)))
+                                     OVER () AS DOUBLE) * 1e6 + 0.5)
+                          AS DOUBLE) / 1e6 AS psi6
+              FROM pr_c
+            )
+            SELECT * FROM parity_f UNION ALL SELECT * FROM pr_f
+        """,
+        "ivm_incremental_join": """
+            WITH oo AS (SELECT o_orderkey FROM orders
+                        WHERE o_orderkey % 13 != 7),
+            onw AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 7),
+            lo AS (SELECT l_orderkey FROM lineitem
+                   WHERE l_linenumber % 5 != 3),
+            ln2 AS (SELECT l_orderkey FROM lineitem
+                    WHERE l_linenumber % 5 = 3),
+            base AS (
+              SELECT o_orderkey AS k, count(*) AS n_base
+              FROM oo JOIN lo ON o_orderkey = l_orderkey GROUP BY 1
+            ),
+            d1 AS (
+              SELECT o_orderkey AS k, count(*) AS n_dr_s
+              FROM onw JOIN lo ON o_orderkey = l_orderkey GROUP BY 1
+            ),
+            d2 AS (
+              SELECT o_orderkey AS k, count(*) AS n_r_ds
+              FROM oo JOIN ln2 ON o_orderkey = l_orderkey GROUP BY 1
+            ),
+            d3 AS (
+              SELECT o_orderkey AS k, count(*) AS n_dr_ds
+              FROM onw JOIN ln2 ON o_orderkey = l_orderkey GROUP BY 1
+            ),
+            fl AS (
+              SELECT o_orderkey AS k, count(*) AS n_full
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY 1
+            )
+            SELECT fl.k,
+                   CAST(coalesce(base.n_base, 0) AS BIGINT) AS n_base,
+                   CAST(coalesce(d1.n_dr_s, 0) AS BIGINT) AS n_dr_s,
+                   CAST(coalesce(d2.n_r_ds, 0) AS BIGINT) AS n_r_ds,
+                   CAST(coalesce(d3.n_dr_ds, 0) AS BIGINT) AS n_dr_ds,
+                   CAST(fl.n_full AS BIGINT) AS n_full,
+                   coalesce(base.n_base, 0) + coalesce(d1.n_dr_s, 0)
+                   + coalesce(d2.n_r_ds, 0) + coalesce(d3.n_dr_ds, 0)
+                     = fl.n_full AS delta_rule_holds
+            FROM fl
+            LEFT JOIN base ON base.k = fl.k
+            LEFT JOIN d1 ON d1.k = fl.k
+            LEFT JOIN d2 ON d2.k = fl.k
+            LEFT JOIN d3 ON d3.k = fl.k
         """,
         "ivm_incremental_agg": """
             WITH ev AS (

@@ -197,6 +197,8 @@ HEADLINE = [
     "fk_readability",
     "trailing_distinct_hll",
     "decayed_host_activity",
+    "ivm_incremental_join",
+    "psi_feature_drift",
 ]
 
 BENCH_HOSTS = 50

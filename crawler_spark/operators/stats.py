@@ -178,3 +178,77 @@ def system_r_chain_costs(
     out = spark.createDataFrame(rows, "plan string, est_inter double, est_cost double")
     w = Window.orderBy("est_cost", "plan")
     return out.withColumn("rank", F.row_number().over(w))
+
+
+def psi_bins(
+    a: DataFrame,
+    b: DataFrame,
+    bin_col: str,
+    n_bins: int,
+    laplace: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two waves of a binned
+    feature: PSI = sum_bins (p_i - q_i) * ln(p_i / q_i) — the standard
+    drift score model-ops gates ship on (rule of thumb: < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted). Counts are Laplace-smoothed
+    (+``laplace``) so empty bins never produce infinities, which also
+    makes the score defined for disjoint supports.
+
+    Inputs are the two waves' rows with ``bin_col`` already assigned
+    (deterministic binning is the caller's contract — use fixed literal
+    edges or `equi_depth_histogram` fences). Both sides reduce to
+    B-row count tables before anything else, so the comparison is
+    dimension-sized regardless of wave size. Per-bin contributions are
+    1e-9-pinned and decimal-summed (order-independent).
+
+    Returns per bin: (bin, n_a, n_b, pa, pb, contrib) plus the total
+    as ``psi`` on every row (window over the B-row frame).
+    """
+    from crawler_spark.functions.num import pin9
+
+    bins = a.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    ca = a.groupBy(F.col(bin_col).alias("bin")).agg(F.count("*").alias("n_a"))
+    cb = b.groupBy(F.col(bin_col).alias("bin")).agg(F.count("*").alias("n_b"))
+    j = (
+        bins.join(ca, "bin", "left")
+        .join(cb, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    lap = F.lit(float(laplace))
+    withp = j.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        (
+            (F.col("n_a") + lap)
+            / (F.col("ta") + lap * F.lit(float(n_bins)))
+        ).alias("pa"),
+        (
+            (F.col("n_b") + lap)
+            / (F.col("tb") + lap * F.lit(float(n_bins)))
+        ).alias("pb"),
+    )
+    contrib = pin9(
+        (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        withp.withColumn("contrib", contrib)
+        .withColumn(
+            "psi",
+            F.sum(F.col("contrib").cast("decimal(28,9)"))
+            .over(w)
+            .cast("double"),
+        )
+    )

@@ -115,3 +115,27 @@ def test_join_cost_formula_matches_hand_calc(spark):
     assert rows["(A*B)*C"]["est_inter"] == 3.0
     # est cost adds 3 * |C| / max(ndv_b(k2)=2, ndv_c(k2)=3) = 3*4/3
     assert abs(rows["(A*B)*C"]["est_cost"] - (3.0 + 4.0)) < 1e-12
+
+
+def test_psi_stable_vs_shifted(spark):
+    """PSI ~ 0 for identically-distributed waves; well past 0.25 for a
+    mean-shifted wave; symmetric in its arguments; empty bins are
+    finite via Laplace smoothing."""
+    from crawler_spark.operators.stats import psi_bins
+
+    a = spark.range(4000).select((F.col("id") % 10).cast("int").alias("bin"))
+    b = spark.range(4000).select(
+        (((F.col("id") % 10) + 0) % 10).cast("int").alias("bin")
+    )
+    shifted = spark.range(4000).select(
+        F.least((F.col("id") % 10) + 4, F.lit(9)).cast("int").alias("bin")
+    )
+    stable = psi_bins(a, b, "bin", 10).collect()[0]["psi"]
+    assert abs(stable) < 0.01
+    drifted = psi_bins(a, shifted, "bin", 10).collect()[0]["psi"]
+    assert drifted > 0.25
+    sym = psi_bins(shifted, a, "bin", 10).collect()[0]["psi"]
+    assert abs(sym - drifted) < 1e-6  # PSI is symmetric
+    import math
+
+    assert math.isfinite(drifted)
