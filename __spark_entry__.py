@@ -6591,6 +6591,75 @@ def q_snm_blocking_pairs(spark, sf_dir):
     return jac.select("doc_a", "doc_b", "gap", "jaccard")
 
 
+def q_ht_corpus_totals(spark, sf_dir):
+    """Horvitz-Thompson corpus totals from an unequal-probability
+    sample (operators/stats.py ht_total_estimate): strata sampled at
+    different md5-gated rates (the politeness-bias model: URGENT
+    orders oversampled 4x), every sampled row weighted 1/pi — the
+    unbiased estimator a plain scaled mean is NOT under biased
+    sampling. Weighted sums are pinned decimal accumulations; exact
+    totals ride along as the sandbox witness."""
+    from crawler_spark.operators.stats import ht_total_estimate
+
+    o = _t(spark, sf_dir, "orders")
+    rates = spark.createDataFrame(
+        [
+            ("1-URGENT", 400),
+            ("2-HIGH", 200),
+            ("3-MEDIUM", 100),
+            ("4-NOT SPECIFIED", 100),
+            ("5-LOW", 50),
+        ],
+        "o_orderpriority string, permille int",
+    )
+    out = ht_total_estimate(
+        o, rates, "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return out.select(
+        "o_orderpriority",
+        "n_sampled",
+        p6("est_rows").alias("est_rows6"),
+        p6("est_total").alias("est_total6"),
+        "exact_rows",
+        p6("exact_total").alias("exact_total6"),
+    )
+
+
+def q_host_latency_mk_trend(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per event type (operators/
+    robust.py mann_kendall) — Theil-Sen's significance companion on
+    the same md5-sampled series: S and the tie-corrected variance are
+    integer arithmetic end to end, so the statistic needs no pinning
+    at all; |z| > 1.96 flags a trend at 5%."""
+    from crawler_spark.operators.robust import mann_kendall
+
+    e = _t(spark, sf_dir, "events")
+    samp = e.filter(
+        F.expr(
+            "pmod(cast(conv(substring(md5(concat('ts:', cast(event_id as "
+            "string))), 1, 15), 16, 10) as bigint), 1000) < 10"
+        )
+    ).select(
+        "event_type",
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000))
+            / F.lit(3.6e9)
+        ).alias("xh"),
+        "value",
+    )
+    t = mann_kendall(samp, "event_type", "xh", "value")
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return t.select(
+        "event_type", "n_points", "s_stat", "var_s18",
+        p6("z").alias("z6"), "trending",
+    )
+
+
 def q_psi_feature_drift(spark, sf_dir):
     """Population Stability Index (the standard model-ops drift gate;
     operators/stats.py psi_bins) on the order-value distribution: the
@@ -10639,6 +10708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_incremental_agg": q_ivm_incremental_agg,
         "ivm_incremental_join": q_ivm_incremental_join,
         "psi_feature_drift": q_psi_feature_drift,
+        "ht_corpus_totals": q_ht_corpus_totals,
+        "host_latency_mk_trend": q_host_latency_mk_trend,
         "compression_gate": q_compression_gate,
         "audio_fingerprint_match": q_audio_fingerprint_match,
         "host_two_hop_reach": q_host_two_hop_reach,
@@ -17583,6 +17654,102 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON i.doc_b = sb.doc_id
             WHERE floor(i.ni * 1000000.0 / (sa.nt + sb.nt - i.ni) + 0.5)
                     / 1000000.0 >= 0.5
+        """,
+        "ht_corpus_totals": """
+            WITH rates AS (
+              SELECT * FROM (VALUES
+                ('1-URGENT', 400), ('2-HIGH', 200), ('3-MEDIUM', 100),
+                ('4-NOT SPECIFIED', 100), ('5-LOW', 50)
+              ) t(o_orderpriority, permille)
+            ),
+            p AS (
+              SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+                     r.permille
+              FROM orders o JOIN rates r USING (o_orderpriority)
+            ),
+            samp AS (
+              SELECT * FROM p
+              WHERE CAST('0x' || substring(md5('ht:'
+                         || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000 < permille
+            ),
+            est AS (
+              SELECT o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n_sampled,
+                     CAST(sum(CAST(CAST(floor(CAST(1000.0 AS DOUBLE)
+                                 / permille * 1e9 + 0.5) AS DOUBLE) / 1e9
+                              AS DECIMAL(28, 9))) AS DOUBLE) AS est_rows,
+                     CAST(sum(CAST(CAST(floor(o_totalprice
+                                 * CAST(1000.0 AS DOUBLE) / permille
+                                 * 1e9 + 0.5) AS DOUBLE) / 1e9
+                              AS DECIMAL(28, 9))) AS DOUBLE) AS est_total
+              FROM samp GROUP BY o_orderpriority
+            ),
+            ex AS (
+              SELECT o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS exact_rows,
+                     CAST(sum(CAST(CAST(floor(o_totalprice * 1e9 + 0.5)
+                                        AS DOUBLE) / 1e9
+                              AS DECIMAL(28, 9))) AS DOUBLE) AS exact_total
+              FROM p GROUP BY o_orderpriority
+            )
+            SELECT est.o_orderpriority, est.n_sampled,
+                   CAST(floor(est_rows * 1e6 + 0.5) AS DOUBLE) / 1e6
+                     AS est_rows6,
+                   CAST(floor(est_total * 1e6 + 0.5) AS DOUBLE) / 1e6
+                     AS est_total6,
+                   ex.exact_rows,
+                   CAST(floor(exact_total * 1e6 + 0.5) AS DOUBLE) / 1e6
+                     AS exact_total6
+            FROM est JOIN ex USING (o_orderpriority)
+        """,
+        "host_latency_mk_trend": """
+            WITH samp AS (
+              SELECT event_type AS g,
+                     (epoch_us(ts) - 1704067200000000)
+                       / CAST(3.6e9 AS DOUBLE) AS xh,
+                     value AS y
+              FROM events
+              WHERE CAST('0x' || substring(md5('ts:'
+                         || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000 < 10
+            ),
+            s AS (
+              SELECT a.g,
+                     CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT)
+                       AS s_stat
+              FROM samp a JOIN samp b ON a.g = b.g AND a.xh < b.xh
+              GROUP BY a.g
+            ),
+            n AS (SELECT g, count(*) AS n FROM samp GROUP BY g),
+            ties AS (
+              SELECT g, sum(t * (t - 1) * (2 * t + 5)) AS tie_term FROM (
+                SELECT g, y, count(*) AS t FROM samp GROUP BY g, y
+              ) WHERE t > 1 GROUP BY g
+            ),
+            j AS (
+              SELECT n.g, n.n,
+                     CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat,
+                     CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                          - coalesce(ties.tie_term, 0) AS BIGINT) AS var_s18
+              FROM n LEFT JOIN s ON s.g = n.g
+              LEFT JOIN ties ON ties.g = n.g
+            ),
+            z AS (
+              SELECT g, n, s_stat, var_s18,
+                     CASE WHEN var_s18 > 0 THEN
+                       CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                                 WHEN s_stat < 0 THEN s_stat + 1
+                                 ELSE 0 END AS DOUBLE)
+                       / sqrt(CAST(var_s18 AS DOUBLE) / CAST(18.0 AS DOUBLE))
+                     ELSE CAST(0.0 AS DOUBLE) END AS zv
+              FROM j
+            )
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n_points, s_stat,
+                   var_s18,
+                   CAST(floor(zv * 1e6 + 0.5) AS DOUBLE) / 1e6 AS z6,
+                   abs(zv) > 1.96 AS trending
+            FROM z
         """,
         "psi_feature_drift": """
             WITH binned AS (

@@ -199,6 +199,8 @@ HEADLINE = [
     "decayed_host_activity",
     "ivm_incremental_join",
     "psi_feature_drift",
+    "ht_corpus_totals",
+    "host_latency_mk_trend",
 ]
 
 BENCH_HOSTS = 50

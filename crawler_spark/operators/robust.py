@@ -210,3 +210,77 @@ def cusum_alarms(
         pin6(s_neg).alias("s_neg6"),
         ((s_pos > h) | (s_neg > h)).alias("alarm"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend TEST per group — the significance companion
+    to `theil_sen_trend` (same pairwise shape; Theil-Sen says how
+    steep, MK says whether a monotone trend exists at all):
+    S = sum over pairs of sign(y_b - y_a) for x_a < x_b, an exact
+    integer; Var(S) = [n(n-1)(2n+5) - sum_ties t(t-1)(2t+5)] / 18 with
+    the tie correction over tied y groups; z = (S -/+ 1)/sqrt(Var)
+    (continuity-corrected), |z| > 1.96 rejects "no trend" at 5%.
+
+    S and the variance are integer arithmetic end to end (the /18 and
+    sqrt happen once per group on exact integers), so the statistic is
+    engine-exact with no pinning. Callers pre-sample like Theil-Sen to
+    bound the O(m^2) pair stage. Returns (group, n_points, s_stat,
+    var_s18 (=18*Var, integer), z, trending).
+    """
+    pts = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("double").alias("px"),
+        F.col(y_col).cast("double").alias("py"),
+    )
+    a = pts.select("g", F.col("px").alias("xa"), F.col("py").alias("ya"))
+    b = pts.select("g", F.col("px").alias("xb"), F.col("py").alias("yb"))
+    s = (
+        a.join(b, "g")
+        .filter(F.col("xa") < F.col("xb"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.signum(F.col("yb") - F.col("ya")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    n = pts.groupBy("g").agg(F.count("*").alias("n"))
+    ties = (
+        pts.groupBy("g", "py")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    z = F.when(
+        F.col("var_s18") > 0,
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+        .cast("double")
+        / F.sqrt(F.col("var_s18").cast("double") / F.lit(18.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        n.join(s, "g", "left")
+        .join(ties, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").cast("long").alias("n_points"),
+            F.coalesce("s_stat", F.lit(0)).cast("long").alias("s_stat"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce("tie_term", F.lit(0))
+            ).cast("long").alias("var_s18"),
+        )
+        .withColumn("z", z)
+        .withColumn("trending", F.abs(F.col("z")) > 1.96)
+    )

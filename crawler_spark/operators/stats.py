@@ -252,3 +252,55 @@ def psi_bins(
             .cast("double"),
         )
     )
+
+
+def ht_total_estimate(
+    population: DataFrame,
+    rates: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Horvitz-Thompson estimation from an UNEQUAL-probability sample:
+    crawl samples are never uniform (politeness budgets, per-host caps
+    and priority tiers all bias who gets fetched), and a plain scaled
+    mean from such a sample is biased. HT fixes it exactly: sample
+    stratum s at rate pi_s (deterministic md5 gate on the key — the
+    repo's reproducible-sampling contract), weight every sampled row
+    by 1/pi_s, and the weighted sums are UNBIASED estimators of the
+    population totals (E[sum 1/pi] = N).
+
+    ``rates``: (stratum_col, permille int) — inclusion = first 15-digit
+    md5 hash of the key mod 1000 < permille, so both engines draw the
+    same sample. Weights 1000/permille are exact ratios of small ints.
+    Returns per stratum: (stratum, n_sampled, est_rows, est_total,
+    exact_rows, exact_total) — exact columns are the sandbox witness
+    (at 10^10 rows they are the thing HT avoids computing).
+    """
+    from crawler_spark.functions.num import pin9
+
+    h = F.expr(
+        f"pmod(cast(conv(substring(md5(concat('ht:', cast({key_col} as"
+        f" string))), 1, 15), 16, 10) as bigint), 1000)"
+    )
+    p = population.join(F.broadcast(rates), stratum_col)
+    samp = p.filter(h < F.col("permille"))
+    # weights like 1000/333 are not dyadic, and the value sums are raw
+    # doubles — both pinned to the 1e-9 grid and DECIMAL-accumulated so
+    # the estimators are independent of partial-aggregation order
+    wrow = pin9(F.lit(1000.0) / F.col("permille"))
+    wval = pin9(
+        F.col(value_col).cast("double") * F.lit(1000.0) / F.col("permille")
+    )
+    est = samp.groupBy(stratum_col).agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum(wrow.cast("decimal(28,9)")).cast("double").alias("est_rows"),
+        F.sum(wval.cast("decimal(28,9)")).cast("double").alias("est_total"),
+    )
+    exact = p.groupBy(stratum_col).agg(
+        F.count("*").cast("long").alias("exact_rows"),
+        F.sum(
+            pin9(F.col(value_col).cast("double")).cast("decimal(28,9)")
+        ).cast("double").alias("exact_total"),
+    )
+    return est.join(exact, stratum_col)

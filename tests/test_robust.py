@@ -102,3 +102,26 @@ def test_cusum_matches_sequential_recursion_and_alarms_on_shift(spark):
 
     mu, sd = statistics.mean(vals[:30]), statistics.pstdev(vals[:30])
     assert all(abs(v - mu) / sd < 3.5 for v in vals[30:])
+
+
+def test_mann_kendall_detects_monotone_and_respects_ties(spark):
+    """MK: strong monotone series flags trending with S near max;
+    constant series has S=0, all-tied variance 0, z=0, not trending;
+    alternating noise is not trending. Variance matches the
+    tie-corrected hand formula."""
+    from crawler_spark.operators.robust import mann_kendall
+
+    rows = (
+        [("up", float(i), float(i) * 2.0) for i in range(20)]
+        + [("flat", float(i), 7.0) for i in range(20)]
+        + [("noise", float(i), float(i % 2)) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in mann_kendall(df, "g", "x", "y").collect()}
+    assert out["up"]["s_stat"] == 190 and out["up"]["trending"]
+    assert out["up"]["var_s18"] == 20 * 19 * 45  # no ties
+    assert out["flat"]["s_stat"] == 0 and not out["flat"]["trending"]
+    assert out["flat"]["var_s18"] == 0 and out["flat"]["z"] == 0.0
+    assert not out["noise"]["trending"]
+    # noise ties: two groups of 10 -> tie_term = 2 * 10*9*25
+    assert out["noise"]["var_s18"] == 20 * 19 * 45 - 2 * 10 * 9 * 25

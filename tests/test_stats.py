@@ -139,3 +139,32 @@ def test_psi_stable_vs_shifted(spark):
     import math
 
     assert math.isfinite(drifted)
+
+
+def test_ht_estimates_are_unbiased_scale_ups(spark):
+    """HT: each stratum's estimated row count is the sampled count
+    times exactly 1000/permille, independent of the value column, and
+    strata sampled at rate 1000 reproduce exact totals to the pin."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.stats import ht_total_estimate
+
+    pop = spark.range(3000).select(
+        F.when(F.col("id") % 3 == 0, "a").when(F.col("id") % 3 == 1, "b")
+        .otherwise("c").alias("s"),
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    rates = spark.createDataFrame(
+        [("a", 1000), ("b", 250), ("c", 100)], "s string, permille int"
+    )
+    out = {r["s"]: r for r in ht_total_estimate(pop, rates, "s", "k", "v").collect()}
+    assert out["a"]["n_sampled"] == out["a"]["exact_rows"] == 1000
+    assert abs(out["a"]["est_total"] - out["a"]["exact_total"]) < 1e-6
+    for st in ("b", "c"):
+        r = out[st]
+        assert abs(r["est_rows"] - r["n_sampled"] * 1000.0 / dict(
+            b=250, c=100)[st]) < 1e-6
+        # estimate within sampling noise of the truth (loose bound)
+        assert abs(r["est_rows"] - r["exact_rows"]) / r["exact_rows"] < 0.25
+        assert abs(r["est_total"] - r["exact_total"]) / r["exact_total"] < 0.3
