@@ -610,18 +610,25 @@ def bpe_train(
     cur = docs.select(s.alias("s"))
     merges = []
     for k in range(n_merges):
-        toks = F.split(F.trim("s"), " ")
-        pairs = cur.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("a"),
-                        F.element_at(toks, i + 1).alias("b"),
-                    ),
-                )
-            ).alias("p")
-        ).select("p.a", "p.b")
+        # project the split ONCE: lambdas don't CSE, so element_at over
+        # the raw split() would re-split per pair position (the
+        # bigram_pmi lesson, measured 13x there)
+        tk = F.col("__tk")
+        pairs = (
+            cur.select(F.split(F.trim("s"), " ").alias("__tk"))
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.struct(
+                            F.element_at(tk, i).alias("a"),
+                            F.element_at(tk, i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+        )
         top1 = (
             pairs.groupBy("a", "b")
             .agg(F.count("*").alias("n_pairs"))
