@@ -203,6 +203,43 @@ class SnapshotCatalog:
         with self._lock:
             self._staged_deletes.setdefault(table, []).append(d)
 
+    def read_with_positions(
+        self, table: str, snapshot: int | None = None
+    ) -> DataFrame:
+        """``read()`` plus the (_file, _pos) VIRTUAL columns (Spark's
+        ``_metadata.file_path`` / ``row_index``) — the handles a caller
+        filters and passes to `stage_position_delete`. Positions are
+        only meaningful against the exact files of this snapshot; a
+        compaction invalidates them (exactly Iceberg's contract)."""
+        from pyspark.sql import functions as F
+
+        dirs = self.tables(snapshot).get(table, [])
+        if not dirs:
+            raise KeyError(f"unknown table {table!r}")
+        base = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        withpos = base.withColumn(
+            "_file", F.col("_metadata.file_path")
+        ).withColumn("_pos", F.col("_metadata.row_index"))
+        dels = self.deletes(snapshot).get(table, [])
+        return self._apply_eq_deletes(withpos, dels)
+
+    def stage_position_delete(self, table: str, pos_df: DataFrame) -> None:
+        """Merge-on-read POSITION delete (Iceberg v2's second delete
+        form): delete specific physical rows by (file, row index) —
+        what a takedown needs when the key columns alone over-match
+        (delete THIS corrupted copy, keep the re-fetched one), and
+        what engines emit for MERGE/UPDATE row replacement. Stored as
+        a delete file whose columns are exactly (_file, _pos); the
+        reader recognizes that column set and anti-joins against the
+        scan's metadata columns. Same sequence scoping and
+        compact()-clears-deletes lifecycle as equality deletes."""
+        cols = set(pos_df.columns)
+        if cols != {"_file", "_pos"}:
+            raise ValueError(
+                f"position delete needs exactly (_file, _pos), got {cols}"
+            )
+        self.stage_delete(table, pos_df)
+
     def commit(self, meta: dict | None = None) -> int:
         """Atomically publish all staged writes as one snapshot.
 
@@ -394,10 +431,27 @@ class SnapshotCatalog:
         still read together (one scan, one shuffle per key set)."""
         if not delete_dirs:
             return df
+        from pyspark.sql import functions as F
+
         by_cols: dict[tuple, list[str]] = {}
         for d in delete_dirs:
             cols = tuple(sorted(self.spark.read.parquet(d).columns))
             by_cols.setdefault(cols, []).append(d)
+        # POSITION deletes ((_file, _pos) column set) resolve against
+        # the scan's hidden metadata columns, which stop being
+        # referenceable after a join — apply them FIRST (deletes
+        # commute, so ordering is semantics-free)
+        pos_key = ("_file", "_pos")
+        if pos_key in by_cols:
+            keys = self.spark.read.parquet(*by_cols.pop(pos_key)).dropDuplicates()
+            had_cols = "_file" in df.columns
+            if not had_cols:
+                df = df.withColumn(
+                    "_file", F.col("_metadata.file_path")
+                ).withColumn("_pos", F.col("_metadata.row_index"))
+            df = df.join(keys, on=["_file", "_pos"], how="left_anti")
+            if not had_cols:
+                df = df.drop("_file", "_pos")
         for cols, dd in sorted(by_cols.items()):
             keys = self.spark.read.parquet(*dd).dropDuplicates()
             df = df.join(keys, on=list(cols), how="left_anti")

@@ -140,3 +140,47 @@ def test_mixed_keyset_deletes_apply_independently(spark, tmp_path):
     )
     cat.commit()
     assert sorted(r["k"] for r in cat.read("t").collect()) == [0, 2, 3, 5]
+
+
+def test_position_delete_removes_exact_physical_rows(spark, tmp_path):
+    """Position deletes (the second Iceberg v2 delete form) remove the
+    EXACT physical rows — even when key columns are duplicated, which
+    equality deletes cannot distinguish — respect sequence scoping,
+    and reject malformed position frames."""
+    from pyspark.sql import functions as F
+
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    # two physically identical rows (k=5) among others
+    cat.stage_append(
+        "t",
+        spark.createDataFrame(
+            [(5, "dup"), (5, "dup"), (1, "a"), (2, "b")], "k long, payload string"
+        ),
+    )
+    cat.commit()
+    pos = (
+        cat.read_with_positions("t")
+        .filter(F.col("k") == 5)
+        .orderBy("_pos")
+        .limit(1)
+        .select("_file", "_pos")
+    )
+    cat.stage_position_delete("t", pos)
+    cat.commit()
+    rows = cat.read("t").collect()
+    assert sorted(r["k"] for r in rows) == [1, 2, 5]  # ONE of the dups gone
+    # sequence scoping: re-append k=5 afterwards; old position delete
+    # must not touch the new file's row 0
+    cat.stage_append("t", spark.createDataFrame([(5, "new")], "k long, payload string"))
+    cat.commit()
+    assert sorted(r["k"] for r in cat.read("t").collect()) == [1, 2, 5, 5]
+    # compaction materializes and clears
+    cat.compact("t", target_bytes=1 << 30)
+    assert cat.deletes().get("t", []) == []
+    assert sorted(r["k"] for r in cat.read("t").collect()) == [1, 2, 5, 5]
+    import pytest
+
+    with pytest.raises(ValueError, match="_file, _pos"):
+        cat.stage_position_delete(
+            "t", spark.createDataFrame([(1,)], "k long")
+        )
