@@ -240,11 +240,28 @@ class SnapshotCatalog:
             )
         self.stage_delete(table, pos_df)
 
-    def commit(self, meta: dict | None = None) -> int:
+    def commit(self, meta: dict | None = None, publish: bool = True) -> int:
         """Atomically publish all staged writes as one snapshot.
 
-        ``meta`` entries are merged over the parent snapshot's meta."""
-        sid = self.current_id() + 1
+        ``meta`` entries are merged over the parent snapshot's meta.
+
+        ``publish=False`` is WRITE-AUDIT-PUBLISH (Iceberg's WAP
+        pattern): the snapshot manifest is written durably but the
+        current pointer does NOT move — production readers keep the old
+        state while auditors ``read(..., snapshot=sid)`` the staged
+        round; ``publish_snapshot(sid)`` later flips the pointer
+        atomically (or the snapshot is simply never published — an
+        audit failure costs nothing). The unpublished snapshot is
+        auto-tagged ``wap-<sid>`` so expire_snapshots cannot GC it
+        while the audit runs; publish drops the tag."""
+        # id allocation must skip over UNPUBLISHED manifests (the
+        # pointer doesn't advance for them), or the next commit would
+        # overwrite an in-audit snapshot file
+        snaps = os.path.join(self.root, "snapshots")
+        existing = [
+            int(f[:-5]) for f in os.listdir(snaps) if f.endswith(".json")
+        ]
+        sid = max([self.current_id()] + existing) + 1
         tables = {k: list(v) for k, v in self.tables().items()}
         deletes = {k: list(v) for k, v in self.deletes().items()}
         for t, dirs in self._staged.items():
@@ -272,16 +289,50 @@ class SnapshotCatalog:
         }
         man = {
             "id": sid,
-            "parent": sid - 1,
+            # parent = the head this snapshot was BUILT FROM (with WAP
+            # snapshots in flight, ids can skip, so sid-1 is wrong)
+            "parent": self.current_id(),
             "tables": tables,
             "deletes": deletes,
             "meta": {**self.meta(), **(meta or {})},
             "stats": stats,
         }
-        self._publish(man)
+        if publish:
+            self._publish(man)
+        else:
+            mp = os.path.join(self.root, "snapshots", f"{sid}.json")
+            tmp = mp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, mp)
+            self.tag(f"wap-{sid}", sid)
         self._staged = {}
         self._staged_stats = {}
         self._staged_deletes = {}
+        return sid
+
+    def publish_snapshot(self, sid: int) -> int:
+        """Publish a previously audited WAP snapshot: validate that its
+        parent is STILL the current head (someone publishing a
+        different round in between is the lost-update race WAP must
+        refuse — rebase by re-staging instead), then atomically move
+        the pointer and drop the protective wap tag."""
+        man = self._manifest(sid)
+        head = self.current_id()
+        if man.get("parent") != head:
+            raise ValueError(
+                f"snapshot {sid} was audited against parent "
+                f"{man.get('parent')} but head is now {head}: "
+                "re-stage against the new head instead of publishing"
+            )
+        cp = os.path.join(self.root, "_current")
+        with open(cp + ".tmp", "w") as f:
+            f.write(str(sid))
+        os.replace(cp + ".tmp", cp)
+        try:
+            self.drop_tag(f"wap-{sid}")
+        except FileNotFoundError:
+            pass
         return sid
 
     def _publish(self, man: dict) -> None:
@@ -315,11 +366,15 @@ class SnapshotCatalog:
                 "before rollback_to()"
             )
         man = self._manifest(snapshot)  # KeyError-equivalent if expired
-        sid = self.current_id() + 1
+        snaps = os.path.join(self.root, "snapshots")
+        existing = [
+            int(f[:-5]) for f in os.listdir(snaps) if f.endswith(".json")
+        ]
+        sid = max([self.current_id()] + existing) + 1
         self._publish(
             {
                 "id": sid,
-                "parent": sid - 1,
+                "parent": self.current_id(),
                 "rolled_back_to": snapshot,
                 "tables": man["tables"],
                 "deletes": man.get("deletes", {}),

@@ -184,3 +184,42 @@ def test_position_delete_removes_exact_physical_rows(spark, tmp_path):
         cat.stage_position_delete(
             "t", spark.createDataFrame([(1,)], "k long")
         )
+
+
+def test_write_audit_publish_flow(spark, tmp_path):
+    """WAP: an unpublished commit is invisible to default readers but
+    auditable by snapshot id; publishing flips the pointer atomically;
+    a stale audit (head moved) is refused; an abandoned audit never
+    surfaces and a subsequent commit does not collide with its id."""
+    import pytest
+
+    cat = SnapshotCatalog(str(tmp_path / "c"), spark)
+    cat.stage_append("t", _rows(spark, [1, 2]))
+    cat.commit()
+    # stage round 2 under audit
+    cat.stage_append("t", _rows(spark, [3]))
+    audit_sid = cat.commit(publish=False)
+    assert sorted(r["k"] for r in cat.read("t").collect()) == [1, 2]  # hidden
+    assert sorted(
+        r["k"] for r in cat.read("t", snapshot=audit_sid).collect()
+    ) == [1, 2, 3]  # auditable
+    assert f"wap-{audit_sid}" in cat.refs()  # GC-protected while auditing
+    cat.publish_snapshot(audit_sid)
+    assert sorted(r["k"] for r in cat.read("t").collect()) == [1, 2, 3]
+    assert f"wap-{audit_sid}" not in cat.refs()
+    # stale audit: two audits from the same head; publishing the first
+    # moves the head, the second must be refused
+    cat.stage_append("t", _rows(spark, [4]))
+    a1 = cat.commit(publish=False)
+    cat.stage_append("t", _rows(spark, [5]))
+    a2 = cat.commit(publish=False)
+    assert a1 != a2  # no id collision between in-flight audits
+    cat.publish_snapshot(a1)
+    with pytest.raises(ValueError, match="re-stage"):
+        cat.publish_snapshot(a2)
+    # abandoned a2 never surfaces; next commit is collision-free
+    cat.stage_append("t", _rows(spark, [6]))
+    s3 = cat.commit()
+    assert s3 > a2
+    ks = sorted(r["k"] for r in cat.read("t").collect())
+    assert ks == [1, 2, 3, 4, 6]  # 5 was only in the refused audit
