@@ -6591,6 +6591,69 @@ def q_snm_blocking_pairs(spark, sf_dir):
     return jac.select("doc_a", "doc_b", "gap", "jaccard")
 
 
+def q_slo_burn_alerts(spark, sf_dir):
+    """Multiwindow error-budget burn-rate alerting (the SRE-standard
+    page condition): per event type, the error rate over a SHORT (1h)
+    and LONG (6h) trailing window, each divided by the SLO's allowed
+    error rate (2%); page only when BOTH burn rates exceed 6x — the
+    long window keeps one bad minute from paging, the short window
+    ends the page quickly once recovery starts. Errors are planted
+    deterministically (value > 300); windows are value-RANGE frames
+    over hour buckets, counts are exact integers, burn rates exact
+    ratios pinned at 1e-6."""
+    e = _t(spark, sf_dir, "events")
+    hours = e.select(
+        "event_type",
+        F.expr(
+            "cast(floor(unix_micros(cast(ts as timestamp)) / 3600000000)"
+            " as long)"
+        ).alias("hour"),
+        (F.col("value") > 300.0).cast("long").alias("is_err"),
+    )
+    hourly = hours.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n"), F.sum("is_err").alias("errs")
+    )
+    w1 = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(0, 0)
+    )
+    w6 = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(-5, 0)
+    )
+    slo = 0.02
+    burn = (
+        hourly.withColumn("n1", F.sum("n").over(w1))
+        .withColumn("e1", F.sum("errs").over(w1))
+        .withColumn("n6", F.sum("n").over(w6))
+        .withColumn("e6", F.sum("errs").over(w6))
+        .withColumn(
+            "burn_short",
+            F.col("e1").cast("double") / F.col("n1") / F.lit(slo),
+        )
+        .withColumn(
+            "burn_long",
+            F.col("e6").cast("double") / F.col("n6") / F.lit(slo),
+        )
+    )
+    p6 = lambda c: F.expr(
+        f"cast(floor(({c}) * 1e6 + 0.5) as double) / 1e6"
+    )  # noqa: E731
+    return burn.select(
+        "event_type",
+        "hour",
+        F.col("n1").cast("long").alias("n_short"),
+        F.col("e1").cast("long").alias("err_short"),
+        p6("burn_short").alias("burn_short6"),
+        p6("burn_long").alias("burn_long6"),
+        ((F.col("burn_short") > 6.0) & (F.col("burn_long") > 6.0)).alias(
+            "page"
+        ),
+    )
+
+
 def q_ht_corpus_totals(spark, sf_dir):
     """Horvitz-Thompson corpus totals from an unequal-probability
     sample (operators/stats.py ht_total_estimate): strata sampled at
@@ -10709,6 +10772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_incremental_join": q_ivm_incremental_join,
         "psi_feature_drift": q_psi_feature_drift,
         "ht_corpus_totals": q_ht_corpus_totals,
+        "slo_burn_alerts": q_slo_burn_alerts,
         "host_latency_mk_trend": q_host_latency_mk_trend,
         "compression_gate": q_compression_gate,
         "audio_fingerprint_match": q_audio_fingerprint_match,
@@ -17654,6 +17718,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON i.doc_b = sb.doc_id
             WHERE floor(i.ni * 1000000.0 / (sa.nt + sb.nt - i.ni) + 0.5)
                     / 1000000.0 >= 0.5
+        """,
+        "slo_burn_alerts": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+                     CASE WHEN value > 300.0 THEN 1 ELSE 0 END AS is_err
+              FROM events
+            ),
+            hourly AS (
+              SELECT event_type, hour, count(*) AS n, sum(is_err) AS errs
+              FROM h GROUP BY event_type, hour
+            ),
+            b AS (
+              SELECT event_type, hour,
+                     sum(n) OVER w1 AS n1, sum(errs) OVER w1 AS e1,
+                     sum(n) OVER w6 AS n6, sum(errs) OVER w6 AS e6
+              FROM hourly
+              WINDOW w1 AS (PARTITION BY event_type ORDER BY hour
+                            RANGE BETWEEN CURRENT ROW AND CURRENT ROW),
+                     w6 AS (PARTITION BY event_type ORDER BY hour
+                            RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+            ),
+            r AS (
+              SELECT event_type, hour, n1, e1,
+                     CAST(e1 AS DOUBLE) / n1 / CAST(0.02 AS DOUBLE)
+                       AS burn_short,
+                     CAST(e6 AS DOUBLE) / n6 / CAST(0.02 AS DOUBLE)
+                       AS burn_long
+              FROM b
+            )
+            SELECT event_type, hour,
+                   CAST(n1 AS BIGINT) AS n_short,
+                   CAST(e1 AS BIGINT) AS err_short,
+                   CAST(floor(burn_short * 1e6 + 0.5) AS DOUBLE) / 1e6
+                     AS burn_short6,
+                   CAST(floor(burn_long * 1e6 + 0.5) AS DOUBLE) / 1e6
+                     AS burn_long6,
+                   burn_short > 6.0 AND burn_long > 6.0 AS page
+            FROM r
         """,
         "ht_corpus_totals": """
             WITH rates AS (

@@ -201,6 +201,7 @@ HEADLINE = [
     "psi_feature_drift",
     "ht_corpus_totals",
     "host_latency_mk_trend",
+    "slo_burn_alerts",
 ]
 
 BENCH_HOSTS = 50
