@@ -10689,6 +10689,23 @@ def _kmv_sql(which: str, k: int = 64) -> str:
     JOIN sizes nb ON nb.source = p.set_b"""
 
 
+def q_suffix_repeats(spark, sf_dir):
+    """Corpus-wide repeated-substring mining via a DISTRIBUTED SUFFIX
+    ARRAY (Lee et al. 2021's exact-substring dedup machinery, built
+    from scratch as prefix doubling — operators/suffix.py): every
+    12-char substring occurring >= 2 times, with exact occurrence and
+    distinct-doc counts, recovered from suffix-order ADJACENT pairs
+    only (repeats occupy contiguous runs — never a quadratic pair
+    join, never a fixed-window fingerprint index). The oracle is the
+    INDEPENDENT brute-force definition (group every 12-gram directly),
+    so a hash match proves the whole doubling + LCP pipeline computes
+    exactly the ground-truth repeat table."""
+    from crawler_spark.operators.suffix import repeated_substrings
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_substrings(docs, min_len=12, cap=32)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -10773,6 +10790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_feature_drift": q_psi_feature_drift,
         "ht_corpus_totals": q_ht_corpus_totals,
         "slo_burn_alerts": q_slo_burn_alerts,
+        "suffix_repeats": q_suffix_repeats,
         "host_latency_mk_trend": q_host_latency_mk_trend,
         "compression_gate": q_compression_gate,
         "audio_fingerprint_match": q_audio_fingerprint_match,
@@ -17757,6 +17775,22 @@ def oracle_sql() -> dict[str, str]:
                      AS burn_long6,
                    burn_short > 6.0 AND burn_long > 6.0 AS page
             FROM r
+        """,
+        "suffix_repeats": """
+            WITH docs2 AS (
+              SELECT doc_id, lower(text) AS t
+              FROM documents WHERE length(text) >= 12
+            ),
+            grams AS (
+              SELECT doc_id, substring(t, pos, 12) AS snippet
+              FROM (SELECT doc_id, t,
+                           unnest(range(1, length(t) - 10)) AS pos
+                    FROM docs2)
+            )
+            SELECT snippet,
+                   count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM grams GROUP BY snippet HAVING count(*) >= 2
         """,
         "ht_corpus_totals": """
             WITH rates AS (
