@@ -10706,6 +10706,20 @@ def q_suffix_repeats(spark, sf_dir):
     return repeated_substrings(docs, min_len=12, cap=32)
 
 
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney BIGRAM perplexity per document
+    (operators/corpus.py kn_bigram_scores) — the stronger form of the
+    CCNet filter next to the unigram lm_perplexity: the continuation
+    probability N1+(*w)/|types| downweights tokens that are frequent
+    only inside one collocation, so templated boilerplate separates
+    from fluent text at equal token frequency. Counts are integers,
+    P's double operation tree is mirrored exactly, per-token lns pinned
+    at 6dp and decimal-summed (order-independent hash)."""
+    from crawler_spark.operators.corpus import kn_bigram_scores
+
+    return kn_bigram_scores(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -10791,6 +10805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ht_corpus_totals": q_ht_corpus_totals,
         "slo_burn_alerts": q_slo_burn_alerts,
         "suffix_repeats": q_suffix_repeats,
+        "kn_perplexity": q_kn_perplexity,
         "host_latency_mk_trend": q_host_latency_mk_trend,
         "compression_gate": q_compression_gate,
         "audio_fingerprint_match": q_audio_fingerprint_match,
@@ -17791,6 +17806,61 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_occurrences,
                    count(DISTINCT doc_id) AS n_docs
             FROM grams GROUP BY snippet HAVING count(*) >= 2
+        """,
+        "kn_perplexity": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split(
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                         ' '),
+                       x -> len(x) > 0) AS a
+              FROM documents
+            ),
+            big AS (
+              SELECT doc_id,
+                     CASE WHEN i = 1 THEN '<s>' ELSE a[i - 1] END AS v,
+                     a[i] AS w
+              FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i
+                    FROM d WHERE len(a) > 0)
+            ),
+            cvw AS (SELECT v, w, count(*) AS n_vw FROM big GROUP BY v, w),
+            ctx AS (
+              SELECT v, CAST(sum(n_vw) AS DOUBLE) AS c_v,
+                     CAST(count(*) AS DOUBLE) AS n1f
+              FROM cvw GROUP BY v
+            ),
+            cont AS (
+              SELECT w, CAST(count(*) AS DOUBLE) AS n1b FROM cvw GROUP BY w
+            ),
+            types AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cvw
+            ),
+            scored AS (
+              SELECT doc_id,
+                     CAST(round(ln(
+                       greatest(CAST(n_vw AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                                CAST(0 AS DOUBLE)) / c_v
+                       + CAST(0.75 AS DOUBLE) * n1f / c_v
+                         * (n1b / n_types)
+                     ), 6) AS DECIMAL(20,6)) AS lp6
+              FROM big
+              JOIN cvw USING (v, w)
+              JOIN ctx USING (v)
+              JOIN cont USING (w)
+              CROSS JOIN types
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tok, sum(lp6) AS sum_lp
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, n_tok,
+                   floor(CAST(sum_lp AS DOUBLE) / n_tok * 1000000.0 + 0.5)
+                     / 1000000.0 AS avg_logprob,
+                   floor(exp(-(floor(CAST(sum_lp AS DOUBLE) / n_tok
+                                     * 1000000.0 + 0.5) / 1000000.0))
+                         * 10000.0 + 0.5) / 10000.0 AS ppl
+            FROM agg
         """,
         "ht_corpus_totals": """
             WITH rates AS (

@@ -202,6 +202,10 @@ HEADLINE = [
     "ht_corpus_totals",
     "host_latency_mk_trend",
     "slo_burn_alerts",
+    # round-3 (continued): KN bigram LM; suffix_repeats is deliberately
+    # NOT in the battery (a ~45 s full-corpus suffix sort at sf0.1 —
+    # correctness-gated via the oracle driver instead)
+    "kn_perplexity",
 ]
 
 BENCH_HOSTS = 50

@@ -975,3 +975,99 @@ def chunk_windows(
             ).alias("chunk_md5"),
         )
     )
+
+
+def kn_bigram_scores(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality scoring — the stronger
+    form of the CCNet perplexity filter (lm_perplexity_scores above is
+    the unigram version): train absolute-discount interpolated KN
+    (Kneser & Ney, ICASSP '95; Chen & Goodman '98 eq. 4.less) on the
+    corpus itself and score every document's bigram stream.
+
+      P(w|v) = max(c(vw) - D, 0)/c(v)  +  D * N1+(v*)/c(v) * Pcont(w)
+      Pcont(w) = N1+(*w) / |distinct bigram types|
+
+    The continuation probability is what the unigram filter cannot
+    express: "francisco" is frequent but follows almost only "san", so
+    KN scores it low in novel contexts — templated boilerplate (few
+    distinct continuations) separates from fluent text at equal token
+    frequency. Every document's first token takes the '<s>' context, so
+    every token is scored under exactly one bigram.
+
+    Shape: one explode into (v, w) bigram events, three map-side-
+    combinable aggregations over it (bigram counts; per-context totals
+    + distinct-continuation counts in ONE pass; per-word preceding-
+    context counts), a one-row broadcast scalar for the type count, and
+    one join of the model back onto the bigram stream. The model tables
+    are vocabulary-sized, not corpus-sized — at 100 TB the bigram join
+    is the only full shuffle.
+
+    Determinism (same contract as lm_perplexity_scores): P is built
+    from integer counts with an identical double operation tree in the
+    SQL oracle, per-token ln rounded to 6 dp, summed as DECIMAL —
+    order-independent, so partial aggregation cannot move the hash.
+    Returns (doc_id, n_tok, avg_logprob, ppl).
+    """
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), "\\s+"),
+        lambda x: x != "",
+    )
+    big = (
+        docs.select(F.col(id_col).alias("doc_id"), arr.alias("a"))
+        .filter(F.size("a") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a)), i -> struct("
+                    "  if(i = 1, '<s>', element_at(a, i - 1)) AS v,"
+                    "  element_at(a, i) AS w))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+    )
+    c_vw = big.groupBy("v", "w").agg(F.count("*").alias("n_vw")).localCheckpoint()
+    ctx = c_vw.groupBy("v").agg(
+        F.sum("n_vw").cast("double").alias("c_v"),
+        F.count("*").cast("double").alias("n1f"),  # N1+(v*)
+    )
+    cont = c_vw.groupBy("w").agg(
+        F.count("*").cast("double").alias("n1b")  # N1+(*w)
+    )
+    types = c_vw.agg(F.count("*").cast("double").alias("n_types"))
+    D = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("n_vw").cast("double") - D, F.lit(0.0))
+        / F.col("c_v")
+        + D * F.col("n1f") / F.col("c_v")
+        * (F.col("n1b") / F.col("n_types"))
+    )
+    lp6 = F.round(F.log(p), 6).cast("decimal(20,6)")
+    return (
+        big.join(c_vw, ["v", "w"])
+        .join(ctx, "v")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", lp6.alias("lp6"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.sum("lp6").alias("sum_lp"))
+        .select(
+            "doc_id",
+            "n_tok",
+            _pin(F.col("sum_lp").cast("double") / F.col("n_tok"), 6).alias(
+                "avg_logprob"
+            ),
+            _pin(
+                F.exp(
+                    -_pin(F.col("sum_lp").cast("double") / F.col("n_tok"), 6)
+                ),
+                4,
+            ).alias("ppl"),
+        )
+    )
