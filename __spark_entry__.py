@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.functions.zorder import zvalue_duckdb_sql as _zvalue_duckdb_sql
+from crawler_spark.functions.zorder import hvalue_duckdb_ctes as _hvalue_duckdb_ctes
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -10720,6 +10721,23 @@ def q_kn_perplexity(spark, sf_dir):
     return kn_bigram_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_hilbert_key(spark, sf_dir):
+    """Hilbert-curve clustering key over the pair table's (w, h) — the
+    locality upgrade over zorder_key: consecutive keys are always grid
+    NEIGHBORS (no Morton seam jumps), so range-partitioned files get
+    strictly tighter two-dimensional bounding boxes for min/max
+    pruning (functions/zorder.py hvalue; test_hilbert proves the
+    continuity property and the tighter-boxes win). One native
+    aggregate() fold over bit levels — LUT state machine, linear
+    expression size, whole-stage codegen; the oracle unrolls the same
+    automaton as a CTE chain."""
+    from crawler_spark.functions.zorder import hvalue
+    from crawler_spark.operators.pairs import synth_pair_meta
+
+    meta = synth_pair_meta(_t(spark, sf_dir, "documents"))
+    return meta.select("image_id", hvalue("w", "h", bits=12).alias("hkey"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -10806,6 +10824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn_alerts": q_slo_burn_alerts,
         "suffix_repeats": q_suffix_repeats,
         "kn_perplexity": q_kn_perplexity,
+        "hilbert_key": q_hilbert_key,
         "host_latency_mk_trend": q_host_latency_mk_trend,
         "compression_gate": q_compression_gate,
         "audio_fingerprint_match": q_audio_fingerprint_match,
@@ -16115,6 +16134,11 @@ def oracle_sql() -> dict[str, str]:
             WITH meta AS ({_PAIR_META_SQL})
             SELECT image_id, {_zvalue_duckdb_sql("w", "h", bits=12)} AS zkey
             FROM meta
+        """,
+        "hilbert_key": f"""
+            WITH meta AS ({_PAIR_META_SQL}),
+            {_hvalue_duckdb_ctes("meta", "w", "h", bits=12, out="hkey")}
+            SELECT image_id, hkey FROM _hbout
         """,
         "image_dedup_keep_best": f"""
             WITH RECURSIVE meta AS ({_PAIR_META_SQL}),

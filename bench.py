@@ -206,6 +206,7 @@ HEADLINE = [
     # NOT in the battery (a ~45 s full-corpus suffix sort at sf0.1 —
     # correctness-gated via the oracle driver instead)
     "kn_perplexity",
+    "hilbert_key",
 ]
 
 BENCH_HOSTS = 50
