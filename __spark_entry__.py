@@ -10140,16 +10140,11 @@ FS_FIELDS = [  # (field, m = P(agree|match), u = P(agree|non-match))
 ]
 
 
-def q_fs_match_decisions(spark, sf_dir):
-    """Fellegi-Sunter record linkage (JASA '69; operators/dedup.py
-    fs_match_scores) over SNM blocking candidates: four agreement
-    fields (language, source, length band, unigram-Jaccard >= 0.5)
-    score ln(m/u) / ln((1-m)/(1-u)) with literal m/u, and the
-    two-threshold rule splits match / possible / non-match — the
-    decision layer between cheap blocking and expensive review.
-    Zero-shuffle past the candidate join; weights are pinned literals
-    so both engines add identical doubles."""
-    from crawler_spark.operators.dedup import fs_match_scores, snm_candidate_pairs
+def _fs_feat(spark, sf_dir):
+    """Shared SNM-candidate + agreement-field derivation for the
+    Fellegi-Sunter queries (scoring and EM fitting) — mirrored by the
+    oracle-side _FS_FEAT_CTES."""
+    from crawler_spark.operators.dedup import snm_candidate_pairs
 
     d = _t(spark, sf_dir, "documents")
     norm = d.select(
@@ -10200,6 +10195,21 @@ def q_fs_match_decisions(spark, sf_dir):
             ).alias("jac50"),
         )
     )
+    return feat
+
+
+def q_fs_match_decisions(spark, sf_dir):
+    """Fellegi-Sunter record linkage (JASA '69; operators/dedup.py
+    fs_match_scores) over SNM blocking candidates: four agreement
+    fields (language, source, length band, unigram-Jaccard >= 0.5)
+    score ln(m/u) / ln((1-m)/(1-u)) with literal m/u, and the
+    two-threshold rule splits match / possible / non-match — the
+    decision layer between cheap blocking and expensive review.
+    Zero-shuffle past the candidate join; weights are pinned literals
+    so both engines add identical doubles."""
+    from crawler_spark.operators.dedup import fs_match_scores
+
+    feat = _fs_feat(spark, sf_dir)
     return fs_match_scores(feat, FS_FIELDS, upper=4.0, lower=0.0).select(
         "doc_a",
         "doc_b",
@@ -10212,23 +10222,23 @@ def q_fs_match_decisions(spark, sf_dir):
     )
 
 
-def _fs_sql() -> str:
-    """DuckDB mirror of q_fs_match_decisions: the snm_blocking_pairs
-    candidate construction, the same agreement predicates, and the
-    IDENTICAL pinned literal weights (computed once in Python — no
-    cross-engine ln at all)."""
-    import math
+def q_fs_em_fit(spark, sf_dir):
+    """EM estimation of the Fellegi-Sunter m/u parameters (Winkler '88;
+    operators/dedup.py fs_em_fit) over the SAME SNM candidates and
+    agreement fields as fs_match_decisions — the learning step that
+    produces the literal weights the scorer consumes. Three EM rounds
+    on the <=16-row agreement-pattern table; posteriors integer-scaled
+    before every M-step sum so the whole trajectory is engine-exact,
+    mirrored by the unrolled-CTE oracle."""
+    from crawler_spark.operators.dedup import fs_em_fit
 
-    cases = []
-    for col, m, u in FS_FIELDS:
-        aw = math.floor(math.log(m / u) * 1e9 + 0.5) / 1e9
-        dw = math.floor(math.log((1 - m) / (1 - u)) * 1e9 + 0.5) / 1e9
-        cases.append(
-            f"CASE WHEN {col} THEN CAST({aw!r} AS DOUBLE)"
-            f" ELSE CAST({dw!r} AS DOUBLE) END"
-        )
-    plus = "\n                     + ".join(cases)
-    return f"""WITH n AS (
+    feat = _fs_feat(spark, sf_dir)
+    return fs_em_fit(
+        feat, ["same_lang", "same_source", "len_close", "jac50"], n_iter=3
+    )
+
+
+_FS_FEAT_CTES = """n AS (
       SELECT doc_id, lang, source, n_chars,
              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
       FROM documents
@@ -10272,7 +10282,26 @@ def _fs_sql() -> str:
       JOIN sizes sa ON sa.doc_id = c.doc_a
       JOIN sizes sb ON sb.doc_id = c.doc_b
       LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-    ),
+    )"""
+
+
+def _fs_sql() -> str:
+    """DuckDB mirror of q_fs_match_decisions: the snm_blocking_pairs
+    candidate construction, the same agreement predicates, and the
+    IDENTICAL pinned literal weights (computed once in Python — no
+    cross-engine ln at all)."""
+    import math
+
+    cases = []
+    for col, m, u in FS_FIELDS:
+        aw = math.floor(math.log(m / u) * 1e9 + 0.5) / 1e9
+        dw = math.floor(math.log((1 - m) / (1 - u)) * 1e9 + 0.5) / 1e9
+        cases.append(
+            f"CASE WHEN {col} THEN CAST({aw!r} AS DOUBLE)"
+            f" ELSE CAST({dw!r} AS DOUBLE) END"
+        )
+    plus = "\n                     + ".join(cases)
+    return f"""WITH {_FS_FEAT_CTES},
     scored AS (
       SELECT *,
              CAST(floor(({plus}) * 1e9 + 0.5) AS DOUBLE) / 1e9 AS score
@@ -10283,6 +10312,76 @@ def _fs_sql() -> str:
                 WHEN score < 0.0 THEN 'non_match'
                 ELSE 'possible' END AS decision
     FROM scored"""
+
+
+def _fs_em_sql(n_iter: int = 3) -> str:
+    """DuckDB mirror of q_fs_em_fit: same feat CTEs, pattern counts,
+    and n_iter unrolled EM rounds with the identical integer-scaled
+    posterior arithmetic (w9 int64, integer M-step sums, one pinned
+    division per new parameter)."""
+    fields = ["same_lang", "same_source", "len_close", "jac50"]
+    f = len(fields)
+
+    def prod(params: str) -> str:
+        e = "CAST(1.0 AS DOUBLE)"
+        for j, col in enumerate(fields):
+            e = (
+                f"({e} * CASE WHEN {col} THEN {params}{j}"
+                f" ELSE 1.0 - {params}{j} END)"
+            )
+        return e
+
+    par0_cols = ", ".join(
+        ["CAST(0.2 AS DOUBLE) AS p"]
+        + [f"CAST(0.8 AS DOUBLE) AS m{j}" for j in range(f)]
+        + [f"CAST(0.2 AS DOUBLE) AS u{j}" for j in range(f)]
+    )
+    sql = f"""WITH {_FS_FEAT_CTES},
+    pat AS (
+      SELECT same_lang, same_source, len_close, jac50,
+             CAST(count(*) AS BIGINT) AS n
+      FROM feat GROUP BY 1, 2, 3, 4
+    ),
+    ntot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pat),
+    par0 AS (SELECT {par0_cols})"""
+    for k in range(1, n_iter + 1):
+        sums = [
+            "sum(n * w9) AS s_w",
+            "sum(n * (1000000000 - w9)) AS s_nw",
+        ]
+        for j, col in enumerate(fields):
+            g = f"(CASE WHEN {col} THEN 1 ELSE 0 END)"
+            sums.append(f"sum(n * w9 * {g}) AS s_w_g{j}")
+            sums.append(f"sum(n * (1000000000 - w9) * {g}) AS s_nw_g{j}")
+        news = [
+            "floor(CAST(s_w AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e9)"
+            " * 1e9 + 0.5) / 1e9 AS p"
+        ]
+        for j in range(f):
+            news.append(
+                f"floor(CAST(s_w_g{j} AS DOUBLE) / CAST(s_w AS DOUBLE)"
+                f" * 1e9 + 0.5) / 1e9 AS m{j}"
+            )
+        for j in range(f):
+            news.append(
+                f"floor(CAST(s_nw_g{j} AS DOUBLE) / CAST(s_nw AS DOUBLE)"
+                f" * 1e9 + 0.5) / 1e9 AS u{j}"
+            )
+        sql += f""",
+    sc{k} AS (
+      SELECT pat.*,
+             CAST(floor((p * {prod('m')})
+                  / (p * {prod('m')} + (1.0 - p) * {prod('u')})
+                  * 1e9 + 0.5) AS BIGINT) AS w9
+      FROM pat CROSS JOIN par{k - 1}
+    ),
+    su{k} AS (SELECT {', '.join(sums)} FROM sc{k}),
+    par{k} AS (SELECT {', '.join(news)} FROM su{k} CROSS JOIN ntot)"""
+    outs = " UNION ALL ".join(
+        f"SELECT '{col}' AS field, m{j} AS m, u{j} AS u, p FROM par{n_iter}"
+        for j, col in enumerate(fields)
+    )
+    return sql + "\n    " + outs
 
 
 def _cusum_sql() -> str:
@@ -10803,6 +10902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_allocation": q_unimax_allocation,
         "cusum_regime_shifts": q_cusum_regime_shifts,
         "fs_match_decisions": q_fs_match_decisions,
+        "fs_em_fit": q_fs_em_fit,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -11897,6 +11997,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_allocation": _unimax_sql(),
         "cusum_regime_shifts": _cusum_sql(),
         "fs_match_decisions": _fs_sql(),
+        "fs_em_fit": _fs_em_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

@@ -207,6 +207,7 @@ HEADLINE = [
     # correctness-gated via the oracle driver instead)
     "kn_perplexity",
     "hilbert_key",
+    "fs_em_fit",
 ]
 
 BENCH_HOSTS = 50

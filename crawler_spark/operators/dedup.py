@@ -2001,3 +2001,128 @@ def fs_match_scores(
         .when(F.col("score") < lower, F.lit("non_match"))
         .otherwise(F.lit("possible")),
     )
+
+
+def fs_em_fit(
+    pairs: DataFrame,
+    field_cols: list[str],
+    n_iter: int = 3,
+    p0: float = 0.2,
+    m0: float = 0.8,
+    u0: float = 0.2,
+) -> DataFrame:
+    """EM estimation of the Fellegi-Sunter m/u parameters (Winkler
+    1988) — the learning step fs_match_scores above deliberately leaves
+    offline: given blocking candidates with boolean agreement columns,
+    fit m_j = P(agree_j | match), u_j = P(agree_j | non-match) and the
+    match proportion p by expectation-maximization over the AGREEMENT-
+    PATTERN table (conditional-independence model).
+
+    Scale shape: the candidate set is aggregated ONCE into at most
+    2^f pattern rows (f = len(field_cols)); every EM iteration then
+    touches only that dimension-sized table — an E-step posterior per
+    pattern (one-row param frame cross-joined in) and an M-step
+    aggregate back to a one-row param frame. Nothing is collected; at
+    10^10 candidates the single pattern-count aggregation is the only
+    full shuffle.
+
+    Determinism: posteriors are pinned to the 1e-9 grid and SCALED TO
+    int64 before the M-step, so every EM sum is integer arithmetic
+    (order-independent, engine-exact); the new parameters are single
+    pinned divisions of those integers. The SQL oracle unrolls the
+    identical iterations. Scale note: the scaled sums are bounded by
+    N_candidates * 1e9, so int64 holds to ~9.2e9 candidates — past
+    that, swap the M-step sums to DECIMAL(38,0) (the pattern table
+    itself stays <= 2^f rows at any scale).
+
+    Returns one row per field: (field, m, u, p) after n_iter rounds.
+    """
+    f = len(field_cols)
+    if not 1 <= f <= 8:
+        raise ValueError("fs_em_fit expects 1..8 agreement fields")
+
+    def pin9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    pat = (
+        pairs.groupBy(*field_cols)
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    spark = pairs.sparkSession
+    par = spark.createDataFrame(
+        [tuple([float(p0)] + [float(m0)] * f + [float(u0)] * f)],
+        ", ".join(
+            ["p double"]
+            + [f"m{j} double" for j in range(f)]
+            + [f"u{j} double" for j in range(f)]
+        ),
+    )
+    n_tot = pat.agg(F.sum("n").alias("nn"))
+    for _ in range(n_iter):
+        pm = F.lit(1.0)
+        pu = F.lit(1.0)
+        for j, col in enumerate(field_cols):
+            pm = pm * F.when(F.col(col), F.col(f"m{j}")).otherwise(
+                F.lit(1.0) - F.col(f"m{j}")
+            )
+            pu = pu * F.when(F.col(col), F.col(f"u{j}")).otherwise(
+                F.lit(1.0) - F.col(f"u{j}")
+            )
+        w9 = F.floor(
+            (F.col("p") * pm)
+            / (F.col("p") * pm + (F.lit(1.0) - F.col("p")) * pu)
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+        scored = pat.crossJoin(F.broadcast(par)).select(
+            *field_cols, "n", w9.alias("w9")
+        )
+        aggs = [
+            F.sum(F.col("n") * F.col("w9")).alias("s_w"),
+            F.sum(F.col("n") * (F.lit(1000000000) - F.col("w9"))).alias("s_nw"),
+        ]
+        for j, col in enumerate(field_cols):
+            g = F.when(F.col(col), F.lit(1)).otherwise(F.lit(0))
+            aggs.append(F.sum(F.col("n") * F.col("w9") * g).alias(f"s_w_g{j}"))
+            aggs.append(
+                F.sum(
+                    F.col("n") * (F.lit(1000000000) - F.col("w9")) * g
+                ).alias(f"s_nw_g{j}")
+            )
+        sums = scored.agg(*aggs)
+        sel = [
+            pin9(
+                F.col("s_w").cast("double")
+                / (F.col("nn").cast("double") * F.lit(1e9))
+            ).alias("p")
+        ]
+        for j in range(f):
+            sel.append(
+                pin9(
+                    F.col(f"s_w_g{j}").cast("double")
+                    / F.col("s_w").cast("double")
+                ).alias(f"m{j}")
+            )
+        for j in range(f):
+            sel.append(
+                pin9(
+                    F.col(f"s_nw_g{j}").cast("double")
+                    / F.col("s_nw").cast("double")
+                ).alias(f"u{j}")
+            )
+        par = sums.crossJoin(F.broadcast(n_tot)).select(*sel)
+    outs = []
+    for j, col in enumerate(field_cols):
+        outs.append(
+            par.select(
+                F.lit(col).alias("field"),
+                F.col(f"m{j}").alias("m"),
+                F.col(f"u{j}").alias("u"),
+                F.col("p").alias("p"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
