@@ -10837,6 +10837,43 @@ def q_hilbert_key(spark, sf_dir):
     return meta.select("image_id", hvalue("w", "h", bits=12).alias("hkey"))
 
 
+def q_mg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters over the corpus token stream
+    (operators/sketches.py misra_gries) — the DETERMINISTIC-guarantee
+    frequency sketch next to countmin_heavy_hitters' probabilistic
+    one: every reported count is a lower bound within n/(k+1) and
+    every token above that threshold is guaranteed reported. Rows hash
+    into deterministic buckets (row-stable, partitioning-independent),
+    each bucket folds O(k) state, summaries merge once (PODS'12 rule).
+    No SQL oracle by nature (nested folds — same declared seam as
+    dgim_error_window); the exact count is co-computed as witness and
+    the guarantee is pytest-pinned (test_misra_gries)."""
+    from crawler_spark.operators.sketches import misra_gries
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(
+                        F.lower(F.trim(F.col("text"))), r"\s+", " "
+                    ),
+                    " ",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("pos", "tok"),
+    ).select(
+        (F.col("doc_id") * F.lit(8192) + F.col("pos")).alias("rid"), "tok"
+    )
+    mg = misra_gries(toks, "tok", "rid", k=16, n_buckets=16)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    return mg.join(
+        exact, mg["item"] == exact["tok"]
+    ).select("item", "mg_count", "exact_cnt")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -10903,6 +10940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_regime_shifts": q_cusum_regime_shifts,
         "fs_match_decisions": q_fs_match_decisions,
         "fs_em_fit": q_fs_em_fit,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,

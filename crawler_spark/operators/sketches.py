@@ -680,3 +680,115 @@ def trailing_distinct_hll(
         merged.select("_day", "idx", F.col("rho_t").alias("rho_max")),
         ["_day"],
     ).select(F.col("_day").alias("day"), "hll_estimate")
+
+
+def misra_gries_fold(items, k: int):
+    """Pure sequential Misra-Gries(k) fold (shared by operator and
+    tests): returns dict of up to k counters. Decrement-all when a new
+    item arrives with k counters live."""
+    c: dict = {}
+    for it in items:
+        if it in c:
+            c[it] += 1
+        elif len(c) < k:
+            c[it] = 1
+        else:
+            dead = []
+            for key2 in c:
+                c[key2] -= 1
+                if c[key2] == 0:
+                    dead.append(key2)
+            for key2 in dead:
+                del c[key2]
+    return c
+
+
+def mg_merge(summaries, k: int):
+    """Merge Misra-Gries summaries (Agarwal et al., PODS'12): sum
+    matching counters, then subtract the (k+1)-th largest count and
+    drop non-positive — the combined summary keeps the n/(k+1) error
+    bound of a single pass over the concatenated stream. `summaries`
+    iterates dicts in a DETERMINISTIC order supplied by the caller."""
+    tot: dict = {}
+    for s in summaries:
+        for it, n in s.items():
+            tot[it] = tot.get(it, 0) + n
+    if len(tot) > k:
+        # deterministic selection: count desc, item asc
+        ordered = sorted(tot.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        cut = ordered[k][1]
+        tot = {it: n - cut for it, n in ordered if n - cut > 0}
+    return tot
+
+
+def misra_gries(
+    df: DataFrame,
+    item_col: str,
+    order_col: str,
+    k: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters — the DETERMINISTIC-
+    guarantee member of the frequency-sketch family: unlike Count-Min
+    (probabilistic overestimates, countmin_build above), an MG summary
+    of size k UNDERestimates every count by at most n/(k+1), and every
+    item with true frequency > n/(k+1) is guaranteed present. The
+    price is a fold, not an algebraic aggregate — so the Spark shape
+    is: rows hash into ``n_buckets`` DETERMINISTIC buckets by
+    xxhash64(order_col) (row-stable: independent of physical
+    partitioning), each bucket folds MG(k) sequentially over its rows
+    in order_col order (applyInPandas — bounded O(k) state per task at
+    ANY key cardinality, the thing exact counting can't promise), and
+    the <= n_buckets*k counter rows merge once with the PODS'12
+    mergeable-summaries rule (error bound preserved end to end).
+
+    No SQL oracle by nature (two nested folds); exactness of the
+    plumbing is pinned by the pytest mirror, the guarantee bounds, and
+    the partitioning-invariance test. Returns (item, mg_count) —
+    mg_count is a LOWER bound on the true count, within n/(k+1).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    bucketed = df.select(
+        F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_buckets)).alias("_b"),
+        F.col(item_col).alias("_it"),
+        F.col(order_col).alias("_o"),
+    )
+
+    def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_o", kind="mergesort")
+        c = misra_gries_fold(pdf["_it"], k)
+        return pd.DataFrame(
+            {
+                "_b": pd.array([pdf["_b"].iloc[0]] * len(c), dtype="int64"),
+                "item": list(c.keys()),
+                "cnt": pd.array(list(c.values()), dtype="int64"),
+            }
+        )
+
+    partials = bucketed.groupBy("_b").applyInPandas(
+        fold_bucket, "_b long, item string, cnt long"
+    )
+
+    def merge_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_bucket: dict = {}
+        for b, it, n in zip(pdf["_b"], pdf["item"], pdf["cnt"]):
+            by_bucket.setdefault(int(b), {})[it] = int(n)
+        merged = mg_merge(
+            (by_bucket[b] for b in sorted(by_bucket)), k
+        )
+        return pd.DataFrame(
+            {
+                "item": list(merged.keys()),
+                "mg_count": pd.array(list(merged.values()), dtype="int64"),
+            }
+        )
+
+    return (
+        partials.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda pdf: merge_all(pdf), "item string, mg_count long"
+        )
+    )
