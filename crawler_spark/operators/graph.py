@@ -929,17 +929,19 @@ def cc_star(
     (doc_id, cluster_id) for every doc appearing in ``pairs``; roots
     label themselves. ``stats['rounds']`` reports alternations used.
     """
+    # one materialization of the (possibly expensive) pair generation:
+    # nodes AND the working edge set both read this checkpoint — deriving
+    # nodes from `pairs` directly would recompute the whole upstream
+    # plan (e.g. a banded Hamming join) a second time at the final join
+    pe = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint()
     nodes = (
-        pairs.select(F.col(a_col).alias("id"))
-        .unionByName(pairs.select(F.col(b_col).alias("id")))
+        pe.select(F.col("u").alias("id"))
+        .unionByName(pe.select(F.col("v").alias("id")))
         .distinct()
     )
-    e = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    e = pe.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
 
     def _sig(df: DataFrame):
         r = df.agg(
