@@ -10874,6 +10874,77 @@ def q_mg_heavy_hitters(spark, sf_dir):
     ).select("item", "mg_count", "exact_cnt")
 
 
+def q_source_max_cover(spark, sf_dir):
+    """Greedy maximum-coverage source selection (operators/corpus.py
+    greedy_max_cover; Nemhauser et al. '78 (1-1/e) guarantee): pick 6
+    of the corpus's sources to maximize coverage of distinct 5-token
+    CONTENT WINDOWS (the substring_overlap fingerprint domain — raw
+    vocabulary is shared almost completely across same-language feeds,
+    so window coverage is what actually differentiates sources) — the
+    submodular-optimization member of the curation family (which k
+    feeds to license/crawl next). Each greedy round is one
+    map-side-combinable count + one argmax + one anti-join delete of
+    newly covered windows; the oracle unrolls the identical rounds."""
+    from crawler_spark.operators.corpus import greedy_max_cover
+
+    d = _t(spark, sf_dir, "documents")
+    wins = (
+        d.select(
+            "source",
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            ).alias("ws"),
+        )
+        .filter(F.size("ws") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 4),"
+                    " i -> md5(concat_ws(' ', slice(ws, i, 5))))"
+                )
+            ).alias("w_md5"),
+        )
+    )
+    return greedy_max_cover(wins, k=6, set_col="source", elem_col="w_md5")
+
+
+def _max_cover_sql(k: int = 6) -> str:
+    """DuckDB mirror of q_source_max_cover: k unrolled greedy rounds
+    (count -> deterministic argmax -> anti-join delete), cumulative via
+    an ordered window over the k-row pick list."""
+    sql = """WITH m0 AS (
+      SELECT DISTINCT source AS s,
+             md5(array_to_string(ws[i:i+4], ' ')) AS e
+      FROM (SELECT source,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' ') AS ws
+            FROM documents),
+           unnest(generate_series(1, len(ws) - 4)) AS t(i)
+      WHERE len(ws) >= 5
+    )"""
+    for t in range(1, k + 1):
+        sql += f""",
+    g{t} AS (SELECT s, count(*) AS gain FROM m{t - 1} GROUP BY s),
+    p{t} AS (SELECT s, gain FROM g{t} ORDER BY gain DESC, s LIMIT 1),
+    e{t} AS (SELECT DISTINCT e FROM m{t - 1} JOIN p{t} USING (s)),
+    m{t} AS (SELECT m{t - 1}.* FROM m{t - 1} ANTI JOIN e{t} USING (e))"""
+    picks = " UNION ALL ".join(
+        f"SELECT {t} AS pick_order, s, gain FROM p{t}" for t in range(1, k + 1)
+    )
+    return (
+        sql
+        + f""",
+    picks AS ({picks})
+    SELECT CAST(pick_order AS INTEGER) AS pick_order, s AS set_id,
+           CAST(gain AS BIGINT) AS marginal,
+           CAST(sum(gain) OVER (ORDER BY pick_order) AS BIGINT) AS cumulative
+    FROM picks"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -10941,6 +11012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_match_decisions": q_fs_match_decisions,
         "fs_em_fit": q_fs_em_fit,
         "mg_heavy_hitters": q_mg_heavy_hitters,
+        "source_max_cover": q_source_max_cover,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12036,6 +12108,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_regime_shifts": _cusum_sql(),
         "fs_match_decisions": _fs_sql(),
         "fs_em_fit": _fs_em_sql(),
+        "source_max_cover": _max_cover_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

@@ -208,6 +208,7 @@ HEADLINE = [
     "kn_perplexity",
     "hilbert_key",
     "fs_em_fit",
+    "source_max_cover",
 ]
 
 BENCH_HOSTS = 50

@@ -1071,3 +1071,57 @@ def kn_bigram_scores(
             ).alias("ppl"),
         )
     )
+
+
+def greedy_max_cover(
+    membership: DataFrame,
+    k: int,
+    set_col: str = "set_id",
+    elem_col: str = "elem",
+) -> "DataFrame":
+    """Greedy maximum-coverage selection (Nemhauser/Wolsey/Fisher '78:
+    the (1 - 1/e)-approximation for submodular maximization — the
+    textbook guarantee, and NP-hard to beat in general): pick k sets
+    maximizing the size of their union. The curation uses: choose k
+    data sources covering the most vocabulary, k seed hosts covering
+    the most reachable hosts, k eval slices covering the most
+    behaviors.
+
+    Scale shape (kcenter_sample's contract): greedy is inherently
+    k-sequential, but each round is narrow distributed work — one
+    map-side-combinable count over the REMAINING membership rows, one
+    TakeOrdered(1) argmax (count desc, set_id asc — deterministic
+    ties), and one broadcast anti-join that deletes the newly covered
+    elements. Rows only ever shrink; driver traffic is one row per
+    round. localCheckpoint every other round keeps the plan flat.
+
+    Returns (pick_order, set_id, marginal, cumulative) — marginal =
+    newly covered elements at that pick, cumulative = running union
+    size. Stops early (fewer than k rows) when coverage is exhausted.
+    """
+    remaining = membership.select(
+        F.col(set_col).alias("s"), F.col(elem_col).alias("e")
+    ).distinct().localCheckpoint(eager=True)
+    picks = []
+    cum = 0
+    for t in range(1, int(k) + 1):
+        top = (
+            remaining.groupBy("s")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("s"))
+            .head()
+        )
+        if top is None:
+            break
+        cum += int(top["gain"])
+        picks.append((t, top["s"], int(top["gain"]), cum))
+        # one set's element list; AQE broadcasts it while it fits and
+        # falls back to a shuffle anti-join for a genuinely huge set
+        covered = remaining.filter(F.col("s") == top["s"]).select("e")
+        remaining = remaining.join(covered, "e", "left_anti")
+        if t % 2 == 0:
+            remaining = remaining.localCheckpoint(eager=True)
+    spark = membership.sparkSession
+    return spark.createDataFrame(
+        picks, "pick_order int, set_id string, marginal long, cumulative long"
+    )
