@@ -10945,6 +10945,76 @@ def _max_cover_sql(k: int = 6) -> str:
     )
 
 
+def q_wl_host_roles(spark, sf_dir):
+    """Weisfeiler-Lehman structural roles over the host link graph
+    (operators/graph.py wl_colors): after 3 refinement rounds two hosts
+    share a color iff their 3-hop neighborhood STRUCTURE is
+    indistinguishable — machine-generated link-farm hosts collapse into
+    one class while organic hosts spread out; purely topological (no
+    content), complementing spam_mass and host_clustering_coeff. All
+    string/md5 arithmetic, no floats — the unrolled-CTE oracle is
+    bit-exact."""
+    from crawler_spark.operators.graph import wl_colors
+
+    d = _t(spark, sf_dir, "documents")
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    edges = (
+        d.select(
+            (F.col("doc_id") % 20).alias("src"),
+            F.expr(f"(16 * {d6} + {d7}) % 20").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return wl_colors(edges, n_iter=3).select(
+        F.col("node").alias("host_id"), "wl_color", "class_size"
+    )
+
+
+def _wl_sql(n_iter: int = 3) -> str:
+    """DuckDB mirror of q_wl_host_roles: identical edge derivation and
+    n_iter unrolled WL rounds (string_agg ORDER BY = concat_ws over
+    sort_array; md5 rehash — pure string arithmetic, bit-exact)."""
+    d6 = _hexdig_sql("cast(doc_id AS varchar)", 6)
+    d7 = _hexdig_sql("cast(doc_id AS varchar)", 7)
+    sql = f"""WITH edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id % 20 AS src, (16 * {d6} + {d7}) % 20 AS dst
+        FROM documents
+      ) WHERE src != dst
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    c0 AS (SELECT node, '0' AS c FROM nodes)"""
+    for k in range(1, n_iter + 1):
+        sql += f""",
+    i{k} AS (
+      SELECT e.dst AS node, string_agg(c.c, ',' ORDER BY c.c) AS in_ms
+      FROM edges e JOIN c{k - 1} c ON c.node = e.src GROUP BY e.dst
+    ),
+    o{k} AS (
+      SELECT e.src AS node, string_agg(c.c, ',' ORDER BY c.c) AS out_ms
+      FROM edges e JOIN c{k - 1} c ON c.node = e.dst GROUP BY e.src
+    ),
+    c{k} AS (
+      SELECT n.node,
+             md5(concat_ws('|', c.c, coalesce(i.in_ms, ''),
+                           coalesce(o.out_ms, ''))) AS c
+      FROM nodes n
+      JOIN c{k - 1} c USING (node)
+      LEFT JOIN i{k} i USING (node)
+      LEFT JOIN o{k} o USING (node)
+    )"""
+    return (
+        sql
+        + f""",
+    sizes AS (SELECT c, count(*) AS class_size FROM c{n_iter} GROUP BY c)
+    SELECT node AS host_id, c{n_iter}.c AS wl_color,
+           CAST(class_size AS BIGINT) AS class_size
+    FROM c{n_iter} JOIN sizes USING (c)"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11013,6 +11083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em_fit": q_fs_em_fit,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "source_max_cover": q_source_max_cover,
+        "wl_host_roles": q_wl_host_roles,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12109,6 +12180,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_match_decisions": _fs_sql(),
         "fs_em_fit": _fs_em_sql(),
         "source_max_cover": _max_cover_sql(),
+        "wl_host_roles": _wl_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

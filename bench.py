@@ -209,6 +209,7 @@ HEADLINE = [
     "hilbert_key",
     "fs_em_fit",
     "source_max_cover",
+    "wl_host_roles",
 ]
 
 BENCH_HOSTS = 50

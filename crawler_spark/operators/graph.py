@@ -1046,3 +1046,86 @@ def seed_attribution(
         frontier = nxt.select("node", "seed")
     e.unpersist()
     return attr
+
+
+def wl_colors(
+    edges: DataFrame,
+    n_iter: int = 3,
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Lehman color refinement (Weisfeiler &
+    Lehman 1968; the WL graph-kernel base, Shervashidze et al. JMLR'11)
+    over a DIRECTED graph: every node's color is iteratively rehashed
+    with the sorted multisets of its in- and out-neighbor colors, so
+    after k rounds two nodes share a color iff their k-hop rooted
+    neighborhood STRUCTURE is indistinguishable. The crawl read: hosts
+    in a machine-generated link farm are structurally interchangeable
+    and collapse into one WL class, while organic hosts spread across
+    many classes — a purely topological farm signal that needs no
+    content, complementing spam_mass (rank-based) and
+    host_clustering_coeff (triangle-based).
+
+    Spark shape per round: two edge-vs-color hash joins (in-messages
+    and out-messages), two groupBy collect_list + sort_array
+    aggregations (sort_array makes the multiset canonical — safe
+    against collect_list's arbitrary order), one left join back onto
+    the node spine, md5 rehash. All string/integer arithmetic — no
+    floats anywhere, so the unrolled-CTE oracle is bit-exact. At web
+    scale the multiset strings are md5-compressed every round, so
+    message width stays bounded regardless of degree; a degree-capped
+    variant (truncate the sorted list) is the swap if single nodes
+    reach 10^8 neighbors.
+
+    Returns (node, wl_color, class_size) after n_iter rounds.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    colors = nodes.withColumn("c", F.lit("0"))
+    for _ in range(n_iter):
+        cin = (
+            edges.join(
+                colors.select(F.col("node").alias("src"), F.col("c").alias("cu")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_list("cu"))).alias(
+                    "in_ms"
+                )
+            )
+        )
+        cout = (
+            edges.join(
+                colors.select(F.col("node").alias("dst"), F.col("c").alias("cv")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_list("cv"))).alias(
+                    "out_ms"
+                )
+            )
+        )
+        colors = (
+            colors.join(cin, "node", "left")
+            .join(cout, "node", "left")
+            .select(
+                "node",
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("c"),
+                        F.coalesce(F.col("in_ms"), F.lit("")),
+                        F.coalesce(F.col("out_ms"), F.lit("")),
+                    )
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = colors.groupBy("c").agg(F.count("*").alias("class_size"))
+    return colors.join(sizes, "c").select(
+        "node", F.col("c").alias("wl_color"), "class_size"
+    )
