@@ -11015,6 +11015,103 @@ def _wl_sql(n_iter: int = 3) -> str:
     )
 
 
+def q_host_betweenness(spark, sf_dir):
+    """Bounded-distance betweenness centrality over the host link
+    graph (operators/graph.py betweenness_bounded; Brandes'01
+    accumulation, Brandes-Pich'07 distance bound): the bridge-host
+    signal — high-betweenness hosts are the cut vertices between crawl
+    regions, which farms can't fake by inflating degree. Forward
+    multi-source tagged BFS with integer path counts, backward
+    dependency accumulation with 1e-9-pinned decimal-summed terms;
+    the oracle unrolls both phases level by level."""
+    from crawler_spark.operators.graph import betweenness_bounded
+
+    d = _t(spark, sf_dir, "documents")
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    edges = (
+        d.select(
+            (F.col("doc_id") % 20).alias("src"),
+            F.expr(f"(16 * {d6} + {d7}) % 20").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return betweenness_bounded(edges, max_depth=3).select(
+        F.col("node").alias("host_id"), "betweenness"
+    )
+
+
+def _betweenness_sql(max_depth: int = 3) -> str:
+    """DuckDB mirror of q_host_betweenness: forward levels l0..lD with
+    NOT EXISTS first-visit gating and integer sigma sums, backward
+    d{D}..d0 with the identical pinned term arithmetic."""
+    d6 = _hexdig_sql("cast(doc_id AS varchar)", 6)
+    d7 = _hexdig_sql("cast(doc_id AS varchar)", 7)
+    D = max_depth
+    sql = f"""WITH edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id % 20 AS src, (16 * {d6} + {d7}) % 20 AS dst
+        FROM documents
+      ) WHERE src != dst
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    l0 AS (SELECT node AS source, node, CAST(1 AS BIGINT) AS sigma FROM nodes),
+    v0 AS (SELECT source, node FROM l0)"""
+    for t in range(1, D + 1):
+        sql += f""",
+    l{t} AS (
+      SELECT source, node, CAST(sum(sigma) AS BIGINT) AS sigma FROM (
+        SELECT c.source, e.dst AS node, c.sigma
+        FROM l{t - 1} c JOIN edges e ON c.node = e.src
+      ) x
+      WHERE NOT EXISTS (SELECT 1 FROM v{t - 1} v
+                        WHERE v.source = x.source AND v.node = x.node)
+      GROUP BY source, node
+    ),
+    v{t} AS (SELECT * FROM v{t - 1}
+             UNION ALL SELECT source, node FROM l{t})"""
+    sql += f""",
+    d{D} AS (SELECT source, node, sigma, CAST(0.0 AS DOUBLE) AS delta
+             FROM l{D})"""
+    for d in range(D - 1, -1, -1):
+        sql += f""",
+    c{d} AS (
+      SELECT lv.source, lv.node,
+             CAST(sum(CAST(floor(CAST(lv.sigma AS DOUBLE)
+                                 / CAST(s.sigma AS DOUBLE)
+                                 * (1.0 + s.delta) * 1e9 + 0.5) / 1e9
+                           AS DECIMAL(29,9))) AS DOUBLE) AS dsum
+      FROM l{d} lv
+      JOIN edges e ON lv.node = e.src
+      JOIN d{d + 1} s ON s.source = lv.source AND s.node = e.dst
+      GROUP BY lv.source, lv.node
+    ),
+    d{d} AS (
+      SELECT lv.source, lv.node, lv.sigma,
+             coalesce(c.dsum, CAST(0.0 AS DOUBLE)) AS delta
+      FROM l{d} lv LEFT JOIN c{d} c USING (source, node)
+    )"""
+    acc = " UNION ALL ".join(
+        f"SELECT source, node, delta FROM d{d} WHERE source != node"
+        for d in range(D - 1, -1, -1)
+    )
+    return (
+        sql
+        + f""",
+    acc AS ({acc}),
+    bc AS (
+      SELECT node,
+             CAST(sum(CAST(delta AS DECIMAL(29,9))) AS DOUBLE) AS b
+      FROM acc GROUP BY node
+    )
+    SELECT n.node AS host_id,
+           floor(coalesce(b, CAST(0.0 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS betweenness
+    FROM nodes n LEFT JOIN bc USING (node)"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11084,6 +11181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "source_max_cover": q_source_max_cover,
         "wl_host_roles": q_wl_host_roles,
+        "host_betweenness": q_host_betweenness,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12181,6 +12279,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_fit": _fs_em_sql(),
         "source_max_cover": _max_cover_sql(),
         "wl_host_roles": _wl_sql(),
+        "host_betweenness": _betweenness_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

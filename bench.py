@@ -210,6 +210,7 @@ HEADLINE = [
     "fs_em_fit",
     "source_max_cover",
     "wl_host_roles",
+    "host_betweenness",
 ]
 
 BENCH_HOSTS = 50

@@ -1129,3 +1129,136 @@ def wl_colors(
     return colors.join(sizes, "c").select(
         "node", F.col("c").alias("wl_color"), "class_size"
     )
+
+
+def betweenness_bounded(
+    edges: DataFrame,
+    max_depth: int = 4,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """Bounded-distance betweenness centrality (Brandes J.Math.Soc'01
+    accumulation; distance bound per Brandes & Pich '07, whose source
+    SAMPLING is the 10^7-host scale dial): score each node by how much
+    shortest-path traffic (within ``max_depth`` hops) flows THROUGH it
+    — the bridge-host signal: a host with modest degree but high
+    betweenness is the cut vertex between crawl regions, exactly what
+    frontier prioritization wants to fetch early and what link spam
+    cannot fake cheaply (farms raise degree, not brokerage).
+
+    Two level-synchronous phases, both plain DataFrame ops:
+      forward  — multi-source tagged BFS ((source, node) keyed rows, so
+                 ALL sources advance in ONE dataflow per hop): level d
+                 holds sigma = #shortest s->v paths, built by summing
+                 predecessor sigmas; anti-join against visited keeps
+                 each (s, v) at its FIRST (= shortest) level.
+      backward — Brandes' dependency accumulation delta(v) =
+                 sum over successors w one level deeper of
+                 sigma_v/sigma_w * (1 + delta_w), walked from the
+                 deepest level up; per-level terms are pinned to the
+                 1e-9 grid and decimal-summed (order-independent,
+                 engine-exact).
+    Betweenness(v) = sum over sources of delta, excluding v's own
+    source rows. Rounds = 2 * max_depth joins total, each hash-keyed on
+    (source, node); levels are localCheckpoint-bounded.
+
+    ``sources``: optional (source) DataFrame — default every node (the
+    exact variant; sample k sources for the estimator at scale).
+    Returns (node, betweenness) rounded at 1e-6.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    srcs = (sources or nodes.select(F.col("node").alias("source"))).select(
+        "source"
+    )
+    # forward: levels[d] = (source, node, sigma)
+    cur = srcs.select(
+        "source", F.col("source").alias("node"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint(eager=True)
+    visited = cur.select("source", "node").localCheckpoint(eager=True)
+    levels = [cur]
+    for _d in range(1, max_depth + 1):
+        nxt = (
+            cur.join(e, cur["node"] == e["src"])
+            .groupBy("source", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["source", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(
+            nxt.select("source", "node")
+        ).localCheckpoint(eager=True)
+        cur = nxt
+    # backward: delta at the deepest level is 0
+    pin9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
+    delta = levels[max_depth].select(
+        "source", "node", "sigma", F.lit(0.0).alias("delta")
+    )
+    acc = None
+    for d in range(max_depth - 1, -1, -1):
+        succ = delta.select(
+            "source",
+            F.col("node").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            levels[d]
+            .join(e, levels[d]["node"] == e["src"])
+            .join(
+                succ,
+                (F.col("dst") == F.col("w"))
+                & (levels[d]["source"] == succ["source"]),
+            )
+            .select(
+                levels[d]["source"].alias("source"),
+                levels[d]["node"].alias("node"),
+                pin9(
+                    F.col("sigma").cast("double")
+                    / F.col("sigma_w").cast("double")
+                    * (F.lit(1.0) + F.col("delta_w"))
+                )
+                .cast("decimal(29,9)")
+                .alias("term"),
+            )
+            .groupBy("source", "node")
+            .agg(F.sum("term").cast("double").alias("dsum"))
+        )
+        delta = (
+            levels[d]
+            .join(contrib, ["source", "node"], "left")
+            .select(
+                "source",
+                "node",
+                "sigma",
+                F.coalesce(F.col("dsum"), F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        part = delta.filter(F.col("source") != F.col("node")).select(
+            "source", "node", "delta"
+        )
+        acc = part if acc is None else acc.unionByName(part)
+    bc = (
+        acc.select("node", F.col("delta").cast("decimal(29,9)").alias("delta"))
+        .groupBy("node")
+        .agg(F.sum("delta").cast("double").alias("b"))
+    )
+    return nodes.join(bc, "node", "left").select(
+        "node",
+        (
+            F.floor(
+                F.coalesce(F.col("b"), F.lit(0.0)) * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("betweenness"),
+    )
