@@ -11112,6 +11112,81 @@ def _betweenness_sql(max_depth: int = 3) -> str:
     )
 
 
+def q_merge_batch_matching(spark, sf_dir):
+    """Safe concurrent merge batch over the SNM near-dup candidate
+    graph: a deterministic Luby-style MAXIMAL MATCHING
+    (operators/graph.py maximal_matching) picks the largest one-pass
+    set of merge pairs in which every document participates at most
+    once (>= 1/2 the maximum matching) — md5 priorities make every
+    round reproducible, so the unrolled-round oracle is exact."""
+    from crawler_spark.operators.dedup import snm_candidate_pairs
+    from crawler_spark.operators.graph import maximal_matching
+
+    d = _t(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
+    )
+    keyed = norm.select("doc_id", F.substring("t", 1, 12).alias("k"))
+    cand = snm_candidate_pairs(keyed, "k", "doc_id", window=4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return maximal_matching(cand, max_rounds=8)
+
+
+def _matching_sql(max_rounds: int = 8) -> str:
+    """DuckDB mirror of q_merge_batch_matching: same SNM candidate
+    construction, md5 priorities, unrolled local-minimum rounds."""
+    sql = """WITH n AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    rk AS (
+      SELECT doc_id, substring(t, 1, 12) AS k,
+             row_number() OVER (ORDER BY substring(t, 1, 12), doc_id) AS rn
+      FROM n
+    ),
+    al0 AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+             md5(CAST(a.doc_id AS varchar) || '-'
+                 || CAST(b.doc_id AS varchar)) AS prio
+      FROM rk a JOIN rk b ON b.rn - a.rn >= 1 AND b.rn - a.rn <= 3
+      WHERE a.doc_id != b.doc_id
+    )"""
+    for r in range(1, max_rounds + 1):
+        sql += f""",
+    vm{r} AS MATERIALIZED (
+      SELECT v, min(prio) AS pmin FROM (
+        SELECT a AS v, prio FROM al{r - 1}
+        UNION ALL SELECT b, prio FROM al{r - 1}
+      ) GROUP BY v
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT al.a, al.b, {r} AS round
+      FROM al{r - 1} al
+      JOIN vm{r} va ON va.v = al.a
+      JOIN vm{r} vb ON vb.v = al.b
+      WHERE al.prio = va.pmin AND al.prio = vb.pmin
+    ),
+    mt{r} AS MATERIALIZED (SELECT a AS v FROM sel{r}
+                           UNION SELECT b FROM sel{r}),
+    al{r} AS MATERIALIZED (
+      SELECT al.* FROM al{r - 1} al
+      WHERE NOT EXISTS (SELECT 1 FROM mt{r} m WHERE m.v = al.a)
+        AND NOT EXISTS (SELECT 1 FROM mt{r} m WHERE m.v = al.b)
+    )"""
+    picks = " UNION ALL ".join(
+        f"SELECT a, b, round FROM sel{r}" for r in range(1, max_rounds + 1)
+    )
+    return (
+        sql
+        + f"""
+    SELECT a AS doc_a, b AS doc_b, CAST(round AS INTEGER) AS round
+    FROM ({picks})"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11182,6 +11257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_max_cover": q_source_max_cover,
         "wl_host_roles": q_wl_host_roles,
         "host_betweenness": q_host_betweenness,
+        "merge_batch_matching": q_merge_batch_matching,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12280,6 +12356,7 @@ def oracle_sql() -> dict[str, str]:
         "source_max_cover": _max_cover_sql(),
         "wl_host_roles": _wl_sql(),
         "host_betweenness": _betweenness_sql(),
+        "merge_batch_matching": _matching_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

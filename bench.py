@@ -211,6 +211,7 @@ HEADLINE = [
     "source_max_cover",
     "wl_host_roles",
     "host_betweenness",
+    "merge_batch_matching",
 ]
 
 BENCH_HOSTS = 50

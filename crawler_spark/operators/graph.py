@@ -1262,3 +1262,92 @@ def betweenness_bounded(
             / F.lit(1e6)
         ).alias("betweenness"),
     )
+
+
+def maximal_matching(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Deterministic parallel MAXIMAL MATCHING over a conflict graph —
+    Luby-style symmetry breaking (Luby SICOMP'86; Israeli-Itai's
+    matching form) with md5 priorities instead of per-round coin
+    flips, so the run is reproducible and oracle-checkable. The dedup
+    application: a near-dup pair list says "merge these", but merges
+    touching the same document cannot run in one pass; a maximal
+    matching is the largest-per-round set of pairs where EVERY document
+    participates at most once — the safe concurrent merge batch, with
+    the classic guarantee that the greedy/maximal answer is >= 1/2 of
+    the maximum matching.
+
+    Per round (all DataFrame ops, one groupBy + one join family):
+    every alive pair carries priority = md5(a||'-'||b); per ENDPOINT
+    the minimum alive priority is computed (one two-role explode +
+    groupBy); a pair is SELECTED iff it holds the minimum at BOTH its
+    endpoints (local minima are independent by construction — no two
+    selected pairs share a document); selected pairs retire their
+    endpoints, and alive pairs touching a retired endpoint drop out.
+    With pseudo-random md5 priorities the alive set shrinks
+    geometrically (expected O(log n) rounds); ``max_rounds`` bounds the
+    unrolled oracle and a RuntimeError reports honest non-drain rather
+    than silently returning a non-maximal matching.
+
+    Returns (a_col, b_col, round) for the selected pairs.
+    """
+    alive = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn(
+            "prio",
+            F.md5(
+                F.concat_ws("-", F.col("a").cast("string"), F.col("b").cast("string"))
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picked = None
+    for rnd in range(1, max_rounds + 1):
+        if alive.isEmpty():
+            break
+        ends = alive.select(F.col("a").alias("v"), "prio").unionByName(
+            alive.select(F.col("b").alias("v"), "prio")
+        )
+        vmin = ends.groupBy("v").agg(F.min("prio").alias("pmin"))
+        sel = (
+            alive.join(
+                vmin.select(F.col("v").alias("a"), F.col("pmin").alias("pa")),
+                "a",
+            )
+            .join(
+                vmin.select(F.col("v").alias("b"), F.col("pmin").alias("pb")),
+                "b",
+            )
+            .filter((F.col("prio") == F.col("pa")) & (F.col("prio") == F.col("pb")))
+            .select("a", "b", F.lit(rnd).alias("round"))
+            .localCheckpoint(eager=True)
+        )
+        picked = sel if picked is None else picked.unionByName(sel)
+        matched = (
+            sel.select(F.col("a").alias("v"))
+            .unionByName(sel.select(F.col("b").alias("v")))
+            .distinct()
+        )
+        alive = (
+            alive.join(matched.select(F.col("v").alias("a")), "a", "left_anti")
+            .join(matched.select(F.col("v").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not alive.isEmpty():
+        raise RuntimeError(
+            f"maximal_matching did not drain in {max_rounds} rounds"
+        )
+    spark = pairs.sparkSession
+    if picked is None:
+        return spark.createDataFrame(
+            [], f"{a_col} long, {b_col} long, round int"
+        )
+    return picked.select(
+        F.col("a").alias(a_col), F.col("b").alias(b_col), "round"
+    )
