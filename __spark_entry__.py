@@ -11187,6 +11187,67 @@ def _matching_sql(max_rounds: int = 8) -> str:
     )
 
 
+def q_url_prefix_rollup(spark, sf_dir):
+    """URL-space trie rollup (operators/traps.py url_prefix_rollup):
+    per (host, path prefix, depth) URL counts + exact-terminations over
+    the trap-gate URL family — the budget-profiling aggregation level
+    where DUST rules and trap demotions are decided; the calendar-trap
+    host shows its one deep spine, the parameter mill its flat fanout.
+    Pure native expressions, one combinable shuffle on the trie keys."""
+    from crawler_spark.operators.traps import url_prefix_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("host-"), (F.col("doc_id") % 20).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.concat(
+            F.lit("http://host-"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".test"),
+            F.expr(
+                "CASE WHEN doc_id % 20 = 7 THEN "
+                "  '/cal/' || repeat('2024/', CAST(doc_id % 6 AS INT) + 1) || 'p' "
+                "WHEN doc_id % 20 = 13 THEN '/p/' || CAST(doc_id AS STRING) "
+                "ELSE '/' || source || '/' || "
+                "  translate(CAST(doc_id % 64 AS STRING), '0123456789', 'abcdefghij') "
+                "  || '/item/' || CAST(doc_id AS STRING) END"
+            ),
+        ).alias("url"),
+    )
+    return url_prefix_rollup(urls, max_depth=6)
+
+
+_URL_PREFIX_SQL = """
+    WITH u AS (
+      SELECT 'host-' || (doc_id % 20) || '.test' AS host,
+             CASE WHEN doc_id % 20 = 7 THEN
+               '/cal/' || repeat('2024/', CAST(doc_id % 6 AS INT) + 1) || 'p'
+             WHEN doc_id % 20 = 13 THEN '/p/' || CAST(doc_id AS VARCHAR)
+             ELSE '/' || source || '/' ||
+               translate(CAST(doc_id % 64 AS VARCHAR),
+                         '0123456789', 'abcdefghij')
+               || '/item/' || CAST(doc_id AS VARCHAR) END AS path
+      FROM documents
+    ),
+    segs AS (
+      SELECT host,
+             list_filter(string_split(path, '/'), x -> len(x) > 0) AS ws
+      FROM u
+    ),
+    pref AS (
+      SELECT host, i AS depth,
+             '/' || array_to_string(ws[1:i], '/') AS prefix,
+             CASE WHEN i = least(len(ws), 6) THEN 1 ELSE 0 END AS is_exact
+      FROM segs, unnest(range(1, least(len(ws), 6) + 1)) AS t(i)
+      WHERE len(ws) > 0
+    )
+    SELECT host, prefix, CAST(depth AS INTEGER) AS depth,
+           count(*) AS n_urls, CAST(sum(is_exact) AS BIGINT) AS n_exact
+    FROM pref GROUP BY host, prefix, depth
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11258,6 +11319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_host_roles": q_wl_host_roles,
         "host_betweenness": q_host_betweenness,
         "merge_batch_matching": q_merge_batch_matching,
+        "url_prefix_rollup": q_url_prefix_rollup,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12357,6 +12419,7 @@ def oracle_sql() -> dict[str, str]:
         "wl_host_roles": _wl_sql(),
         "host_betweenness": _betweenness_sql(),
         "merge_batch_matching": _matching_sql(),
+        "url_prefix_rollup": _URL_PREFIX_SQL,
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

@@ -212,6 +212,7 @@ HEADLINE = [
     "wl_host_roles",
     "host_betweenness",
     "merge_batch_matching",
+    "url_prefix_rollup",
 ]
 
 BENCH_HOSTS = 50

@@ -62,3 +62,28 @@ def test_host_trap_report_flags_and_clears(spark):
         ).collect()
     }
     assert rep2 == {"clean.test": False, "loop.test": False, "mill.test": False}
+
+
+def test_url_prefix_rollup_hand_case(spark):
+    from crawler_spark.operators.traps import url_prefix_rollup
+
+    urls = spark.createDataFrame(
+        [
+            ("h", "http://h/a/b/c"),
+            ("h", "http://h/a/b"),
+            ("h", "http://h/a/x"),
+            ("h", "http://h/"),          # rootonly: no segments, dropped
+            ("g", "http://g/a?q=1"),     # query stripped from the path
+        ],
+        "host string, url string",
+    )
+    got = {
+        (r["host"], r["prefix"]): (r["depth"], r["n_urls"], r["n_exact"])
+        for r in url_prefix_rollup(urls, max_depth=6).collect()
+    }
+    assert got[("h", "/a")] == (1, 3, 0)
+    assert got[("h", "/a/b")] == (2, 2, 1)
+    assert got[("h", "/a/b/c")] == (3, 1, 1)
+    assert got[("h", "/a/x")] == (2, 1, 1)
+    assert got[("g", "/a")] == (1, 1, 1)
+    assert ("h", "/") not in got
