@@ -11248,6 +11248,121 @@ _URL_PREFIX_SQL = """
 """
 
 
+def q_linkage_clusters(spark, sf_dir):
+    """End-to-end record-linkage clustering: SNM blocking ->
+    Fellegi-Sunter scoring -> keep decision='match' pairs -> connected
+    components (cc_star) -> (doc_id, cluster_id) entity groups. The
+    composite every linkage deployment actually ships (pairwise
+    decisions alone don't dedupe a table — transitive matches must
+    merge); oracle = the same pinned-weight scoring + a recursive-CTE
+    closure, independently re-deriving the star-contraction labels."""
+    from crawler_spark.operators.dedup import fs_match_scores
+    from crawler_spark.operators.graph import cc_star
+
+    feat = _fs_feat(spark, sf_dir)
+    scored = fs_match_scores(feat, FS_FIELDS, upper=4.0, lower=0.0)
+    mp = scored.filter(F.col("decision") == "match").select("doc_a", "doc_b")
+    return cc_star(mp)
+
+
+def _linkage_sql() -> str:
+    """DuckDB mirror of q_linkage_clusters: _FS_FEAT_CTES + the pinned
+    literal FS weights + recursive min-label closure."""
+    import math
+
+    cases = []
+    for col, m, u in FS_FIELDS:
+        aw = math.floor(math.log(m / u) * 1e9 + 0.5) / 1e9
+        dw = math.floor(math.log((1 - m) / (1 - u)) * 1e9 + 0.5) / 1e9
+        cases.append(
+            f"CASE WHEN {col} THEN CAST({aw!r} AS DOUBLE)"
+            f" ELSE CAST({dw!r} AS DOUBLE) END"
+        )
+    plus = " + ".join(cases)
+    return f"""WITH RECURSIVE {_FS_FEAT_CTES},
+    scored AS (
+      SELECT doc_a, doc_b,
+             CAST(floor(({plus}) * 1e9 + 0.5) AS DOUBLE) / 1e9 AS score
+      FROM feat
+    ),
+    mp AS (SELECT doc_a, doc_b FROM scored WHERE score >= 4.0),
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM mp
+      UNION SELECT doc_b, doc_a FROM mp
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+    )
+    SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+    FROM reach GROUP BY s"""
+
+
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman optimal stratified-sample allocation over event types
+    (operators/stats.py neyman_allocation): n_h ∝ N_h·S_h, the
+    label-budget design that gives high-variance strata proportionally
+    more review samples — ht_corpus_totals' design-side companion.
+    One combinable pass over the facts (pinned-decimal sums), then
+    dimension-only arithmetic with largest-remainder rounding so
+    allocations sum EXACTLY to the budget."""
+    from crawler_spark.operators.stats import neyman_allocation
+
+    e = _t(spark, sf_dir, "events")
+    return neyman_allocation(e, "event_type", "value", total_n=1000)
+
+
+_NEYMAN_SQL = """
+    WITH per AS (
+      SELECT event_type AS stratum, count(*) AS n_pop,
+             sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                      / 1000000.0 AS DECIMAL(18,6))) AS s1,
+             sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                      / 1000000.0 AS DECIMAL(18,6))
+                 * CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                        / 1000000.0 AS DECIMAL(18,6))) AS s2
+      FROM events GROUP BY event_type
+    ),
+    sd AS (
+      SELECT stratum, n_pop,
+             floor(sqrt(
+               floor(greatest(
+                 CAST(s2 AS DOUBLE) / n_pop
+                 - (CAST(s1 AS DOUBLE) / n_pop)
+                   * (CAST(s1 AS DOUBLE) / n_pop),
+                 CAST(0.0 AS DOUBLE)) * 1e9 + 0.5) / 1e9
+             ) * 1e6 + 0.5) / 1e6 AS sd6
+      FROM per
+    ),
+    wtd AS (
+      SELECT *, floor(n_pop * sd6 * 1e6 + 0.5) / 1e6 AS w FROM sd
+    ),
+    tot AS (SELECT sum(CAST(w AS DECIMAL(27,6))) AS wtot FROM wtd),
+    shared AS (
+      SELECT stratum, n_pop, sd6,
+             floor(w / CAST(wtot AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share6
+      FROM wtd CROSS JOIN tot
+    ),
+    base AS (
+      SELECT *,
+             CAST(floor(share6 * 1000.0) AS BIGINT) AS n_base,
+             floor((share6 * 1000.0 - floor(share6 * 1000.0)) * 1e9 + 0.5)
+               / 1e9 AS rem
+      FROM shared
+    ),
+    give AS (SELECT 1000 - sum(n_base) AS leftover FROM base),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+      FROM base
+    )
+    SELECT stratum, n_pop, sd6, share6,
+           CAST(n_base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS n_alloc
+    FROM ranked CROSS JOIN give
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11320,6 +11435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_betweenness": q_host_betweenness,
         "merge_batch_matching": q_merge_batch_matching,
         "url_prefix_rollup": q_url_prefix_rollup,
+        "linkage_clusters": q_linkage_clusters,
+        "neyman_allocation": q_neyman_allocation,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12420,6 +12537,8 @@ def oracle_sql() -> dict[str, str]:
         "host_betweenness": _betweenness_sql(),
         "merge_batch_matching": _matching_sql(),
         "url_prefix_rollup": _URL_PREFIX_SQL,
+        "linkage_clusters": _linkage_sql(),
+        "neyman_allocation": _NEYMAN_SQL,
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

@@ -213,6 +213,8 @@ HEADLINE = [
     "host_betweenness",
     "merge_batch_matching",
     "url_prefix_rollup",
+    "linkage_clusters",
+    "neyman_allocation",
 ]
 
 BENCH_HOSTS = 50

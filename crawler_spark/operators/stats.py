@@ -304,3 +304,90 @@ def ht_total_estimate(
         ).cast("double").alias("exact_total"),
     )
     return est.join(exact, stratum_col)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman, JRSS 1934):
+    given a sampling budget of ``total_n`` rows, allocate per stratum
+    n_h ∝ N_h * S_h (population size x standard deviation) — the
+    allocation minimizing the variance of the stratified mean. The
+    curation read: when sampling fetch logs or quality scores for
+    human review, high-variance strata (flaky hosts, mixed-quality
+    sources) deserve proportionally more of the label budget than
+    uniform-per-stratum or proportional-to-size splits give them.
+    Completes the sampling family next to ht_total_estimate (which
+    ESTIMATES from unequal-probability samples; this DESIGNS them).
+
+    One map-side-combinable pass over the facts (count / decimal sum /
+    decimal sum-of-squares per stratum — values pinned to the 1e-6
+    grid first so the sums are exact and order-independent); everything
+    after runs on the strata DIMENSION: pinned variance, IEEE-exact
+    sqrt, pinned weight shares, and largest-remainder integer rounding
+    (floor every share, then hand the leftover units to the largest
+    remainders, ties by stratum — so the n_h sum EXACTLY equals
+    total_n). Mirrored operation-for-operation by the SQL oracle.
+
+    Returns (stratum, n_pop, sd6, share6, n_alloc).
+    """
+    def pin(c, k):
+        sc = float(10 ** k)
+        return F.floor(c * F.lit(sc) + F.lit(0.5)) / F.lit(sc)
+
+    v6 = pin(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_pop"),
+        F.sum(v6).alias("s1"),
+        F.sum(v6 * v6).alias("s2")  # (18,6)^2 -> scale-12 decimal, exact,
+    )
+    var = pin(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n_pop")
+            - (F.col("s1").cast("double") / F.col("n_pop"))
+            * (F.col("s1").cast("double") / F.col("n_pop")),
+            F.lit(0.0),
+        ),
+        9,
+    )
+    wtd = per.select(
+        "stratum",
+        "n_pop",
+        pin(F.sqrt(var), 6).alias("sd6"),
+    ).withColumn("w", pin(F.col("n_pop") * F.col("sd6"), 6))
+    tot = wtd.agg(F.sum(F.col("w").cast("decimal(27,6)")).alias("wtot"))
+    shared = wtd.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_pop",
+        "sd6",
+        pin(F.col("w") / F.col("wtot").cast("double"), 6).alias("share6"),
+    )
+    n = int(total_n)
+    base = shared.select(
+        "*",
+        F.floor(F.col("share6") * F.lit(float(n))).cast("long").alias("n_base"),
+        pin(
+            F.col("share6") * F.lit(float(n))
+            - F.floor(F.col("share6") * F.lit(float(n))),
+            9,
+        ).alias("rem"),
+    )
+    give = base.agg((F.lit(n) - F.sum("n_base")).alias("leftover"))
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("stratum"))
+    return (
+        base.crossJoin(F.broadcast(give))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .select(
+            "stratum",
+            "n_pop",
+            "sd6",
+            "share6",
+            (
+                F.col("n_base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("n_alloc"),
+        )
+    )

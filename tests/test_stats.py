@@ -168,3 +168,28 @@ def test_ht_estimates_are_unbiased_scale_ups(spark):
         # estimate within sampling noise of the truth (loose bound)
         assert abs(r["est_rows"] - r["exact_rows"]) / r["exact_rows"] < 0.25
         assert abs(r["est_total"] - r["exact_total"]) / r["exact_total"] < 0.3
+
+
+def test_neyman_allocation_properties(spark):
+    from crawler_spark.operators.stats import neyman_allocation
+
+    # planted heteroscedastic strata: equal sizes, very different spread
+    rows = []
+    for i in range(300):
+        rows.append(("calm", 100.0 + (i % 3)))        # sd ~ 0.8
+        rows.append(("wild", 100.0 + (i % 100) * 5))  # sd ~ 144
+        rows.append(("mid", 100.0 + (i % 10)))        # sd ~ 2.9
+    df = spark.createDataFrame(rows, "stratum string, value double")
+    out = {
+        r["stratum"]: r
+        for r in neyman_allocation(df, "stratum", "value", total_n=200).collect()
+    }
+    # allocations sum EXACTLY to the budget (largest-remainder)
+    assert sum(r["n_alloc"] for r in out.values()) == 200
+    # equal sizes -> allocation ordered by spread
+    assert out["wild"]["n_alloc"] > out["mid"]["n_alloc"] > out["calm"]["n_alloc"]
+    # the wild stratum dominates the budget
+    assert out["wild"]["n_alloc"] > 150
+    # shares are consistent with n_pop * sd weights
+    for r in out.values():
+        assert 0.0 <= r["share6"] <= 1.0
