@@ -11363,6 +11363,112 @@ _NEYMAN_SQL = """
 """
 
 
+def q_kmeanspar_init(spark, sf_dir):
+    """k-means|| seeding (Bahmani VLDB'12; operators/similarity.py
+    kmeans_parallel_init) over the embeddings table: md5-deterministic
+    D²-oversampling rounds + nearest-candidate weights + weighted
+    farthest-point reduction to k=4 — the distributed k-means++ the
+    IVF index seeds from instead of hash-grouped means. Every draw and
+    tie is engine-exact; the oracle unrolls rounds, weighting, and the
+    reduction."""
+    from crawler_spark.operators.similarity import kmeans_parallel_init
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_parallel_init(e, k=4, oversample=4, rounds=2).select(
+        "cell_id", "cand_id", "weight"
+    )
+
+
+def _kmeanspar_sql(k: int = 4, l: float = 4.0, rounds: int = 2) -> str:
+    """DuckDB mirror of q_kmeanspar_init: same seed, per-round
+    md5-uniform Bernoulli selection (u*phi < l*d², no division),
+    nearest-candidate weights via (d², cand_id) lexicographic argmin,
+    weighted farthest-point reduction — all pinned identically."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"floor((list_dot_product({a}, {a})"
+            f" - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b})) * 1e9 + 0.5) / 1e9"
+        )
+
+    sql = """WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s0 AS (SELECT vec_id, v FROM e
+           ORDER BY md5(CAST(vec_id AS varchar)), vec_id LIMIT 1),
+    cand0 AS (SELECT vec_id AS cand_id, v AS c FROM s0)"""
+    for r in range(1, rounds + 1):
+        u = (
+            "((CAST(concat('0x', substring(md5(CAST(c.vec_id AS varchar)"
+            f" || '#{r}'), 1, 4)) AS BIGINT) + 0.5) / 65536.0)"
+        )
+        sql += f""",
+    cost{r} AS (
+      SELECT e.vec_id, min({d2('e.v', 'cd.c')}) AS d2
+      FROM e, cand{r - 1} cd GROUP BY e.vec_id
+    ),
+    phi{r} AS (
+      SELECT CAST(sum(CAST(d2 AS DECIMAL(38,9))) AS DOUBLE) AS phi
+      FROM cost{r}
+    ),
+    sel{r} AS (
+      SELECT c.vec_id FROM cost{r} c CROSS JOIN phi{r}
+      WHERE {u} * phi < {l!r} * c.d2
+        AND NOT EXISTS (SELECT 1 FROM cand{r - 1} cc
+                        WHERE cc.cand_id = c.vec_id)
+    ),
+    cand{r} AS (
+      SELECT * FROM cand{r - 1}
+      UNION ALL
+      SELECT e.vec_id, e.v FROM sel{r} JOIN e USING (vec_id)
+    )"""
+    C = f"cand{rounds}"
+    sql += f""",
+    dist AS (
+      SELECT e.vec_id, cd.cand_id, {d2('e.v', 'cd.c')} AS d2
+      FROM e, {C} cd
+    ),
+    best AS (
+      SELECT vec_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cand_id) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    wts AS (
+      SELECT cd.cand_id, cd.c, coalesce(b.w, 0) AS w
+      FROM {C} cd LEFT JOIN (
+        SELECT cand_id, count(*) AS w FROM best GROUP BY cand_id
+      ) b USING (cand_id)
+    ),
+    p0 AS (SELECT cand_id, c, w FROM wts ORDER BY w DESC, cand_id LIMIT 1),
+    m1 AS (
+      SELECT t.cand_id, t.c, t.w, {d2('t.c', 'p.c')} AS mind
+      FROM wts t, p0 p WHERE t.cand_id != p.cand_id
+    )"""
+    for t in range(1, k):
+        sql += f""",
+    p{t} AS (
+      SELECT cand_id, c, w FROM (
+        SELECT *, floor(CAST(w AS DOUBLE) * mind * 1e9 + 0.5) / 1e9 AS score
+        FROM m{t}
+      ) ORDER BY score DESC, cand_id LIMIT 1
+    )"""
+        if t < k - 1:
+            sql += f""",
+    m{t + 1} AS (
+      SELECT m.cand_id, m.c, m.w, least(m.mind, {d2('m.c', 'p.c')}) AS mind
+      FROM m{t} m, p{t} p WHERE m.cand_id != p.cand_id
+    )"""
+    outs = " UNION ALL ".join(
+        f"SELECT {t} AS cell_id, cand_id, CAST(w AS BIGINT) AS weight FROM p{t}"
+        for t in range(0, k)
+    )
+    return sql + "\n    " + outs
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11437,6 +11543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_prefix_rollup": q_url_prefix_rollup,
         "linkage_clusters": q_linkage_clusters,
         "neyman_allocation": q_neyman_allocation,
+        "kmeanspar_init": q_kmeanspar_init,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12539,6 +12646,7 @@ def oracle_sql() -> dict[str, str]:
         "url_prefix_rollup": _URL_PREFIX_SQL,
         "linkage_clusters": _linkage_sql(),
         "neyman_allocation": _NEYMAN_SQL,
+        "kmeanspar_init": _kmeanspar_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

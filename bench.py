@@ -215,6 +215,7 @@ HEADLINE = [
     "url_prefix_rollup",
     "linkage_clusters",
     "neyman_allocation",
+    "kmeanspar_init",
 ]
 
 BENCH_HOSTS = 50

@@ -530,3 +530,144 @@ def ivf_topk_batch(
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "cosine", F.col("rn").alias("rank"))
     )
+
+
+def kmeans_parallel_init(
+    emb: DataFrame,
+    k: int = 4,
+    oversample: int = 4,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-means|| initialization (Bahmani et al., VLDB'12) — the
+    distributed k-means++ the IVF index wants instead of hash-grouped
+    means: k-means++'s D²-weighted seeding needs k SEQUENTIAL passes;
+    k-means|| gets the same quality guarantee in O(log n) rounds by
+    OVERSAMPLING ~`oversample` candidates per round with probability
+    min(1, l*d²/phi), then reducing the weighted candidate set to k.
+
+    Deterministic throughout (the repo's md5-uniform discipline): the
+    seed is the md5-minimal point; each round's Bernoulli draw uses
+    u = (md5(vec_id||'#'||round)[0:4] + 0.5)/65536 and selects iff
+    u * phi < l * d² (identical double operands both engines — no
+    division); candidate weights are nearest-candidate counts
+    (lexicographic (d², cand_id) argmin); the reduction is WEIGHTED
+    farthest-point (first = max weight; then argmax of pinned
+    w * min-d²-to-picks — the paper's "recluster the weighted
+    candidates" step in its deterministic greedy form).
+
+    Scale shape: per round one broadcast join of the tiny candidate set
+    against the points + a grouped min + a one-row decimal phi — the
+    candidate set never exceeds oversample*rounds+1 rows, and the
+    reduction runs on that dimension alone (one driver row per pick,
+    kcenter_sample's contract). Returns (cell_id 0..k-1 in pick order,
+    cand_id, weight, centroid).
+    """
+    def pin9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    def d2(a, b):
+        return pin9(_dot(a, a) - 2 * _dot(a, b) + _dot(b, b))
+
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint(eager=True)
+    seed = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .head()
+    )
+    spark = emb.sparkSession
+    cands = spark.createDataFrame(
+        [(int(seed["vec_id"]), list(seed["v"]))],
+        "cand_id long, c array<double>",
+    )
+    l = float(oversample)
+    for r in range(1, int(rounds) + 1):
+        costs = (
+            e.crossJoin(F.broadcast(cands))
+            .select("vec_id", d2(F.col("v"), F.col("c")).alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("d2"))
+        )
+        phi = costs.agg(
+            F.sum(F.col("d2").cast("decimal(38,9)")).cast("double").alias("phi")
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("vec_id").cast("string"), F.lit(f"#{r}")
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            + F.lit(0.5)
+        ) / F.lit(65536.0)
+        sel = (
+            costs.crossJoin(F.broadcast(phi))
+            .filter(u * F.col("phi") < F.lit(l) * F.col("d2"))
+            .select("vec_id")
+            .join(
+                cands.select(F.col("cand_id").alias("vec_id")),
+                "vec_id",
+                "left_anti",
+            )
+            .join(e, "vec_id")
+            .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("c"))
+        )
+        cands = cands.unionByName(sel).localCheckpoint(eager=True)
+    # weights: nearest-candidate counts, (d2, cand_id) lexicographic tie
+    asg = (
+        e.crossJoin(F.broadcast(cands))
+        .select(
+            "vec_id",
+            F.struct(d2(F.col("v"), F.col("c")).alias("d2"), "cand_id").alias(
+                "s"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"))
+        .select(F.col("s.cand_id").alias("cand_id"))
+        .groupBy("cand_id")
+        .agg(F.count("*").alias("w"))
+    )
+    wc = (
+        cands.join(asg, "cand_id", "left")
+        .select("cand_id", "c", F.coalesce("w", F.lit(0)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    # weighted farthest-point reduction to k
+    first = wc.orderBy(F.desc("w"), F.asc("cand_id")).head()
+    picks = [(0, int(first["cand_id"]), int(first["w"]), list(first["c"]))]
+    state = wc.filter(F.col("cand_id") != int(first["cand_id"])).withColumn(
+        "mind", F.lit(None).cast("double")
+    )
+    for t in range(1, int(k)):
+        cvec = F.array(*[F.lit(float(x)) for x in picks[-1][3]])
+        nd = d2(F.col("c"), cvec)
+        state = state.withColumn(
+            "mind", F.least(F.coalesce(F.col("mind"), nd), nd)
+        )
+        nxt = (
+            state.withColumn(
+                "score", pin9(F.col("w").cast("double") * F.col("mind"))
+            )
+            .orderBy(F.desc("score"), F.asc("cand_id"))
+            .head()
+        )
+        if nxt is None:
+            break
+        picks.append((t, int(nxt["cand_id"]), int(nxt["w"]), list(nxt["c"])))
+        state = state.filter(F.col("cand_id") != int(nxt["cand_id"]))
+    return spark.createDataFrame(
+        picks, "cell_id int, cand_id long, weight long, centroid array<double>"
+    )

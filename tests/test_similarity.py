@@ -272,3 +272,42 @@ def test_kcenter_missing_seed_raises(spark):
 
     with _pytest.raises(ValueError):
         kcenter_sample(df, k=2, seed_id=99)
+
+
+def test_kmeans_parallel_init_planted_clusters(spark):
+    """k-means|| seeding: on 4 well-separated planted clusters the 4
+    picks land in 4 DIFFERENT clusters (weighted farthest-point
+    reduction), deterministically across runs."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.similarity import kmeans_parallel_init
+
+    # 4 clusters at corners of a square in 4-d, 32 points each with a
+    # deterministic per-point jitter
+    base = spark.range(128).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).alias("cl"),
+    )
+    emb = base.select(
+        "vec_id",
+        "cl",
+        F.array(
+            (F.col("cl") % 2 * 100 + (F.col("vec_id") % 7)).cast("float"),
+            ((F.col("cl") / 2).cast("int") * 100 + (F.col("vec_id") % 5)).cast(
+                "float"
+            ),
+            F.lit(1.0).cast("float"),
+            (F.col("vec_id") % 3).cast("float"),
+        ).alias("embedding"),
+    )
+    out1 = kmeans_parallel_init(emb, k=4, oversample=6, rounds=3).collect()
+    out2 = kmeans_parallel_init(emb, k=4, oversample=6, rounds=3).collect()
+    assert sorted(r["cand_id"] for r in out1) == sorted(
+        r["cand_id"] for r in out2
+    )  # deterministic
+    assert len(out1) == 4
+    picked_clusters = {int(r["cand_id"]) % 4 for r in out1}
+    assert picked_clusters == {0, 1, 2, 3}
+    # first pick carries the largest weight
+    by_order = sorted(out1, key=lambda r: r["cell_id"])
+    assert by_order[0]["weight"] == max(r["weight"] for r in out1)
