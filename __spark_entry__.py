@@ -11469,6 +11469,92 @@ def _kmeanspar_sql(k: int = 4, l: float = 4.0, rounds: int = 2) -> str:
     return sql + "\n    " + outs
 
 
+def q_densest_profile(spark, sf_dir):
+    """Charikar densest-subgraph peeling profile over the host graph
+    (operators/graph.py densest_subgraph_peel): each round removes
+    every node below 5/2 x average degree; the max-density round is a
+    2(1+eps)-approx of the true densest subgraph — the tightest link
+    spam core (organic webs are sparse everywhere, farms are built
+    dense). Removal test is integer-exact; density floors at 1e-6."""
+    from crawler_spark.operators.graph import densest_subgraph_peel
+
+    d = _t(spark, sf_dir, "documents")
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    # 64 hosts -> a sparse organic fringe around a denser core, so the
+    # peel actually runs several rounds (20 hosts saturate instantly)
+    edges = (
+        d.select(
+            (F.col("doc_id") % 64).alias("src"),
+            F.expr(f"(16 * {d6} + {d7}) % 64").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return densest_subgraph_peel(edges, max_rounds=8)
+
+
+def _densest_sql(max_rounds: int = 8) -> str:
+    """DuckDB mirror of q_densest_profile: unrolled peel rounds with
+    the identical integer removal test; rows emitted only while the
+    graph still changed (the engine's fixpoint break)."""
+    d6 = _hexdig_sql("cast(doc_id AS varchar)", 6)
+    d7 = _hexdig_sql("cast(doc_id AS varchar)", 7)
+    sql = f"""WITH raw AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id % 64 AS src, (16 * {d6} + {d7}) % 64 AS dst
+        FROM documents
+      ) WHERE src != dst
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+      ) WHERE src < dst
+    )"""
+    for r in range(0, max_rounds + 1):
+        sql += f""",
+    d{r} AS MATERIALIZED (
+      SELECT v, count(*) AS deg FROM (
+        SELECT src AS v FROM e{r} UNION ALL SELECT dst FROM e{r}
+      ) GROUP BY v
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS nv,
+             CAST(coalesce(sum(deg), 0) // 2 AS BIGINT) AS ne
+      FROM d{r}
+    )"""
+        if r < max_rounds:
+            sql += f""",
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r} e
+      WHERE EXISTS (SELECT 1 FROM d{r} da, s{r} s
+                    WHERE da.v = e.src
+                      AND da.deg * s.nv * 2 >= 5 * s.ne)
+        AND EXISTS (SELECT 1 FROM d{r} db, s{r} s
+                    WHERE db.v = e.dst
+                      AND db.deg * s.nv * 2 >= 5 * s.ne)
+    )"""
+    rows = ["SELECT 0 AS round, nv, ne FROM s0 WHERE nv > 0"]
+    for r in range(1, max_rounds + 1):
+        rows.append(
+            f"SELECT {r}, s.nv, s.ne FROM s{r} s, s{r - 1} p"
+            f" WHERE s.nv > 0 AND (s.nv != p.nv OR s.ne != p.ne)"
+        )
+    return (
+        sql
+        + f""",
+    prof AS ({' UNION ALL '.join(rows)}),
+    scored AS (
+      SELECT round, nv AS n_nodes, ne AS n_edges,
+             CAST((ne * 1000000) // nv AS DOUBLE) / 1e6 AS density6
+      FROM prof
+    )
+    SELECT round, n_nodes, n_edges, density6,
+           rank() OVER (ORDER BY density6 DESC, round ASC) = 1 AS is_best
+    FROM scored"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11544,6 +11630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_clusters": q_linkage_clusters,
         "neyman_allocation": q_neyman_allocation,
         "kmeanspar_init": q_kmeanspar_init,
+        "densest_profile": q_densest_profile,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12647,6 +12734,7 @@ def oracle_sql() -> dict[str, str]:
         "linkage_clusters": _linkage_sql(),
         "neyman_allocation": _NEYMAN_SQL,
         "kmeanspar_init": _kmeanspar_sql(),
+        "densest_profile": _densest_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

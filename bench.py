@@ -216,6 +216,7 @@ HEADLINE = [
     "linkage_clusters",
     "neyman_allocation",
     "kmeanspar_init",
+    "densest_profile",
 ]
 
 BENCH_HOSTS = 50

@@ -1351,3 +1351,86 @@ def maximal_matching(
     return picked.select(
         F.col("a").alias(a_col), F.col("b").alias(b_col), "round"
     )
+
+
+def densest_subgraph_peel(
+    edges: DataFrame,
+    eps_num: int = 5,
+    eps_den: int = 2,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Greedy densest-subgraph peeling (Charikar APPROX'00; the
+    parallel batched form of Bahmani et al. VLDB'12): repeatedly
+    remove every node whose degree is below (eps_num/eps_den) x the
+    current average degree — with eps_num/eps_den = 2(1+eps) = 5/2 the
+    surviving densest prefix is a 2(1+eps)-approximation of the true
+    maximum-density subgraph, in O(log n) rounds. The crawl read: the
+    densest subgraph of the host graph IS the tightest link spam core
+    (organic webs are sparse everywhere; farms are built dense), and
+    peeling gives the full density profile, not just a threshold.
+
+    Undirected density |E|/|V|; edges are symmetrized and deduped
+    here. The removal test is INTEGER-exact (deg * |V| * eps_den <
+    eps_num * |E| — no float ratio), so every round is engine-exact.
+    Per round: one degree aggregation + one broadcast of the two
+    scalars + one semi-join filter of the edge set; rounds are
+    localCheckpoint-bounded.
+
+    Returns the per-round profile (round, n_nodes, n_edges, density6,
+    is_best): round 0 = the full graph, density6 pinned at 1e-6,
+    is_best marks the max-density round (ties -> earliest). The
+    judge-the-threshold table; the best round's node set is the spam
+    core."""
+    und = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .filter(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    cur = und
+    for rnd in range(0, max_rounds + 1):
+        deg = (
+            cur.select(F.col("src").alias("v"))
+            .unionByName(cur.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        stats = deg.agg(
+            F.count("*").alias("nv"), F.sum("deg").alias("deg2")
+        ).first()
+        nv = int(stats["nv"] or 0)
+        ne = int(stats["deg2"] or 0) // 2
+        if nv == 0:
+            break
+        if rows and (nv, ne) == (rows[-1][1], rows[-1][2]):
+            break  # peel fixpoint: nothing below threshold remains
+        dens = (ne * 1000000) // nv / 1e6  # floor at 1e-6, integer-exact
+        rows.append((rnd, nv, ne, dens))
+        # peel: keep nodes with deg * nv * eps_den >= eps_num * ne
+        keep = deg.filter(
+            F.col("deg") * F.lit(nv) * F.lit(eps_den)
+            >= F.lit(eps_num) * F.lit(ne)
+        ).select("v")
+        nxt = (
+            cur.join(keep.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("v").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        cur = nxt
+    best = max(range(len(rows)), key=lambda i: (rows[i][3], -i))
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (r, nv, ne, d, i == best)
+            for i, (r, nv, ne, d) in enumerate(rows)
+        ],
+        "round int, n_nodes long, n_edges long, density6 double, is_best boolean",
+    )

@@ -562,3 +562,29 @@ def test_seed_attribution_matches_python_mirror(spark):
     assert 8 not in got and 9 not in got
     assert got[2] == (0, 1)   # seed 0 wins node 2 (hop 1 beats hop 2)
     assert got[4] == (1, 1)   # seed 1 wins node 4 (hop 1 beats hop 3)
+
+
+def test_densest_subgraph_peel_finds_planted_clique(spark):
+    from crawler_spark.operators.graph import densest_subgraph_peel
+
+    # sparse chain 0..19 plus a dense K6 clique on 100..105
+    chain = [(i, i + 1) for i in range(19)]
+    clique = [
+        (100 + a, 100 + b) for a in range(6) for b in range(6) if a < b
+    ]
+    bridge = [(19, 100)]
+    edges = spark.createDataFrame(
+        chain + clique + bridge, "src long, dst long"
+    )
+    prof = densest_subgraph_peel(edges, max_rounds=8).collect()
+    by_round = {r["round"]: r for r in prof}
+    # round 0 is the full graph
+    assert by_round[0]["n_nodes"] == 26 and by_round[0]["n_edges"] == 35
+    best = [r for r in prof if r["is_best"]]
+    assert len(best) == 1
+    # the peel isolates the planted K6: density 15/6 = 2.5
+    assert best[0]["n_nodes"] == 6
+    assert best[0]["n_edges"] == 15
+    assert best[0]["density6"] == 2.5
+    # density profile is the 2(1+eps) guarantee witness: best >= true/2.5
+    assert best[0]["density6"] >= 2.5 / 2.5
