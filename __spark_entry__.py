@@ -11555,6 +11555,81 @@ def _densest_sql(max_rounds: int = 8) -> str:
     )
 
 
+def q_front_coding(spark, sf_dir):
+    """Front-coding size estimate for the sorted per-host URL index
+    (operators/traps.py front_coding_estimate) — the CDX/WebGraph
+    incremental encoding: sorted URLs share prefixes, each row stores
+    (shared-prefix length, suffix); this reports flat vs front-coded
+    bytes and the saving per host BEFORE committing to the layout
+    (adjacency_gap_bits' twin for the URL side). Host-partitioned lag
+    window + the capped native LCP, one combinable aggregation."""
+    from crawler_spark.operators.traps import front_coding_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("host-"), (F.col("doc_id") % 20).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.concat(
+            F.lit("http://host-"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".test"),
+            F.expr(
+                "CASE WHEN doc_id % 20 = 7 THEN "
+                "  '/cal/' || repeat('2024/', CAST(doc_id % 6 AS INT) + 1) || 'p' "
+                "WHEN doc_id % 20 = 13 THEN '/p/' || CAST(doc_id AS STRING) "
+                "ELSE '/' || source || '/' || "
+                "  translate(CAST(doc_id % 64 AS STRING), '0123456789', 'abcdefghij') "
+                "  || '/item/' || CAST(doc_id AS STRING) END"
+            ),
+        ).alias("url"),
+    )
+    return front_coding_estimate(urls, cap=48)
+
+
+def _front_coding_sql(cap: int = 48) -> str:
+    """DuckDB mirror of q_front_coding: same URL family, lag window,
+    capped greatest-term LCP clamped to both lengths."""
+    terms = ", ".join(
+        f"CASE WHEN substring(u, 1, {k}) = substring(prev, 1, {k})"
+        f" THEN {k} ELSE 0 END"
+        for k in range(1, cap + 1)
+    )
+    return f"""WITH u AS (
+      SELECT 'host-' || (doc_id % 20) || '.test' AS host,
+             'http://host-' || (doc_id % 20) || '.test' ||
+             CASE WHEN doc_id % 20 = 7 THEN
+               '/cal/' || repeat('2024/', CAST(doc_id % 6 AS INT) + 1) || 'p'
+             WHEN doc_id % 20 = 13 THEN '/p/' || CAST(doc_id AS VARCHAR)
+             ELSE '/' || source || '/' ||
+               translate(CAST(doc_id % 64 AS VARCHAR),
+                         '0123456789', 'abcdefghij')
+               || '/item/' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents
+    ),
+    lagged AS (
+      SELECT host, substring(url, 1, {cap}) AS u, length(url) AS len_full,
+             lag(substring(url, 1, {cap})) OVER (
+               PARTITION BY host ORDER BY substring(url, 1, {cap})
+             ) AS prev
+      FROM u
+    ),
+    costed AS (
+      SELECT host, len_full,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE least(greatest({terms}), length(u), length(prev))
+             END AS lcp
+      FROM lagged
+    )
+    SELECT host, count(*) AS n_urls,
+           CAST(sum(len_full) AS BIGINT) AS bytes_flat,
+           CAST(sum(len_full - lcp + 2) AS BIGINT) AS bytes_front,
+           floor((1.0 - CAST(sum(len_full - lcp + 2) AS DOUBLE)
+                        / CAST(sum(len_full) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS saved_ratio6
+    FROM costed GROUP BY host"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11631,6 +11706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": q_neyman_allocation,
         "kmeanspar_init": q_kmeanspar_init,
         "densest_profile": q_densest_profile,
+        "front_coding": q_front_coding,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12735,6 +12811,7 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation": _NEYMAN_SQL,
         "kmeanspar_init": _kmeanspar_sql(),
         "densest_profile": _densest_sql(),
+        "front_coding": _front_coding_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

@@ -217,6 +217,7 @@ HEADLINE = [
     "neyman_allocation",
     "kmeanspar_init",
     "densest_profile",
+    "front_coding",
 ]
 
 BENCH_HOSTS = 50

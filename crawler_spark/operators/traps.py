@@ -181,3 +181,67 @@ def url_prefix_rollup(
             ).alias("n_exact"),
         )
     )
+
+
+def front_coding_estimate(
+    urls: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    cap: int = 48,
+) -> DataFrame:
+    """Front-coding (incremental-encoding) size estimate for a sorted
+    URL index — the compression CDX indexes and WebGraph's URL lists
+    actually use: store each sorted URL as (shared-prefix length,
+    suffix). Sorted URLs share long prefixes, so the index shrinks by
+    the per-host prefix mass; this operator reports exactly how much,
+    per host, BEFORE anyone commits to the layout (the storage-planning
+    twin of adjacency_gap_bits, which prices the link side).
+
+    Per host: urls sorted lexicographically (a host-partitioned window
+    — never a global sort), adjacent common-prefix length via the
+    capped greatest-term LCP (suffix.py's native expression, clamped
+    to both lengths), front-coded cost = 2 overhead bytes + the
+    unshared suffix; first URL per host stores fully. One window + one
+    combinable aggregation.
+
+    Returns (host, n_urls, bytes_flat, bytes_front, saved_ratio6).
+    """
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.suffix import _lcp_expr
+
+    lagged = urls.select(
+        F.col(host_col).alias("host"),
+        F.expr(f"substring({url_col}, 1, {int(cap)})").alias("u"),
+        F.length(F.col(url_col)).alias("len_full"),
+    ).withColumn(
+        "prev", F.lag("u").over(Window.partitionBy("host").orderBy("u"))
+    )
+    lcp = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        _lcp_expr("u", "prev", int(cap))
+    )
+    costed = lagged.select(
+        "host",
+        "len_full",
+        lcp.alias("lcp"),
+    )
+    return costed.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("len_full").alias("bytes_flat"),
+        F.sum(F.col("len_full") - F.col("lcp") + F.lit(2)).alias(
+            "bytes_front"
+        ),
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.sum(F.col("len_full") - F.col("lcp") + F.lit(2))
+                    .cast("double")
+                    / F.sum("len_full").cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("saved_ratio6"),
+    )

@@ -87,3 +87,26 @@ def test_url_prefix_rollup_hand_case(spark):
     assert got[("h", "/a/x")] == (2, 1, 1)
     assert got[("g", "/a")] == (1, 1, 1)
     assert ("h", "/") not in got
+
+
+def test_front_coding_hand_case(spark):
+    from crawler_spark.operators.traps import front_coding_estimate
+
+    urls = spark.createDataFrame(
+        [
+            ("h", "http://h/aaa/one"),
+            ("h", "http://h/aaa/two"),
+            ("h", "http://h/bbb"),
+            ("g", "http://g/x"),
+        ],
+        "host string, url string",
+    )
+    got = {r["host"]: r for r in front_coding_estimate(urls, cap=48).collect()}
+    # sorted: /aaa/one, /aaa/two, /bbb -> lcps 0, 13 ("http://h/aaa/"),
+    # 9 ("http://h/")
+    h = got["h"]
+    assert h["n_urls"] == 3
+    assert h["bytes_flat"] == 16 + 16 + 12
+    assert h["bytes_front"] == (16 + 2) + (16 - 13 + 2) + (12 - 9 + 2)
+    g = got["g"]
+    assert g["bytes_front"] == g["bytes_flat"] + 2  # single URL: overhead only
