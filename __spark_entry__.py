@@ -11630,6 +11630,47 @@ def _front_coding_sql(cap: int = 48) -> str:
     FROM costed GROUP BY host"""
 
 
+def q_image_ssim_verify(spark, sf_dir):
+    """SSIM verify after phash banding (operators/multimodal.py
+    verify_pairs_ssim; Wang et al. TIP'04) — the perceptual metric on
+    the case PSNR gets WRONG: variants here are +25-brightness twins
+    (harmless re-encode), which score ~20 dB (flunking the 30 dB PSNR
+    bar) but SSIM > 0.95; structural noise stays rejected. Same banded
+    candidate path as image_phash_neardup. No SQL oracle (binary
+    codec); closed forms + the operator are pytest-pinned
+    (tests/test_ssim.py)."""
+    import numpy as np
+
+    from crawler_spark.functions.codecs import decode, encode
+    from crawler_spark.operators.dedup import hamming64_pairs
+    from crawler_spark.operators.multimodal import (
+        decode_stats,
+        verify_pairs_ssim,
+    )
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
+    rows = [
+        (r["image_id"], r["bytes"], r["fmt"])
+        for r in (T1_SMOKE.payload(u) for u in urls)
+    ]
+    variants = []
+    for image_id, data, fmt in rows[:12]:
+        px = decode(data, fmt).astype(np.int16)
+        px = np.clip(px + 25, 0, 255)  # brightness twin: SSIM-high, PSNR-low
+        variants.append(
+            (image_id + "-v", encode(px.astype(np.uint8), "png"), "png")
+        )
+    images = spark.createDataFrame(
+        rows + variants, "image_id string, bytes binary, fmt string"
+    )
+    sigs = decode_stats(images).select("image_id", "phash")
+    cand = hamming64_pairs(
+        sigs, id_col="image_id", sig_col="phash", max_hamming=7, n_bands=8
+    )
+    return verify_pairs_ssim(cand, images, min_ssim=0.9)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11707,6 +11748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeanspar_init": q_kmeanspar_init,
         "densest_profile": q_densest_profile,
         "front_coding": q_front_coding,
+        "image_ssim_verify": q_image_ssim_verify,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,

@@ -231,3 +231,39 @@ def dct_phash64(px: np.ndarray) -> int:
     ac = low[1:]
     bits = np.concatenate(([False], ac > np.median(ac)))
     return _pack_bits64(bits)
+
+
+def ssim(a: np.ndarray, b: np.ndarray, win: int = 8) -> float:
+    """Structural similarity index (Wang, Bovik, Sheikh, Simoncelli,
+    IEEE TIP 2004) between two equal-shape grayscale images — the
+    perceptual verify metric PSNR cannot replace: PSNR charges every
+    pixel error equally, SSIM compares local luminance/contrast/
+    structure, so a brightness shift (harmless re-encode) scores high
+    while structural damage scores low even at equal MSE.
+
+    Non-overlapping win x win windows (the original paper's 8x8 block
+    form, without the Gaussian weighting — deterministic and
+    library-free), K1=0.01, K2=0.03, L=255. Returns the mean SSIM over
+    windows in [-1, 1]; pure numpy, exact given identical inputs.
+    """
+    if a.shape != b.shape:
+        raise ValueError("ssim requires equal shapes")
+    h, w = a.shape
+    bh, bw = h // win, w // win
+    if bh == 0 or bw == 0:
+        bh, bw, win = 1, 1, min(h, w)  # tiny image: one window
+    x = a[: bh * win, : bw * win].astype(np.float64)
+    y = b[: bh * win, : bw * win].astype(np.float64)
+    xw = x.reshape(bh, win, bw, win).transpose(0, 2, 1, 3).reshape(bh * bw, -1)
+    yw = y.reshape(bh, win, bw, win).transpose(0, 2, 1, 3).reshape(bh * bw, -1)
+    mx = xw.mean(axis=1)
+    my = yw.mean(axis=1)
+    vx = xw.var(axis=1)
+    vy = yw.var(axis=1)
+    cov = ((xw - mx[:, None]) * (yw - my[:, None])).mean(axis=1)
+    c1 = (0.01 * 255.0) ** 2
+    c2 = (0.03 * 255.0) ** 2
+    s = ((2 * mx * my + c1) * (2 * cov + c2)) / (
+        (mx * mx + my * my + c1) * (vx + vy + c2)
+    )
+    return float(s.mean())

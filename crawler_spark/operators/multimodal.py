@@ -1082,3 +1082,72 @@ def native_image_dims(images: DataFrame) -> DataFrame:
         F.expr("cast(conv(hex(substring(bytes, 3, 2)), 16, 10) as bigint)")
     )
     return images.select("image_id", w.alias("w"), h.alias("h"))
+
+
+PAIR_SSIM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_a", T.StringType()),
+        T.StructField("doc_b", T.StringType()),
+        T.StructField("hamming", T.LongType()),
+        T.StructField("ssim", T.DoubleType()),
+    ]
+)
+
+
+def verify_pairs_ssim(
+    pairs: DataFrame,
+    images: DataFrame,
+    id_col: str = "image_id",
+    min_ssim: float = 0.7,
+) -> DataFrame:
+    """SSIM verify stage after phash banding (codecs.ssim; Wang et al.
+    IEEE TIP 2004) — the perceptual companion to verify_pairs_psnr:
+    PSNR charges every pixel error equally, so a global brightness
+    shift (a harmless re-encode) can flunk a true duplicate while
+    localized structural damage passes; SSIM compares local luminance/
+    contrast/structure and gets both cases right. Same scale shape as
+    the PSNR verify: candidates are ~true near-dups so the decode
+    touches a vanishing fraction of the corpus, two plain hash joins,
+    Arrow-batched map. Shape-mismatched pairs score -1 (never dups).
+    """
+    a = images.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("bytes").alias("bytes_a"),
+        F.col("fmt").alias("fmt_a"),
+    )
+    b = images.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("bytes").alias("bytes_b"),
+        F.col("fmt").alias("fmt_b"),
+    )
+    joined = pairs.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a", "doc_b", "hamming", "bytes_a", "fmt_a", "bytes_b", "fmt_b"
+    )
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawler_spark.functions.codecs import ssim
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pa = decode(bytes(r.bytes_a), r.fmt_a)
+                pb = decode(bytes(r.bytes_b), r.fmt_b)
+                if pa.shape != pb.shape:
+                    s = -1.0
+                else:
+                    s = float(ssim(pa, pb))
+                rows.append(
+                    {
+                        "doc_a": r.doc_a,
+                        "doc_b": r.doc_b,
+                        "hamming": int(r.hamming),
+                        "ssim": round(s, 4),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAIR_SSIM_SCHEMA.fields]
+            )
+
+    return joined.mapInPandas(go, schema=PAIR_SSIM_SCHEMA).filter(
+        F.col("ssim") >= min_ssim
+    )
