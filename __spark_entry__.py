@@ -11671,6 +11671,31 @@ def q_image_ssim_verify(spark, sf_dir):
     return verify_pairs_ssim(cand, images, min_ssim=0.9)
 
 
+def q_bloom_reduced_join(spark, sf_dir):
+    """Runtime-filter join (operators/skew.py bloom_semi_reduce): a
+    bloom over the selective dim side's keys prunes the fact table
+    BEFORE its shuffle — the explicit form of engine runtime filters,
+    with the URL-seen gate's economics applied to a general equi-join.
+    The oracle is the PLAIN join, so the hash match proves the
+    reduction loses nothing (no false negatives); the prune factor is
+    pytest-pinned (test_skew)."""
+    from crawler_spark.operators.skew import bloom_semi_reduce
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dim = part.filter(F.col("p_size") == 1).select("p_partkey", "p_name")
+    reduced = bloom_semi_reduce(li, dim, "l_partkey", small_on="p_partkey")
+    return (
+        reduced.join(dim, reduced["l_partkey"] == dim["p_partkey"])
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11749,6 +11774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_profile": q_densest_profile,
         "front_coding": q_front_coding,
         "image_ssim_verify": q_image_ssim_verify,
+        "bloom_reduced_join": q_bloom_reduced_join,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12854,6 +12880,16 @@ def oracle_sql() -> dict[str, str]:
         "kmeanspar_init": _kmeanspar_sql(),
         "densest_profile": _densest_sql(),
         "front_coding": _front_coding_sql(),
+        "bloom_reduced_join": """
+            SELECT p.p_partkey, p.p_name,
+                   count(*) AS n_items,
+                   sum(l.l_quantity) AS sum_qty,
+                   sum(l.l_extendedprice) AS sum_price
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size = 1
+            GROUP BY p.p_partkey, p.p_name
+        """,
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

@@ -218,6 +218,7 @@ HEADLINE = [
     "kmeanspar_init",
     "densest_profile",
     "front_coding",
+    "bloom_reduced_join",
 ]
 
 BENCH_HOSTS = 50

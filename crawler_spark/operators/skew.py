@@ -128,3 +128,54 @@ def exact_rank_select(
         F.lit(k).cast("long").alias("rank"),
         F.col("value").cast("long"),
     )
+
+
+def bloom_semi_reduce(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    small_on: str | None = None,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Runtime-filter (bloom) semi-join reduction — the pre-shuffle
+    prune every distributed engine wants on a selective join: build a
+    Bloom filter over the SMALL side's join keys (one distributed pass,
+    per-partition bitmaps OR-reduced — driver traffic is bitmaps, not
+    keys; operators/seen.build_bloom) and drop big-side rows the filter
+    PROVES unmatched before they ever reach the exchange. False
+    positives survive to the exact join (superset-safe); true matches
+    are never dropped (no false negatives). When the join is selective,
+    the shuffle moves the match fraction instead of the whole fact
+    table — the same economics as the URL-seen gate, applied to any
+    equi-join. Keys are xxhash64-hashed, so any key type works; the
+    downstream join stays the exactness backstop for 64-bit collisions.
+
+    Returns the reduced big side (same schema). Compose as
+    ``bloom_semi_reduce(fact, dim, "key").join(dim, "key")``;
+    ``small_on`` names the dim-side key when the columns differ
+    (fact.l_partkey vs dim.p_partkey).
+    """
+    import pandas as pd
+
+    from crawler_spark.operators.seen import NumpyBloom, build_bloom
+
+    keys = small.select(
+        F.xxhash64(F.col(small_on or on)).alias("url_hash")
+    )
+    bloom = build_bloom(keys, m_bits=m_bits, k=k)
+    bc = big.sparkSession.sparkContext.broadcast(
+        (bloom.m_bits, bloom.k, bloom.bits.tobytes())
+    )
+
+    # no type hints: skew.py uses postponed annotations, under which
+    # string hints don't resolve for locally-imported pandas
+    @F.pandas_udf("boolean")
+    def might_match(h):
+        import numpy as np
+
+        m, kk, raw = bc.value
+        bl = NumpyBloom(m, kk, bits=np.frombuffer(raw, dtype=np.uint8))
+        return pd.Series(bl.contains_many(h.to_numpy(dtype=np.int64)))
+
+    return big.filter(might_match(F.xxhash64(F.col(on))))

@@ -154,3 +154,25 @@ def test_exact_rank_select_bin_boundaries(spark):
     for k in range(1, len(vals) + 1):
         r = exact_rank_select(df, "x", rank=k, bin_width=64).collect()[0]
         assert r.value == srt[k - 1], k
+
+
+def test_bloom_semi_reduce_exact_and_selective(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.skew import bloom_semi_reduce
+
+    big = spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("payload")
+    )
+    # selective dim: 50 keys out of 20000
+    small = spark.range(50).select((F.col("id") * 400).alias("k"))
+    reduced = bloom_semi_reduce(big, small, "k")
+    # no false negatives: the reduced side joined == the plain join
+    got = sorted(
+        (r["k"], r["payload"]) for r in reduced.join(small, "k").collect()
+    )
+    ref = sorted((r["k"], r["payload"]) for r in big.join(small, "k").collect())
+    assert got == ref and len(ref) == 50
+    # the prune is real: far fewer rows reach the join than the fact size
+    n_reduced = reduced.count()
+    assert 50 <= n_reduced < 2000, n_reduced  # fpr ~ tiny at 2^20 bits
