@@ -11696,6 +11696,78 @@ def q_bloom_reduced_join(spark, sf_dir):
     )
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift test
+    (operators/stats.py ks_two_sample) on the order-value
+    distribution: the parity half of the corpus vs the URGENT-priority
+    wave — psi_feature_drift's case WITHOUT bin edges (KS is the sup
+    CDF distance over the data's own values, so within-bucket shifts
+    PSI's fixed bins hide still register). One conditional-count pass,
+    one window over the distinct-value dimension, Kolmogorov-series
+    p-value with every term pinned."""
+    from crawler_spark.operators.stats import ks_two_sample
+
+    o = _t(spark, sf_dir, "orders")
+    src = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.lit("base").alias("g"), F.col("o_totalprice").alias("v")
+    ).unionByName(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            F.lit("urgent").alias("g"), F.col("o_totalprice").alias("v")
+        )
+    )
+    return ks_two_sample(src, "g", "v", "base", "urgent")
+
+
+_KS_SQL = """
+    WITH src AS (
+      SELECT 'base' AS g, o_totalprice AS v FROM orders
+      WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'urgent', o_totalprice FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    per AS (
+      SELECT CAST(v AS DOUBLE) AS val,
+             sum(CASE WHEN g = 'base' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN g = 'urgent' THEN 1 ELSE 0 END) AS cb
+      FROM src GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per),
+    gaps AS (
+      SELECT val, na, nb,
+             floor(abs(CAST(sum(ca) OVER w AS DOUBLE) / CAST(na AS DOUBLE)
+                       - CAST(sum(cb) OVER w AS DOUBLE) / CAST(nb AS DOUBLE))
+                   * 1e9 + 0.5) / 1e9 AS gap
+      FROM per CROSS JOIN tot
+      WINDOW w AS (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    top AS (SELECT * FROM gaps ORDER BY gap DESC, val LIMIT 1),
+    lamt AS (
+      SELECT *, floor(gap * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                                 / CAST(na + nb AS DOUBLE))
+                      * 1e9 + 0.5) / 1e9 AS lam
+      FROM top
+    ),
+    ser AS (
+      SELECT *,
+             floor(CAST(2.0 AS DOUBLE) * exp(-2.0 * lam * lam)
+                   * 1e9 + 0.5) / 1e9
+             + floor(CAST(-2.0 AS DOUBLE) * exp(-8.0 * lam * lam)
+                     * 1e9 + 0.5) / 1e9
+             + floor(CAST(2.0 AS DOUBLE) * exp(-18.0 * lam * lam)
+                     * 1e9 + 0.5) / 1e9 AS series
+      FROM lamt
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           gap AS ks_d9, val AS at_value,
+           floor(greatest(least(series, 1.0), 0.0) * 1e6 + 0.5) / 1e6
+             AS p_approx6,
+           greatest(least(series, 1.0), 0.0) < 0.05 AS reject_05
+    FROM ser
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11775,6 +11847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "front_coding": q_front_coding,
         "image_ssim_verify": q_image_ssim_verify,
         "bloom_reduced_join": q_bloom_reduced_join,
+        "ks_drift": q_ks_drift,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12890,6 +12963,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.p_size = 1
             GROUP BY p.p_partkey, p.p_name
         """,
+        "ks_drift": _KS_SQL,
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

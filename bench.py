@@ -219,6 +219,7 @@ HEADLINE = [
     "densest_profile",
     "front_coding",
     "bloom_reduced_join",
+    "ks_drift",
 ]
 
 BENCH_HOSTS = 50

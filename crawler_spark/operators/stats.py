@@ -391,3 +391,106 @@ def neyman_allocation(
             ).alias("n_alloc"),
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test — the BINNING-FREE
+    drift detector next to psi_bins (PSI needs bucket edges chosen up
+    front and hides within-bucket shifts; KS is the sup-distance
+    between the two empirical CDFs over the data's own values, with a
+    distribution-free null). Fetch-latency or quality-score drift
+    between two waves is the crawl use.
+
+    Shape: one conditional-count aggregation to (value, cnt_a, cnt_b)
+    — the only pass over the facts — then a window ORDER BY value over
+    the DISTINCT-VALUE dimension for the cumulative CDFs. Distinct
+    values of a measured metric are bounded (quantized latencies,
+    pinned scores); at a truly continuous 10^10-row column, feed the
+    edh_histogram sample instead (documented swap, same contract).
+
+    D = max |F_a - F_b| (pinned 1e-9; the attaining value reported,
+    smallest on ties), and the asymptotic p-value via the Kolmogorov
+    series 2*sum_{j>=1} (-1)^{j-1} exp(-2 j^2 lambda^2) truncated at
+    j=3 (error < 1e-9 for lambda > 0.5), lambda = D*sqrt(na*nb/(na+nb))
+    — every term pinned so both engines sum identical doubles.
+
+    Returns one row: (n_a, n_b, ks_d9, at_value, p_approx6,
+    reject_05)."""
+    def pin(c, k):
+        sc = float(10 ** k)
+        return F.floor(c * F.lit(sc) + F.lit(0.5)) / F.lit(sc)
+
+    v = F.col(value_col).cast("double")
+    per = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(v.alias("val"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    tot = per.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    gaps = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .select(
+            "val",
+            "na",
+            "nb",
+            pin(
+                F.abs(
+                    F.col("cuma").cast("double") / F.col("na").cast("double")
+                    - F.col("cumb").cast("double") / F.col("nb").cast("double")
+                ),
+                9,
+            ).alias("gap"),
+        )
+    )
+    top = gaps.orderBy(F.desc("gap"), F.asc("val")).limit(1)
+    lam = pin(
+        F.col("gap")
+        * F.sqrt(
+            F.col("na").cast("double")
+            * F.col("nb").cast("double")
+            / (F.col("na") + F.col("nb")).cast("double")
+        ),
+        9,
+    )
+    terms = None
+    for j in (1, 2, 3):
+        t = pin(
+            F.lit(float((-1) ** (j - 1) * 2))
+            * F.exp(F.lit(-2.0 * j * j) * F.col("lam") * F.col("lam")),
+            9,
+        )
+        terms = t if terms is None else terms + t
+    return (
+        top.withColumn("lam", lam)
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("gap").alias("ks_d9"),
+            F.col("val").alias("at_value"),
+            pin(F.greatest(F.least(terms, F.lit(1.0)), F.lit(0.0)), 6).alias(
+                "p_approx6"
+            ),
+            (
+                F.greatest(F.least(terms, F.lit(1.0)), F.lit(0.0))
+                < F.lit(0.05)
+            ).alias("reject_05"),
+        )
+    )

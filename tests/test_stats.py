@@ -193,3 +193,49 @@ def test_neyman_allocation_properties(spark):
     # shares are consistent with n_pop * sd weights
     for r in out.values():
         assert 0.0 <= r["share6"] <= 1.0
+
+
+def test_ks_two_sample(spark):
+    import math
+
+    from crawler_spark.operators.stats import ks_two_sample
+
+    # group A: values 0..99 each once; group B: same but shifted +30
+    # for the top half -> a real distribution shift
+    rows = [("a", float(i % 100)) for i in range(400)]
+    rows += [
+        ("b", float(i % 100) + (30.0 if i % 100 >= 50 else 0.0))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert out["n_a"] == 400 and out["n_b"] == 400
+
+    # python mirror: exact D over pooled values
+    from collections import Counter
+
+    ca = Counter(v for g, v in rows if g == "a")
+    cb = Counter(v for g, v in rows if g == "b")
+    vals = sorted(set(ca) | set(cb))
+    cum_a = cum_b = 0
+    best = (0.0, None)
+    for v in vals:
+        cum_a += ca.get(v, 0)
+        cum_b += cb.get(v, 0)
+        gap = math.floor(abs(cum_a / 400 - cum_b / 400) * 1e9 + 0.5) / 1e9
+        if gap > best[0]:
+            best = (gap, v)
+    assert out["ks_d9"] == best[0]
+    assert out["at_value"] == best[1]
+    assert out["reject_05"]  # the shift is blatant
+
+    # identical distributions: D = 0, p = 1, no rejection
+    same = spark.createDataFrame(
+        [("a", float(i % 50)) for i in range(200)]
+        + [("b", float(i % 50)) for i in range(200)],
+        "g string, v double",
+    )
+    out2 = ks_two_sample(same, "g", "v", "a", "b").collect()[0]
+    assert out2["ks_d9"] == 0.0
+    assert out2["p_approx6"] == 1.0
+    assert not out2["reject_05"]
