@@ -11768,6 +11768,75 @@ _KS_SQL = """
 """
 
 
+def q_temporal_reachability(spark, sf_dir):
+    """Time-respecting earliest-arrival audit (operators/graph.py
+    temporal_bfs) over the host graph with per-edge first-observed
+    rounds (md5-derived, the page_links analog): a link is traversable
+    only from the round it appeared, so journeys with decreasing link
+    times — which static BFS happily walks — are correctly blocked.
+    The discovery-provenance check: when could each host REALLY have
+    been reached from the seeds. Bellman-Ford-shaped synchronous
+    relaxations, integer times, min aggs; oracle unrolls the passes."""
+    from crawler_spark.operators.graph import temporal_bfs
+
+    d = _t(spark, sf_dir, "documents")
+    d6 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 6, 1)) - 1)"
+    d7 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 7, 1)) - 1)"
+    d8 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 8, 1)) - 1)"
+    edges = (
+        d.select(
+            (F.col("doc_id") % 20).alias("src"),
+            F.expr(f"(16 * {d6} + {d7}) % 20").alias("dst"),
+            F.expr(f"{d8} % 4").cast("long").alias("t"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("t").alias("t"))
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    return temporal_bfs(edges, seeds, rounds=4)
+
+
+def _temporal_sql(rounds: int = 4) -> str:
+    """DuckDB mirror of q_temporal_reachability: same timed edges and
+    unrolled synchronous relaxation passes."""
+    d6 = _hexdig_sql("cast(doc_id AS varchar)", 6)
+    d7 = _hexdig_sql("cast(doc_id AS varchar)", 7)
+    d8 = _hexdig_sql("cast(doc_id AS varchar)", 8)
+    sql = f"""WITH edges AS MATERIALIZED (
+      SELECT src, dst, CAST(min(t) AS BIGINT) AS t FROM (
+        SELECT doc_id % 20 AS src, (16 * {d6} + {d7}) % 20 AS dst,
+               {d8} % 4 AS t
+        FROM documents
+      ) WHERE src != dst GROUP BY src, dst
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+      UNION SELECT unnest([0, 1])
+    ),
+    a0 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN node IN (0, 1) THEN CAST(0 AS BIGINT) END AS arrival
+      FROM nodes
+    )"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+    c{k} AS MATERIALIZED (
+      SELECT e.dst AS node, min(e.t) AS cand
+      FROM edges e JOIN a{k - 1} u
+        ON u.node = e.src AND u.arrival IS NOT NULL AND e.t >= u.arrival
+      GROUP BY e.dst
+    ),
+    a{k} AS MATERIALIZED (
+      SELECT a.node,
+             least(coalesce(a.arrival, c.cand),
+                   coalesce(c.cand, a.arrival)) AS arrival
+      FROM a{k - 1} a LEFT JOIN c{k} c USING (node)
+    )"""
+    return sql + f"""
+    SELECT node, arrival FROM a{rounds}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11848,6 +11917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ssim_verify": q_image_ssim_verify,
         "bloom_reduced_join": q_bloom_reduced_join,
         "ks_drift": q_ks_drift,
+        "temporal_reachability": q_temporal_reachability,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -12964,6 +13034,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.p_partkey, p.p_name
         """,
         "ks_drift": _KS_SQL,
+        "temporal_reachability": _temporal_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

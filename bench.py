@@ -220,6 +220,7 @@ HEADLINE = [
     "front_coding",
     "bloom_reduced_join",
     "ks_drift",
+    "temporal_reachability",
 ]
 
 BENCH_HOSTS = 50

@@ -1434,3 +1434,71 @@ def densest_subgraph_peel(
         ],
         "round int, n_nodes long, n_edges long, density6 double, is_best boolean",
     )
+
+
+def temporal_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """Earliest-arrival (foremost-journey) computation over a TEMPORAL
+    link graph — edges carry the round they first became traversable
+    (``page_links`` records exactly this), and a path is valid only if
+    edge times are non-decreasing along it (you cannot follow a link
+    before it existed). Static BFS over the flattened edge set
+    overstates reachability: a chain whose link times DECREASE is
+    walkable in the static graph but impossible in time — this
+    operator is the discovery-provenance audit that catches it
+    ("could host X really have been reached from the seeds by round
+    t, honoring when each link appeared?").
+
+    arrival(seed) = 0; traversing (u, v, t) requires t >= arrival(u)
+    and yields arrival t. ``rounds`` synchronous relaxations compute
+    the exact minimum over journeys of <= rounds edges (arrivals are
+    monotone non-increasing, so each pass is one edge-vs-arrival join
+    + one min-agg + one least() merge — the Bellman-Ford shape, NOT
+    level-synchronous BFS: a later hop can lower an earlier node's
+    arrival time via a different journey). Integer times, min
+    aggregations — fully deterministic, oracle unrolls the same
+    passes.
+
+    ``edges``: (src, dst, t); ``seeds``: (node). Returns
+    (node, arrival) with NULL arrival = not reachable within
+    ``rounds`` hops.
+    """
+    e = edges.select("src", "dst", F.col("t").cast("long").alias("t"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(seeds.select(F.col("node")))
+        .distinct()
+    )
+    arr = nodes.join(
+        seeds.select("node").withColumn("_s", F.lit(0).cast("long")),
+        "node",
+        "left",
+    ).select("node", F.col("_s").alias("arrival")).localCheckpoint(eager=True)
+    for _ in range(int(rounds)):
+        reach = (
+            e.join(
+                arr.filter(F.col("arrival").isNotNull()).select(
+                    F.col("node").alias("src"), F.col("arrival").alias("au")
+                ),
+                "src",
+            )
+            .filter(F.col("t") >= F.col("au"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("t").alias("cand"))
+        )
+        arr = (
+            arr.join(reach, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("arrival"), F.col("cand")),
+                    F.coalesce(F.col("cand"), F.col("arrival")),
+                ).alias("arrival"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return arr
