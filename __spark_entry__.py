@@ -11837,6 +11837,88 @@ def _temporal_sql(rounds: int = 4) -> str:
     SELECT node, arrival FROM a{rounds}"""
 
 
+def q_cws_jaccard_est(spark, sf_dir):
+    """Consistent weighted sampling (ICWS, Ioffe ICML'10;
+    operators/dedup.py cws_signatures) — the weighted-Jaccard SKETCH
+    next to the exact weighted_jaccard_pairs join: k=16 slots whose
+    (feature, t) samples collide with probability exactly J_w, so the
+    candidate join is weight-honest LSH (a 50x-repeated token can't
+    fake set similarity). All md5-derived uniforms and 1e-9-pinned
+    transcendentals — the oracle reproduces every sample."""
+    from crawler_spark.operators.dedup import cws_pair_estimate, cws_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = cws_signatures(d, k=16)
+    # min_match=4 (est >= 0.25): the report floor for meaningfully
+    # similar pairs — this corpus is template-heavy, so low floors
+    # degenerate toward all-pairs (see the operator docstring)
+    return cws_pair_estimate(sigs, k=16, min_match=4)
+
+
+def _cws_sql(k: int = 16) -> str:
+    """DuckDB mirror of q_cws_jaccard_est: identical uniforms (md5 hex
+    quads), Gamma(2,1) via -(ln u + ln u'), pinned t/y/a chain, argmin
+    by (a, feature), pair join on (slot, feature, t)."""
+
+    def u(i: int) -> str:
+        return (
+            "((CAST(concat('0x', substring(md5('cws' || slot || ':' || tok),"
+            f" {4 * i - 3}, 4)) AS BIGINT) + 0.5) / 65536.0)"
+        )
+
+    def pin9(e: str) -> str:
+        return f"floor(({e}) * 1e9 + 0.5) / 1e9"
+
+    r = pin9(f"-(ln({u(1)}) + ln({u(2)}))")
+    c = pin9(f"-(ln({u(3)}) + ln({u(4)}))")
+    beta = u(5)
+    lnw = pin9("ln(CAST(w AS DOUBLE))")
+    return f"""WITH toks AS (
+      SELECT doc_id, tok, count(*) AS w FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                 x -> len(x) > 0)) AS tok
+        FROM documents
+      ) GROUP BY doc_id, tok
+    ),
+    fan AS (
+      SELECT doc_id, tok, w, s.slot
+      FROM toks, (SELECT unnest(range(0, {k})) AS slot) s
+    ),
+    vals AS (
+      SELECT doc_id, slot, tok,
+             {r} AS r, {c} AS c, {beta} AS beta, {lnw} AS lnw
+      FROM fan
+    ),
+    scored AS (
+      SELECT doc_id, slot, tok,
+             floor(lnw / r + beta) AS t,
+             floor(c / ((floor(exp(r * (floor(lnw / r + beta) - beta))
+                               * 1e9 + 0.5) / 1e9)
+                        * (floor(exp(r) * 1e9 + 0.5) / 1e9))
+                   * 1e9 + 0.5) / 1e9 AS a
+      FROM vals
+    ),
+    sig AS (
+      SELECT doc_id, slot, tok AS feature, CAST(t AS BIGINT) AS t FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, slot
+                                     ORDER BY a, tok) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_match,
+           floor(CAST(count(*) AS DOUBLE) / {float(k)!r} * 1e6 + 0.5) / 1e6
+             AS est_jw6
+    FROM sig a
+    JOIN sig b ON a.slot = b.slot AND a.feature = b.feature AND a.t = b.t
+              AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 4"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -11918,6 +12000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_reduced_join": q_bloom_reduced_join,
         "ks_drift": q_ks_drift,
         "temporal_reachability": q_temporal_reachability,
+        "cws_jaccard_est": q_cws_jaccard_est,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -13035,6 +13118,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ks_drift": _KS_SQL,
         "temporal_reachability": _temporal_sql(),
+        "cws_jaccard_est": _cws_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

@@ -221,6 +221,7 @@ HEADLINE = [
     "bloom_reduced_join",
     "ks_drift",
     "temporal_reachability",
+    "cws_jaccard_est",
 ]
 
 BENCH_HOSTS = 50
