@@ -11919,6 +11919,73 @@ def _cws_sql(k: int = 16) -> str:
     HAVING count(*) >= 4"""
 
 
+def q_mg_exact_heavy(spark, sf_dir):
+    """Two-pass EXACT heavy hitters at bounded memory (Misra-Gries
+    candidates + exact recount — the classic composition): pass 1's MG
+    summary (O(k) state per task, operators/sketches.py) GUARANTEES
+    every token with true frequency > n/(k+1) is among its candidates;
+    pass 2 exact-counts the candidates only (a semi-join, never a full
+    group-by at 10^10 scale... the candidate set is <= k items) and
+    keeps those above the threshold. The output is provably the true
+    heavy set REGARDLESS of fold order — which is why this composite
+    has a FULL SQL oracle (the direct group-by + HAVING) while the raw
+    MG summary is rows-only. Threshold compare in integers
+    (cnt * (k+1) > n_total). k=64 puts the 1/65 threshold under this
+    corpus's ~3.5% top-token share so the heavy set is non-empty."""
+    from crawler_spark.operators.sketches import misra_gries
+
+    k = 64
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(
+                        F.lower(F.trim(F.col("text"))), r"\s+", " "
+                    ),
+                    " ",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("pos", "tok"),
+    ).select(
+        (F.col("doc_id") * F.lit(8192) + F.col("pos")).alias("rid"), "tok"
+    )
+    cand = misra_gries(toks, "tok", "rid", k=k, n_buckets=16).select(
+        F.col("item").alias("tok")
+    )
+    n_total = toks.agg(F.count("*").alias("n_total"))
+    exact = (
+        toks.join(F.broadcast(cand), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .filter(F.col("exact_cnt") * F.lit(k + 1) > F.col("n_total"))
+        .select("tok", "exact_cnt")
+    )
+
+
+_MG_EXACT_SQL = """
+    WITH t AS (
+      SELECT tok FROM (
+        SELECT unnest(list_filter(
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' '),
+          x -> len(x) > 0)) AS tok
+        FROM documents
+      )
+    ),
+    n AS (SELECT count(*) AS n_total FROM t)
+    SELECT tok, count(*) AS exact_cnt
+    FROM t CROSS JOIN n
+    GROUP BY tok, n_total
+    HAVING count(*) * 65 > n_total
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12001,6 +12068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "temporal_reachability": q_temporal_reachability,
         "cws_jaccard_est": q_cws_jaccard_est,
+        "mg_exact_heavy": q_mg_exact_heavy,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -13119,6 +13187,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _KS_SQL,
         "temporal_reachability": _temporal_sql(),
         "cws_jaccard_est": _cws_sql(),
+        "mg_exact_heavy": _MG_EXACT_SQL,
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

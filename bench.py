@@ -222,6 +222,7 @@ HEADLINE = [
     "ks_drift",
     "temporal_reachability",
     "cws_jaccard_est",
+    "mg_exact_heavy",
 ]
 
 BENCH_HOSTS = 50
