@@ -11986,6 +11986,42 @@ _MG_EXACT_SQL = """
 """
 
 
+def q_image_ela_forensics(spark, sf_dir):
+    """Error-level analysis forensics (operators/multimodal.py
+    ela_scores): re-compress once with the lossy codec and measure
+    WHERE the pixels change — a spliced patch with a different
+    compression history concentrates the error in its quadrant
+    (quad_ratio ~4) while settled images re-lose nothing. Every 4th
+    image gets a planted never-compressed patch; the report flags
+    exactly those. No SQL oracle (binary codec); statistic and planted
+    case pytest-pinned (tests/test_ela.py)."""
+    import numpy as np
+
+    from crawler_spark.functions.codecs import decode, encode
+    from crawler_spark.operators.multimodal import ela_scores
+    from crawler_spark.sources.synth import T1_SMOKE
+
+    urls = [f"http://host-0.test/p0/d0/img-{i}" for i in range(32)]
+    rows = []
+    for i, u in enumerate(urls):
+        r = T1_SMOKE.payload(u)
+        px = decode(r["bytes"], r["fmt"])
+        # settle one lossy generation so the clean baseline is exact-0
+        settled = decode(encode(px, "qdct"), "qdct")
+        if i % 4 == 0:
+            h, w = settled.shape
+            patch = np.random.RandomState(i).randint(
+                0, 256, (max(h // 2, 1), max(w // 2, 1))
+            ).astype(np.uint8)
+            settled = settled.copy()
+            settled[: patch.shape[0], : patch.shape[1]] = patch
+        rows.append((r["image_id"], encode(settled, "png"), "png"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    return ela_scores(images, ratio_above=2.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12069,6 +12105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reachability": q_temporal_reachability,
         "cws_jaccard_est": q_cws_jaccard_est,
         "mg_exact_heavy": q_mg_exact_heavy,
+        "image_ela_forensics": q_image_ela_forensics,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,

@@ -1151,3 +1151,73 @@ def verify_pairs_ssim(
     return joined.mapInPandas(go, schema=PAIR_SSIM_SCHEMA).filter(
         F.col("ssim") >= min_ssim
     )
+
+
+ELA_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("ela_mean", T.DoubleType()),
+        T.StructField("ela_max", T.DoubleType()),
+        T.StructField("quad_ratio", T.DoubleType()),
+        T.StructField("splice_suspect", T.BooleanType()),
+    ]
+)
+
+
+def ela_scores(
+    images: DataFrame,
+    quality_fmt: str = "qdct",
+    ratio_above: float = 2.0,
+) -> DataFrame:
+    """Error-level analysis (classic image forensics; Krawetz's ELA):
+    re-compress each image once with the lossy codec and measure where
+    the pixels change. A homogeneous image loses roughly uniformly; a
+    SPLICED image — a patch pasted in with a different compression
+    history — re-loses unevenly, so the per-quadrant error landscape is
+    lumpy. The crawl read: composited/manipulated images in a training
+    corpus light up here with no model and no metadata.
+
+    Per image (Arrow-batched mapInPandas, vectorized numpy): decode ->
+    re-encode with the in-repo lossy ``qdct`` codec -> decode -> the
+    absolute pixel error's mean and max, plus quad_ratio = max
+    quadrant mean error / min quadrant mean error (the lumpiness
+    statistic; uniform images sit near 1). ``splice_suspect`` flags
+    quad_ratio >= ratio_above. Deterministic — our codec, no external
+    libs.
+    """
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt).astype(np.float64)
+                re_px = decode(
+                    encode(px.astype(np.uint8), quality_fmt), quality_fmt
+                ).astype(np.float64)
+                err = np.abs(px - re_px)
+                h, w = err.shape
+                hh, hw = max(h // 2, 1), max(w // 2, 1)
+                quads = [
+                    float(err[:hh, :hw].mean()),
+                    float(err[:hh, hw:].mean()) if hw < w else 0.0,
+                    float(err[hh:, :hw].mean()) if hh < h else 0.0,
+                    float(err[hh:, hw:].mean()) if hh < h and hw < w else 0.0,
+                ]
+                mean_err = float(err.mean())
+                ratio = max(quads) / (mean_err + 1e-6)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "ela_mean": round(mean_err, 4),
+                        "ela_max": round(float(err.max()), 4),
+                        "quad_ratio": round(ratio, 4),
+                        "splice_suspect": bool(ratio >= ratio_above),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ELA_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        go, schema=ELA_SCHEMA
+    )
