@@ -12022,6 +12022,79 @@ def q_image_ela_forensics(spark, sf_dir):
     return ela_scores(images, ratio_above=2.0)
 
 
+def q_span_removal(spark, sf_dir):
+    """C4-style span-dedup APPLY manifest (operators/corpus.py
+    span_removal_manifest): per document, the MERGED token intervals
+    whose 5-token windows occur in >= 2 distinct docs — the
+    gaps-and-islands coalescing makes the cut well-defined when
+    flagged windows chain; span_dedup_stats' statistics become an
+    executable removal plan. Doc-partitioned windows only."""
+    from crawler_spark.operators.corpus import span_removal_manifest
+
+    return span_removal_manifest(_t(spark, sf_dir, "documents"))
+
+
+_SPAN_REMOVAL_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS ws
+      FROM documents
+    ),
+    b2 AS (SELECT doc_id, ws, len(ws) AS n_tokens FROM base),
+    wins AS (
+      SELECT doc_id, n_tokens, i AS pos,
+             md5(array_to_string(ws[i:i+4], ' ')) AS fp
+      FROM b2, unnest(range(1, len(ws) - 3)) AS t(i)
+      WHERE n_tokens >= 5
+    ),
+    dupfp AS (
+      SELECT fp FROM (
+        SELECT fp, count(DISTINCT doc_id) AS nd FROM wins GROUP BY fp
+      ) WHERE nd >= 2
+    ),
+    flagged AS (
+      SELECT w.doc_id, w.n_tokens, w.pos, w.pos + 4 AS e
+      FROM wins w JOIN dupfp USING (fp)
+    ),
+    marked AS (
+      SELECT *, CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END AS brk
+      FROM (
+        SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pm
+        FROM flagged
+      )
+    ),
+    isl AS (
+      SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    per_isl AS (
+      SELECT doc_id, island, min(pos) AS s, max(e) AS e2,
+             count(*) AS n_w
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(n_w) AS BIGINT) AS n_dup_windows,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(e2 - s + 1) AS BIGINT) AS tokens_removed
+      FROM per_isl GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+           coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(p.n_intervals, 0) AS n_intervals,
+           coalesce(p.tokens_removed, 0) AS tokens_removed,
+           floor(CAST(coalesce(p.tokens_removed, 0) AS DOUBLE)
+                 / CAST(b.n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS removal_ratio6
+    FROM b2 b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12106,6 +12179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cws_jaccard_est": q_cws_jaccard_est,
         "mg_exact_heavy": q_mg_exact_heavy,
         "image_ela_forensics": q_image_ela_forensics,
+        "span_removal": q_span_removal,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -13225,6 +13299,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reachability": _temporal_sql(),
         "cws_jaccard_est": _cws_sql(),
         "mg_exact_heavy": _MG_EXACT_SQL,
+        "span_removal": _SPAN_REMOVAL_SQL,
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

@@ -223,6 +223,7 @@ HEADLINE = [
     "temporal_reachability",
     "cws_jaccard_est",
     "mg_exact_heavy",
+    "span_removal",
 ]
 
 BENCH_HOSTS = 50

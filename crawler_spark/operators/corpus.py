@@ -1125,3 +1125,101 @@ def greedy_max_cover(
     return spark.createDataFrame(
         picks, "pick_order int, set_id string, marginal long, cumulative long"
     )
+
+
+def span_removal_manifest(
+    docs: DataFrame,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global span-dedup APPLY manifest (the application side of the
+    C4/Lee-et-al rule whose statistics span_dedup_stats reports): every
+    ``window``-token span occurring in >= 2 DISTINCT documents is
+    duplicate mass; this computes, per document, the MERGED token
+    intervals to cut — overlapping flagged windows coalesce into
+    maximal intervals (gaps-and-islands over the window positions, a
+    doc-partitioned window — never a global sort), so the removal is
+    well-defined even when consecutive windows chain.
+
+    Shape: one explode to (doc, pos, window-fp), one fp-level distinct-
+    doc count joined back (duplicate-mass table is fp-dimensional),
+    then per-doc island merging: running max of interval ends over
+    preceding rows -> island breaks -> per-island [start, end]. Returns
+    (doc_id, n_tokens, n_dup_windows, n_intervals, tokens_removed,
+    removal_ratio6); docs with no duplicated spans report zeros.
+    """
+    from pyspark.sql import Window
+
+    def pin6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    ws = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), ws.alias("ws")
+    ).withColumn("n_tokens", F.size("ws"))
+    wins = (
+        base.filter(F.col("n_tokens") >= window)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {window - 1}),"
+                    f" i -> struct(i AS pos,"
+                    f" md5(concat_ws(' ', slice(ws, i, {window}))) AS fp))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "n_tokens", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+    )
+    dupfp = (
+        wins.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    flagged = wins.join(dupfp, "fp").select(
+        "doc_id", "n_tokens", "pos", (F.col("pos") + F.lit(window - 1)).alias("end")
+    )
+    byd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = (
+        F.max("end")
+        .over(byd.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    islanded = flagged.withColumn(
+        "brk",
+        F.when(
+            prev_max.isNull() | (F.col("pos") > prev_max + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(byd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islanded.groupBy("doc_id", "n_tokens", "island").agg(
+        F.min("pos").alias("s"),
+        F.max("end").alias("e"),
+        F.count("*").alias("n_w"),
+    )
+    per_doc = per_island.groupBy("doc_id", "n_tokens").agg(
+        F.sum("n_w").alias("n_dup_windows"),
+        F.count("*").alias("n_intervals"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("tokens_removed"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_intervals", F.lit(0)).alias("n_intervals"),
+            F.coalesce("tokens_removed", F.lit(0)).alias("tokens_removed"),
+            pin6(
+                F.coalesce("tokens_removed", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("removal_ratio6"),
+        )
+    )

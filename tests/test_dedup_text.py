@@ -667,3 +667,30 @@ def test_simhash64_nondefault_band_geometry(spark):
     assert any(
         {p["doc_a"], p["doc_b"]} == {1, 2} and p["hamming"] == 0 for p in pairs
     )
+
+
+def test_span_removal_manifest_hand_case(spark):
+    from crawler_spark.operators.corpus import span_removal_manifest
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 toks: 2 windows
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " unique tail zero one two"),
+            (1, "lead in words " + shared),
+            (2, "totally different text with no shared spans at all"),
+            (3, "tiny doc"),  # < window: no windows at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_removal_manifest(docs).collect()}
+    # doc 0: windows at pos 1,2 both duplicated -> one merged island
+    # covering tokens 1..6
+    assert got[0]["n_dup_windows"] == 2
+    assert got[0]["n_intervals"] == 1
+    assert got[0]["tokens_removed"] == 6
+    # doc 1: the shared span sits at the END (pos 4,5 of 9 tokens)
+    assert got[1]["n_intervals"] == 1
+    assert got[1]["tokens_removed"] == 6
+    # clean and tiny docs: zeros, ratio 0
+    assert got[2]["tokens_removed"] == 0 and got[2]["removal_ratio6"] == 0.0
+    assert got[3]["tokens_removed"] == 0 and got[3]["n_tokens"] == 2
