@@ -12095,6 +12095,109 @@ _SPAN_REMOVAL_SQL = """
 """
 
 
+def q_countsketch_tokens(spark, sf_dir):
+    """Count-Sketch token-frequency estimates (Charikar et al.
+    ICALP'02; operators/sketches.py) for the heavy vocabulary —
+    countmin_heavy_hitters' UNBIASED sibling: signed collisions cancel
+    in expectation, so the error scales with the stream's L2 norm
+    instead of its total mass (the win on skewed token streams);
+    lower-median over rows, grid depth x 256 regardless of corpus.
+    Exact counts co-computed as witness."""
+    from crawler_spark.operators.sketches import (
+        countsketch_build,
+        countsketch_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(
+                        F.lower(F.trim(F.col("text"))), r"\s+", " "
+                    ),
+                    " ",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    sk = countsketch_build(toks, "tok", depth=4)
+    heavy = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+        .filter(F.col("exact_cnt") >= 200)
+    )
+    est = countsketch_estimate(sk, heavy.select("tok"), "tok", depth=4)
+    return heavy.join(est, "tok").select(
+        "tok",
+        "exact_cnt",
+        F.col("cs_est").alias("cs_est"),
+        (F.col("cs_est") - F.col("exact_cnt")).alias("err"),
+    )
+
+
+def _countsketch_sql(depth: int = 4) -> str:
+    """DuckDB mirror of q_countsketch_tokens: identical md5 columns,
+    +/-1 signs, and the lower-median (2nd of 4 ascending)."""
+
+    def col_expr(tok: str) -> str:
+        h = f"md5(concat('cs', r.cs_row, ':', {tok}))"
+        return (
+            f"(instr('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+            f" + (instr('0123456789abcdef', substring({h}, 2, 1)) - 1)"
+        )
+
+    def sgn_expr(tok: str) -> str:
+        h = f"md5(concat('cs', r.cs_row, ':', {tok}))"
+        return (
+            f"CASE WHEN (instr('0123456789abcdef', substring({h}, 3, 1)) - 1)"
+            f" % 2 = 0 THEN 1 ELSE -1 END"
+        )
+
+    rows = ", ".join(str(r) for r in range(depth))
+    return f"""WITH t AS (
+      SELECT tok FROM (
+        SELECT unnest(list_filter(
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' '),
+          x -> len(x) > 0)) AS tok
+        FROM documents
+      )
+    ),
+    cells AS (
+      SELECT r.cs_row, {col_expr('tok')} AS cs_col,
+             CAST({sgn_expr('tok')} AS BIGINT) AS sgn
+      FROM t CROSS JOIN (SELECT unnest([{rows}]) AS cs_row) r
+    ),
+    sk AS (
+      SELECT cs_row, cs_col, sum(sgn) AS cell
+      FROM cells GROUP BY cs_row, cs_col
+    ),
+    heavy AS (
+      SELECT tok, count(*) AS exact_cnt FROM t
+      GROUP BY tok HAVING count(*) >= 200
+    ),
+    probes AS (
+      SELECT tok, r.cs_row, {col_expr('tok')} AS cs_col,
+             CAST({sgn_expr('tok')} AS BIGINT) AS sgn
+      FROM heavy CROSS JOIN (SELECT unnest([{rows}]) AS cs_row) r
+    ),
+    vals AS (
+      SELECT p.tok, p.sgn * s.cell AS v
+      FROM probes p JOIN sk s USING (cs_row, cs_col)
+    ),
+    med AS (
+      SELECT tok, v AS cs_est FROM (
+        SELECT *, row_number() OVER (PARTITION BY tok ORDER BY v) AS rn
+        FROM vals
+      ) WHERE rn = {(depth + 1) // 2}
+    )
+    SELECT h.tok, h.exact_cnt, CAST(m.cs_est AS BIGINT) AS cs_est,
+           CAST(m.cs_est - h.exact_cnt AS BIGINT) AS err
+    FROM heavy h JOIN med m USING (tok)"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12180,6 +12283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_exact_heavy": q_mg_exact_heavy,
         "image_ela_forensics": q_image_ela_forensics,
         "span_removal": q_span_removal,
+        "countsketch_tokens": q_countsketch_tokens,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -13300,6 +13404,7 @@ def oracle_sql() -> dict[str, str]:
         "cws_jaccard_est": _cws_sql(),
         "mg_exact_heavy": _MG_EXACT_SQL,
         "span_removal": _SPAN_REMOVAL_SQL,
+        "countsketch_tokens": _countsketch_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

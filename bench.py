@@ -224,6 +224,7 @@ HEADLINE = [
     "cws_jaccard_est",
     "mg_exact_heavy",
     "span_removal",
+    "countsketch_tokens",
 ]
 
 BENCH_HOSTS = 50

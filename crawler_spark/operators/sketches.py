@@ -792,3 +792,90 @@ def misra_gries(
             lambda pdf: merge_all(pdf), "item string, mg_count long"
         )
     )
+
+
+def _cs_col(r: int, key_col: str):
+    """Count-sketch column for hash row r: md5 hex pair -> 0..255."""
+    return (
+        (F.expr(f"instr('0123456789abcdef', substring(md5(concat('cs{r}:', {key_col})), 1, 1)) - 1") * 16)
+        + F.expr(f"instr('0123456789abcdef', substring(md5(concat('cs{r}:', {key_col})), 2, 1)) - 1")
+    )
+
+
+def _cs_sign(r: int, key_col: str):
+    """Count-sketch sign for hash row r: +1/-1 from an md5 hex digit."""
+    d = F.expr(
+        f"instr('0123456789abcdef', substring(md5(concat('cs{r}:', {key_col})), 3, 1)) - 1"
+    )
+    return F.when(d % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+
+
+def countsketch_build(
+    df: DataFrame, key_col: str, depth: int = 4
+) -> DataFrame:
+    """Count-Sketch grid (Charikar, Chen, Farach-Colton ICALP'02) —
+    the UNBIASED member of the frequency-sketch family: Count-Min's
+    estimates are always >= truth (every collision adds), Count-Sketch
+    gives each key a random +/-1 sign per row so colliding keys CANCEL
+    in expectation and the per-row estimate sign(k)*cell is unbiased;
+    the median over rows concentrates it. The practical difference:
+    CM's bias scales with total stream mass (heavy-tailed streams
+    inflate every estimate), Count-Sketch's error scales with the L2
+    norm — much smaller on skewed token streams.
+
+    Same scale shape as countmin_build: one posexplode scan (depth
+    copies), one combinable groupBy; the grid is depth x 256 rows
+    regardless of input. Deterministic md5 columns and signs.
+    """
+    # one posexplode of (col, sign) structs — a single scan carries
+    # both coordinates and signs
+    cells = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        _cs_col(r, key_col).alias("c"),
+                        _cs_sign(r, key_col).alias("s"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cs_row", "cs")
+    ).select("cs_row", F.col("cs.c").alias("cs_col"), F.col("cs.s").alias("sgn"))
+    return cells.groupBy("cs_row", "cs_col").agg(
+        F.sum("sgn").alias("cell")
+    )
+
+
+def countsketch_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4
+) -> DataFrame:
+    """Point estimates: MEDIAN over rows of sign(k, r) * cell[r, col(k,
+    r)] — lower median (no interpolation: engine-identical order
+    statistic, the repo's robust-stats convention). Sketch is tiny ->
+    broadcast join."""
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        _cs_col(r, key_col).alias("c"),
+                        _cs_sign(r, key_col).alias("s"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cs_row", "cs"),
+    ).select(
+        key_col, "cs_row", F.col("cs.c").alias("cs_col"), F.col("cs.s").alias("sgn")
+    )
+    vals = probes.join(F.broadcast(sketch), ["cs_row", "cs_col"]).select(
+        key_col, (F.col("sgn") * F.col("cell")).alias("v")
+    )
+    # lower median of `depth` values: element at index ceil(d/2) of the
+    # ascending sort (1-based) — engine-identical, no interpolation
+    idx = (depth + 1) // 2
+    return vals.groupBy(key_col).agg(
+        F.element_at(F.array_sort(F.collect_list("v")), idx).alias("cs_est")
+    )

@@ -320,3 +320,47 @@ def test_decayed_counts_exact_and_recency_ordering(spark):
         # mid = 5.0 and fresh = 5.0 tie exactly; lexicographic break
         assert out["fresh"]["rank"] == 1 and out["mid"]["rank"] == 2
         assert out["stale"]["rank"] == 3    # heaviest history, lowest recency
+
+
+def test_countsketch_unbiased_vs_countmin_overcount(spark):
+    """Count-Sketch point estimates straddle the truth (signed
+    collisions cancel) where Count-Min only overcounts; heavy keys are
+    recovered closely on a skewed stream."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.sketches import (
+        countsketch_build,
+        countsketch_estimate,
+    )
+
+    n = 20000
+    # zipf-ish: hot-0 50%, hot-1 25%, rest a long tail
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, "hot-0")
+        .when(F.col("id") % 4 == 1, "hot-1")
+        .otherwise(F.concat(F.lit("tail-"), (F.col("id") % 512).cast("string")))
+        .alias("tok")
+    )
+    truth = {r["tok"]: r["c"] for r in df.groupBy("tok").agg(F.count("*").alias("c")).collect()}
+    sk = countsketch_build(df, "tok", depth=4)
+    keys = df.select("tok").distinct()
+    est = {
+        r["tok"]: r["cs_est"]
+        for r in countsketch_estimate(sk, keys, "tok", depth=4).collect()
+    }
+    # heavy hitters recovered within the L2 error envelope
+    import math
+
+    l2 = math.sqrt(sum(v * v for v in truth.values()))
+    for hot in ("hot-0", "hot-1"):
+        assert abs(est[hot] - truth[hot]) <= 3 * l2 / math.sqrt(256), hot
+    # signed estimates go BOTH ways across the tail (unbiased), unlike
+    # Count-Min which can only overcount
+    diffs = [est[t] - truth[t] for t in truth if t.startswith("tail-")]
+    assert any(d < 0 for d in diffs) and any(d > 0 for d in diffs)
+    # determinism
+    est2 = {
+        r["tok"]: r["cs_est"]
+        for r in countsketch_estimate(sk, keys, "tok", depth=4).collect()
+    }
+    assert est == est2
