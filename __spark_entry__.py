@@ -12198,6 +12198,65 @@ def _countsketch_sql(depth: int = 4) -> str:
     FROM heavy h JOIN med m USING (tok)"""
 
 
+def q_cc_incremental(spark, sf_dir):
+    """Incremental connected components (operators/graph.py
+    cc_star_incremental): wave 1 = the even-doc SNM candidate
+    subgraph, clustered; wave 2 = every remaining candidate pair,
+    absorbed by contracting old clusters to their labels and running
+    star contraction on O(wave) work only. The oracle is the
+    INDEPENDENT full recompute over ALL pairs (recursive-CTE min-label
+    closure), so the hash match proves incremental == from-scratch
+    exactly — the IVM contract for the dedup graph."""
+    from crawler_spark.operators.dedup import snm_candidate_pairs
+    from crawler_spark.operators.graph import cc_star, cc_star_incremental
+
+    d = _t(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
+    )
+    keyed = norm.select("doc_id", F.substring("t", 1, 12).alias("k"))
+    cand = snm_candidate_pairs(keyed, "k", "doc_id", window=4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    ).localCheckpoint(eager=True)
+    p1 = cand.filter(
+        (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0)
+    )
+    p2 = cand.subtract(p1)
+    labels1 = cc_star(p1)
+    return cc_star_incremental(labels1, p2)
+
+
+_CC_INCREMENTAL_SQL = """
+    WITH RECURSIVE n AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    rk AS (
+      SELECT doc_id, substring(t, 1, 12) AS k,
+             row_number() OVER (ORDER BY substring(t, 1, 12), doc_id) AS rn
+      FROM n
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rk a JOIN rk b ON b.rn - a.rn >= 1 AND b.rn - a.rn <= 3
+      WHERE a.doc_id != b.doc_id
+    ),
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+    )
+    SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+    FROM reach GROUP BY s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12284,6 +12343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ela_forensics": q_image_ela_forensics,
         "span_removal": q_span_removal,
         "countsketch_tokens": q_countsketch_tokens,
+        "cc_incremental": q_cc_incremental,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -13405,6 +13465,7 @@ def oracle_sql() -> dict[str, str]:
         "mg_exact_heavy": _MG_EXACT_SQL,
         "span_removal": _SPAN_REMOVAL_SQL,
         "countsketch_tokens": _countsketch_sql(),
+        "cc_incremental": _CC_INCREMENTAL_SQL,
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

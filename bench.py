@@ -225,6 +225,7 @@ HEADLINE = [
     "mg_exact_heavy",
     "span_removal",
     "countsketch_tokens",
+    "cc_incremental",
 ]
 
 BENCH_HOSTS = 50

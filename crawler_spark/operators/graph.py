@@ -1502,3 +1502,74 @@ def temporal_bfs(
             .localCheckpoint(eager=True)
         )
     return arr
+
+
+def cc_star_incremental(
+    old_labels: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 16,
+) -> DataFrame:
+    """Incremental connected components — absorb a NEW wave of
+    near-dup pairs into existing cluster labels without reprocessing
+    history (the IVM story for the dedup graph: a daily crawl adds
+    O(wave) edges to a 10^10-node pair graph; re-clustering from
+    scratch re-shuffles everything ever seen).
+
+    Construction: contract every old cluster to its label (component
+    MIN id), rewrite the new wave's endpoints through that mapping
+    (old docs -> their label, unseen docs -> themselves), run cc_star
+    on the CONTRACTED graph — O(wave + touched clusters) work — and
+    compose: every old doc re-labels through its old label's new
+    root, new docs label directly. Because cc_star labels components
+    by their minimum id and the contracted nodes are exactly the old
+    minima plus new ids, the composed labels are IDENTICAL to a full
+    recompute over (old pairs ∪ new pairs) — not just isomorphic —
+    which the parity test pins.
+
+    Returns (doc_id, cluster_id) covering every old doc and every doc
+    in new_pairs.
+    """
+    reps = old_labels.select(
+        F.col("doc_id").alias("_d"), F.col("cluster_id").alias("_r")
+    ).localCheckpoint(eager=True)
+    np_ = new_pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    contracted = (
+        np_.join(reps.withColumnRenamed("_d", "a"), "a", "left")
+        .withColumn("ca", F.coalesce(F.col("_r"), F.col("a")))
+        .drop("_r")
+        .join(reps.withColumnRenamed("_d", "b"), "b", "left")
+        .withColumn("cb", F.coalesce(F.col("_r"), F.col("b")))
+        .select(F.col("ca").alias(a_col), F.col("cb").alias(b_col))
+    )
+    root_map = cc_star(contracted, a_col, b_col, max_iter=max_iter).select(
+        F.col("doc_id").alias("_rep"), F.col("cluster_id").alias("_root")
+    )
+    # old docs re-label through their old label's new root (old labels
+    # untouched by the wave keep themselves: left join -> coalesce)
+    old_out = (
+        old_labels.join(
+            root_map, old_labels["cluster_id"] == root_map["_rep"], "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_root"), F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    # new-wave docs not in old_labels label directly via the root map
+    new_nodes = (
+        np_.select(F.col("a").alias("doc_id"))
+        .unionByName(np_.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .join(old_labels.select("doc_id"), "doc_id", "left_anti")
+    )
+    new_out = new_nodes.join(
+        root_map, new_nodes["doc_id"] == root_map["_rep"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return old_out.unionByName(new_out)

@@ -588,3 +588,46 @@ def test_densest_subgraph_peel_finds_planted_clique(spark):
     assert best[0]["density6"] == 2.5
     # density profile is the 2(1+eps) guarantee witness: best >= true/2.5
     assert best[0]["density6"] >= 2.5 / 2.5
+
+
+def test_cc_star_incremental_equals_full_recompute(spark):
+    """incremental(labels(P1), P2) must equal cc_star(P1 ∪ P2) EXACTLY
+    (labels are component minima, preserved by contraction)."""
+    from crawler_spark.operators.graph import cc_star, cc_star_incremental
+
+    # wave 1: clusters {1,2,3}, {10,11}, singleton via self-less pair
+    p1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    # wave 2: merges {1..3} with {10,11} via 3-10; brand-new pair
+    # (30,31); attaches 40 to the untouched cluster {20,21}
+    p2 = [(3, 10), (30, 31), (21, 40)]
+    df1 = spark.createDataFrame(p1, "doc_a long, doc_b long")
+    df2 = spark.createDataFrame(p2, "doc_a long, doc_b long")
+    labels1 = cc_star(df1)
+    inc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cc_star_incremental(labels1, df2).collect()
+    }
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cc_star(df1.unionByName(df2)).collect()
+    }
+    assert inc == full
+    # semantic spot checks: the merge unified both old clusters at the
+    # global min; untouched cluster kept its label; new docs clustered
+    assert inc[11] == 1 and inc[1] == 1
+    assert inc[20] == 20 and inc[40] == 20
+    assert inc[30] == 30 and inc[31] == 30
+
+
+def test_cc_star_incremental_no_new_edges_is_identity(spark):
+    from crawler_spark.operators.graph import cc_star, cc_star_incremental
+
+    df1 = spark.createDataFrame([(5, 6), (7, 8)], "doc_a long, doc_b long")
+    labels1 = cc_star(df1)
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    inc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cc_star_incremental(labels1, empty).collect()
+    }
+    base = {r["doc_id"]: r["cluster_id"] for r in labels1.collect()}
+    assert inc == base
