@@ -12257,6 +12257,68 @@ _CC_INCREMENTAL_SQL = """
 """
 
 
+def q_bootstrap_mean_ci(spark, sf_dir):
+    """Poisson-bootstrap CI for the mean event value (operators/
+    stats.py poisson_bootstrap_ci): multinomial resampling converges
+    to per-row Poisson(1) weights, so B=32 bootstrap replicates become
+    one scan with combinable weighted sums — the honest error bar no
+    10^10-row resampling shuffle could afford. md5 uniforms + 9dp CDF
+    literals keep every weight engine-exact."""
+    from crawler_spark.operators.stats import poisson_bootstrap_ci
+
+    e = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(e, "event_id", "value", n_reps=32)
+
+
+def _bootstrap_sql(n_reps: int = 32) -> str:
+    """DuckDB mirror of q_bootstrap_mean_ci: identical uniforms,
+    Poisson(1) inverse-CDF thresholds, pinned replicate means, order-
+    statistic CI."""
+    from crawler_spark.operators.stats import POISSON1_CDF
+
+    cases = " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    return f"""WITH v AS (
+      SELECT event_id AS rid,
+             CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) / 1e6
+                  AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    fan AS (
+      SELECT rid, v, r.rep
+      FROM v CROSS JOIN (SELECT unnest(range(0, {n_reps})) AS rep) r
+    ),
+    wtd AS (
+      SELECT rep, v,
+             CAST(CASE {cases} ELSE {len(POISSON1_CDF)} END AS BIGINT) AS w
+      FROM (
+        SELECT *,
+               (CAST(concat('0x', substring(
+                  md5('pb' || rep || ':' || rid), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0 AS u
+        FROM fan
+      )
+    ),
+    reps AS (SELECT rep, sum(v * w) AS ws, sum(w) AS wn FROM wtd GROUP BY rep),
+    means AS (
+      SELECT floor(CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS m
+      FROM reps WHERE wn > 0
+    ),
+    ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means),
+    base AS (
+      SELECT count(*) AS n,
+             floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS mean6
+      FROM v
+    )
+    SELECT n, mean6,
+           (SELECT m FROM ranked WHERE rn = 2) AS ci_lo6,
+           (SELECT m FROM ranked WHERE rn = {n_reps - 1}) AS ci_hi6
+    FROM base"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12344,6 +12406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal": q_span_removal,
         "countsketch_tokens": q_countsketch_tokens,
         "cc_incremental": q_cc_incremental,
+        "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -13466,6 +13529,7 @@ def oracle_sql() -> dict[str, str]:
         "span_removal": _SPAN_REMOVAL_SQL,
         "countsketch_tokens": _countsketch_sql(),
         "cc_incremental": _CC_INCREMENTAL_SQL,
+        "bootstrap_mean_ci": _bootstrap_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

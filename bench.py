@@ -226,6 +226,7 @@ HEADLINE = [
     "span_removal",
     "countsketch_tokens",
     "cc_incremental",
+    "bootstrap_mean_ci",
 ]
 
 BENCH_HOSTS = 50

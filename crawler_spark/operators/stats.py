@@ -494,3 +494,109 @@ def ks_two_sample(
             ).alias("reject_05"),
         )
     )
+
+
+# Poisson(1) CDF thresholds (9dp literals, identical in the SQL mirror):
+# a md5 uniform below threshold[k] draws weight <= k.
+POISSON1_CDF = [
+    0.367879441,
+    0.735758882,
+    0.919698603,
+    0.981011843,
+    0.996340153,
+    0.999405815,
+    0.999916759,
+    0.999989751,
+]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_reps: int = 32,
+    lo_rank: int = 2,
+    hi_rank: int = 31,
+) -> DataFrame:
+    """Poisson bootstrap confidence interval for a mean (Chamandy et
+    al., Google 2012 — "Estimating Uncertainty for Massive Data
+    Streams"): the classic bootstrap resamples n rows WITH replacement
+    B times — a shuffle catastrophe at 10^10 rows — but multinomial
+    resample counts converge to independent Poisson(1) weights, so
+    each row just draws B tiny integer weights and every replicate
+    becomes a map-side-combinable weighted sum. ONE scan, B x 2
+    running sums, no resampling shuffle — the distributed way to put
+    an honest error bar on any corpus mean.
+
+    Determinism: weights come from md5(id, replicate) uniforms pushed
+    through the Poisson(1) inverse CDF with 9dp literal thresholds
+    (POISSON1_CDF — same literals in the oracle); replicate means are
+    pinned; the CI is [lo_rank-th, hi_rank-th] ORDER STATISTIC of the
+    B replicate means (element_at over the sorted B-row list — exact,
+    no interpolation; ranks 2/31 of 32 ~ a 94% interval).
+
+    Returns one row: (n, mean6, ci_lo6, ci_hi6).
+    """
+    def pin(c, k):
+        sc = float(10 ** k)
+        return F.floor(c * F.lit(sc) + F.lit(0.5)) / F.lit(sc)
+
+    v6 = pin(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    fan = df.select(
+        F.col(id_col).alias("_id"),
+        v6.alias("v"),
+        F.explode(F.expr(f"sequence(0, {int(n_reps) - 1})")).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("pb"),
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        fan.withColumn("w", w.cast("long"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("v") * F.col("w")).alias("ws"),
+            F.sum("w").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select(
+            pin(
+                F.col("ws").cast("double") / F.col("wn").cast("double"), 6
+            ).alias("m")
+        )
+    )
+    ci = reps.agg(
+        F.element_at(F.array_sort(F.collect_list("m")), int(lo_rank)).alias(
+            "ci_lo6"
+        ),
+        F.element_at(F.array_sort(F.collect_list("m")), int(hi_rank)).alias(
+            "ci_hi6"
+        ),
+    )
+    base = df.agg(
+        F.count("*").alias("n"),
+        pin(
+            F.sum(v6).cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean6"),
+    )
+    return base.crossJoin(F.broadcast(ci))

@@ -239,3 +239,27 @@ def test_ks_two_sample(spark):
     assert out2["ks_d9"] == 0.0
     assert out2["p_approx6"] == 1.0
     assert not out2["reject_05"]
+
+
+def test_poisson_bootstrap_ci(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.stats import poisson_bootstrap_ci
+
+    # values 0..999: mean 499.5, sd ~288.7 -> se ~9.1
+    df = spark.range(1000).select(
+        F.col("id").alias("rid"), F.col("id").cast("double").alias("v")
+    )
+    out = poisson_bootstrap_ci(df, "rid", "v", n_reps=32).collect()[0]
+    assert out["n"] == 1000
+    assert out["mean6"] == 499.5
+    se = math.sqrt(sum((i - 499.5) ** 2 for i in range(1000)) / 1000 / 1000)
+    # the interval brackets the mean and has the right order of width
+    assert out["ci_lo6"] < 499.5 < out["ci_hi6"]
+    width = out["ci_hi6"] - out["ci_lo6"]
+    assert 1.0 * se < width < 8.0 * se, (width, se)
+    # deterministic across runs
+    out2 = poisson_bootstrap_ci(df, "rid", "v", n_reps=32).collect()[0]
+    assert (out["ci_lo6"], out["ci_hi6"]) == (out2["ci_lo6"], out2["ci_hi6"])
