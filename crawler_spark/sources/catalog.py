@@ -640,6 +640,7 @@ class SnapshotCatalog:
         target_bytes: int = 128 << 20,
         zorder_by: tuple[str, str] | None = None,
         zorder_bits: int = 16,
+        layout: str = "zorder",
     ) -> int:
         """Small-file compaction (Iceberg rewrite_data_files analog).
 
@@ -653,10 +654,13 @@ class SnapshotCatalog:
         layout readable. The target file count comes from manifest-side
         fs metadata — no data pass.
 
-        ``zorder_by=(x, y)`` additionally clusters the rewrite by the
-        Morton key of two integer columns (Delta OPTIMIZE ZORDER BY
-        analog): one range shuffle instead of coalesce, buying row-group
-        min/max pruning on BOTH columns for every future scan.
+        ``zorder_by=(x, y)`` additionally clusters the rewrite by a
+        space-filling-curve key of two integer columns (Delta OPTIMIZE
+        ZORDER BY analog): one range shuffle instead of coalesce,
+        buying row-group min/max pruning on BOTH columns for every
+        future scan. ``layout`` picks the curve: "zorder" (Morton) or
+        "hilbert" (continuous — strictly tighter per-file boxes, see
+        functions/zorder.py and test_hilbert).
 
         Returns the new snapshot id.
         """
@@ -671,9 +675,10 @@ class SnapshotCatalog:
         n_files = max(1, -(-current_bytes // target_bytes))
         df = self.read(table)
         if zorder_by is not None:
-            from crawler_spark.functions.zorder import zorder_layout
+            from crawler_spark.functions.zorder import hilbert_layout, zorder_layout
 
-            df = zorder_layout(df, zorder_by[0], zorder_by[1], n_files, zorder_bits)
+            fn = {"zorder": zorder_layout, "hilbert": hilbert_layout}[layout]
+            df = fn(df, zorder_by[0], zorder_by[1], n_files, zorder_bits)
         else:
             df = df.coalesce(n_files)
         self.stage_overwrite(table, df)

@@ -97,3 +97,31 @@ def test_hilbert_layout_tightens_file_boxes(spark):
     )
     assert hp_h <= hp_z
     assert hp_h < hp_x
+
+
+def test_catalog_compact_hilbert_layout(spark, tmp_path):
+    """compact(layout='hilbert') rewrites atomically, preserves rows and
+    time travel, and the rewritten files carry tight 2-D boxes."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    n = 1 << 10
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 32).cast("int").alias("x"),
+        (F.col("id") / 32).cast("int").alias("y"),
+    )
+    cat.stage_append("pts", df.repartition(8))
+    s1 = cat.commit()
+    s2 = cat.compact(
+        "pts", target_bytes=4 << 10, zorder_by=("x", "y"), zorder_bits=5,
+        layout="hilbert",
+    )
+    assert s2 > s1
+    out = cat.read("pts")
+    assert out.count() == n
+    assert out.agg(F.sum("rid")).first()[0] == n * (n - 1) // 2
+    # time travel still shows the pre-compaction snapshot
+    assert cat.read("pts", snapshot=s1).count() == n
