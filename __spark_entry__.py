@@ -12319,6 +12319,94 @@ def _bootstrap_sql(n_reps: int = 32) -> str:
     FROM base"""
 
 
+_HOMOGLYPHS = ("аоерсх", "aoepcx")
+# Cyrillic а/о/е/р/с/х -> their Latin look-alikes (the classic
+# homoglyph-attack alphabet subset; extend the literal pair to grow it)
+
+
+def q_typosquat_hosts(spark, sf_dir):
+    """Typosquat / homoglyph host screen — the crawl-security gate
+    that keeps look-alike domains out of a trusted-seed expansion:
+    candidate hosts are checked against a broadcast protected-domain
+    dimension after HOMOGLYPH folding (Cyrillic look-alikes ->
+    Latin, a literal translate() — catches IDN-confusable spoofs the
+    punycode canon keeps distinct because they ARE distinct hosts)
+    and flagged when edit distance <= 2 without being the literal
+    domain itself (the exclusion is on the RAW host: a homoglyph spoof
+    folds exactly onto the domain at distance 0 and must flag). Native levenshtein both engines; a band on length
+    difference prunes the broadcast theta-join. The synthetic
+    candidates plant one transposition, one homoglyph spoof, one
+    insertion, and clean hosts."""
+    protected = spark.createDataFrame(
+        [("example.test",), ("crawler.test",), ("images.test",)],
+        "domain string",
+    )
+    d = _t(spark, sf_dir, "documents")
+    cand = d.select(
+        F.expr(
+            "CASE WHEN doc_id % 5 = 0 THEN 'exmaple.test' "
+            "WHEN doc_id % 5 = 1 THEN 'exаmple.test' "
+            "WHEN doc_id % 5 = 2 THEN 'crawlers.test' "
+            "WHEN doc_id % 5 = 3 THEN 'host-' || CAST(doc_id % 20 AS STRING) || '.test' "
+            "ELSE 'images.test' END"
+        ).alias("host")
+    ).distinct()
+    folded = cand.withColumn(
+        "folded",
+        F.translate(F.lower(F.col("host")), _HOMOGLYPHS[0], _HOMOGLYPHS[1]),
+    )
+    hit = (
+        folded.join(
+            F.broadcast(protected),
+            (
+                F.abs(F.length("folded") - F.length("domain")) <= 2
+            )
+            & (F.levenshtein(F.col("folded"), F.col("domain")) <= 2)
+            # exclude the LITERAL legit host, not its fold: a homoglyph
+            # spoof folds exactly onto the domain (distance 0) and must
+            # still be flagged
+            & (F.col("host") != F.col("domain")),
+        )
+        .select(
+            "host",
+            "domain",
+            F.levenshtein(F.col("folded"), F.col("domain")).alias("distance"),
+            (F.col("folded") != F.col("host")).alias("homoglyph_folded"),
+        )
+    )
+    return hit
+
+
+_TYPOSQUAT_SQL = f"""
+    WITH protected AS (
+      SELECT unnest(['example.test', 'crawler.test', 'images.test'])
+        AS domain
+    ),
+    cand AS (
+      SELECT DISTINCT
+        CASE WHEN doc_id % 5 = 0 THEN 'exmaple.test'
+             WHEN doc_id % 5 = 1 THEN 'exаmple.test'
+             WHEN doc_id % 5 = 2 THEN 'crawlers.test'
+             WHEN doc_id % 5 = 3 THEN 'host-' || (doc_id % 20) || '.test'
+             ELSE 'images.test' END AS host
+      FROM documents
+    ),
+    folded AS (
+      SELECT host,
+             translate(lower(host), '{_HOMOGLYPHS[0]}', '{_HOMOGLYPHS[1]}')
+               AS folded
+      FROM cand
+    )
+    SELECT f.host, p.domain,
+           CAST(levenshtein(f.folded, p.domain) AS INTEGER) AS distance,
+           f.folded != f.host AS homoglyph_folded
+    FROM folded f JOIN protected p
+      ON abs(length(f.folded) - length(p.domain)) <= 2
+     AND levenshtein(f.folded, p.domain) <= 2
+     AND f.host != p.domain
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12407,6 +12495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_tokens": q_countsketch_tokens,
         "cc_incremental": q_cc_incremental,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
+        "typosquat_hosts": q_typosquat_hosts,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -13530,6 +13619,7 @@ def oracle_sql() -> dict[str, str]:
         "countsketch_tokens": _countsketch_sql(),
         "cc_incremental": _CC_INCREMENTAL_SQL,
         "bootstrap_mean_ci": _bootstrap_sql(),
+        "typosquat_hosts": _TYPOSQUAT_SQL,
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

@@ -227,6 +227,7 @@ HEADLINE = [
     "countsketch_tokens",
     "cc_incremental",
     "bootstrap_mean_ci",
+    "typosquat_hosts",
 ]
 
 BENCH_HOSTS = 50
