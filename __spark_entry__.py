@@ -12407,6 +12407,81 @@ _TYPOSQUAT_SQL = f"""
 """
 
 
+def q_classifier_auc(spark, sf_dir):
+    """Exact tie-aware ROC AUC (operators/evals.py auc_exact; the
+    Mann-Whitney rank-sum identity with midranks) for the embedding
+    linear probe against the stored label's parity — the ranking-
+    quality eval the threshold metrics can't express; one fact
+    aggregation + a window over the DISTINCT-SCORE dimension only."""
+    from crawler_spark.operators.evals import auc_exact
+
+    ws = _clf64_weights()
+    w_arr = F.array(*[F.lit(w) for w in ws])
+    e = _t(spark, sf_dir, "embeddings")
+    raw = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                w_arr,
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+    scored = e.select(
+        score.alias("score"), (F.col("label") % 2).alias("label_bin")
+    )
+    return auc_exact(scored, "score", "label_bin")
+
+
+def _auc_sql() -> str:
+    """DuckDB mirror of q_classifier_auc: the classifier score CTE +
+    grouped midrank rank-sum."""
+    ws = ", ".join(repr(w) for w in _clf64_weights())
+    return f"""WITH comp AS (
+      SELECT vec_id, label,
+             CAST(embedding[i] AS DOUBLE) * ([{ws}][i]) AS p
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+    ),
+    sc AS (
+      SELECT round(1.0 / (1.0 + exp(-round(sum(p), 9))), 6) AS s,
+             label % 2 AS label_bin
+      FROM comp GROUP BY vec_id, label
+    ),
+    g AS (
+      SELECT s, count(*) AS n_g,
+             CAST(sum(label_bin) AS BIGINT) AS np_g
+      FROM sc GROUP BY s
+    ),
+    ranked AS (
+      SELECT *,
+             coalesce(sum(n_g) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM g
+    ),
+    up AS (
+      SELECT np_g, n_g,
+             CAST(np_g AS DOUBLE)
+             * (CAST(cum_before AS DOUBLE)
+                + (CAST(n_g AS DOUBLE) + 1.0) / 2.0) AS upart
+      FROM ranked
+    )
+    SELECT CAST(sum(np_g) AS BIGINT) AS n_pos,
+           CAST(sum(n_g) - sum(np_g) AS BIGINT) AS n_neg,
+           floor((
+             (sum(upart)
+              - CAST(sum(np_g) AS DOUBLE)
+                * (CAST(sum(np_g) AS DOUBLE) + 1.0) / 2.0)
+             / (CAST(sum(np_g) AS DOUBLE)
+                * CAST(sum(n_g) - sum(np_g) AS DOUBLE))
+           ) * 1e6 + 0.5) / 1e6 AS auc6
+    FROM up"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12496,6 +12571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": q_cc_incremental,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "typosquat_hosts": q_typosquat_hosts,
+        "classifier_auc": q_classifier_auc,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -13620,6 +13696,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_incremental": _CC_INCREMENTAL_SQL,
         "bootstrap_mean_ci": _bootstrap_sql(),
         "typosquat_hosts": _TYPOSQUAT_SQL,
+        "classifier_auc": _auc_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

@@ -228,6 +228,7 @@ HEADLINE = [
     "cc_incremental",
     "bootstrap_mean_ci",
     "typosquat_hosts",
+    "classifier_auc",
 ]
 
 BENCH_HOSTS = 50

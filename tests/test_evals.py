@@ -226,3 +226,35 @@ def test_rrf_fusion_properties(spark):
     assert out[10]["rrf"] == p9(1 / 63) + p9(1 / 63)
     # ties: docs 20 and 40 both have 1/(60+1); lower id first
     assert out[20]["fused_rank"] < out[40]["fused_rank"]
+
+
+def test_auc_exact_against_sklearn_free_mirror(spark):
+    """AUC via midrank rank-sum == the direct pairwise definition
+    (P[score_pos > score_neg] + 0.5 P[tie]), including ties."""
+    from crawler_spark.operators.evals import auc_exact
+
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.5, 0),
+        (0.5, 1), (0.5, 0), (0.3, 0), (0.2, 1), (0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, label_bin int")
+    out = auc_exact(df, "score", "label_bin").collect()[0]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    num = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    expect = num / (len(pos) * len(neg))
+    import math
+
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    assert out["auc6"] == math.floor(expect * 1e6 + 0.5) / 1e6
+    # degenerate sanity: perfect ranking -> 1.0, inverted -> 0.0
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "score double, label_bin int"
+    )
+    assert auc_exact(perfect, "score", "label_bin").collect()[0]["auc6"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.1, 1), (0.9, 0)], "score double, label_bin int"
+    )
+    assert auc_exact(inverted, "score", "label_bin").collect()[0]["auc6"] == 0.0
