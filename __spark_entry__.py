@@ -12482,6 +12482,110 @@ def _auc_sql() -> str:
     FROM up"""
 
 
+def q_classifier_calibration(spark, sf_dir):
+    """Classifier calibration report — AUC's companion (ranking can be
+    perfect while probabilities lie): per confidence decile, mean
+    predicted probability vs observed positive rate, plus the
+    one-row Brier score and expected calibration error
+    ECE = sum |acc_b - conf_b| * n_b / n. One grouped aggregation over
+    10 bins; Brier terms pinned at 1e-9 and decimal-summed
+    (order-independent)."""
+    ws = _clf64_weights()
+    w_arr = F.array(*[F.lit(w) for w in ws])
+    e = _t(spark, sf_dir, "embeddings")
+    raw = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                w_arr,
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+    sc = e.select(
+        score.alias("s"),
+        (F.col("label") % 2).cast("long").alias("y"),
+    )
+
+    def pin(c, k):
+        sca = float(10 ** k)
+        return F.floor(c * F.lit(sca) + F.lit(0.5)) / F.lit(sca)
+
+    binned = sc.select(
+        F.least(F.floor(F.col("s") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "s",
+        "y",
+        pin((F.col("s") - F.col("y")) * (F.col("s") - F.col("y")), 9)
+        .cast("decimal(20,9)")
+        .alias("sqerr"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n_b"),
+        pin(F.avg("s"), 6).alias("conf6"),
+        pin(F.avg(F.col("y").cast("double")), 6).alias("acc6"),
+        F.sum("sqerr").alias("se"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_b").alias("n"),
+        pin(
+            F.sum("se").cast("double") / F.sum("n_b").cast("double"), 6
+        ).alias("brier6"),
+        pin(
+            F.sum(
+                F.abs(F.col("acc6") - F.col("conf6"))
+                * F.col("n_b").cast("double")
+            )
+            / F.sum("n_b").cast("double"),
+            6,
+        ).alias("ece6"),
+    )
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_b", "conf6", "acc6", "n", "brier6", "ece6"
+    )
+
+
+def _calibration_sql() -> str:
+    """DuckDB mirror of q_classifier_calibration."""
+    ws = ", ".join(repr(w) for w in _clf64_weights())
+    return f"""WITH comp AS (
+      SELECT vec_id, label,
+             CAST(embedding[i] AS DOUBLE) * ([{ws}][i]) AS p
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+    ),
+    sc AS (
+      SELECT round(1.0 / (1.0 + exp(-round(sum(p), 9))), 6) AS s,
+             CAST(label % 2 AS BIGINT) AS y
+      FROM comp GROUP BY vec_id, label
+    ),
+    binned AS (
+      SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin, s, y,
+             CAST(floor((s - y) * (s - y) * 1e9 + 0.5) / 1e9
+                  AS DECIMAL(20,9)) AS sqerr
+      FROM sc
+    ),
+    per_bin AS (
+      SELECT bin, count(*) AS n_b,
+             floor(avg(s) * 1e6 + 0.5) / 1e6 AS conf6,
+             floor(avg(CAST(y AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS acc6,
+             sum(sqerr) AS se
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_b) AS BIGINT) AS n,
+             floor(CAST(sum(se) AS DOUBLE) / CAST(sum(n_b) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS brier6,
+             floor(sum(abs(acc6 - conf6) * CAST(n_b AS DOUBLE))
+                   / CAST(sum(n_b) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ece6
+      FROM per_bin
+    )
+    SELECT bin, n_b, conf6, acc6, n, brier6, ece6
+    FROM per_bin CROSS JOIN tot"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12572,6 +12676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "typosquat_hosts": q_typosquat_hosts,
         "classifier_auc": q_classifier_auc,
+        "classifier_calibration": q_classifier_calibration,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -13697,6 +13802,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_mean_ci": _bootstrap_sql(),
         "typosquat_hosts": _TYPOSQUAT_SQL,
         "classifier_auc": _auc_sql(),
+        "classifier_calibration": _calibration_sql(),
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

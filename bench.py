@@ -229,6 +229,7 @@ HEADLINE = [
     "bootstrap_mean_ci",
     "typosquat_hosts",
     "classifier_auc",
+    "classifier_calibration",
 ]
 
 BENCH_HOSTS = 50
