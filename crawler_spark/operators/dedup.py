@@ -2186,48 +2186,60 @@ def cws_signatures(
         F.explode(F.expr(f"sequence(0, {int(k) - 1})")).alias("slot"),
     )
 
-    def u(i: int):
+    def pin9(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    def u_from(i: int):
         # 4 md5 hex chars -> dyadic uniform (x + 0.5) / 65536, exact
         return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("cws"),
-                            F.col("slot").cast("string"),
-                            F.lit(":"),
-                            F.col("tok"),
-                        )
-                    ),
-                    4 * i - 3,
-                    4,
-                ),
-                16,
-                10,
-            )
+            F.conv(F.substring(F.col("_h"), 4 * i - 3, 4), 16, 10)
             .cast("long")
             .cast("double")
             + F.lit(0.5)
         ) / F.lit(65536.0)
 
-    def pin9(c):
-        return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
-
-    r = pin9(-(F.log(u(1)) + F.log(u(2))))
-    c = pin9(-(F.log(u(3)) + F.log(u(4))))
-    beta = u(5)
-    lnw = pin9(F.log(F.col("w").cast("double")))
-    t = F.floor(lnw / r + beta)
-    y = pin9(F.exp(r * (t - beta)))
-    a = pin9(c / (y * pin9(F.exp(r))))
+    # STAGED columns, one expensive expression per stage: expr trees
+    # don't CSE, and Catalyst's CollapseProject keeps a projection
+    # whose (non-cheap) output is referenced more than once downstream
+    # — without the stages every u_i re-hashes md5 and the a-chain
+    # re-expands t and r several times over
+    st = fan.withColumn(
+        "_h",
+        F.md5(
+            F.concat(
+                F.lit("cws"),
+                F.col("slot").cast("string"),
+                F.lit(":"),
+                F.col("tok"),
+            )
+        ),
+    )
+    st = st.select(
+        "*",
+        pin9(-(F.log(u_from(1)) + F.log(u_from(2)))).alias("_r"),
+        pin9(-(F.log(u_from(3)) + F.log(u_from(4)))).alias("_c"),
+        u_from(5).alias("_beta"),
+        pin9(F.log(F.col("w").cast("double"))).alias("_lnw"),
+    )
+    st = st.select(
+        "*", F.floor(F.col("_lnw") / F.col("_r") + F.col("_beta")).alias("_t")
+    )
+    st = st.select(
+        "*",
+        pin9(F.exp(F.col("_r") * (F.col("_t") - F.col("_beta")))).alias("_y"),
+        pin9(F.exp(F.col("_r"))).alias("_er"),
+    )
+    st = st.select(
+        "*", pin9(F.col("_c") / (F.col("_y") * F.col("_er"))).alias("_a")
+    )
     return (
-        fan.select(
+        st.select(
             "doc_id",
             "slot",
             F.struct(
-                a.alias("a"),
+                F.col("_a").alias("a"),
                 F.col("tok").alias("feature"),
-                t.cast("long").alias("t"),
+                F.col("_t").cast("long").alias("t"),
             ).alias("s"),
         )
         .groupBy("doc_id", "slot")
