@@ -12361,17 +12361,25 @@ def q_typosquat_hosts(spark, sf_dir):
         "folded",
         F.translate(F.lower(F.col("host")), _HOMOGLYPHS[0], _HOMOGLYPHS[1]),
     )
+    # HASHABLE join: the dim fans out to one row per admissible length
+    # (edit distance <= 2 bounds |len diff| <= 2), candidates key on
+    # their own length — an equi-join a 10^6-domain protected list can
+    # survive, where the raw theta condition plans as a nested loop
+    dim = protected.select(
+        "domain",
+        F.explode(
+            F.expr("sequence(length(domain) - 2, length(domain) + 2)")
+        ).alias("lkey"),
+    )
     hit = (
-        folded.join(
-            F.broadcast(protected),
-            (
-                F.abs(F.length("folded") - F.length("domain")) <= 2
-            )
-            & (F.levenshtein(F.col("folded"), F.col("domain")) <= 2)
+        folded.withColumn("lkey", F.length("folded"))
+        .join(F.broadcast(dim), "lkey")
+        .filter(
+            (F.levenshtein(F.col("folded"), F.col("domain")) <= 2)
             # exclude the LITERAL legit host, not its fold: a homoglyph
             # spoof folds exactly onto the domain (distance 0) and must
             # still be flagged
-            & (F.col("host") != F.col("domain")),
+            & (F.col("host") != F.col("domain"))
         )
         .select(
             "host",
@@ -12402,14 +12410,18 @@ _TYPOSQUAT_SQL = f"""
              translate(lower(host), '{_HOMOGLYPHS[0]}', '{_HOMOGLYPHS[1]}')
                AS folded
       FROM cand
+    ),
+    dim AS (
+      SELECT domain, unnest(range(length(domain) - 2, length(domain) + 3))
+        AS lkey
+      FROM protected
     )
     SELECT f.host, p.domain,
            CAST(levenshtein(f.folded, p.domain) AS INTEGER) AS distance,
            f.folded != f.host AS homoglyph_folded
-    FROM folded f JOIN protected p
-      ON abs(length(f.folded) - length(p.domain)) <= 2
-     AND levenshtein(f.folded, p.domain) <= 2
-     AND f.host != p.domain
+    FROM folded f JOIN dim p ON length(f.folded) = p.lkey
+    WHERE levenshtein(f.folded, p.domain) <= 2
+      AND f.host != p.domain
 """
 
 
