@@ -12604,6 +12604,104 @@ def _calibration_sql() -> str:
     FROM per_bin CROSS JOIN tot"""
 
 
+def q_trimmed_latency(spark, sf_dir):
+    """Per-host trimmed and winsorized latency means — the robust
+    dashboard numbers between the raw mean (one 30 s timeout wrecks
+    it) and the median (throws away 50% of the signal): drop (trim) or
+    clamp (winsorize) the top/bottom 10% by EXACT per-host ranks
+    (host-partitioned windows only, deterministic doc_id tie-break).
+    Latencies here are integer-valued doubles, so every group sum is
+    IEEE-exact regardless of order."""
+    d1 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1)"
+    d2 = "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)"
+    f = _frontier(spark, sf_dir)
+    lat = f.select(
+        "doc_id",
+        "host",
+        (
+            50.0
+            + F.expr(f"({d1} * 16 + {d2})") * 7.0
+            + F.col("priority") * 100.0
+        ).alias("lat_ms"),
+    )
+    wh = Window.partitionBy("host")
+    wo = wh.orderBy("lat_ms", "doc_id")
+    ranked = lat.select(
+        "host",
+        "lat_ms",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wh).alias("n"),
+    ).withColumn("k", F.floor(F.col("n") / 10).cast("int"))
+    bounded = ranked.withColumn(
+        "lo",
+        F.max(
+            F.when(F.col("rn") == F.col("k") + 1, F.col("lat_ms"))
+        ).over(wh),
+    ).withColumn(
+        "hi",
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("lat_ms"))
+        ).over(wh),
+    )
+
+    def pin6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return bounded.groupBy("host").agg(
+        F.max("n").alias("n"),
+        pin6(F.avg("lat_ms")).alias("mean6"),
+        pin6(
+            F.avg(
+                F.when(
+                    (F.col("rn") > F.col("k"))
+                    & (F.col("rn") <= F.col("n") - F.col("k")),
+                    F.col("lat_ms"),
+                )
+            )
+        ).alias("trimmed6"),
+        pin6(
+            F.avg(F.least(F.greatest(F.col("lat_ms"), F.col("lo")), F.col("hi")))
+        ).alias("winsor6"),
+    )
+
+
+_TRIMMED_SQL = f"""
+    WITH f AS ({_FRONTIER_SQL}),
+    lat AS (
+      SELECT doc_id, host,
+             50.0 + ({_hexdig_sql("cast(doc_id AS varchar)", 1)} * 16
+                     + {_hexdig_sql("cast(doc_id AS varchar)", 2)}) * 7.0
+             + priority * 100.0 AS lat_ms
+      FROM f
+    ),
+    ranked AS (
+      SELECT host, lat_ms,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY lat_ms, doc_id) AS rn,
+             count(*) OVER (PARTITION BY host) AS n
+      FROM lat
+    ),
+    keyed AS (
+      SELECT *, CAST(floor(n / 10) AS INTEGER) AS k FROM ranked
+    ),
+    bounded AS (
+      SELECT *,
+             max(CASE WHEN rn = k + 1 THEN lat_ms END)
+               OVER (PARTITION BY host) AS lo,
+             max(CASE WHEN rn = n - k THEN lat_ms END)
+               OVER (PARTITION BY host) AS hi
+      FROM keyed
+    )
+    SELECT host, CAST(max(n) AS BIGINT) AS n,
+           floor(avg(lat_ms) * 1e6 + 0.5) / 1e6 AS mean6,
+           floor(avg(CASE WHEN rn > k AND rn <= n - k THEN lat_ms END)
+                 * 1e6 + 0.5) / 1e6 AS trimmed6,
+           floor(avg(least(greatest(lat_ms, lo), hi)) * 1e6 + 0.5) / 1e6
+             AS winsor6
+    FROM bounded GROUP BY host
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12695,6 +12793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typosquat_hosts": q_typosquat_hosts,
         "classifier_auc": q_classifier_auc,
         "classifier_calibration": q_classifier_calibration,
+        "trimmed_latency": q_trimmed_latency,
         "chunk_windows": q_chunk_windows,
         "rrf_fusion": q_rrf_fusion,
         "politeness_compliance_audit": q_politeness_compliance_audit,
@@ -13821,6 +13920,7 @@ def oracle_sql() -> dict[str, str]:
         "typosquat_hosts": _TYPOSQUAT_SQL,
         "classifier_auc": _auc_sql(),
         "classifier_calibration": _calibration_sql(),
+        "trimmed_latency": _TRIMMED_SQL,
         "chunk_windows": _chunk_sql(),
         "rrf_fusion": _rrf_sql(),
         "edh_selectivity_audit": _edh_sql("audit"),

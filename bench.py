@@ -230,6 +230,7 @@ HEADLINE = [
     "typosquat_hosts",
     "classifier_auc",
     "classifier_calibration",
+    "trimmed_latency",
 ]
 
 BENCH_HOSTS = 50
