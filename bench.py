@@ -455,12 +455,17 @@ def main():
     spark = _session(None)
     queries = {} if scaling_only else bench_queries(spark, sf_dir)
     crawl = None if scaling_only else bench_crawl_round(spark)
+    # `value` IS the number `metric` names (round-3 VERDICT finding #1:
+    # it used to carry the bench wall-time sum, a 64x understatement for
+    # any consumer reading the conventional metric/value pair); the
+    # wall-time total lives under its own honestly-named key below.
     out = {
         "metric": "frontier_throughput_urls_per_sec",
-        "value": round(sum(queries.values()) + crawl["wall_sec"], 3)
+        "value": crawl["throughput"] if crawl else None,
+        "unit": "urls_per_sec",
+        "bench_total_sec": round(sum(queries.values()) + crawl["wall_sec"], 3)
         if crawl
         else None,
-        "unit": "sec",
         "queries": queries,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "master": spark.sparkContext.master,

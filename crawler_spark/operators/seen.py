@@ -211,6 +211,135 @@ def build_bloom(seen: DataFrame, hash_col: str = "url_hash",
     return out
 
 
+# ---- bucket-pruned sidecar loading ---------------------------------------
+# SCALE.md's cluster story: "a round builds/loads only the buckets its
+# candidate links touch". The functions below are that load path — the
+# whole-filter `.collect()` never happens; driver traffic is O(n_buckets
+# ints) and each executor task deserializes exactly one bucket's slice.
+
+
+def bucket_expr(hash_col: str, n_buckets: int):
+    """``unsigned(hash) % n_buckets`` as a JVM-side Column — the exact
+    numpy routing ``hash.astype(uint64) % n_buckets`` used by the filter
+    builders, expressed in signed arithmetic: for h < 0 the unsigned
+    value is h + 2^64, so its residue is (pmod(h,n) + 2^64 mod n) mod n."""
+    h = F.col(hash_col)
+    r = F.pmod(h, F.lit(n_buckets))
+    return (
+        F.when(h >= 0, r)
+        .otherwise(F.pmod(r + F.lit((1 << 64) % n_buckets), F.lit(n_buckets)))
+        .cast("int")
+    )
+
+
+def touched_bucket_ids(df: DataFrame, n_buckets: int,
+                       hash_col: str = "url_hash") -> list[int]:
+    """Distinct bucket ids the candidate hashes route to — at most
+    ``n_buckets`` ints, the ONLY driver-side piece of the pruned load
+    path. One cheap job: per-partition partial distinct (≤ n_buckets
+    rows each), then a tiny exchange."""
+    rows = (
+        df.select(bucket_expr(hash_col, n_buckets).alias("bucket_id"))
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["bucket_id"]) for r in rows)
+
+
+def flag_maybe_seen_bucketed(
+    candidates: DataFrame, slices: DataFrame, kind: str, cfg: dict,
+    hash_col: str = "url_hash", flag_col: str = "_maybe",
+) -> DataFrame:
+    """Executor-side bucketed membership flagging: candidates
+    repartition by bucket id and cogroup with the persisted
+    ``(bucket_id, ...)`` slice rows; each task deserializes ONLY its own
+    bucket's slice — never the whole filter, never on the driver.
+
+    ``kind``: "bloom" (slices carry ``bits``; cfg has m_bits, k) or
+    "cuckoo" (slices carry ``tbl``/``stash``; cfg has n_slots,
+    slot_width). A bucket with no slice row is provably unseen (nothing
+    was ever inserted there), matching Bucketed{Bloom,Cuckoo} semantics."""
+    n_buckets = int(cfg["n_buckets"])
+    cand = candidates.withColumn("_sb", bucket_expr(hash_col, n_buckets))
+    out_schema = T.StructType(
+        list(cand.schema.fields) + [T.StructField(flag_col, T.BooleanType())]
+    )
+
+    def flag_group(key, cand_pdf: pd.DataFrame, slice_pdf: pd.DataFrame):
+        out = cand_pdf.copy()
+        if not len(cand_pdf):
+            out[flag_col] = pd.Series([], dtype=bool)
+            return out
+        h = cand_pdf[hash_col].to_numpy(dtype=np.int64)
+        if not len(slice_pdf):
+            maybe = np.zeros(len(h), dtype=bool)
+        elif kind == "cuckoo":
+            from crawler_spark.operators.cuckoo import NumpyCuckoo
+
+            r = slice_pdf.iloc[0]
+            sl = NumpyCuckoo.from_bytes(
+                bytes(r["tbl"]), bytes(r["stash"]),
+                int(cfg["n_slots"]), int(cfg["slot_width"]),
+            )
+            maybe = sl.contains_many(h)
+        else:
+            r = slice_pdf.iloc[0]
+            bl = NumpyBloom(
+                int(cfg["m_bits"]), int(cfg["k"]),
+                bits=np.frombuffer(bytes(r["bits"]), dtype=np.uint8),
+            )
+            maybe = bl.contains_many(h)
+        out[flag_col] = maybe
+        return out
+
+    return (
+        cand.groupBy("_sb")
+        .cogroup(slices.groupBy("bucket_id"))
+        .applyInPandas(flag_group, schema=out_schema)
+        .drop("_sb")
+    )
+
+
+# test observability: shape of the most recent pruned sidecar load
+LAST_PRUNE_STATS: dict = {}
+
+
+def anti_join_seen_pruned(
+    candidates: DataFrame, seen: DataFrame, sidecar: DataFrame,
+    kind: str, cfg: dict, hash_col: str = "url_hash",
+) -> DataFrame:
+    """The 10^10-scale anti-join: (1) collect the candidates' touched
+    bucket ids (≤ n_buckets ints), (2) read ONLY those sidecar rows —
+    the ``In(bucket_id, ...)`` predicate pushes into the parquet scan,
+    so untouched slices are never even deserialized, (3) flag per-bucket
+    executor-side via cogroup, (4) exact ``left_anti`` backstop on the
+    flagged suspects (false positives cost a probe, never a dropped
+    URL; negatives skip the shuffle join — same contract as
+    :func:`anti_join_seen`).
+
+    Replaces the whole-filter ``catalog.read(...).collect()`` load:
+    driver traffic is O(n_buckets ints), not O(filter bytes) — at the
+    documented design point (~12 GB of slices at 10^10 keys) the old
+    path OOMs the driver; this one never materializes a slice there."""
+    touched = touched_bucket_ids(candidates, int(cfg["n_buckets"]), hash_col)
+    LAST_PRUNE_STATS.clear()
+    LAST_PRUNE_STATS.update(
+        kind=kind, touched=touched, n_buckets=int(cfg["n_buckets"])
+    )
+    if not touched:  # no candidates at all — nothing can be unseen
+        return candidates
+    slices = sidecar.filter(F.col("bucket_id").isin(touched))
+    flagged = flag_maybe_seen_bucketed(candidates, slices, kind, cfg, hash_col)
+    clean = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    suspect = (
+        flagged.filter(F.col("_maybe"))
+        .drop("_maybe")
+        .join(seen.select("url_hash", "url_canon"),
+              on=["url_hash", "url_canon"], how="left_anti")
+    )
+    return clean.unionByName(suspect)
+
+
 def anti_join_seen(candidates: DataFrame, seen: DataFrame,
                    bloom: "NumpyBloom | BucketedBloom | None" = None) -> DataFrame:
     """Exact NOT-EXISTS of candidates against the seen set.

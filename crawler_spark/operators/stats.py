@@ -43,7 +43,21 @@ def equi_depth_histogram(
     ~sample/B rows (exactly ntile's split). lo/hi are the sample min
     and max inside the bucket — adjacent buckets may share a fence
     value when ties straddle it (standard; the interpolation in
-    `range_selectivity` treats a zero-width bucket as an impulse)."""
+    `range_selectivity` treats a zero-width bucket as an impulse).
+
+    Scale: the sample is ranked by range-repartition + per-partition
+    local sort with partition offsets broadcast back (the
+    ``operators/sequence.assign_dense_seq`` machinery) — NO
+    single-partition global window anywhere (round-3 VERDICT perf
+    finding #2: the old ``ntile`` over ``Window.orderBy`` funneled the
+    whole sample through one task; at 10^10 rows x default permille
+    that is ~10^7 rows in one partition). Bucket ids reproduce ntile's
+    exact split law from the dense global rank, so results are
+    bit-identical to the windowed form. The B-row result is pinned with
+    an eager ``localCheckpoint`` so the range-partition persist can be
+    released before returning."""
+    from crawler_spark.operators.sequence import assign_dense_seq
+
     h = F.expr(
         f"cast(conv(substring(md5(concat('edh:', cast({key_col} as string)"
         f")), 1, 15), 16, 10) as bigint)"
@@ -51,9 +65,29 @@ def equi_depth_histogram(
     s = df.select(F.col(value_col).alias("v"), F.col(key_col).alias("k")).filter(
         F.pmod(h, F.lit(1000)) < sample_permille
     )
-    w = Window.orderBy("v", "k")
+    ranked, n_sample, handle = assign_dense_seq(
+        s, order_cols=["v", "k"], seq_col="_r"
+    )
+    # ntile(B) over C ordered rows: the first C mod B buckets take
+    # ceil(C/B) rows, the rest floor(C/B) — recomputed here from the
+    # 0-based global rank (exact, including the q=0 / C<B edge where
+    # each of the first C buckets holds one row)
+    q, rem = n_sample // n_buckets, n_sample % n_buckets
+    r = F.col("_r")
+    if q == 0:
+        bucket = (r + F.lit(1)).cast("int")
+    else:
+        head = rem * (q + 1)
+        # `div` = exact integer division (no double rounding at any rank)
+        bucket = (
+            F.when(r < F.lit(head), F.expr(f"_r div {q + 1}") + F.lit(1))
+            .otherwise(
+                F.lit(rem) + F.expr(f"(_r - {head}) div {q}") + F.lit(1)
+            )
+            .cast("int")
+        )
     by_bucket = (
-        s.withColumn("bucket", F.ntile(n_buckets).over(w))
+        ranked.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.min("v").alias("lo"),
@@ -62,7 +96,7 @@ def equi_depth_histogram(
         )
     )
     tot = by_bucket.agg(F.sum("n_rows").alias("n_tot"))
-    return (
+    out = (
         by_bucket.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
@@ -71,7 +105,13 @@ def equi_depth_histogram(
             F.col("n_rows").cast("long").alias("n_rows"),
             (F.col("n_rows") / F.col("n_tot")).alias("est_frac"),
         )
+        # pin the B-row result eagerly so the range-partition persist can
+        # be released here (a lazy return would re-sample range bounds on
+        # recompute and desynchronize the broadcast offsets)
+        .localCheckpoint(eager=True)
     )
+    handle.unpersist()
+    return out
 
 
 def range_selectivity(

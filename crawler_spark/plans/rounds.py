@@ -40,6 +40,7 @@ from crawler_spark.operators.cuckoo import (
 from crawler_spark.operators.seen import (
     BucketedBloom,
     anti_join_seen,
+    anti_join_seen_pruned,
     bloom_delta_rows,
     merge_bloom_rows,
 )
@@ -549,19 +550,21 @@ def run_round(
     cuckoo_cfg = meta.get("cuckoo")
     if n_links:
         # the prefilter is a PERSISTED bucketed sidecar (bloom or cuckoo,
-        # whichever init_crawl seeded), incrementally updated each round
-        # — loading it is O(filter size), never a seen scan
-        bloom = None
+        # whichever init_crawl seeded), incrementally updated each round.
+        # Bucket-pruned load: only the slices the round's candidate
+        # links actually touch are read (In-predicate pushed into the
+        # parquet scan) and each is deserialized on its executor task —
+        # the filter never materializes on the driver (SCALE.md §URL-seen)
+        sidecar = None
         if use_bloom and cuckoo_cfg and catalog.exists("cuckoo"):
-            bloom = BucketedCuckoo.from_rows(
-                catalog.read("cuckoo").collect(), **cuckoo_cfg
-            )
+            sidecar = ("cuckoo", catalog.read("cuckoo"), cuckoo_cfg)
         elif use_bloom and bloom_cfg and catalog.exists("bloom"):
-            bloom = BucketedBloom.from_rows(
-                catalog.read("bloom").collect(),
-                bloom_cfg["n_buckets"], bloom_cfg["m_bits"], bloom_cfg["k"],
-            )
-        unseen_raw = anti_join_seen(new_urls, seen, bloom)
+            sidecar = ("bloom", catalog.read("bloom"), bloom_cfg)
+        if sidecar is not None:
+            kind, sdf, scfg = sidecar
+            unseen_raw = anti_join_seen_pruned(new_urls, seen, sdf, kind, scfg)
+        else:
+            unseen_raw = anti_join_seen(new_urls, seen, None)
         # dense discovery_seq: offset carried in snapshot meta (no
         # per-round rescan of the frontier); fallback aggregates the
         # frontier's max once for catalogs created before this counter
@@ -893,9 +896,14 @@ def expire_urls(catalog: SnapshotCatalog, url_hashes: list[int]) -> int:
     Requires the catalog to have been initialized with
     ``seen_filter="cuckoo"`` — a bloom cannot delete (the reason the
     north rule names both filters). Returns how many fingerprints were
-    actually removed. At design scale only the touched bucket slices
-    are rewritten; the sandbox catalog overwrites the (4-row) table.
-    """
+    actually removed.
+
+    Bucket-pruned, executor-side: the expiry keys (an operator-sized
+    list) route to their touched buckets; ONLY those slice rows are
+    read (In-predicate pushed into the scan) and each bucket's delete
+    runs in its own ``applyInPandas`` task with the keys broadcast.
+    Untouched slices flow through lazily to the overwrite — the filter
+    never materializes on the driver (round-3 VERDICT finding #1)."""
     meta = catalog.meta()
     cfg = meta.get("cuckoo")
     if not cfg or not catalog.exists("cuckoo"):
@@ -903,16 +911,54 @@ def expire_urls(catalog: SnapshotCatalog, url_hashes: list[int]) -> int:
             "expire_urls requires seen_filter='cuckoo' (bloom filters "
             "cannot delete; init_crawl(..., seen_filter='cuckoo'))"
         )
-    filt = BucketedCuckoo.from_rows(catalog.read("cuckoo").collect(), **cfg)
     import numpy as np
+    import pandas as pd
 
-    removed = filt.delete_many(np.asarray(url_hashes, dtype=np.int64))
+    keys = np.asarray(url_hashes, dtype=np.int64)
+    if keys.size == 0:
+        return 0
+    n_buckets = int(cfg["n_buckets"])
+    n_slots, slot_width = int(cfg["n_slots"]), int(cfg["slot_width"])
+    buckets = (keys.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+    touched = sorted(int(b) for b in np.unique(buckets))
     spark = catalog.spark
-    rows = spark.createDataFrame(
-        filt.to_rows(), schema="bucket_id int, tbl binary, stash binary"
+    tbl = catalog.read("cuckoo")
+    bc = spark.sparkContext.broadcast(keys)
+
+    def del_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from crawler_spark.operators.cuckoo import NumpyCuckoo
+
+        assert len(pdf) == 1, "one slice row per bucket by merge contract"
+        b = int(pdf["bucket_id"].iloc[0])
+        sl = NumpyCuckoo.from_bytes(
+            bytes(pdf["tbl"].iloc[0]), bytes(pdf["stash"].iloc[0]),
+            n_slots, slot_width,
+        )
+        k = bc.value
+        kb = (k.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        n_rm = sl.delete_many(k[kb == b])
+        t, s = sl.to_bytes()
+        return pd.DataFrame(
+            {"bucket_id": [b], "tbl": [t], "stash": [s], "removed": [n_rm]}
+        )
+
+    updated = (
+        tbl.filter(F.col("bucket_id").isin(touched))
+        .groupBy("bucket_id")
+        .applyInPandas(
+            del_group,
+            schema="bucket_id int, tbl binary, stash binary, removed long",
+        )
+        .persist()
     )
-    catalog.stage_overwrite("cuckoo", rows)
+    removed = int(updated.agg(F.sum("removed")).first()[0] or 0)
+    untouched = tbl.filter(~F.col("bucket_id").isin(touched))
+    catalog.stage_overwrite(
+        "cuckoo", updated.drop("removed").unionByName(untouched)
+    )
     catalog.commit()
+    updated.unpersist()
+    bc.unpersist()
     return removed
 
 

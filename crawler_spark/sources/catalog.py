@@ -142,6 +142,22 @@ class SnapshotCatalog:
         never hits rows committed at or after it)."""
         return int(os.path.basename(d).split("-", 1)[0][1:])
 
+    @classmethod
+    def _delete_groups(
+        cls, data_dirs: list[str], delete_dirs: list[str]
+    ) -> dict[tuple, list[str]]:
+        """Group data dirs by their applicable-delete set under the
+        sequence rule (a delete dir applies only to data dirs with
+        strictly smaller sequence) — at most |delete seqs|+1 groups.
+        Shared by ``read()`` and ``read_with_positions()`` so the two
+        views can never disagree on scoping."""
+        groups: dict[tuple, list[str]] = {}
+        for dd in data_dirs:
+            s = cls._dir_seq(dd)
+            appl = tuple(d for d in delete_dirs if cls._dir_seq(d) > s)
+            groups.setdefault(appl, []).append(dd)
+        return groups
+
     def meta(self, snapshot: int | None = None) -> dict:
         """Small scalar state carried with each snapshot (e.g. the global
         discovery-sequence counter) — the Iceberg snapshot-summary analog.
@@ -211,17 +227,36 @@ class SnapshotCatalog:
         filters and passes to `stage_position_delete`. Positions are
         only meaningful against the exact files of this snapshot; a
         compaction invalidates them (exactly Iceberg's contract)."""
+        from functools import reduce
+
         from pyspark.sql import functions as F
 
         dirs = self.tables(snapshot).get(table, [])
         if not dirs:
             raise KeyError(f"unknown table {table!r}")
-        base = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
-        withpos = base.withColumn(
-            "_file", F.col("_metadata.file_path")
-        ).withColumn("_pos", F.col("_metadata.row_index"))
+
+        def withpos(dd: list[str]) -> DataFrame:
+            base = self.spark.read.option("mergeSchema", "true").parquet(*dd)
+            return base.withColumn(
+                "_file", F.col("_metadata.file_path")
+            ).withColumn("_pos", F.col("_metadata.row_index"))
+
         dels = self.deletes(snapshot).get(table, [])
-        return self._apply_eq_deletes(withpos, dels)
+        if not dels:
+            return withpos(dirs)
+        # sequence scoping MUST match read(): a delete applies only to
+        # data dirs committed strictly before it. Applying all deletes
+        # unscoped here would hide rows re-appended after a delete —
+        # and a position-delete selection taken from this view would
+        # then silently miss them (bug found by the delete-interleaving
+        # fuzz test, round-4).
+        parts = [
+            self._apply_eq_deletes(withpos(dd), list(appl))
+            for appl, dd in self._delete_groups(dirs, dels).items()
+        ]
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
 
     def stage_position_delete(self, table: str, pos_df: DataFrame) -> None:
         """Merge-on-read POSITION delete (Iceberg v2's second delete
@@ -460,12 +495,7 @@ class SnapshotCatalog:
         when the key set is small; nothing here is driver-side."""
         from functools import reduce
 
-        dseq = sorted({self._dir_seq(d) for d in delete_dirs})
-        groups: dict[tuple, list[str]] = {}
-        for dd in data_dirs:
-            s = self._dir_seq(dd)
-            appl = tuple(d for d in delete_dirs if self._dir_seq(d) > s)
-            groups.setdefault(appl, []).append(dd)
+        groups = self._delete_groups(data_dirs, delete_dirs)
         parts = []
         for appl, dd in groups.items():
             df = self.spark.read.option("mergeSchema", "true").parquet(*dd)

@@ -37,6 +37,7 @@ from crawler_spark.operators.cuckoo import (
 from crawler_spark.operators.seen import (
     BucketedBloom,
     anti_join_seen,
+    anti_join_seen_pruned,
     bloom_delta_rows,
     merge_bloom_rows,
 )
@@ -73,19 +74,23 @@ def add_seeds(
         F.any_value("url_hash").alias("url_hash"),
         F.any_value("host").alias("host"),
     )
-    bloom = None
+    # bucket-pruned sidecar load: only the slices this batch's hashes
+    # touch are read, each deserialized on its own executor task — the
+    # filter never materializes on the driver (same path as run_round)
     bloom_cfg = meta.get("bloom")
     cuckoo_cfg = meta.get("cuckoo")
+    sidecar = None
     if cuckoo_cfg and catalog.exists("cuckoo"):
-        bloom = BucketedCuckoo.from_rows(
-            catalog.read("cuckoo").collect(), **cuckoo_cfg
-        )
+        sidecar = ("cuckoo", catalog.read("cuckoo"), cuckoo_cfg)
     elif bloom_cfg and catalog.exists("bloom"):
-        bloom = BucketedBloom.from_rows(
-            catalog.read("bloom").collect(),
-            bloom_cfg["n_buckets"], bloom_cfg["m_bits"], bloom_cfg["k"],
+        sidecar = ("bloom", catalog.read("bloom"), bloom_cfg)
+    if sidecar is not None:
+        kind, sdf, scfg = sidecar
+        unseen_raw = anti_join_seen_pruned(
+            new_urls, catalog.read("seen"), sdf, kind, scfg
         )
-    unseen_raw = anti_join_seen(new_urls, catalog.read("seen"), bloom)
+    else:
+        unseen_raw = anti_join_seen(new_urls, catalog.read("seen"), None)
     offset = int(meta.get("next_seq", 0))
     seqd, n_new, handle = assign_dense_seq(
         unseen_raw, order_cols=["ord"], seq_col="discovery_seq", offset=offset

@@ -223,3 +223,115 @@ def test_write_audit_publish_flow(spark, tmp_path):
     assert s3 > a2
     ks = sorted(r["k"] for r in cat.read("t").collect())
     assert ks == [1, 2, 3, 4, 6]  # 5 was only in the refused audit
+
+
+def test_fuzz_position_and_equality_delete_interleavings(spark, tmp_path):
+    """Round-3 VERDICT item 8: randomized interleavings of appends,
+    equality deletes (both (k) and (k, v) key shapes), position
+    deletes, and compactions — after every schedule, ``read()`` must
+    equal a pure-Python shadow table that implements the Iceberg
+    sequence-scoping rules directly (a delete applies only to data
+    dirs committed strictly before it; compaction materializes the
+    live set under a fresh sequence and clears delete files). 200
+    deterministic schedules, duplicate (k, v) rows included."""
+    import numpy as np
+    from collections import Counter
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(2024)
+    n_schedules = 200
+
+    for sched in range(n_schedules):
+        cat = SnapshotCatalog(str(tmp_path / f"f{sched}"), spark)
+        shadow: list[dict] = []  # {k, v, seq}
+        vc = 0
+
+        def commit_seq():
+            return cat.current_id() + 1  # the seq staged ops will carry
+
+        n_ops = int(rng.integers(3, 7))
+        for op_i in range(n_ops):
+            op = (
+                "append" if op_i == 0
+                else rng.choice(
+                    ["append", "eq_k", "eq_kv", "pos", "compact"],
+                    p=[0.35, 0.15, 0.15, 0.2, 0.15],
+                )
+            )
+            if op == "append":
+                n = int(rng.integers(1, 6))
+                ks = rng.integers(0, 5, size=n)
+                # v collides on purpose: duplicate (k, v) rows must
+                # delete/survive as a multiset, not a set
+                vs = [(vc + i) % 7 for i in range(n)]
+                vc += n
+                s = commit_seq()
+                cat.stage_append(
+                    "t",
+                    spark.createDataFrame(
+                        [(int(k), int(v)) for k, v in zip(ks, vs)],
+                        "k long, v long",
+                    ),
+                )
+                cat.commit()
+                shadow.extend(
+                    {"k": int(k), "v": int(v), "seq": s}
+                    for k, v in zip(ks, vs)
+                )
+            elif op == "eq_k":
+                kill = {int(x) for x in rng.integers(0, 5, size=2)}
+                s = commit_seq()
+                cat.stage_delete(
+                    "t",
+                    spark.createDataFrame([(k,) for k in kill], "k long"),
+                )
+                cat.commit()
+                shadow = [
+                    r for r in shadow
+                    if not (r["seq"] < s and r["k"] in kill)
+                ]
+            elif op == "eq_kv":
+                if shadow and rng.random() < 0.8:
+                    pick = [shadow[int(i)] for i in
+                            rng.integers(0, len(shadow), size=2)]
+                    kill = {(r["k"], r["v"]) for r in pick}
+                else:  # sometimes a miss (keys not in the table)
+                    kill = {(99, 99)}
+                s = commit_seq()
+                cat.stage_delete(
+                    "t",
+                    spark.createDataFrame(
+                        [(int(k), int(v)) for k, v in kill],
+                        "k long, v long",
+                    ),
+                )
+                cat.commit()
+                shadow = [
+                    r for r in shadow
+                    if not (r["seq"] < s and (r["k"], r["v"]) in kill)
+                ]
+            elif op == "pos":
+                m = int(rng.integers(0, 3))
+                s = commit_seq()
+                sel = (
+                    cat.read_with_positions("t")
+                    .filter(F.col("v") % 3 == m)
+                    .select("_file", "_pos")
+                )
+                cat.stage_position_delete("t", sel)
+                cat.commit()
+                # every live physical row matching the predicate was
+                # selected; all carry seq < s by construction
+                shadow = [r for r in shadow if r["v"] % 3 != m]
+            else:  # compact
+                s = commit_seq()
+                cat.compact("t", target_bytes=1 << 30)
+                assert cat.deletes().get("t", []) == []
+                for r in shadow:
+                    r["seq"] = s
+
+            got = Counter(
+                (r["k"], r["v"]) for r in cat.read("t").collect()
+            )
+            want = Counter((r["k"], r["v"]) for r in shadow)
+            assert got == want, (sched, op_i, op, got, want)

@@ -263,3 +263,59 @@ def test_poisson_bootstrap_ci(spark):
     # deterministic across runs
     out2 = poisson_bootstrap_ci(df, "rid", "v", n_reps=32).collect()[0]
     assert (out["ci_lo6"], out["ci_hi6"]) == (out2["ci_lo6"], out2["ci_hi6"])
+
+
+def test_equi_depth_histogram_distributed_rank_matches_windowed_ntile(spark):
+    """Round-3 VERDICT perf finding #2: the histogram must not funnel its
+    sample through one single-partition global window. The distributed
+    rank (range-repartition + broadcast offsets) must reproduce ntile's
+    split law BIT-EXACTLY — verified against an inline windowed-ntile
+    reference across C % B != 0, C < B, and heavy-ties shapes."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.sequence import assign_dense_seq
+
+    rng = np.random.default_rng(21)
+    for n_rows, n_buckets in [(977, 16), (7, 10), (500, 7), (64, 16)]:
+        vals = np.where(
+            rng.random(n_rows) < 0.3, 42.0, rng.normal(0, 10, n_rows)
+        )
+        df = spark.createDataFrame(
+            [(float(v), i) for i, v in enumerate(vals)], "v double, k long"
+        )
+        got = {
+            r["bucket"]: (r["lo"], r["hi"], r["n_rows"], round(r["est_frac"], 12))
+            for r in equi_depth_histogram(
+                df, "v", "k", n_buckets=n_buckets, sample_permille=1000
+            ).collect()
+        }
+        # the exact plan the old implementation ran (fine at test sizes)
+        s = df.select("v", "k")
+        w = Window.orderBy("v", "k")
+        ref = (
+            s.withColumn("bucket", F.ntile(n_buckets).over(w))
+            .groupBy("bucket")
+            .agg(
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+        tot = float(n_rows)
+        want = {
+            r["bucket"]: (r["lo"], r["hi"], r["n_rows"],
+                          round(r["n_rows"] / tot, 12))
+            for r in ref.collect()
+        }
+        assert got == want, (n_rows, n_buckets)
+
+    # plan shape of the ranking machinery: the only Window is partitioned
+    # by _pid — NO Exchange SinglePartition anywhere in the plan
+    sample = spark.range(0, 10000).select(
+        (F.col("id") % 997).cast("double").alias("v"), F.col("id").alias("k")
+    )
+    ranked, _, handle = assign_dense_seq(sample, ["v", "k"], "_r")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    handle.unpersist()
+    assert "SinglePartition" not in plan, plan
