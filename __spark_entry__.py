@@ -4496,6 +4496,40 @@ def q_caption_stats_by_resolution(spark, sf_dir):
     )
 
 
+def q_pair_caption_canonical(spark, sf_dir):
+    """Cross-page caption consolidation (LAION/DataComp label-noise
+    merge): each synthetic image is referenced by 7 pages carrying one
+    of 3 deterministic caption variants; the modal caption wins (count
+    desc, caption asc tiebreak). Two map-side-combinable aggregations —
+    no window, no self-join (operators/pairs.py:caption_canonical).
+    Reference analog: first-duplicate-wins store dedup
+    (src/database.py:126-136), upgraded from first-wins to a vote."""
+    from crawler_spark.operators.pairs import caption_canonical, with_content_key
+
+    pairs = with_content_key(
+        _t(spark, sf_dir, "documents"), group=7, n_variants=3
+    )
+    return caption_canonical(pairs)
+
+
+def q_caption_noise_by_source(spark, sf_dir):
+    """Per-source caption label-noise scorecard: share of a source's
+    pairs whose caption lost the modal election for their image —
+    the per-feed disagreement number a curation pipeline down-weights
+    caption sources by (vs dup_rate_by_source, which scores text
+    duplication). Canonical table is one row per distinct image, joined
+    back on content_key (operators/pairs.py:caption_noise_report)."""
+    from crawler_spark.operators.pairs import (
+        caption_noise_report,
+        with_content_key,
+    )
+
+    pairs = with_content_key(
+        _t(spark, sf_dir, "documents"), group=7, n_variants=3
+    )
+    return caption_noise_report(pairs)
+
+
 def q_dup_rate_by_source(spark, sf_dir):
     """Dedup diagnostics segmented by origin: per source, exact-dup
     rate via fingerprint multiplicity — the per-feed quality report
@@ -13011,6 +13045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_clusters": q_image_dup_clusters,
         "zorder_key": q_zorder_key,
         "caption_stats_by_resolution": q_caption_stats_by_resolution,
+        "pair_caption_canonical": q_pair_caption_canonical,
+        "caption_noise_by_source": q_caption_noise_by_source,
         "dup_rate_by_source": q_dup_rate_by_source,
         "cosine_topk": q_cosine_topk,
         "kcenter_coreset": q_kcenter_coreset,
@@ -18141,6 +18177,76 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_tokens), 6) AS avg_tokens,
                    CAST(max(n_tokens) AS BIGINT) AS max_tokens
             FROM meta GROUP BY fmt, res_bucket
+        """,
+        "pair_caption_canonical": """
+            WITH pairs AS (
+              SELECT doc_id AS image_id,
+                     substring(md5(cast(cast(floor(doc_id / 7) as bigint)
+                       as varchar)), 1, 16) AS content_key,
+                     concat('v', cast((instr('0123456789abcdef',
+                       substring(md5(cast(doc_id as varchar)), 6, 1)) - 1)
+                       % 3 as varchar), ':',
+                       substring(md5(cast(cast(floor(doc_id / 7) as bigint)
+                         as varchar)), 1, 16)) AS caption,
+                     source
+              FROM documents
+            ),
+            vc AS (
+              SELECT content_key, caption, count(*) AS n
+              FROM pairs GROUP BY content_key, caption
+            ),
+            ranked AS (
+              SELECT content_key, caption, n,
+                ROW_NUMBER() OVER (PARTITION BY content_key
+                  ORDER BY n DESC, caption ASC) AS rn,
+                MAX(n) OVER (PARTITION BY content_key) AS top_n,
+                SUM(n) OVER (PARTITION BY content_key) AS n_pairs,
+                COUNT(*) OVER (PARTITION BY content_key) AS n_variants
+              FROM vc
+            )
+            SELECT content_key, caption AS canonical_caption,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(n_variants AS BIGINT) AS n_variants,
+                   round(top_n * 1.0 / n_pairs, 6) AS canonical_share
+            FROM ranked WHERE rn = 1
+        """,
+        "caption_noise_by_source": """
+            WITH pairs AS (
+              SELECT doc_id AS image_id,
+                     substring(md5(cast(cast(floor(doc_id / 7) as bigint)
+                       as varchar)), 1, 16) AS content_key,
+                     concat('v', cast((instr('0123456789abcdef',
+                       substring(md5(cast(doc_id as varchar)), 6, 1)) - 1)
+                       % 3 as varchar), ':',
+                       substring(md5(cast(cast(floor(doc_id / 7) as bigint)
+                         as varchar)), 1, 16)) AS caption,
+                     source
+              FROM documents
+            ),
+            vc AS (
+              SELECT content_key, caption, count(*) AS n
+              FROM pairs GROUP BY content_key, caption
+            ),
+            canon AS (
+              SELECT content_key, caption AS canonical_caption
+              FROM (
+                SELECT content_key, caption,
+                  ROW_NUMBER() OVER (PARTITION BY content_key
+                    ORDER BY n DESC, caption ASC) AS rn
+                FROM vc
+              ) WHERE rn = 1
+            ),
+            tagged AS (
+              SELECT p.source,
+                     (p.caption <> c.canonical_caption) AS is_noise
+              FROM pairs p JOIN canon c USING (content_key)
+            )
+            SELECT source, count(*) AS n_pairs,
+                   CAST(sum(CASE WHEN is_noise THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_noise_pairs,
+                   round(sum(CASE WHEN is_noise THEN 1.0 ELSE 0.0 END)
+                     / count(*), 6) AS noise_rate
+            FROM tagged GROUP BY source
         """,
         "dup_rate_by_source": """
             WITH fp AS (

@@ -318,12 +318,15 @@ def bench_crawl_round(spark, n_urls: int = BENCH_URLS) -> dict:
         # measures steady-state fetch throughput, not budget truncation
         stats = run_round(catalog, BENCH, round_seconds=10.0 * n_urls, n_salt=32)
         wall = time.monotonic() - t0
-        return {
+        out = {
             "urls": stats["scheduled"],
             "results": stats["results"],
             "wall_sec": round(wall, 3),
             "throughput": round(stats["scheduled"] / wall, 1),
         }
+        if "timings" in stats:  # SPARK_GRAFT_ROUND_TIMINGS=1 profiling
+            out["timings"] = stats["timings"]
+        return out
     finally:
         shutil.rmtree(td, ignore_errors=True)
 
@@ -381,6 +384,39 @@ def _probe_pair(
     os.sync()
     r_hi = _pinned_probe(hi[0], hi[1], n_urls)
     return r_lo, r_hi
+
+
+def _probe_pair_abba(
+    lo: tuple[str, str], hi: tuple[str, str], n_urls: int
+) -> tuple[dict, dict]:
+    """ABBA-ordered probes (lo, hi, hi, lo) with min-wall selection per
+    level. Two estimator hardenings over a single back-to-back pair
+    (round-3 VERDICT asked for a median-robust session, and the raw
+    pairs' spread came from host-window noise, not the engine):
+
+    * ABBA ordering: linear host drift across the rep hits both levels
+      with the same mean timestamp, so it cancels to first order in the
+      ratio instead of attributing the drift to one level.
+    * min of two walls per level: hypervisor steal bursts and writeback
+      stalls are one-sided additive noise — the smaller wall is the
+      better estimate of the uncontended time (never biases the ratio
+      toward the engine; both levels get the same treatment).
+    """
+    os.sync()
+    a1 = _pinned_probe(lo[0], lo[1], n_urls)
+    os.sync()
+    b1 = _pinned_probe(hi[0], hi[1], n_urls)
+    os.sync()
+    b2 = _pinned_probe(hi[0], hi[1], n_urls)
+    os.sync()
+    a2 = _pinned_probe(lo[0], lo[1], n_urls)
+
+    def best(x: dict, y: dict) -> dict:
+        r = dict(x if x["wall_sec"] <= y["wall_sec"] else y)
+        r["walls"] = sorted([x["wall_sec"], y["wall_sec"]])
+        return r
+
+    return best(a1, a2), best(b1, b2)
 
 
 def _cpu_probe(nprocs: int) -> None:
@@ -511,7 +547,7 @@ def main():
         reps = []
         for _rep in range(n_reps):
             ceiling = _cpu_ceiling(n_lo, lo_cpus, hi_cpus)
-            l_lo, l_hi = _probe_pair(lo, hi, n_large)
+            l_lo, l_hi = _probe_pair_abba(lo, hi, n_large)
             s_lo, s_hi = _probe_pair(lo, hi, n_small)
             dn = n_large - n_small
             st_lo = dn / max(l_lo["wall_sec"] - s_lo["wall_sec"], 1e-6)
@@ -557,6 +593,12 @@ def main():
             "rep_efficiencies_steady": [r["eff_steady"] for r in reps],
             "rep_efficiencies_raw": [r["eff_raw"] for r in reps],
             "rep_ceilings": [r["ceiling"] for r in reps],
+            # the round-3 VERDICT's robustness criterion: the MEDIAN
+            # across all reps, not only the quietest-window headline
+            "efficiency_median_steady": _median(
+                [r["eff_steady"] for r in reps]
+            ),
+            "efficiency_median_raw": _median([r["eff_raw"] for r in reps]),
             "efficiency_N_to_4N_raw": best["eff_raw"],
             "efficiency_N_to_4N_steady": eff_steady,
             "hardware_ceiling_N_to_4N": ceiling,
@@ -607,6 +649,16 @@ on disjoint core sets was tried and rejected: the two probes contend on
 the shared memory subsystem and disk writeback, which throttles the 4N
 probe far more than the N probe and fakes 0.3-0.5 efficiency.)
 
+The LARGE pair — the one the steady-state ratio is most sensitive to —
+is measured ABBA ({lo}, {hi}, {hi}, {lo}) with the MIN of the two walls
+taken per level: linear host drift across the rep then has the same
+mean timestamp at both levels (cancels to first order in the ratio),
+and hypervisor steal bursts / writeback stalls are one-sided additive
+noise, so the smaller wall is the better estimate of the uncontended
+time. Both levels get the identical treatment, so the selection cannot
+bias the ratio toward the engine; both walls per level are recorded in
+the JSON artifact.
+
 Each of the {s.get('n_reps', '?')} reps is self-contained — co-measured
 pure-CPU hardware ceiling, then the large pair, then the small pair —
 and the headline is the rep with the HIGHEST co-measured ceiling, i.e.
@@ -646,11 +698,15 @@ in a sandbox round it would dominate and hide the actual scaling
 behavior of the dataflow.
 
 **Scaling efficiency ({lo} -> {hi}, 4x cores):**
-- steady-state: `{s['efficiency_N_to_4N_steady']}` =
-  steady_4N / (4 x steady_N)  (target: >= 0.8)
+- **median steady efficiency across all {s.get('n_reps', '?')} reps:
+  `{s.get('efficiency_median_steady', _median(s.get('rep_efficiencies_steady', [])))}`**
+  — the session-robust number (target: >= 0.8); no window selection at
+  all, every rep counts
+- quietest-window rep (highest co-measured ceiling), steady-state:
+  `{s['efficiency_N_to_4N_steady']}` = steady_4N / (4 x steady_N)
 - raw single-round (includes the constant setup term):
-  `{s['efficiency_N_to_4N_raw']}`
-- median steady efficiency across all reps: `{_median(s.get('rep_efficiencies_steady', []))}`
+  `{s['efficiency_N_to_4N_raw']}`, median raw across reps:
+  `{s.get('efficiency_median_raw', _median(s.get('rep_efficiencies_raw', [])))}`
 - **hardware ceiling** (same N -> 4N comparison for pure-CPU process
   pools, no Spark — co-measured back-to-back in the headline rep,
   capturing the box's frequency scaling + hypervisor steal):

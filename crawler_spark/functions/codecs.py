@@ -36,11 +36,15 @@ def png_encode(px: np.ndarray) -> bytes:
     """8-bit grayscale PNG. px: (h, w) uint8."""
     h, w = px.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bitdepth 8, gray
-    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))  # filter 0
+    # filter byte 0 prepended per scanline as one vectorized hstack
+    raw = np.hstack([np.zeros((h, 1), dtype=np.uint8), px]).tobytes()
+    # zlib level 1: still fully deterministic (the codec contract), ~3x
+    # faster than the default, and the payload is lossless either way —
+    # the fetch stage encodes one image per URL, so this is hot-path
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IDAT", zlib.compress(raw, 1))
         + _chunk(b"IEND", b"")
     )
 
@@ -84,7 +88,9 @@ def qdct_encode(px: np.ndarray) -> bytes:
     h, w = px.shape
     q = (px.astype(np.uint16) + QDCT_Q // 2) // QDCT_Q
     q = np.clip(q, 0, 255 // QDCT_Q).astype(np.uint8)
-    return struct.pack(">HHB", w, h, QDCT_Q) + zlib.compress(q.tobytes(), 6)
+    # level 1: deterministic and ~3x faster; lossiness comes from the
+    # quantization above, never from the (lossless) deflate stage
+    return struct.pack(">HHB", w, h, QDCT_Q) + zlib.compress(q.tobytes(), 1)
 
 
 def qdct_decode(data: bytes) -> np.ndarray:
@@ -123,9 +129,8 @@ def phash64(px: np.ndarray) -> int:
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     means = px[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
     bits = (means > np.median(means)).flatten()
-    v = 0
-    for bit in bits:
-        v = (v << 1) | int(bit)
+    # packbits is MSB-first per byte, matching the former shift loop
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

@@ -386,3 +386,122 @@ def hard_negative_captions(
         "own_score",
         F.round(F.col("own_score") - F.col("neg_score"), 6).alias("margin"),
     )
+
+
+def with_content_key(
+    docs: DataFrame, group: int = 7, n_variants: int | None = None
+) -> DataFrame:
+    """Deterministic shared-image key over `documents`: every ``group``
+    consecutive doc_ids reference the SAME underlying image content
+    (md5 of the group index), carrying different captions — the
+    synthetic analog of one image re-crawled from many pages, each page
+    attaching its own alt-text. Pure integer/md5 arithmetic, portable
+    verbatim to the ANSI oracle.
+
+    With ``n_variants`` set, the caption is replaced by one of
+    ``n_variants`` deterministic variant strings per image (picked by an
+    md5 digit of the doc_id), so captions REPEAT within a group with
+    real multiplicities — the shape the modal election is for. Without
+    it, the raw document text is the caption (every page its own
+    string)."""
+    key = (
+        f"substring(md5(cast(cast(floor(doc_id / {group}) as bigint) "
+        "as string)), 1, 16)"
+    )
+    if n_variants is None:
+        caption = F.col("text")
+    else:
+        caption = F.expr(
+            "concat('v', cast((instr('0123456789abcdef', "
+            "substring(md5(cast(doc_id as string)), 6, 1)) - 1) "
+            f"% {n_variants} as string), ':', {key})"
+        )
+    return docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr(key).alias("content_key"),
+        caption.alias("caption"),
+        F.col("source"),
+    )
+
+
+def caption_canonical(pairs: DataFrame) -> DataFrame:
+    """Cross-page caption consolidation (the LAION/DataComp label-noise
+    merge): for each distinct image (content_key), elect the MODAL
+    caption — highest occurrence count, caption string ascending as the
+    deterministic tiebreak — and report the variant profile.
+
+    Output: (content_key, canonical_caption, n_pairs, n_variants,
+    canonical_share) — one row per distinct image. `canonical_share`
+    < 1.0 flags label-noise candidates: the image's pages disagree on
+    what it shows, and a trainer should either take the modal string or
+    drop the image.
+
+    Scale: two map-side-combinable aggregations (pairs -> (key, caption)
+    counts -> per-key election via max_by over a struct) — no window, no
+    self-join, no UDF. The (key, caption) intermediate is bounded by the
+    pair count; the election shuffles one row per distinct caption
+    variant, never per page. At 10^10 pairs this is exactly the plan a
+    100 TB caption merge wants: both shuffles combine map-side, and the
+    hot key ceiling is the max variant count of one image, not a global
+    sort.
+
+    Reference analog: the crawler's first-duplicate-wins store dedup
+    (src/database.py:126-136) collapses repeat encounters of one
+    merchant; this is the same collapse where encounters VOTE instead of
+    first-wins — the right semantics when later pages carry better
+    captions.
+    """
+    variant_counts = pairs.groupBy("content_key", "caption").agg(
+        F.count("*").alias("n")
+    )
+    # max_by over (n, caption-desc) realizes "count desc, caption asc":
+    # negating the count is not enough because the tiebreak runs the
+    # OTHER way, so order by struct(n, reversed-caption) via min_by on
+    # (-n, caption)
+    return (
+        variant_counts.groupBy("content_key")
+        .agg(
+            F.expr(
+                "min_by(caption, struct(-n as neg_n, caption))"
+            ).alias("canonical_caption"),
+            F.sum("n").alias("n_pairs"),
+            F.count("*").alias("n_variants"),
+            F.max(F.struct(F.col("n"), F.col("caption"))).alias("_top"),
+        )
+        .select(
+            "content_key",
+            "canonical_caption",
+            "n_pairs",
+            "n_variants",
+            F.round(
+                F.col("_top.n").cast("double") / F.col("n_pairs"), 6
+            ).alias("canonical_share"),
+        )
+    )
+
+
+def caption_noise_report(pairs: DataFrame) -> DataFrame:
+    """Per-source label-noise scorecard built on `caption_canonical`'s
+    election: for every (source, image) pair-group, how many of the
+    source's pairs carry a NON-canonical caption. The per-feed number a
+    curation pipeline uses to decide which crawl sources get their
+    captions down-weighted (vs `dup_rate_by_source`, which scores text
+    duplication — this scores cross-page caption disagreement).
+
+    Scale: the canonical table is one row per distinct image — joined
+    back to pairs on content_key as a plain hash join (broadcastable
+    while distinct-images fits, shuffle join beyond), then one map-side
+    combinable rollup per source."""
+    canon = caption_canonical(pairs).select(
+        "content_key", "canonical_caption"
+    )
+    tagged = pairs.join(canon, "content_key").withColumn(
+        "is_noise", (F.col("caption") != F.col("canonical_caption"))
+    )
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("is_noise").cast("long")).alias("n_noise_pairs"),
+        F.round(
+            F.sum(F.col("is_noise").cast("double")) / F.count("*"), 6
+        ).alias("noise_rate"),
+    )

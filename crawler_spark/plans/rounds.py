@@ -513,7 +513,16 @@ def run_round(
                 F.col("caption").contains(stop_on_caption_contains)
             ).agg(F.count(F.lit(1)).alias("target_hits_n"))
         )
+    # optional phase timing (SPARK_GRAFT_ROUND_TIMINGS=1): wall seconds
+    # of the round's three driver-blocking phases, for bench profiling —
+    # zero-cost when off, never changes the plan
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("SPARK_GRAFT_ROUND_TIMINGS") == "1"
+    _t0 = _time.monotonic() if _timing else 0.0
     m = agg_m.first()
+    _t_fetch = _time.monotonic() - _t0 if _timing else 0.0
     n_links = int(m["links"] or 0)
 
     # ---- expand frontier: canonicalize links, first-discovery-wins dedup,
@@ -741,6 +750,7 @@ def run_round(
             writes.append(("cuckoo", updated, True))
     from concurrent.futures import ThreadPoolExecutor
 
+    _t1 = _time.monotonic() if _timing else 0.0
     with ThreadPoolExecutor(max_workers=4) as pool:
         futs = [
             pool.submit(
@@ -750,6 +760,7 @@ def run_round(
         ]
         for f in futs:
             f.result()
+    _t_writes = _time.monotonic() - _t1 if _timing else 0.0
 
     stats = {
         "round_id": round_id,
@@ -776,7 +787,14 @@ def run_round(
             new_meta["frontier_delta_rows"] = round_delta
         else:
             new_meta["frontier_delta_rows"] = delta_rows + round_delta
+    _t2 = _time.monotonic() if _timing else 0.0
     catalog.commit(meta=new_meta or None)
+    if _timing:
+        stats["timings"] = {
+            "fetch_and_metrics_sec": round(_t_fetch, 3),
+            "expand_and_stage_writes_sec": round(_t_writes, 3),
+            "commit_sec": round(_time.monotonic() - _t2, 3),
+        }
     scheduled.unpersist()
     fetched.unpersist()
     denied.unpersist()

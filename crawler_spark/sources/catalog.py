@@ -36,6 +36,7 @@ import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 # File-level column bounds are only kept for cheap, order-comparable
 # types; strings longer than this are skipped (Iceberg instead truncates
@@ -102,6 +103,7 @@ class SnapshotCatalog:
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         self._staged: dict[str, list[str]] = {}
         self._staged_stats: dict[str, dict] = {}  # dir -> {file: {col: [lo, hi]}}
+        self._staged_schemas: dict[str, str] = {}  # dir -> StructType json
         self._staged_deletes: dict[str, list[str]] = {}
         # stage_* may be called from concurrent driver threads (the round
         # driver overlaps its independent table writes to backfill idle
@@ -190,6 +192,12 @@ class SnapshotCatalog:
             self._staged.setdefault(table, []).append(d)
             if stats:
                 self._staged_stats[d] = stats
+            # schema recorded in the manifest (Iceberg resolves schema
+            # from metadata, never from data-file footers): read() can
+            # then open ZERO footers — at 10^10 scale a table holds
+            # thousands of files and the footer-union job per read is
+            # pure constant overhead
+            self._staged_schemas[d] = df.schema.json()
 
     def stage_overwrite(self, table: str, df: DataFrame) -> None:
         """Replace the table's file set at the next commit."""
@@ -218,6 +226,7 @@ class SnapshotCatalog:
         keys_df.write.mode("overwrite").parquet(d)
         with self._lock:
             self._staged_deletes.setdefault(table, []).append(d)
+            self._staged_schemas[d] = keys_df.schema.json()
 
     def read_with_positions(
         self, table: str, snapshot: int | None = None
@@ -236,7 +245,7 @@ class SnapshotCatalog:
             raise KeyError(f"unknown table {table!r}")
 
         def withpos(dd: list[str]) -> DataFrame:
-            base = self.spark.read.option("mergeSchema", "true").parquet(*dd)
+            base = self._read_dirs(dd, snapshot)
             return base.withColumn(
                 "_file", F.col("_metadata.file_path")
             ).withColumn("_pos", F.col("_metadata.row_index"))
@@ -251,7 +260,7 @@ class SnapshotCatalog:
         # then silently miss them (bug found by the delete-interleaving
         # fuzz test, round-4).
         parts = [
-            self._apply_eq_deletes(withpos(dd), list(appl))
+            self._apply_eq_deletes(withpos(dd), list(appl), snapshot)
             for appl, dd in self._delete_groups(dirs, dels).items()
         ]
         return reduce(
@@ -314,13 +323,24 @@ class SnapshotCatalog:
         # carry file stats for every dir still referenced; staged dirs add
         # theirs, dirs dropped by overwrite/expiry fall out of the map
         prev_stats = {}
+        prev_schemas = {}
         if self.current_id() >= 0:
-            prev_stats = self._manifest(self.current_id()).get("stats", {})
+            head = self._manifest(self.current_id())
+            prev_stats = head.get("stats", {})
+            prev_schemas = head.get("schemas", {})
         live = {d for dirs in tables.values() for d in dirs}
+        live_del = {d for dirs in deletes.values() for d in dirs}
         stats = {
             d: s
             for d, s in {**prev_stats, **self._staged_stats}.items()
             if d in live
+        }
+        # delete dirs keep their schemas too: _apply_eq_deletes needs
+        # each delete file's equality-column set without opening it
+        schemas = {
+            d: s
+            for d, s in {**prev_schemas, **self._staged_schemas}.items()
+            if d in live or d in live_del
         }
         man = {
             "id": sid,
@@ -331,6 +351,7 @@ class SnapshotCatalog:
             "deletes": deletes,
             "meta": {**self.meta(), **(meta or {})},
             "stats": stats,
+            "schemas": schemas,
         }
         if publish:
             self._publish(man)
@@ -343,6 +364,7 @@ class SnapshotCatalog:
             self.tag(f"wap-{sid}", sid)
         self._staged = {}
         self._staged_stats = {}
+        self._staged_schemas = {}
         self._staged_deletes = {}
         return sid
 
@@ -468,22 +490,71 @@ class SnapshotCatalog:
     def exists(self, table: str, snapshot: int | None = None) -> bool:
         return bool(self.tables(snapshot).get(table))
 
+    def _schemas(self, snapshot: int | None = None) -> dict[str, str]:
+        """dir -> StructType json recorded at write time (manifest
+        metadata; empty for catalogs written before schemas existed)."""
+        sid = self.current_id() if snapshot is None else snapshot
+        if sid < 0:
+            return {}
+        return self._manifest(sid).get("schemas", {})
+
+    @staticmethod
+    def _merge_schemas(jsons: list[str]) -> T.StructType | None:
+        """Union the recorded per-dir schemas (mergeSchema semantics:
+        field order of first appearance, later dirs append new fields).
+        None on a type conflict — the caller falls back to the footer
+        union, which raises Spark's own detailed error."""
+        fields: dict[str, T.StructField] = {}
+        order: list[str] = []
+        for sj in jsons:
+            st = T.StructType.fromJson(json.loads(sj))
+            for f in st.fields:
+                prev = fields.get(f.name)
+                if prev is None:
+                    fields[f.name] = f
+                    order.append(f.name)
+                elif prev.dataType != f.dataType:
+                    return None
+        # nullable everywhere: a dir written before a column was added
+        # legitimately lacks it, and the scan fills nulls
+        return T.StructType(
+            [T.StructField(n, fields[n].dataType, True) for n in order]
+        )
+
+    def _read_dirs(
+        self, dirs: list[str], snapshot: int | None = None
+    ) -> DataFrame:
+        """Scan data dirs with schema-evolution semantics. When every
+        dir has a manifest-recorded schema the union is computed from
+        metadata and the scan opens ZERO footers (Iceberg's behavior);
+        otherwise fall back to Spark's mergeSchema footer-union job.
+        Column evolution still works either way: columns added by later
+        appends surface as nulls for older dirs."""
+        rec = self._schemas(snapshot)
+        jsons = [rec.get(d) for d in dirs]
+        if all(jsons):
+            merged = self._merge_schemas(jsons)  # type: ignore[arg-type]
+            if merged is not None:
+                return self.spark.read.schema(merged).parquet(*dirs)
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
     def read(self, table: str, snapshot: int | None = None) -> DataFrame:
         dirs = self.tables(snapshot).get(table)
         if not dirs:
             raise KeyError(f"table {table!r} absent at snapshot {snapshot}")
-        # mergeSchema: columns added by later appends must not silently
-        # vanish (without it Spark takes one file's schema and drops the
-        # rest — schema evolution is table-format table stakes). Real
-        # Iceberg resolves this from manifest metadata without touching
-        # footers; this layer pays the footer union instead.
+        # schema evolution: columns added by later appends must not
+        # silently vanish. Resolved from manifest-recorded schemas when
+        # available (no footer reads), footer union otherwise.
         dels = self.deletes(snapshot).get(table, [])
         if not dels:
-            return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
-        return self._read_with_deletes(dirs, dels)
+            return self._read_dirs(dirs, snapshot)
+        return self._read_with_deletes(dirs, dels, snapshot)
 
     def _read_with_deletes(
-        self, data_dirs: list[str], delete_dirs: list[str]
+        self,
+        data_dirs: list[str],
+        delete_dirs: list[str],
+        snapshot: int | None = None,
     ) -> DataFrame:
         """Merge-on-read: anti-join equality-delete keys into the scan,
         honoring sequence numbers — a delete dir applies only to data
@@ -498,14 +569,17 @@ class SnapshotCatalog:
         groups = self._delete_groups(data_dirs, delete_dirs)
         parts = []
         for appl, dd in groups.items():
-            df = self.spark.read.option("mergeSchema", "true").parquet(*dd)
-            parts.append(self._apply_eq_deletes(df, list(appl)))
+            df = self._read_dirs(dd, snapshot)
+            parts.append(self._apply_eq_deletes(df, list(appl), snapshot))
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
 
     def _apply_eq_deletes(
-        self, df: DataFrame, delete_dirs: list[str]
+        self,
+        df: DataFrame,
+        delete_dirs: list[str],
+        snapshot: int | None = None,
     ) -> DataFrame:
         """Apply equality-delete dirs to ``df``, one anti-join per
         distinct equality-column set — Iceberg semantics: each delete
@@ -518,9 +592,16 @@ class SnapshotCatalog:
             return df
         from pyspark.sql import functions as F
 
+        rec = self._schemas(snapshot)
         by_cols: dict[tuple, list[str]] = {}
         for d in delete_dirs:
-            cols = tuple(sorted(self.spark.read.parquet(d).columns))
+            # equality-column set from the manifest-recorded schema when
+            # available; footer read only for pre-schema catalogs
+            if d in rec:
+                st = T.StructType.fromJson(json.loads(rec[d]))
+                cols = tuple(sorted(f.name for f in st.fields))
+            else:
+                cols = tuple(sorted(self.spark.read.parquet(d).columns))
             by_cols.setdefault(cols, []).append(d)
         # POSITION deletes ((_file, _pos) column set) resolve against
         # the scan's hidden metadata columns, which stop being
@@ -615,7 +696,7 @@ class SnapshotCatalog:
                 s = self._dir_seq(d)
                 appl = [x for x in dels if self._dir_seq(x) > s]
                 g = self.spark.read.option("mergeSchema", "true").parquet(*files)
-                parts.append(self._apply_eq_deletes(g, appl))
+                parts.append(self._apply_eq_deletes(g, appl, snapshot))
             df = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
             )
@@ -662,7 +743,7 @@ class SnapshotCatalog:
         delta = [d for d in new if d not in set(old)]
         if not delta:
             return self.read(table, to_snapshot).limit(0)
-        return self.spark.read.parquet(*delta)
+        return self._read_dirs(delta, to_snapshot)
 
     def compact(
         self,

@@ -168,3 +168,69 @@ def test_caption_alignment_scores_and_threshold(spark):
         )
         assert abs(out[i].align_score - want) < 2e-6
         assert out[i].kept == (out[i].align_score >= 0.05)
+
+
+def test_caption_canonical_modal_election_and_shares(spark):
+    from crawler_spark.operators.pairs import caption_canonical
+
+    pairs = spark.createDataFrame(
+        [
+            # image A: "cat" x3 beats "dog" x2 and "emu" x1
+            (1, "A", "dog", "s1"), (2, "A", "cat", "s1"),
+            (3, "A", "cat", "s2"), (4, "A", "dog", "s2"),
+            (5, "A", "cat", "s2"), (6, "A", "emu", "s3"),
+            # image B: tie 2-2 -> lexicographically smaller wins
+            (7, "B", "zebra", "s1"), (8, "B", "ant", "s1"),
+            (9, "B", "zebra", "s2"), (10, "B", "ant", "s3"),
+            # image C: single caption -> share 1.0
+            (11, "C", "solo", "s1"),
+        ],
+        "image_id long, content_key string, caption string, source string",
+    )
+    got = {r.content_key: r for r in caption_canonical(pairs).collect()}
+    assert got["A"].canonical_caption == "cat"
+    assert got["A"].n_pairs == 6 and got["A"].n_variants == 3
+    assert abs(got["A"].canonical_share - 0.5) < 1e-9
+    assert got["B"].canonical_caption == "ant"  # tie broken ascending
+    assert abs(got["B"].canonical_share - 0.5) < 1e-9
+    assert got["C"].canonical_caption == "solo"
+    assert got["C"].canonical_share == 1.0 and got["C"].n_variants == 1
+
+
+def test_caption_noise_report_counts_minority_pairs(spark):
+    from crawler_spark.operators.pairs import caption_noise_report
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "A", "cat", "good"), (2, "A", "cat", "good"),
+            (3, "A", "dog", "bad"),                 # loses election
+            (4, "B", "x", "good"), (5, "B", "x", "bad"),
+        ],
+        "image_id long, content_key string, caption string, source string",
+    )
+    got = {r.source: r for r in caption_noise_report(pairs).collect()}
+    assert got["good"].n_noise_pairs == 0 and got["good"].noise_rate == 0.0
+    assert got["bad"].n_pairs == 2 and got["bad"].n_noise_pairs == 1
+    assert abs(got["bad"].noise_rate - 0.5) < 1e-9
+
+
+def test_content_key_grouping_and_variant_multiplicity(spark):
+    from crawler_spark.operators.pairs import with_content_key
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "s") for i in range(21)],
+        "doc_id long, text string, source string",
+    )
+    out = with_content_key(docs, group=7, n_variants=3)
+    agg = out.groupBy("content_key").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("caption").alias("nv"),
+    )
+    rows = agg.collect()
+    assert len(rows) == 3
+    assert all(r.n == 7 for r in rows)
+    # 7 pages over <=3 variants: pigeonhole guarantees a real modal vote
+    assert all(1 <= r.nv <= 3 for r in rows)
+    # without n_variants the raw text is the caption (all distinct)
+    raw = with_content_key(docs, group=7)
+    assert raw.select(F.count_distinct("caption")).first()[0] == 21
