@@ -92,6 +92,8 @@ HEADLINE = [
     "pair_shards",
     "phash_threshold_eval",
     "caption_junk_filter",
+    "pair_caption_canonical",
+    "caption_noise_by_source",
     "host_components",
     "repetition_suite",
     "span_dedup_stats",
