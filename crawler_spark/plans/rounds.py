@@ -437,9 +437,15 @@ def run_round(
     # serialize the Python fetch workers. Explicitly hash-repartition to
     # the cluster's parallelism (explicit numPartitions is exempt from
     # AQE coalescing); url_hash spreads any single mega-host evenly.
-    # 4x cores: fine enough that each stage's straggler tail is a small
-    # fraction of a wave, coarse enough to amortize per-task overhead
-    n_fetch = 4 * spark.sparkContext.defaultParallelism
+    # 2x cores: fine enough that the straggler tail is at most half a
+    # wave, coarse enough to amortize the per-task Arrow stream setup
+    # (each task pairs with a python worker, so task count is also
+    # worker churn) -- measured ~20% faster than 4x on the 200k round;
+    # SPARK_GRAFT_FETCH_FANOUT overrides the multiplier for tuning
+    import os as _os2
+
+    _fanout = int(_os2.environ.get("SPARK_GRAFT_FETCH_FANOUT", "2"))
+    n_fetch = _fanout * spark.sparkContext.defaultParallelism
     fetched = (
         run_fetch(scheduled.repartition(n_fetch, "url_hash"), web)
         .withColumn("partition_id", F.spark_partition_id())
