@@ -12736,6 +12736,51 @@ _TRIMMED_SQL = f"""
 """
 
 
+def q_priority_sample_totals(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup JACM'07) over the
+    documents corpus: per host, a k=64 sample whose max(w, tau)
+    estimator gives an UNBIASED total-characters estimate — the
+    zero-tuning companion to ht_corpus_totals (which needs rates chosen
+    up front) and weighted_sample (which samples but cannot estimate).
+    One scan + the salted two-phase top-(k+1); exact witness alongside
+    (at 10^10 rows the witness is the pass being avoided)."""
+    from crawler_spark.operators.stats import priority_sample_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("host-"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".test"),
+        ).alias("host"),
+        "n_chars",
+    )
+    return priority_sample_estimate(d, "host", "doc_id", "n_chars", k=64)
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Epoch-deterministic training shuffle manifest: the per-epoch
+    pseudorandom permutation (rank of md5('esh{e}:'+doc_id)) rolled
+    into 256-row loader blocks, for epochs 0 AND 1 in one plan — the
+    pair proves each epoch is individually reproducible while epochs
+    differ by a full re-permutation (their per-block hash fences
+    cannot collide). Global rank via assign_dense_seq (range shuffle +
+    broadcast offsets — no single-partition window); output is
+    2 * ceil(n/256) manifest rows."""
+    from crawler_spark.operators.corpus import epoch_shuffle_manifest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m0 = epoch_shuffle_manifest(
+        docs, "doc_id", "n_chars", epoch=0
+    ).withColumn("epoch", F.lit(0))
+    m1 = epoch_shuffle_manifest(
+        docs, "doc_id", "n_chars", epoch=1
+    ).withColumn("epoch", F.lit(1))
+    return m0.unionByName(m1).select(
+        "epoch", "block_id", "n_rows", "weight_sum", "h_lo", "h_hi"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12743,6 +12788,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "priority_sample_totals": q_priority_sample_totals,
+        "epoch_shuffle": q_epoch_shuffle,
         "frontier_schedule": q_frontier_schedule,
         "host_link_rank": q_host_link_rank,
         "rank_drift": q_rank_drift,
@@ -13108,6 +13155,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     frontier = _FRONTIER_SQL
     sqls = {
+        "priority_sample_totals": """
+            WITH d AS (
+              SELECT doc_id,
+                     'host-' || (doc_id % 20) || '.test' AS host,
+                     CAST(n_chars AS DOUBLE) AS w,
+                     CAST('0x' || substring(md5('ps:'
+                          || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS h15
+              FROM documents
+            ),
+            pq AS (
+              SELECT *, w * 1152921504606846976.0 / (h15 + 1) AS q FROM d
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY host
+                                           ORDER BY q DESC, doc_id) AS rnk
+              FROM pq
+            ),
+            tau AS (
+              SELECT host,
+                     coalesce(max(CASE WHEN rnk = 65 THEN q END), 0.0)
+                       AS tau
+              FROM r GROUP BY host
+            ),
+            est AS (
+              SELECT r.host, CAST(count(*) AS BIGINT) AS n_sampled,
+                     CAST(sum(CAST(CAST(floor(greatest(w, tau) * 1e9
+                                              + 0.5) AS DOUBLE) / 1e9
+                              AS DECIMAL(28, 9))) AS DOUBLE) AS est_total,
+                     max(tau) AS tau_v
+              FROM r JOIN tau USING (host) WHERE rnk <= 64
+              GROUP BY r.host
+            ),
+            ex AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_pop,
+                     CAST(sum(CAST(CAST(floor(w * 1e9 + 0.5) AS DOUBLE)
+                                   / 1e9 AS DECIMAL(28, 9))) AS DOUBLE)
+                       AS exact_total
+              FROM d GROUP BY host
+            )
+            SELECT est.host, n_pop, n_sampled,
+                   floor(tau_v * 1e6 + 0.5) / 1e6 AS tau6,
+                   floor(est_total * 1e6 + 0.5) / 1e6 AS est_total6,
+                   floor(exact_total * 1e6 + 0.5) / 1e6 AS exact_total6
+            FROM est JOIN ex USING (host)
+        """,
+        "epoch_shuffle": """
+            WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+            keyed AS (
+              SELECT e.epoch, d.doc_id,
+                     CAST(d.n_chars AS DOUBLE) AS wt,
+                     CAST('0x' || substring(md5('esh' || e.epoch || ':'
+                          || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS h
+              FROM documents d CROSS JOIN e
+            ),
+            pos AS (
+              SELECT *, row_number() OVER (PARTITION BY epoch
+                                           ORDER BY h, doc_id) - 1 AS p
+              FROM keyed
+            )
+            SELECT epoch, CAST(p // 256 AS BIGINT) AS block_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(CAST(floor(wt * 1e9 + 0.5) AS DOUBLE)
+                                 / 1e9 AS DECIMAL(28, 9))) AS DOUBLE)
+                     AS weight_sum,
+                   min(h) AS h_lo, max(h) AS h_hi
+            FROM pos GROUP BY epoch, p // 256
+        """,
         "frontier_schedule": f"""
             WITH f AS ({frontier})
             SELECT host, doc_id, priority, depth, sched_rank FROM (
@@ -14631,7 +14747,7 @@ def oracle_sql() -> dict[str, str]:
                      / 1e6 AS rel_err6
             FROM est JOIN ex ON ex.day = est.day
         """,
-        "fk_readability": """
+        "fk_readability": r"""
             WITH d AS (
               SELECT doc_id, lower(trim(text)) AS t FROM documents
             ),

@@ -128,7 +128,13 @@ def phash64(px: np.ndarray) -> int:
     h, w = px.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     means = px[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
-    bits = (means > np.median(means)).flatten()
+    # median of the 64-cell grid, spelled as sort + midpair: identical
+    # arithmetic to np.median (partition, then mean of the two middle
+    # elements) without its ~30us of ufunc dispatch — this runs once per
+    # fetched image in the crawl hot path
+    flat = np.sort(means, axis=None)
+    med = (flat[31] + flat[32]) / 2.0
+    bits = (means > med).flatten()
     # packbits is MSB-first per byte, matching the former shift loop
     v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v

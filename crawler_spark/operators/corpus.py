@@ -1223,3 +1223,73 @@ def span_removal_manifest(
             ).alias("removal_ratio6"),
         )
     )
+
+
+def epoch_shuffle_manifest(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    epoch: int,
+    block_rows: int = 256,
+) -> DataFrame:
+    """Epoch-deterministic global training shuffle -> block manifest.
+
+    Every LLM training run re-orders its corpus once per epoch, and the
+    ordering must be (a) a fresh permutation each epoch (repeated batch
+    neighborhoods measurably hurt convergence), (b) REPRODUCIBLE from
+    (corpus, epoch) alone — restarts, re-shards and cluster-size changes
+    must not change what batch 1734 contained, which rules out
+    ``df.orderBy(rand())`` and anything partition-count-dependent — and
+    (c) cheap: one range shuffle, not a driver-side permutation array
+    (10^10 positions do not fit anywhere). The standard answer is a
+    keyed hash order: position = rank of md5('esh{epoch}:' + key), a
+    pseudorandom permutation that any worker can recompute locally.
+
+    This computes that order and rolls it into consecutive
+    ``block_rows``-sized blocks (the I/O unit a data loader prefetches),
+    returning the manifest one row per block: (block_id, n_rows,
+    weight_sum = pinned sum of ``weight_col`` — the token-budget view —
+    and h_lo/h_hi, the block's order-hash range, which doubles as an
+    integrity checksum: a re-run that produces a different permutation
+    cannot reproduce the same per-block hash fences).
+
+    Scale shape: the global rank is `operators/sequence.assign_dense_seq`
+    (range-repartition + per-partition sort + broadcast offsets — no
+    single-partition window); the manifest is n/block_rows rows. The
+    manifest is eagerly localCheckpoint-ed so the range-partition
+    persist can be released before returning (equi_depth_histogram's
+    lifecycle). Epoch enters only through the hash salt, so epoch e and
+    e' differ by a full re-permutation while each remains individually
+    stable.
+    """
+    from crawler_spark.functions.num import pin9
+    from crawler_spark.operators.sequence import assign_dense_seq
+
+    keyed = df.select(
+        F.col(key_col).alias("id"),
+        F.col(weight_col).cast("double").alias("wt"),
+    ).withColumn(
+        "h",
+        F.expr(
+            f"cast(conv(substring(md5(concat('esh{int(epoch)}:', "
+            f"cast(id as string))), 1, 15), 16, 10) as bigint)"
+        ),
+    )
+    ranked, _n, handle = assign_dense_seq(keyed, ["h", "id"], "_pos")
+    manifest = (
+        ranked.withColumn(
+            "block_id", F.expr(f"_pos div {int(block_rows)}").cast("long")
+        )
+        .groupBy("block_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(pin9(F.col("wt")).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("weight_sum"),
+            F.min("h").alias("h_lo"),
+            F.max("h").alias("h_hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    handle.unpersist()
+    return manifest

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -65,67 +66,166 @@ FETCHED_SCHEMA = T.StructType(
     ]
 )
 
-_NULLS = {f.name: None for f in FETCHED_SCHEMA.fields}
-
-
 def make_fetch_parse(web: SynthWeb):
-    """Build the mapInPandas function over scheduled rows."""
+    """Build the mapInPandas function over scheduled rows.
+
+    The batch is processed as four row SEGMENTS (fail / result / empty /
+    link) with the parent-key columns gathered by vectorized index
+    arrays: the per-row python work is exactly the fetcher calls
+    (fetch_error / payload / outlinks_raw) plus list appends. The former
+    one-dict-per-output-row form spent as long building and re-reading
+    ~20-field dicts as it did fetching — at 200k URLs/round that was half
+    the fetch stage's CPU. Nullable Int64 arrays are built directly from
+    (values, mask) pairs so 64-bit hashes never round-trip through
+    float64.
+    """
+    import inspect
+
+    # SynthWeb's fetch_error/payload accept a precomputed url hash (saves
+    # one xxh64 per leaf); other fetchers behind this seam (e.g.
+    # sources/fakehttp.py) may not — detect once, not per row.
+    _takes_uh = (
+        "uh" in inspect.signature(web.payload).parameters
+        and "uh" in inspect.signature(web.fetch_error).parameters
+    )
+    if _takes_uh:
+        from crawler_spark.sources.synth import _uh
 
     def fetch_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[dict] = []
-            for row in pdf.itertuples(index=False):
-                base = dict(_NULLS)
-                base.update(
-                    url_canon=row.url_canon,
-                    url_hash=int(row.url_hash),
-                    host=row.host,
-                    priority=int(row.priority),
-                    eff_priority=int(row.eff_priority),
-                    depth=int(row.depth),
-                    discovery_seq=int(row.discovery_seq),
-                    attempts=int(row.attempts),
+            n = len(pdf)
+            urls = pdf["url_canon"].to_numpy(dtype=object)
+            hosts = pdf["host"].to_numpy(dtype=object)
+            base_int = {
+                c: pdf[c].to_numpy()
+                for c in (
+                    "url_hash", "priority", "eff_priority", "depth",
+                    "discovery_seq", "attempts",
                 )
-                err = web.fetch_error(row.url_canon, attempt=int(row.attempts) + 1)
+            }
+            attempts = base_int["attempts"]
+
+            fail_i: list[int] = []
+            fail_reason: list[str] = []
+            res_i: list[int] = []
+            p_img: list[str] = []
+            p_bytes: list[bytes] = []
+            p_w: list[int] = []
+            p_h: list[int] = []
+            p_fmt: list[str] = []
+            p_cap: list[str] = []
+            p_ph: list[int] = []
+            empty_i: list[int] = []
+            link_i: list[int] = []  # parent row index, repeated per link
+            link_raw: list[str] = []
+            link_seq: list[int] = []
+
+            is_leaf = web.is_leaf
+            fetch_error = web.fetch_error
+            payload = web.payload
+            outlinks_raw = web.outlinks_raw
+            for i in range(n):
+                url = urls[i]
+                leaf = is_leaf(url)
+                if leaf and _takes_uh:
+                    h = _uh(url)
+                    err = fetch_error(url, attempt=int(attempts[i]) + 1, uh=h)
+                else:
+                    err = fetch_error(url, attempt=int(attempts[i]) + 1)
                 if err is not None:
-                    out.append({**base, "kind": "fail", "error_reason": err})
+                    fail_i.append(i)
+                    fail_reason.append(err)
                     continue
-                if web.is_leaf(row.url_canon):
-                    out.append({**base, "kind": "result", **web.payload(row.url_canon)})
+                if leaf:
+                    p = payload(url, uh=h) if _takes_uh else payload(url)
+                    res_i.append(i)
+                    p_img.append(p["image_id"])
+                    p_bytes.append(p["bytes"])
+                    p_w.append(p["w"])
+                    p_h.append(p["h"])
+                    p_fmt.append(p["fmt"])
+                    p_cap.append(p["caption"])
+                    p_ph.append(p["phash"])
                     continue
-                links = web.outlinks_raw(row.url_canon)
+                links = outlinks_raw(url)
                 if not links:
                     # navigable page with no results — still a "result" of
                     # zero records; record nothing but count as fetched
-                    out.append({**base, "kind": "empty"})
-                for i, raw in enumerate(links):
-                    out.append(
-                        {
-                            **base,
-                            "kind": "link",
-                            "link_raw": raw,
-                            "link_seq": i,  # sibling index (document order)
-                        }
-                    )
-            # build columns explicitly: pd.DataFrame(list-of-dicts) infers
-            # float64 for int+None columns, silently rounding 64-bit hashes
-            # past 2^53 — nullable Int64 arrays keep them exact
-            int_cols = {
-                "phash", "link_seq", "w", "h", "url_hash", "discovery_seq",
-                "priority", "eff_priority", "attempts",
-            }
-            names = [f.name for f in FETCHED_SCHEMA.fields]
-            pdf_out = pd.DataFrame(
+                    empty_i.append(i)
+                    continue
+                link_i.extend([i] * len(links))
+                link_raw.extend(links)
+                link_seq.extend(range(len(links)))  # sibling/document order
+
+            nf, nr, ne, nl = len(fail_i), len(res_i), len(empty_i), len(link_i)
+            seg = np.concatenate(
+                [
+                    np.asarray(fail_i, dtype=np.int64),
+                    np.asarray(res_i, dtype=np.int64),
+                    np.asarray(empty_i, dtype=np.int64),
+                    np.asarray(link_i, dtype=np.int64),
+                ]
+            )
+
+            def gather_int(col: np.ndarray) -> pd.arrays.IntegerArray:
+                v = col[seg].astype(np.int64, copy=False)
+                return pd.arrays.IntegerArray(v, np.zeros(len(v), dtype=bool))
+
+            def result_int(vals: list[int]) -> pd.arrays.IntegerArray:
+                v = np.zeros(nf + nr + ne + nl, dtype=np.int64)
+                m = np.ones(nf + nr + ne + nl, dtype=bool)
+                v[nf : nf + nr] = np.asarray(vals, dtype=np.int64)
+                m[nf : nf + nr] = False
+                return pd.arrays.IntegerArray(v, m)
+
+            def obj(segments: list[tuple[int, list | np.ndarray | None]]):
+                out = np.empty(nf + nr + ne + nl, dtype=object)
+                pos = 0
+                for ln, vals in segments:
+                    if vals is not None:
+                        # explicit object dtype: a bare list of bytes would
+                        # coerce to a |S fixed-width array mid-assignment
+                        seg_arr = np.empty(ln, dtype=object)
+                        seg_arr[:] = vals
+                        out[pos : pos + ln] = seg_arr
+                    pos += ln
+                return out
+
+            link_seq_v = np.zeros(nf + nr + ne + nl, dtype=np.int64)
+            link_seq_m = np.ones(nf + nr + ne + nl, dtype=bool)
+            link_seq_v[nf + nr + ne :] = np.asarray(link_seq, dtype=np.int64)
+            link_seq_m[nf + nr + ne :] = False
+
+            yield pd.DataFrame(
                 {
-                    n: (
-                        pd.array([r[n] for r in out], dtype="Int64")
-                        if n in int_cols
-                        else pd.array([r[n] for r in out], dtype=object)
-                    )
-                    for n in names
+                    "kind": obj(
+                        [(nf, ["fail"] * nf), (nr, ["result"] * nr),
+                         (ne, ["empty"] * ne), (nl, ["link"] * nl)]
+                    ),
+                    "url_canon": urls[seg],
+                    "url_hash": gather_int(base_int["url_hash"]),
+                    "host": hosts[seg],
+                    "priority": gather_int(base_int["priority"]),
+                    "eff_priority": gather_int(base_int["eff_priority"]),
+                    "depth": gather_int(base_int["depth"]),
+                    "discovery_seq": gather_int(base_int["discovery_seq"]),
+                    "attempts": gather_int(base_int["attempts"]),
+                    "image_id": obj([(nf, None), (nr, p_img), (ne + nl, None)]),
+                    "bytes": obj([(nf, None), (nr, p_bytes), (ne + nl, None)]),
+                    "w": result_int(p_w),
+                    "h": result_int(p_h),
+                    "fmt": obj([(nf, None), (nr, p_fmt), (ne + nl, None)]),
+                    "caption": obj([(nf, None), (nr, p_cap), (ne + nl, None)]),
+                    "phash": result_int(p_ph),
+                    "link_raw": obj(
+                        [(nf + nr + ne, None), (nl, link_raw)]
+                    ),
+                    "link_seq": pd.arrays.IntegerArray(link_seq_v, link_seq_m),
+                    "error_reason": obj(
+                        [(nf, fail_reason), (nr + ne + nl, None)]
+                    ),
                 }
             )
-            yield pdf_out
 
     return fetch_parse
 

@@ -640,3 +640,113 @@ def poisson_bootstrap_ci(
         ).alias("mean6"),
     )
     return base.crossJoin(F.broadcast(ci))
+
+
+def priority_sample_estimate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM'07): a fixed-k
+    weighted sample per group whose subset-sum estimator is UNBIASED and
+    near-variance-optimal — the missing member next to the repo's other
+    two samplers: Efraimidis-Spirakis (`weighted_sample`) draws a
+    weighted sample but gives no total estimator; Horvitz-Thompson
+    (`ht_total_estimate`) estimates totals but needs the inclusion rates
+    fixed up front. Priority sampling does both with ZERO tuning: draw
+    u_i uniform, give row i priority q_i = w_i / u_i, keep the k largest
+    priorities, let tau = the (k+1)-th priority, and estimate
+    sum(w) by  sum over the sample of max(w_i, tau). E[estimate] is
+    exactly sum(w); variance is within a factor (1 + O(1/k)) of the best
+    possible k-sample scheme (Szegedy STOC'06). The curation read:
+    budget-k review samples per host whose implied corpus totals remain
+    honest (politeness/priority bias included) without designing strata.
+
+    Determinism contract: u_i derives from the first 15 md5 hex digits
+    of 'ps:'+key (u = (h+1)/2^60, never 0), so both engines draw the
+    same sample; priorities are one IEEE multiply+divide on int64-exact
+    inputs (bit-identical cross-engine); estimator terms pin to the 1e-9
+    grid and DECIMAL-accumulate (order-independent sums).
+
+    Scale shape: the only O(n) work is one scan + the salted two-phase
+    top-(k+1) rank (politeness.py's pattern — a giant group never
+    funnels one task: rank within (group, salt) keep <= k+1, then rank
+    the <= n_salts*(k+1) survivors). The exact witness column is the
+    sandbox proof; at 10^10 rows it is the full pass the estimator
+    replaces. Returns one row per group: (group, n_pop, n_sampled,
+    tau6, est_total6, exact_total6).
+    """
+    from crawler_spark.functions.num import pin9
+
+    h15 = F.expr(
+        f"cast(conv(substring(md5(concat('ps:', cast({key_col} as string)"
+        f")), 1, 15), 16, 10) as bigint)"
+    )
+    keyed = df.select(
+        F.col(group_col).alias("g"),
+        F.col(key_col).alias("id"),
+        F.col(value_col).cast("double").alias("w"),
+        h15.alias("h15"),
+    ).withColumn(
+        # q = w / u with u = (h15+1)/2^60 in (0, 1]: one multiply + one
+        # divide, both correctly-rounded IEEE ops on identical inputs in
+        # either engine
+        "q",
+        F.col("w") * F.lit(float(1 << 60)) / (F.col("h15") + F.lit(1)),
+    )
+    w1 = Window.partitionBy("g", "_salt").orderBy(F.desc("q"), "id")
+    w2 = Window.partitionBy("g").orderBy(F.desc("q"), "id")
+    top = (
+        keyed.withColumn("_salt", F.pmod("h15", F.lit(n_salts)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k + 1)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k + 1)
+    )
+    tau = top.groupBy("g").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == k + 1, F.col("q"))), F.lit(0.0)
+        ).alias("tau")
+    )
+    est = (
+        top.filter(F.col("rnk") <= k)
+        .join(F.broadcast(tau), "g")
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum(
+                pin9(F.greatest(F.col("w"), F.col("tau"))).cast(
+                    "decimal(28,9)"
+                )
+            )
+            .cast("double")
+            .alias("est_total"),
+            F.max("tau").alias("tau_v"),
+        )
+    )
+    exact = keyed.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_pop"),
+        F.sum(pin9(F.col("w")).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("exact_total"),
+    )
+    return (
+        est.join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_pop",
+            "n_sampled",
+            (F.floor(F.col("tau_v") * 1e6 + F.lit(0.5)) / F.lit(1e6))
+            .cast("double")
+            .alias("tau6"),
+            (F.floor(F.col("est_total") * 1e6 + F.lit(0.5)) / F.lit(1e6))
+            .cast("double")
+            .alias("est_total6"),
+            (F.floor(F.col("exact_total") * 1e6 + F.lit(0.5)) / F.lit(1e6))
+            .cast("double")
+            .alias("exact_total6"),
+        )
+    )

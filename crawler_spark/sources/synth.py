@@ -187,39 +187,50 @@ class SynthWeb:
         return links
 
     # ---- fetch behavior ------------------------------------------------
-    def fetch_error(self, url_canon: str, attempt: int = 1) -> str | None:
+    def fetch_error(
+        self, url_canon: str, attempt: int = 1, uh: int | None = None
+    ) -> str | None:
         """Deterministic failure injection (reference analog: session
         errors retried by base_crawler.py:33,232-284 — up to 2 attempts).
 
         Permanent failures fail every attempt; flaky ones fail only
         attempt 1, modeling the transient resets a real crawl hits
-        constantly."""
+        constantly. ``uh``, when given, must equal ``_uh(url_canon)``
+        (the fetch stage shares one hash across routing + payload)."""
         if not self.is_leaf(url_canon):
             return None
-        h = _uh(url_canon)
+        h = _uh(url_canon) if uh is None else uh
         if h % self.fail_mod == 0:
             return "synthetic_timeout"
         if self.flaky_mod and attempt < 2 and h % self.flaky_mod == 1:
             return "synthetic_reset"
         return None
 
-    def payload(self, url_canon: str) -> dict:
-        """Leaf page payload per input_hint schema: image + caption."""
-        h = _uh(url_canon)
+    def payload(self, url_canon: str, uh: int | None = None) -> dict:
+        """Leaf page payload per input_hint schema: image + caption.
+
+        ``uh`` lets the fetch stage pass the URL hash it already computed
+        for failure routing, saving one xxh64 per fetched leaf; semantics
+        are unchanged (it must equal ``_uh(url_canon)``).
+        """
+        h = _uh(url_canon) if uh is None else uh
         rng = np.random.default_rng(h)
         w = 32 if h & 1 else 64
         hh = 32 if (h >> 1) & 1 else 64
         fmt = "png" if (h >> 2) & 1 else "qdct"
-        # structured pattern + noise so phash is meaningful
+        # structured pattern + noise so phash is meaningful. noise < 32,
+        # so uint8 addition's mod-256 wraparound IS the old
+        # (uint16 + noise) % 256 — one allocation instead of three.
         base = _base_pattern((h >> 3) % 7 + 1, (h >> 6) % 5 + 1, hh, w)
         noise = rng.integers(0, 32, size=(hh, w), dtype=np.uint8)
-        px = ((base.astype(np.uint16) + noise) % 256).astype(np.uint8)
+        px = base + noise
+        hx = f"{h:016x}"
         caption = (
-            f"caption img-{h:016x} {_ADJ[h % len(_ADJ)]} "
+            f"caption img-{hx} {_ADJ[h % len(_ADJ)]} "
             f"{_NOUN[(h >> 8) % len(_NOUN)]}"
         )
         return {
-            "image_id": f"img-{h:016x}",
+            "image_id": f"img-{hx}",
             "bytes": encode(px, fmt),
             "w": int(w),
             "h": int(hh),
@@ -236,7 +247,7 @@ class SynthWeb:
         hh = 32 if (h >> 1) & 1 else 64
         base = _base_pattern((h >> 3) % 7 + 1, (h >> 6) % 5 + 1, hh, w)
         noise = rng.integers(0, 32, size=(hh, w), dtype=np.uint8)
-        return ((base.astype(np.uint16) + noise) % 256).astype(np.uint8)
+        return base + noise
 
     # ---- robots --------------------------------------------------------
     def robots_txt(self, host: str) -> str:
