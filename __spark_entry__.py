@@ -12781,6 +12781,41 @@ def q_epoch_shuffle(spark, sf_dir):
     )
 
 
+def q_url_survival(spark, sf_dir):
+    """Kaplan-Meier URL survival per host (Kaplan & Meier JASA'58): the
+    page-LIFETIME curve from revisit waves with right-censoring — pages
+    still alive when observation stops are NOT treated as deaths (the
+    bias in any naive mean-lifetime). Death wave derives from two md5
+    digits (1..12) against an 8-wave study horizon, so ~1/3 of pages
+    censor. All curve arithmetic windows over the distinct-wave
+    dimension; ln terms pinned, decimal-summed (lm_perplexity's ln/exp
+    contract)."""
+    from crawler_spark.operators.robust import kaplan_meier
+
+    docs = _t(spark, sf_dir, "documents")
+    dw = (
+        f"1 + pmod({_hexdig('km:', 1)} * 16 + {_hexdig('km:', 2)}, 12)"
+    )
+    obs = docs.select(
+        F.concat(
+            F.lit("host-"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".test"),
+        ).alias("host"),
+        F.least(F.expr(dw), F.lit(8)).alias("t"),
+        (F.expr(dw) <= F.lit(8)).cast("int").alias("ev"),
+    )
+    return kaplan_meier(obs, "host", "t", "ev")
+
+
+def _hexdig(prefix: str, i: int) -> str:
+    """Spark-side md5 hex digit (0-15) of prefix+doc_id (oracle twin:
+    _hexdig_sql)."""
+    return (
+        f"(instr('0123456789abcdef', substring(md5(concat('{prefix}', "
+        f"cast(doc_id as string))), {i}, 1)) - 1)"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12790,6 +12825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "priority_sample_totals": q_priority_sample_totals,
         "epoch_shuffle": q_epoch_shuffle,
+        "url_survival": q_url_survival,
         "frontier_schedule": q_frontier_schedule,
         "host_link_rank": q_host_link_rank,
         "rank_drift": q_rank_drift,
@@ -13223,6 +13259,58 @@ def oracle_sql() -> dict[str, str]:
                      AS weight_sum,
                    min(h) AS h_lo, max(h) AS h_hi
             FROM pos GROUP BY epoch, p // 256
+        """,
+        "url_survival": f"""
+            WITH obs AS (
+              SELECT 'host-' || (doc_id % 20) || '.test' AS host,
+                     least(1 + ({_hexdig_sql("'km:' || CAST(doc_id AS VARCHAR)", 1)} * 16
+                                + {_hexdig_sql("'km:' || CAST(doc_id AS VARCHAR)", 2)}) % 12,
+                           8) AS t,
+                     CASE WHEN 1 + ({_hexdig_sql("'km:' || CAST(doc_id AS VARCHAR)", 1)} * 16
+                                    + {_hexdig_sql("'km:' || CAST(doc_id AS VARCHAR)", 2)}) % 12
+                               <= 8 THEN 1 ELSE 0 END AS ev
+              FROM documents
+            ),
+            per_t AS (
+              SELECT host, CAST(t AS BIGINT) AS t,
+                     CAST(sum(ev) AS BIGINT) AS d,
+                     CAST(sum(1 - ev) AS BIGINT) AS c,
+                     CAST(count(*) AS BIGINT) AS leaving
+              FROM obs GROUP BY host, t
+            ),
+            risk AS (
+              SELECT *, CAST(sum(leaving) OVER (
+                       PARTITION BY host ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS n_risk
+              FROM per_t
+            ),
+            terms AS (
+              SELECT *,
+                     CASE WHEN d > 0 AND d < n_risk
+                          THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
+                                              / n_risk) * 1e9 + 0.5)
+                                    AS DOUBLE) / 1e9
+                          ELSE 0.0 END AS lnt
+              FROM risk
+            ),
+            curve AS (
+              SELECT *,
+                     CAST(sum(CAST(lnt AS DECIMAL(28, 9))) OVER (
+                       PARTITION BY host ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS DOUBLE) AS lnS,
+                     max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY host ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS dead
+              FROM terms
+            )
+            SELECT host, t, n_risk, d AS n_events, c AS n_censored,
+                   CASE WHEN dead = 1 THEN 0.0
+                        ELSE floor(exp(lnS) * 1e6 + 0.5) / 1e6
+                   END AS survival6
+            FROM curve WHERE d > 0
         """,
         "frontier_schedule": f"""
             WITH f AS ({frontier})

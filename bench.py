@@ -233,6 +233,9 @@ HEADLINE = [
     "classifier_auc",
     "classifier_calibration",
     "trimmed_latency",
+    # round-4 extension additions
+    "priority_sample_totals",
+    "epoch_shuffle",
 ]
 
 BENCH_HOSTS = 50

@@ -284,3 +284,97 @@ def mann_kendall(
         .withColumn("z", z)
         .withColumn("trending", F.abs(F.col("z")) > 1.96)
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier,
+    JASA 1958) per group — the page-LIFETIME question the change-rate
+    estimators next door cannot answer: ``change_rate`` models how often
+    a living page mutates; this models how long pages LIVE. Revisit
+    waves observe each URL until it 404s/410s (an event at ``time_col``)
+    or until the study ends with the page still alive (``event_col`` =
+    0: right-censored — the observation that naive "average observed
+    lifetime" arithmetic silently treats as a death, biasing lifetimes
+    low exactly on the healthiest hosts). KM handles censoring exactly:
+    S(t) = prod over event times t_i <= t of (1 - d_i / n_i), with d_i
+    deaths at t_i and n_i the at-risk count (still observed at t_i-).
+    The crawl read: per-host survival curves set recrawl/GC budgets —
+    a host whose URLs half-die in 3 waves deserves revisits, not
+    archive trust.
+
+    Shape: one O(n) fact aggregation to the (group, t) event/censor
+    table; everything after — the reverse-cumulative at-risk counts and
+    the running product — windows over the DISTINCT-TIME dimension only
+    (waves are small integers by construction), never the corpus.
+    Determinism: d_i/n_i are exact small-int ratios; each ln(1 - d/n)
+    term is 1e-9-pinned, the running sum is DECIMAL (order-independent),
+    and S(t) = exp(sum) pins at 6 — the `lm_perplexity` ln/exp
+    contract. Returns (group, t, n_risk, n_events, n_censored,
+    survival6) for event times only (censoring times change n_risk but
+    emit no curve step, per the estimator's definition).
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("ev"),
+    )
+    per_t = base.groupBy("g", "t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    # at-risk at t = everyone whose observation time is >= t: a reverse
+    # running sum over the per-group time dimension (rows = distinct
+    # observation times, never the population)
+    w_rev = (
+        Window.partitionBy("g")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_t.withColumn("n_risk", F.sum("leaving").over(w_rev))
+    # d == n_risk (everyone still at risk dies) would put ln(0) = -inf
+    # into the decimal sum; that row's survival is emitted as exact 0
+    # below instead, so its term never enters the accumulator
+    ln_term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        pin9(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    curve = (
+        risk.withColumn(
+            "_lnS",
+            F.sum(ln_term.cast("decimal(28,9)")).over(w_fwd).cast("double"),
+        )
+        # S(t) hits exact 0 when d == n_risk (everyone left dies):
+        # ln(0) is -inf, which decimal cannot carry — emit 0 directly
+        .withColumn(
+            "_dead",
+            F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_fwd),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("g").alias(group_col),
+            "t",
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            F.when(F.col("_dead") == 1, F.lit(0.0))
+            .otherwise(pin6(F.exp(F.col("_lnS"))))
+            .alias("survival6"),
+        )
+    )
+    return curve

@@ -100,3 +100,56 @@ def test_epochs_differ_but_totals_match(spark):
     tot0 = m0.agg(F.sum("weight_sum"), F.sum("n_rows")).collect()[0]
     tot1 = m1.agg(F.sum("weight_sum"), F.sum("n_rows")).collect()[0]
     assert tot0 == tot1  # ... of the same corpus
+
+
+# ---- Kaplan-Meier survival ------------------------------------------------
+
+def _km_obs(spark, rows):
+    return spark.createDataFrame(rows, "g string, t long, ev int")
+
+
+def test_km_matches_hand_computed_curve(spark):
+    from crawler_spark.operators.robust import kaplan_meier
+
+    # textbook cohort of 10: deaths at t=1 (2), t=3 (1), t=5 (2);
+    # censored at t=2 (1), t=4 (1); 3 survive to study end t=6 (censored)
+    rows = (
+        [("a", 1, 1)] * 2 + [("a", 2, 0)] + [("a", 3, 1)]
+        + [("a", 4, 0)] + [("a", 5, 1)] * 2 + [("a", 6, 0)] * 3
+    )
+    out = {r["t"]: r for r in kaplan_meier(
+        _km_obs(spark, rows), "g", "t", "ev"
+    ).collect()}
+    assert set(out) == {1, 3, 5}  # event times only
+    # S(1) = 8/10; S(3) = 8/10 * 6/7; S(5) = that * 3/5
+    assert out[1]["n_risk"] == 10 and out[1]["n_events"] == 2
+    assert abs(out[1]["survival6"] - 0.8) < 2e-6
+    assert out[3]["n_risk"] == 7
+    assert abs(out[3]["survival6"] - 0.8 * 6 / 7) < 2e-6
+    assert out[5]["n_risk"] == 5
+    assert abs(out[5]["survival6"] - 0.8 * (6 / 7) * (3 / 5)) < 2e-6
+
+
+def test_km_censoring_is_not_death(spark):
+    from crawler_spark.operators.robust import kaplan_meier
+
+    # same death pattern, but cohort b's extra members are CENSORED at
+    # t=2 rather than dead: survival at t=3 must be HIGHER for b than
+    # for the cohort where those members died
+    a = [("a", 1, 1), ("a", 2, 1), ("a", 2, 1), ("a", 3, 1), ("a", 9, 0)]
+    b = [("b", 1, 1), ("b", 2, 0), ("b", 2, 0), ("b", 3, 1), ("b", 9, 0)]
+    out = kaplan_meier(_km_obs(spark, a + b), "g", "t", "ev")
+    s3 = {
+        (r["g"]): r["survival6"] for r in out.filter("t = 3").collect()
+    }
+    assert s3["b"] > s3["a"]
+
+
+def test_km_total_death_hits_exact_zero(spark):
+    from crawler_spark.operators.robust import kaplan_meier
+
+    rows = [("a", 1, 1), ("a", 2, 1), ("a", 2, 1)]
+    out = {r["t"]: r["survival6"] for r in kaplan_meier(
+        _km_obs(spark, rows), "g", "t", "ev"
+    ).collect()}
+    assert out[2] == 0.0
