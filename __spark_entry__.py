@@ -12816,6 +12816,62 @@ def _hexdig(prefix: str, i: int) -> str:
     )
 
 
+def q_dns_refresh_plan(spark, sf_dir):
+    """Batched DNS re-resolution plan (Mercator's DNS-bottleneck
+    lesson): from a 500-host dimension with md5-derived TTLs
+    (300s..1d) and last-resolved waves, classify each record
+    expired / due-soon (resolve-ahead) / fresh at wave 8 and shard the
+    work across 8 resolver workers by keyed md5. One O(hosts) hash
+    agg — the frontier is never touched; output is the per-(shard,
+    status) work manifest."""
+    from crawler_spark.operators.assign import dns_refresh_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    d1 = (
+        "(instr('0123456789abcdef', substring(md5(concat('dnsttl:', "
+        "cast(hid as string))), 1, 1)) - 1)"
+    )
+    d2 = (
+        "(instr('0123456789abcdef', substring(md5(concat('dnsttl:', "
+        "cast(hid as string))), 2, 1)) - 1)"
+    )
+    hosts = (
+        docs.select((F.col("doc_id") % 500).alias("hid"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("host-"), F.col("hid").cast("string"), F.lit(".test")
+            ).alias("host"),
+            F.expr(
+                f"element_at(array(300L, 900L, 3600L, 86400L), "
+                f"pmod({d1}, 4) + 1)"
+            ).alias("ttl_s"),
+            F.expr(f"pmod({d2}, 8)").cast("int").alias("resolved_wave"),
+        )
+    )
+    return dns_refresh_plan(
+        hosts, current_wave=8, wave_seconds=600, n_shards=8
+    )
+
+
+def q_filter_agreement(spark, sf_dir):
+    """Cohen's kappa between two curation gates per source: a
+    length-rule gate vs a noisy stand-in classifier (same rule on a
+    md5-perturbed length). Chance-corrected agreement — the number
+    that exposes 'gates agree 91%' as mostly base-rate; one map-side
+    2x2 count per source, dimension-only kappa arithmetic."""
+    from crawler_spark.operators.evals import filter_agreement_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    noise = f"({_hexdig('fa:', 1)} * 16 + {_hexdig('fa:', 2)} - 127) * 8"
+    d = docs.select(
+        "source",
+        (F.col("n_chars") >= 800).alias("gate_a"),
+        ((F.col("n_chars") + F.expr(noise)) >= 800).alias("gate_b"),
+    )
+    return filter_agreement_kappa(d, "source", "gate_a", "gate_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12826,6 +12882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_totals": q_priority_sample_totals,
         "epoch_shuffle": q_epoch_shuffle,
         "url_survival": q_url_survival,
+        "dns_refresh_plan": q_dns_refresh_plan,
+        "filter_agreement": q_filter_agreement,
         "frontier_schedule": q_frontier_schedule,
         "host_link_rank": q_host_link_rank,
         "rank_drift": q_rank_drift,
@@ -13259,6 +13317,80 @@ def oracle_sql() -> dict[str, str]:
                      AS weight_sum,
                    min(h) AS h_lo, max(h) AS h_hi
             FROM pos GROUP BY epoch, p // 256
+        """,
+        "dns_refresh_plan": """
+            WITH hid AS (
+              SELECT DISTINCT doc_id % 500 AS hid FROM documents
+            ),
+            hosts AS (
+              SELECT 'host-' || hid || '.test' AS h,
+                     (list_value(300, 900, 3600, 86400))[
+                       (instr('0123456789abcdef', substring(md5('dnsttl:'
+                          || CAST(hid AS VARCHAR)), 1, 1)) - 1) % 4 + 1
+                     ] AS ttl,
+                     (instr('0123456789abcdef', substring(md5('dnsttl:'
+                        || CAST(hid AS VARCHAR)), 2, 1)) - 1) % 8
+                       AS resolved_wave
+              FROM hid
+            ),
+            cls AS (
+              SELECT h, CAST(ttl AS BIGINT) AS ttl,
+                     CASE
+                       WHEN (8 - resolved_wave) * 600 >= ttl
+                         THEN 'expired'
+                       WHEN (8 - resolved_wave) * 600 + 600 >= ttl
+                         THEN 'due_soon'
+                       ELSE 'fresh'
+                     END AS status
+              FROM hosts
+            )
+            SELECT CASE WHEN status <> 'fresh'
+                        THEN CAST('0x' || substring(md5('dns:' || h),
+                                  1, 15) AS BIGINT) % 8
+                        ELSE -1 END AS shard,
+                   status,
+                   CAST(count(*) AS BIGINT) AS n_hosts,
+                   min(ttl) AS min_ttl_s, max(ttl) AS max_ttl_s
+            FROM cls GROUP BY 1, 2
+        """,
+        "filter_agreement": """
+            WITH d AS (
+              SELECT source,
+                     CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END AS a,
+                     CASE WHEN n_chars
+                          + ((instr('0123456789abcdef', substring(
+                                md5('fa:' || CAST(doc_id AS VARCHAR)),
+                                1, 1)) - 1) * 16
+                             + (instr('0123456789abcdef', substring(
+                                md5('fa:' || CAST(doc_id AS VARCHAR)),
+                                2, 1)) - 1) - 127) * 8 >= 800
+                          THEN 1 ELSE 0 END AS b
+              FROM documents
+            ),
+            cnt AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(a * b) AS BIGINT) AS n11,
+                     CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+                     CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+                     CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+              FROM d GROUP BY source
+            ),
+            k AS (
+              SELECT *,
+                     (n11 + n00) / CAST(n AS DOUBLE) AS po,
+                     ((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00))
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+              FROM cnt
+            )
+            SELECT source, n,
+                   floor(po * 1e6 + 0.5) / 1e6 AS p_o6,
+                   floor(pe * 1e6 + 0.5) / 1e6 AS p_e6,
+                   CASE WHEN pe < 1.0
+                        THEN floor((po - pe) / (1.0 - pe) * 1e6 + 0.5)
+                             / 1e6
+                        ELSE 0.0 END AS kappa6
+            FROM k
         """,
         "url_survival": f"""
             WITH obs AS (

@@ -140,3 +140,71 @@ def ring_assign(
         out_col,
         F.coalesce(F.array_min(succ)["w"], first),
     )
+
+
+def dns_refresh_plan(
+    hosts: DataFrame,
+    current_wave: int,
+    wave_seconds: int,
+    n_shards: int,
+    host_col: str = "host",
+    ttl_col: str = "ttl_s",
+    resolved_col: str = "resolved_wave",
+) -> DataFrame:
+    """Batched DNS re-resolution plan for a crawl wave.
+
+    A distributed crawler cannot resolve per fetch (a 10^10-URL wave
+    would melt any resolver fleet) — it keeps a host->IP dimension with
+    per-record TTLs and re-resolves in BATCHES each wave, sharded across
+    resolver workers so no single resolver sees a thundering herd
+    (Mercator's DNS-bottleneck lesson: its authors measured DNS, not
+    fetching, as the first scaling wall). This computes the wave's plan
+    from the host dimension alone: a record is EXPIRED when
+    (current_wave - resolved_wave) * wave_seconds >= ttl, due-soon when
+    the NEXT wave would expire it (resolve-ahead hides latency — the
+    stale-while-revalidate pattern), fresh otherwise. Expired + due-soon
+    hosts shard by a keyed md5 hash pmod n_shards — deterministic,
+    coordination-free, balanced by hash uniformity (the same reasons the
+    HRW assignment above uses a keyed hash), and engine-portable (the
+    oracle mirrors the identical digits).
+
+    Returns one row per (shard, status) with host counts plus the
+    shard's min/max TTL — the per-resolver work manifest. O(hosts)
+    everywhere: the host dimension is millions of rows where the
+    frontier is billions; one hash agg, no window, no join.
+    """
+    age_s = (F.lit(int(current_wave)) - F.col(resolved_col)) * F.lit(
+        int(wave_seconds)
+    )
+    next_age_s = age_s + F.lit(int(wave_seconds))
+    status = (
+        F.when(age_s >= F.col(ttl_col), F.lit("expired"))
+        .when(next_age_s >= F.col(ttl_col), F.lit("due_soon"))
+        .otherwise(F.lit("fresh"))
+    )
+    return (
+        hosts.select(
+            F.col(host_col).alias("h"),
+            F.col(ttl_col).cast("long").alias("ttl"),
+            status.alias("status"),
+        )
+        .withColumn(
+            "shard",
+            F.when(
+                F.col("status") != "fresh",
+                F.pmod(
+                    F.expr(
+                        "cast(conv(substring(md5(concat('dns:', h)), 1, "
+                        "15), 16, 10) as bigint)"
+                    ),
+                    F.lit(int(n_shards)),
+                ),
+            ).otherwise(F.lit(-1)),  # fresh hosts need no resolver
+        )
+        .groupBy("shard", "status")
+        .agg(
+            F.count("*").cast("long").alias("n_hosts"),
+            F.min("ttl").alias("min_ttl_s"),
+            F.max("ttl").alias("max_ttl_s"),
+        )
+    )

@@ -437,3 +437,55 @@ def auc_exact(
             / F.lit(1e6)
         ).alias("auc6"),
     )
+
+
+def filter_agreement_kappa(
+    decisions: DataFrame,
+    group_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa (Cohen, 1960) between two binary curation gates,
+    per group — the chance-corrected agreement number raw overlap hides:
+    two gates that each keep 95% of documents agree ~90.5% by pure
+    chance, so "the new quality classifier agrees with the Gopher rules
+    on 91% of pages" is NO evidence it learned anything. kappa =
+    (p_o - p_e) / (1 - p_e) subtracts exactly that chance floor; the
+    curation read is per-source drift — a source where two gates'
+    kappa collapses is where their disagreement (and the human review
+    budget) should go.
+
+    Shape: ONE map-side-combinable aggregation to the per-group 2x2
+    confusion counts (n11/n10/n01/n00 as integer sums of predicate
+    products); kappa arithmetic is dimension-only on exact integer
+    ratios, pinned at 6. The degenerate p_e == 1 case (both gates
+    constant in the group) emits kappa = 0 rather than 0/0 — agreement
+    carried entirely by chance. Returns (group, n, p_o6, p_e6, kappa6).
+    """
+    from crawler_spark.functions.num import pin6
+
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    cnt = decisions.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(a * b).cast("long").alias("n11"),
+        F.sum(a * (1 - b)).cast("long").alias("n10"),
+        F.sum((1 - a) * b).cast("long").alias("n01"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / nd
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (nd * nd)
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).otherwise(
+        F.lit(0.0)
+    )
+    return cnt.select(
+        F.col("g").alias(group_col),
+        "n",
+        pin6(po).alias("p_o6"),
+        pin6(pe).alias("p_e6"),
+        pin6(kappa).alias("kappa6"),
+    )

@@ -1,4 +1,4 @@
-"""Fetch/parse stage: Arrow-batched ``mapInPandas`` over scheduled frontier
+"""Fetch/parse stage: Arrow-batched ``mapInArrow`` over scheduled frontier
 rows — the UDTF-shaped stage (one page -> many records).
 
 Reference parity: navigate + extract_data (reference:
@@ -22,6 +22,17 @@ a dense global ``discovery_seq`` via ``operators/sequence.py`` — the
 encounter order of a sequential crawler, computed as a batch. (The
 previous positional-radix encoding, parent_seq*4096+sibling, consumed
 12 bits per depth level and overflowed int64 at depth >= 6.)
+
+The stage is ``mapInArrow``, not ``mapInPandas``: the worker reads the
+input columns straight off the Arrow record batch and writes the output
+columns back as Arrow arrays, so no pandas block manager, no Int64
+extension-array layer, and no per-batch pandas<->Arrow conversion copies
+exist on either side of the boundary. Parent-key columns are gathered
+with Arrow ``take`` — the URL/host strings of link and result rows never
+re-box through python at all. At 2-8 pinned cores this stage is memory-
+bandwidth-sensitive (local mode shares one memory controller across
+workers — see BENCH/BASELINE.md), so removed copies buy scaling, not
+just wall time.
 """
 
 from __future__ import annotations
@@ -29,7 +40,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -66,18 +77,44 @@ FETCHED_SCHEMA = T.StructType(
     ]
 )
 
+# Arrow twin of FETCHED_SCHEMA (Spark maps string->utf8, binary->binary,
+# int->int32, long->int64); mapInArrow requires yielded batches to carry
+# exactly these names and types
+_PA_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("url_canon", pa.string()),
+        ("url_hash", pa.int64()),
+        ("host", pa.string()),
+        ("priority", pa.int32()),
+        ("eff_priority", pa.int32()),
+        ("depth", pa.int32()),
+        ("discovery_seq", pa.int64()),
+        ("attempts", pa.int32()),
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("link_raw", pa.string()),
+        ("link_seq", pa.int64()),
+        ("error_reason", pa.string()),
+    ]
+)
+
+
 def make_fetch_parse(web: SynthWeb):
-    """Build the mapInPandas function over scheduled rows.
+    """Build the mapInArrow function over scheduled rows.
 
     The batch is processed as four row SEGMENTS (fail / result / empty /
-    link) with the parent-key columns gathered by vectorized index
-    arrays: the per-row python work is exactly the fetcher calls
-    (fetch_error / payload / outlinks_raw) plus list appends. The former
-    one-dict-per-output-row form spent as long building and re-reading
-    ~20-field dicts as it did fetching — at 200k URLs/round that was half
-    the fetch stage's CPU. Nullable Int64 arrays are built directly from
-    (values, mask) pairs so 64-bit hashes never round-trip through
-    float64.
+    link): the per-row python work is exactly the fetcher calls
+    (fetch_error / payload / outlinks_raw) plus list appends. Parent-key
+    columns are gathered from the INPUT Arrow arrays with ``take`` over
+    one concatenated index array — zero python objects for those nine
+    columns; nullable int columns are built from (values, mask) numpy
+    pairs so 64-bit hashes never round-trip through float64.
     """
     import inspect
 
@@ -91,19 +128,16 @@ def make_fetch_parse(web: SynthWeb):
     if _takes_uh:
         from crawler_spark.sources.synth import _uh
 
-    def fetch_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            urls = pdf["url_canon"].to_numpy(dtype=object)
-            hosts = pdf["host"].to_numpy(dtype=object)
-            base_int = {
-                c: pdf[c].to_numpy()
-                for c in (
-                    "url_hash", "priority", "eff_priority", "depth",
-                    "discovery_seq", "attempts",
-                )
-            }
-            attempts = base_int["attempts"]
+    def fetch_parse(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            n = rb.num_rows
+            col = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            # the fetch loop needs python urls + attempt ints; everything
+            # else stays Arrow-side
+            urls = col["url_canon"].to_pylist()
+            attempts = col["attempts"].to_numpy(zero_copy_only=False)
 
             fail_i: list[int] = []
             fail_reason: list[str] = []
@@ -158,73 +192,66 @@ def make_fetch_parse(web: SynthWeb):
                 link_seq.extend(range(len(links)))  # sibling/document order
 
             nf, nr, ne, nl = len(fail_i), len(res_i), len(empty_i), len(link_i)
-            seg = np.concatenate(
-                [
-                    np.asarray(fail_i, dtype=np.int64),
-                    np.asarray(res_i, dtype=np.int64),
-                    np.asarray(empty_i, dtype=np.int64),
-                    np.asarray(link_i, dtype=np.int64),
-                ]
+            total = nf + nr + ne + nl
+            seg = pa.array(
+                np.concatenate(
+                    [
+                        np.asarray(fail_i, dtype=np.int64),
+                        np.asarray(res_i, dtype=np.int64),
+                        np.asarray(empty_i, dtype=np.int64),
+                        np.asarray(link_i, dtype=np.int64),
+                    ]
+                )
             )
 
-            def gather_int(col: np.ndarray) -> pd.arrays.IntegerArray:
-                v = col[seg].astype(np.int64, copy=False)
-                return pd.arrays.IntegerArray(v, np.zeros(len(v), dtype=bool))
-
-            def result_int(vals: list[int]) -> pd.arrays.IntegerArray:
-                v = np.zeros(nf + nr + ne + nl, dtype=np.int64)
-                m = np.ones(nf + nr + ne + nl, dtype=bool)
-                v[nf : nf + nr] = np.asarray(vals, dtype=np.int64)
+            def result_int(vals: list[int], np_t, pa_t) -> pa.Array:
+                v = np.zeros(total, dtype=np_t)
+                m = np.ones(total, dtype=bool)
+                v[nf : nf + nr] = np.asarray(vals, dtype=np_t)
                 m[nf : nf + nr] = False
-                return pd.arrays.IntegerArray(v, m)
+                return pa.array(v, type=pa_t, mask=m)
 
-            def obj(segments: list[tuple[int, list | np.ndarray | None]]):
-                out = np.empty(nf + nr + ne + nl, dtype=object)
-                pos = 0
+            def str_col(segments, pa_t=pa.string()) -> pa.Array:
+                # (count, values-or-None) segments -> one nullable array
+                out: list = []
                 for ln, vals in segments:
-                    if vals is not None:
-                        # explicit object dtype: a bare list of bytes would
-                        # coerce to a |S fixed-width array mid-assignment
-                        seg_arr = np.empty(ln, dtype=object)
-                        seg_arr[:] = vals
-                        out[pos : pos + ln] = seg_arr
-                    pos += ln
-                return out
+                    out.extend(vals if vals is not None else [None] * ln)
+                return pa.array(out, type=pa_t)
 
-            link_seq_v = np.zeros(nf + nr + ne + nl, dtype=np.int64)
-            link_seq_m = np.ones(nf + nr + ne + nl, dtype=bool)
+            link_seq_v = np.zeros(total, dtype=np.int64)
+            link_seq_m = np.ones(total, dtype=bool)
             link_seq_v[nf + nr + ne :] = np.asarray(link_seq, dtype=np.int64)
             link_seq_m[nf + nr + ne :] = False
 
-            yield pd.DataFrame(
-                {
-                    "kind": obj(
+            yield pa.RecordBatch.from_arrays(
+                [
+                    str_col(
                         [(nf, ["fail"] * nf), (nr, ["result"] * nr),
                          (ne, ["empty"] * ne), (nl, ["link"] * nl)]
                     ),
-                    "url_canon": urls[seg],
-                    "url_hash": gather_int(base_int["url_hash"]),
-                    "host": hosts[seg],
-                    "priority": gather_int(base_int["priority"]),
-                    "eff_priority": gather_int(base_int["eff_priority"]),
-                    "depth": gather_int(base_int["depth"]),
-                    "discovery_seq": gather_int(base_int["discovery_seq"]),
-                    "attempts": gather_int(base_int["attempts"]),
-                    "image_id": obj([(nf, None), (nr, p_img), (ne + nl, None)]),
-                    "bytes": obj([(nf, None), (nr, p_bytes), (ne + nl, None)]),
-                    "w": result_int(p_w),
-                    "h": result_int(p_h),
-                    "fmt": obj([(nf, None), (nr, p_fmt), (ne + nl, None)]),
-                    "caption": obj([(nf, None), (nr, p_cap), (ne + nl, None)]),
-                    "phash": result_int(p_ph),
-                    "link_raw": obj(
-                        [(nf + nr + ne, None), (nl, link_raw)]
+                    col["url_canon"].take(seg),
+                    col["url_hash"].take(seg),
+                    col["host"].take(seg),
+                    col["priority"].take(seg),
+                    col["eff_priority"].take(seg),
+                    col["depth"].take(seg),
+                    col["discovery_seq"].take(seg),
+                    col["attempts"].take(seg),
+                    str_col([(nf, None), (nr, p_img), (ne + nl, None)]),
+                    str_col(
+                        [(nf, None), (nr, p_bytes), (ne + nl, None)],
+                        pa_t=pa.binary(),
                     ),
-                    "link_seq": pd.arrays.IntegerArray(link_seq_v, link_seq_m),
-                    "error_reason": obj(
-                        [(nf, fail_reason), (nr + ne + nl, None)]
-                    ),
-                }
+                    result_int(p_w, np.int32, pa.int32()),
+                    result_int(p_h, np.int32, pa.int32()),
+                    str_col([(nf, None), (nr, p_fmt), (ne + nl, None)]),
+                    str_col([(nf, None), (nr, p_cap), (ne + nl, None)]),
+                    result_int(p_ph, np.int64, pa.int64()),
+                    str_col([(nf + nr + ne, None), (nl, link_raw)]),
+                    pa.array(link_seq_v, type=pa.int64(), mask=link_seq_m),
+                    str_col([(nf, fail_reason), (nr + ne + nl, None)]),
+                ],
+                schema=_PA_SCHEMA,
             )
 
     return fetch_parse
@@ -235,6 +262,6 @@ def run_fetch(scheduled: DataFrame, web: SynthWeb) -> DataFrame:
             "discovery_seq", "attempts"]
     if "eff_priority" not in scheduled.columns:
         scheduled = scheduled.withColumn("eff_priority", F.col("priority"))
-    return scheduled.select(*cols, "eff_priority").mapInPandas(
+    return scheduled.select(*cols, "eff_priority").mapInArrow(
         make_fetch_parse(web), schema=FETCHED_SCHEMA
     )
