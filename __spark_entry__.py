@@ -12872,6 +12872,41 @@ def q_filter_agreement(spark, sf_dir):
     return filter_agreement_kappa(d, "source", "gate_a", "gate_b")
 
 
+def q_drift_fdr_gate(spark, sf_dir):
+    """Fleet drift detection done right: per-host exact two-sample KS
+    between wave 0 and wave 1 latencies (operators/stats.ks_two_sample_by
+    — the keyed form; one dataflow, no per-host driver jobs), then
+    Benjamini-Hochberg FDR control over the 20 simultaneous p-values
+    (bh_fdr). Four hosts carry a planted +120 shift in wave 1; the gate
+    must discover them WITHOUT paging on the 16 quiet hosts — per-test
+    alpha hands you 5% of all quiet hosts as false alarms at fleet
+    scale, which is why the BH layer exists."""
+    from crawler_spark.operators.stats import bh_fdr, ks_two_sample_by
+
+    f = _frontier(spark, sf_dir)
+    d1 = _hexdig("dk:", 1)
+    d2 = _hexdig("dk:", 2)
+    # wave from an md5 digit, NOT doc_id parity: host = doc_id % 20, so
+    # any doc_id-arithmetic wave would correlate with host membership
+    # (each host would see a single wave and no test could run)
+    d3 = _hexdig("dk:", 3)
+    wave = F.expr(f"pmod({d3}, 2)").cast("int")
+    lat = f.select(
+        "host",
+        wave.alias("wave"),
+        (
+            F.lit(50)
+            + F.expr(f"{d1} * 16 + {d2}")
+            + F.when(
+                ((F.col("doc_id") % 20) % 5 == 0) & (wave == 1),
+                F.lit(120),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("lat"),
+    )
+    tests = ks_two_sample_by(lat, "host", "wave", "lat", 0, 1)
+    return bh_fdr(tests, "host", "p_approx6", alpha=0.05)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF_DEFAULT)
@@ -12884,6 +12919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_survival": q_url_survival,
         "dns_refresh_plan": q_dns_refresh_plan,
         "filter_agreement": q_filter_agreement,
+        "drift_fdr_gate": q_drift_fdr_gate,
         "frontier_schedule": q_frontier_schedule,
         "host_link_rank": q_host_link_rank,
         "rank_drift": q_rank_drift,
@@ -13317,6 +13353,90 @@ def oracle_sql() -> dict[str, str]:
                      AS weight_sum,
                    min(h) AS h_lo, max(h) AS h_hi
             FROM pos GROUP BY epoch, p // 256
+        """,
+        "drift_fdr_gate": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            lat AS (
+              SELECT host,
+                     {_hexdig_sql("'dk:' || CAST(doc_id AS VARCHAR)", 3)} % 2
+                       AS wave,
+                     50 + ({_hexdig_sql("'dk:' || CAST(doc_id AS VARCHAR)", 1)} * 16
+                           + {_hexdig_sql("'dk:' || CAST(doc_id AS VARCHAR)", 2)})
+                        + CASE WHEN (doc_id % 20) % 5 = 0
+                                    AND {_hexdig_sql("'dk:' || CAST(doc_id AS VARCHAR)", 3)} % 2 = 1
+                               THEN 120 ELSE 0 END AS lat
+              FROM f
+            ),
+            per AS (
+              SELECT host, CAST(lat AS DOUBLE) AS val,
+                     sum(CASE WHEN wave = 0 THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN wave = 1 THEN 1 ELSE 0 END) AS cb
+              FROM lat GROUP BY host, CAST(lat AS DOUBLE)
+            ),
+            tot AS (
+              SELECT host, sum(ca) AS na, sum(cb) AS nb FROM per
+              GROUP BY host HAVING sum(ca) > 0 AND sum(cb) > 0
+            ),
+            gaps AS (
+              SELECT per.host, val, na, nb,
+                     floor(abs(CAST(sum(ca) OVER w AS DOUBLE)
+                                 / CAST(na AS DOUBLE)
+                               - CAST(sum(cb) OVER w AS DOUBLE)
+                                 / CAST(nb AS DOUBLE))
+                           * 1e9 + 0.5) / 1e9 AS gap
+              FROM per JOIN tot USING (host)
+              WINDOW w AS (PARTITION BY per.host ORDER BY val
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ),
+            top AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY host
+                                             ORDER BY gap DESC, val) AS rn
+                FROM gaps
+              ) WHERE rn = 1
+            ),
+            lamt AS (
+              SELECT *, floor(gap * sqrt(CAST(na AS DOUBLE)
+                                         * CAST(nb AS DOUBLE)
+                                         / CAST(na + nb AS DOUBLE))
+                              * 1e9 + 0.5) / 1e9 AS lam
+              FROM top
+            ),
+            ser AS (
+              SELECT *,
+                     floor(CAST(2.0 AS DOUBLE) * exp(-2.0 * lam * lam)
+                           * 1e9 + 0.5) / 1e9
+                     + floor(CAST(-2.0 AS DOUBLE) * exp(-8.0 * lam * lam)
+                             * 1e9 + 0.5) / 1e9
+                     + floor(CAST(2.0 AS DOUBLE) * exp(-18.0 * lam * lam)
+                             * 1e9 + 0.5) / 1e9 AS series
+              FROM lamt
+            ),
+            tests AS (
+              SELECT host,
+                     floor(greatest(least(series, 1.0), 0.0) * 1e6 + 0.5)
+                       / 1e6 AS p
+              FROM ser
+            ),
+            ranked AS (
+              SELECT host, p,
+                     row_number() OVER (ORDER BY p, host) AS rank,
+                     count(*) OVER () AS m
+              FROM tests
+            ),
+            k AS (
+              SELECT coalesce(max(CASE WHEN p <= CAST(rank AS DOUBLE)
+                                            * CAST(0.05 AS DOUBLE) / m
+                                       THEN rank END), 0) AS kstar
+              FROM ranked
+            )
+            SELECT host, p AS p_approx6, CAST(rank AS BIGINT) AS rank,
+                   CAST(m AS BIGINT) AS m,
+                   floor(CAST(rank AS DOUBLE) * CAST(0.05 AS DOUBLE) / m
+                         * 1e9 + 0.5) / 1e9 AS bh_thr9,
+                   rank <= kstar AS discovered
+            FROM ranked CROSS JOIN k
         """,
         "dns_refresh_plan": """
             WITH hid AS (

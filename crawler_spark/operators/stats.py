@@ -750,3 +750,172 @@ def priority_sample_estimate(
             .alias("exact_total6"),
         )
     )
+
+
+def ks_two_sample_by(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Per-key variant of `ks_two_sample`: one exact two-sample KS test
+    PER KEY (per host, per source...) in a single dataflow — the fleet
+    form of the drift question ("which of my 10^5 hosts' latency
+    distributions moved between waves?"), where running the scalar test
+    per key from the driver would be 10^5 jobs. Identical statistic,
+    pinning sequence and truncated-Kolmogorov p-value as the scalar
+    form; the cumulative-CDF window partitions by key over the
+    (key, distinct value) dimension, so no corpus-sized window exists.
+
+    Returns one row per key: (key, n_a, n_b, ks_d9, at_value,
+    p_approx6, reject_05). Keys where either sample is empty produce
+    no row (no test to run). Feed the p-values to `bh_fdr` — at fleet
+    scale, per-test alpha=0.05 hands you 5% of ALL quiet hosts as
+    false alarms; the FDR gate is what makes the fleet answer usable.
+    """
+    def pin(c, k):
+        sc = float(10 ** k)
+        return F.floor(c * F.lit(sc) + F.lit(0.5)) / F.lit(sc)
+
+    v = F.col(value_col).cast("double")
+    per = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(key_col).alias("k"), v.alias("val"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    tot = per.groupBy("k").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    ).filter((F.col("na") > 0) & (F.col("nb") > 0))
+    w = (
+        Window.partitionBy("k")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gaps = (
+        per.join(tot, "k")
+        .withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .select(
+            "k",
+            "val",
+            "na",
+            "nb",
+            pin(
+                F.abs(
+                    F.col("cuma").cast("double") / F.col("na").cast("double")
+                    - F.col("cumb").cast("double") / F.col("nb").cast("double")
+                ),
+                9,
+            ).alias("gap"),
+        )
+    )
+    w_top = Window.partitionBy("k").orderBy(F.desc("gap"), F.asc("val"))
+    top = (
+        gaps.withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    lam = pin(
+        F.col("gap")
+        * F.sqrt(
+            F.col("na").cast("double")
+            * F.col("nb").cast("double")
+            / (F.col("na") + F.col("nb")).cast("double")
+        ),
+        9,
+    )
+    terms = None
+    for j in (1, 2, 3):
+        t = pin(
+            F.lit(float((-1) ** (j - 1) * 2))
+            * F.exp(F.lit(-2.0 * j * j) * F.col("lam") * F.col("lam")),
+            9,
+        )
+        terms = t if terms is None else terms + t
+    return (
+        top.withColumn("lam", lam)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("gap").alias("ks_d9"),
+            F.col("val").alias("at_value"),
+            pin(F.greatest(F.least(terms, F.lit(1.0)), F.lit(0.0)), 6).alias(
+                "p_approx6"
+            ),
+            (
+                F.greatest(F.least(terms, F.lit(1.0)), F.lit(0.0))
+                < F.lit(0.05)
+            ).alias("reject_05"),
+        )
+    )
+
+
+def bh_fdr(
+    tests: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR gate (JRSS-B 1995) over a family of
+    simultaneous tests: rank the m p-values ascending, find the largest
+    k with p_(k) <= k/m * alpha, and discover exactly ranks 1..k. The
+    expected fraction of FALSE discoveries among the discoveries is
+    then <= alpha — the guarantee per-test thresholds lose at fleet
+    scale (10^5 per-host drift tests at per-test 0.05 yield ~5000
+    false alarms from quiet hosts alone; Bonferroni fixes that by
+    destroying power). This is the multiple-testing layer every
+    per-key test in this repo (ks_two_sample_by, mann_kendall,
+    psi_bins) should pass through before anyone pages on the result.
+
+    Shape: the family table is key-dimension sized; the global p-rank
+    is `assign_dense_seq` (range shuffle + broadcast offsets — no
+    single-partition window even at 10^7 keys), the k* cutoff is a
+    1-row broadcast, and the result localCheckpoints so the
+    range-partition persist is released (equi_depth_histogram's
+    lifecycle). Ties in p share a fate by construction: if a tied
+    value qualifies at its highest rank, every copy sits below k*.
+    Determinism: p-values arrive pinned (every producer here pins);
+    rank*alpha/m is one IEEE multiply+divide on identical inputs;
+    output threshold pinned at 9 (finer than the p grid so the pin
+    can never flip a comparison the gate made). Returns (key, p,
+    rank, m, bh_thr9, discovered).
+    """
+    from crawler_spark.operators.sequence import assign_dense_seq
+
+    base = tests.select(
+        F.col(key_col).alias("bk"), F.col(p_col).cast("double").alias("bp")
+    )
+    ranked, m, handle = assign_dense_seq(base, ["bp", "bk"], "_r0")
+    rank = (F.col("_r0") + F.lit(1)).cast("long")
+    thr = rank.cast("double") * F.lit(float(alpha)) / F.lit(float(m))
+    gated = ranked.withColumn("rank", rank).withColumn(
+        "_hit", F.when(F.col("bp") <= thr, F.col("rank")).otherwise(F.lit(0))
+    )
+    kstar = gated.agg(F.max("_hit").alias("_kstar"))
+    out = (
+        gated.crossJoin(F.broadcast(kstar))
+        .select(
+            F.col("bk").alias(key_col),
+            F.col("bp").alias(p_col),
+            "rank",
+            F.lit(int(m)).cast("long").alias("m"),
+            (
+                F.floor(thr * F.lit(1e9) + F.lit(0.5)).cast("double")
+                / F.lit(1e9)
+            ).alias("bh_thr9"),
+            (F.col("rank") <= F.col("_kstar")).alias("discovered"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    handle.unpersist()
+    return out
