@@ -236,6 +236,10 @@ HEADLINE = [
     # round-4 extension additions
     "priority_sample_totals",
     "epoch_shuffle",
+    "url_survival",
+    "dns_refresh_plan",
+    "filter_agreement",
+    "drift_fdr_gate",
 ]
 
 BENCH_HOSTS = 50
