@@ -85,3 +85,25 @@ def test_bh_partitioning_invariant(spark):
     a = bh_fdr(_tests_df(spark, ps).repartition(1), "key", "p")
     b = bh_fdr(_tests_df(spark, ps).repartition(13), "key", "p")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bh_fuzz_against_reference(spark):
+    """Randomized families vs the textbook BH procedure computed in
+    plain python — 8 random (m, alpha) schedules."""
+    import random
+
+    rnd = random.Random(11)
+    for trial in range(8):
+        m = rnd.randrange(1, 40)
+        ps = [round(rnd.random(), 4) for _ in range(m)]
+        alpha = rnd.choice([0.01, 0.05, 0.1])
+        out = bh_fdr(_tests_df(spark, ps), "key", "p", alpha=alpha).collect()
+        # reference: sort ascending, largest k with p_(k) <= k*alpha/m
+        order = sorted(ps)
+        kstar = 0
+        for k, p in enumerate(order, start=1):
+            if p <= k * alpha / m:
+                kstar = k
+        expect_disc = sorted(order[:kstar])
+        got_disc = sorted(r["p"] for r in out if r["discovered"])
+        assert got_disc == expect_disc, (trial, m, alpha)
